@@ -1,0 +1,186 @@
+"""Text chunking operators (SURVEY W1, reference chunk_util.py:136-233).
+
+Two variants:
+
+  chunk_even_chars      - fixed-size char chunks with overlap, expressed as
+                          pure DataFrame ops (sequence + transform +
+                          posexplode). Fully oracle-checkable in SQL.
+  chunk_by_tokens       - the reference's token-aware, line-boundary,
+                          overlapping chunker as a vectorized mapInPandas
+                          operator with a pluggable token counter
+                          (FIXTURES.md B7 stub: whitespace words).
+
+Chunk bounds are char offsets into the source text and the emitted
+``chunk_bounds`` string "{start}:{end}" is the join key used downstream —
+exactly the reference's offset-keyed chunk map semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SCHEMA = (
+    "doc_id long, chunk_no int, chunk_start int, chunk_end int, "
+    "chunk_bounds string, chunk_text string, num_tokens int"
+)
+
+
+def chunk_even_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Overlapping fixed-char-size chunks; stride = size - overlap.
+
+    One row in, ceil((len-overlap)/stride) rows out — UDTF-shaped explode
+    that stays in codegen (no Python). Offsets are 0-based, end exclusive.
+    """
+    stride = size - overlap
+    n = f"greatest(1, cast(ceil((length({text_col}) - {overlap}) / {stride}.0) as int))"
+    chunks = (
+        f"transform(sequence(0, {n} - 1), i -> named_struct("
+        f"'chunk_no', cast(i + 1 as int), "
+        f"'chunk_start', cast(i * {stride} as int), "
+        f"'chunk_end', cast(least(i * {stride} + {size}, length({text_col})) as int), "
+        f"'chunk_text', substr({text_col}, i * {stride} + 1, {size})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_end").alias("chunk_end"),
+            F.concat_ws(":", F.col("c.chunk_start"), F.col("c.chunk_end")).alias("chunk_bounds"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def whitespace_tokens(s: str) -> int:
+    """Deterministic tokenizer stub (FIXTURES.md B7): whitespace words."""
+    return len(s.split())
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    soft_limit_tokens: int = 40,
+    overlap_ratio: float = 0.15,
+    max_chunks: int = 100,
+    token_counter: Callable[[str], int] = whitespace_tokens,
+) -> DataFrame:
+    """Token-aware overlapping chunker (reference chunk_util.py:136-233).
+
+    Splits on line boundaries (falling back to word boundaries for single-
+    line texts), accumulating lines until the soft token limit, then carries
+    ``overlap_ratio`` of trailing tokens into the next chunk. Emits
+    offset-keyed chunks; offsets index the original text so
+    ``text[start:end] == chunk_text`` byte-for-byte.
+
+    Runs as mapInPandas: per-document imperative offset bookkeeping is the
+    genuinely non-relational part (SURVEY §7.3 "hard parts" #1); everything
+    up/downstream stays declarative. Arrow-batched, no per-row Python UDF.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for rec in _chunk_one(str(text), soft_limit_tokens, overlap_ratio, max_chunks, token_counter):
+                    rec["doc_id"] = doc_id
+                    out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "chunk_no",
+                    "chunk_start",
+                    "chunk_end",
+                    "chunk_bounds",
+                    "chunk_text",
+                    "num_tokens",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, CHUNK_SCHEMA)
+
+
+def _chunk_one(
+    text: str,
+    soft_limit: int,
+    overlap_ratio: float,
+    max_chunks: int,
+    tokens: Callable[[str], int],
+) -> list[dict]:
+    """Chunk one document; pure function so it unit-tests without Spark."""
+    # line segmentation with exact offsets; single-line texts fall back to
+    # whitespace-word segments so the soft limit still applies.
+    segs = _segments(text)
+    chunks: list[dict] = []
+    cur_start = None
+    cur_end = None
+    cur_tokens = 0
+    i = 0
+    while i < len(segs) and len(chunks) < max_chunks:
+        s_start, s_end, s_text = segs[i]
+        s_tok = tokens(s_text)
+        if cur_start is None:
+            cur_start, cur_end, cur_tokens = s_start, s_end, s_tok
+        elif cur_tokens + s_tok <= soft_limit or cur_tokens == 0:
+            cur_end, cur_tokens = s_end, cur_tokens + s_tok
+        else:
+            chunks.append(_emit(text, cur_start, cur_end, len(chunks) + 1, tokens))
+            # carry overlap: back up whole segments until overlap tokens covered
+            overlap_tokens = int(cur_tokens * overlap_ratio)
+            j = i - 1
+            carried = 0
+            back_start = s_start
+            while j >= 0 and carried < overlap_tokens and segs[j][0] >= cur_start:
+                carried += tokens(segs[j][2])
+                back_start = segs[j][0]
+                j -= 1
+            cur_start, cur_end, cur_tokens = back_start, s_end, tokens(text[back_start:s_end])
+        i += 1
+    if cur_start is not None and len(chunks) < max_chunks:
+        chunks.append(_emit(text, cur_start, cur_end, len(chunks) + 1, tokens))
+    return chunks
+
+
+def _segments(text: str) -> list[tuple[int, int, str]]:
+    """(start, end, text) line segments; word segments for single-line text."""
+    segs: list[tuple[int, int, str]] = []
+    pos = 0
+    for line in text.split("\n"):
+        end = pos + len(line)
+        if line.strip():
+            segs.append((pos, end, line))
+        pos = end + 1  # the newline
+    if len(segs) <= 1 and text:
+        segs = []
+        pos = 0
+        for word in text.split(" "):
+            end = pos + len(word)
+            if word:
+                segs.append((pos, end, word))
+            pos = end + 1
+    return segs
+
+
+def _emit(text: str, start: int, end: int, no: int, tokens: Callable[[str], int]) -> dict:
+    chunk_text = text[start:end]
+    return {
+        "chunk_no": no,
+        "chunk_start": start,
+        "chunk_end": end,
+        "chunk_bounds": f"{start}:{end}",
+        "chunk_text": chunk_text,
+        "num_tokens": tokens(chunk_text),
+    }

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE.json names similarity search as a first-class 100 TB capability.
+Two strategies:
+
+  cosine_pairs       - exact pairwise cosine above a threshold (the
+                       correctness baseline; O(n^2), only for modest n)
+  ann_topk_bruteforce- exact top-k neighbors for a small query set
+                       (queries broadcast against the corpus — linear scan,
+                       embarrassingly parallel, the right baseline even at
+                       scale when the query set is small)
+  ann_topk_lsh       - sign-random-projection bucketing; each query only
+                       scans its bucket. The scale path: bucket key is a
+                       shuffle/partition key, so the corpus is probed
+                       without a cross join.
+
+Dot products are computed with sequential left-fold ``aggregate`` in double
+precision — bit-identical to the DuckDB oracle's ``list_reduce`` fold.
+Similarities are rounded to 6 decimals before thresholding/ranking so both
+engines agree deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Sequential double-precision left fold: same op order as the oracle.
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _with_norm(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    dot_self = _DOT.format(a=vec_col, b=vec_col)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.expr(f"sqrt({dot_self})").alias("norm"),
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs (a < b) with round(cosine, 6) >= threshold."""
+    e = _with_norm(df, vec_col, id_col)
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = _DOT.format(a="a.v", b="b.v")
+    sim = F.round(F.expr(dot) / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is broadcast; the corpus is scanned once — a linear,
+    fully parallel plan with a tiny shuffle (k rows per query survive).
+    """
+    e = _with_norm(df, vec_col, id_col)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(dot) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = (
+        e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k: int = 3,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-projection bucket join, then exact rerank.
+
+    Bucket key = sign bits of the first ``n_bits`` dimensions (a fixed,
+    deterministic projection — the oracle-checkable stand-in for random
+    hyperplanes). Probing joins on the bucket key instead of cross-joining,
+    which is the property that survives a 100x scale-up.
+    """
+    e = _with_norm(df, vec_col, id_col)
+    bucket = F.expr(
+        f"concat_ws('', transform(slice(v, 1, {n_bits}), x -> IF(x >= 0.0, '1', '0')))"
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    dot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(dot) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = (
+        eb.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )

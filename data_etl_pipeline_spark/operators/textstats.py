@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+BASELINE.json names these as first-class: language ID, quality scoring,
+token counting, document fingerprinting. All are single-pass, shuffle-free
+column expressions (whole-stage codegen) so they cost one corpus scan at
+any scale. The reference's token counting (open_ai_key_app/.../token_util.py)
+is tiktoken-based; here the pluggable stub is whitespace words (FIXTURES.md
+B7) plus a regex "BPE-ish" token split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.functions.hashing import MERSENNE_31
+
+# marker word groups for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _count_in(words_expr: str, markers: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return f"size(filter({words_expr}, x -> x IN ({lst})))"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word counts (ties: en>es>de).
+
+    A real deployment swaps the marker table for char-n-gram profiles; the
+    operator shape (scan + scoring expression, zero shuffles) is identical.
+    """
+    w = f"split({text_col}, ' ')"
+    scores = {lang: _count_in(w, m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        f"CASE WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']} THEN 'en' "
+        f"WHEN {scores['es']} >= {scores['de']} THEN 'es' ELSE 'de' END"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(scores["en"]).alias("score_en"),
+        F.expr(scores["es"]).alias("score_es"),
+        F.expr(scores["de"]).alias("score_de"),
+        F.expr(pred).alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / stopword-ratio / lexical-diversity quality features + score.
+
+    Mirrors the quality gates the reference applies before LLM extraction
+    (token band filters, new_extract_queue_bot.py:81-82; scrape validity,
+    url_scraper_service.py:96-102) generalized to a scored filter.
+    """
+    w = f"split({text_col}, ' ')"
+    n_words = f"size({w})"
+    n_distinct = f"size(array_distinct({w}))"
+    n_chars = f"length({text_col})"
+    n_stop = _count_in(w, STOPWORDS)
+    avg_word_len = f"(cast({n_chars} as double) / {n_words})"
+    stop_ratio = f"(cast({n_stop} as double) / {n_words})"
+    diversity = f"(cast({n_distinct} as double) / {n_words})"
+    score = f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) + 0.3 * least({n_words} / 100.0, 1.0), 6)"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(n_words).alias("n_words"),
+        F.expr(n_distinct).alias("n_distinct_words"),
+        F.expr(f"round({avg_word_len}, 6)").alias("avg_word_len"),
+        F.expr(f"round({stop_ratio}, 6)").alias("stopword_ratio"),
+        F.expr(score).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and regex (BPE-ish word/number split) token counts.
+
+    The pluggable-tokenizer seam from FIXTURES.md B7: whitespace words are
+    the deterministic stub; swapping in tiktoken means replacing these
+    expressions with a vectorized pandas_udf without touching callers.
+    """
+    ws = f"size(split({text_col}, ' '))"
+    bpe = f"size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''))"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(ws).alias("ws_tokens"),
+        F.expr(bpe).alias("re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (mod 2^31-1).
+
+    Sequential char fold — identical op order in Spark's ``aggregate`` and
+    the oracle's ``list_reduce``. Used as a cheap content identity for
+    incremental recomputation (the reference keys lineage on content
+    version ids, SURVEY §1.3).
+    """
+    fp = (
+        f"aggregate(transform(split({text_col}, ''), x -> ascii(x)), "
+        f"cast(0 as bigint), (acc, c) -> (acc * 31 + c) % {MERSENNE_31})"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.expr(fp).alias("fingerprint"))

@@ -1,0 +1,412 @@
+"""LLM-training-data pipeline queries over documents/embeddings
+(BASELINE.json extensions: dedup, similarity search, text analysis), plus
+the reference's vocabulary-search join (SURVEY J7/J8).
+
+Each oracle SQL reproduces the Spark plan's arithmetic exactly: the shared
+md5-derived integer hash (functions/hashing.py), sequential left-fold dot
+products, and round(x, 6) before any threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.functions.hashing import (
+    MERSENNE_31,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_MINHASH,
+)
+from data_etl_pipeline_spark.operators import chunker, dedup, similarity, textstats
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (must mirror the Spark operators bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_H32_SQL = f"(('0x' || substr(md5({{x}}), 1, 15))::BIGINT % {MERSENNE_31})"
+
+_SHINGLES_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM docs, unnest(range(1, len(w) - 1)) AS t(i)
+       WHERE len(w) >= 3)
+"""
+
+_PARAMS_VALUES = ",".join(f"({i},{a},{b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + f""",
+hs AS (SELECT doc_id, {_H32_SQL.format(x='shingle')} AS h FROM sh),
+params AS (SELECT * FROM (VALUES {_PARAMS_VALUES}) AS p(i, a, b)),
+mh AS (SELECT doc_id, p.i AS i, MIN((p.a * h + p.b) % {MERSENNE_31}) AS m
+       FROM hs, params p GROUP BY doc_id, p.i)
+"""
+)
+
+_DOT_SQL = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{a}[i] * {b}[i] for i in range(1, 65)]), (acc, v) -> acc + v)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (SURVEY W4)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_exact_dedup",
+    sql="""
+    SELECT content_hash, keep_id, n_copies FROM (
+        SELECT md5(text) AS content_hash, doc_id AS keep_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents) t
+    WHERE rn = 1
+    """,
+    doc="Exact hash dedup, first occurrence wins (SURVEY W4; dedup_util.py:273-307).",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@query(
+    "doc_ngram_jaccard_pairs",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.8
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index self-join.",
+    headline=True,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures
+# ---------------------------------------------------------------------------
+@query(
+    "doc_minhash_signatures",
+    sql=f"""
+    WITH {_MINHASH_CTE}
+    SELECT doc_id, array_to_string(list(m::VARCHAR ORDER BY i), ',') AS signature
+    FROM mh GROUP BY doc_id
+    """,
+    doc="16-permutation MinHash signature per document (portable hash family).",
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id",
+        F.array_join(F.expr("transform(signature, x -> cast(x as string))"), ",").alias("signature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH candidate pairs
+# ---------------------------------------------------------------------------
+@query(
+    "doc_minhash_lsh_pairs",
+    sql=f"""
+    WITH {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.s AS sa, b.s AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) / {NUM_MINHASH}.0 AS est_similarity
+    FROM cand
+    WHERE len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) / {NUM_MINHASH}.0 >= 0.5
+    """,
+    doc="Banded MinHash-LSH near-dup candidates (the 100 TB-scale dedup path).",
+    headline=True,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"), bands=4, min_est=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@query(
+    "doc_simhash",
+    sql=f"""
+    WITH d AS (SELECT doc_id,
+                      list_transform(list_distinct(string_split(text, ' ')),
+                                     x -> {_H32_SQL.format(x='x')}) AS hs
+               FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 60)), (acc, j) -> acc +
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1
+                                                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                        (v, x) -> v + x) > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM d
+    """,
+    doc="60-bit SimHash per document from the distinct-word hash votes.",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup pairs
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_cosine_pairs",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm
+          FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) >= 0.4
+    """,
+    doc="Exact pairwise cosine near-dup pairs (baseline for embedding dedup).",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# ANN top-k: brute force + LSH-bucketed
+# ---------------------------------------------------------------------------
+@query(
+    "ann_topk_bruteforce",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+    scored AS (SELECT q_id, n.vec_id AS neighbor_id,
+                      ROUND({_DOT_SQL.format(a='qv', b='n.v')} / (qnorm * n.norm), 6) AS cosine_sim
+               FROM n JOIN q ON q_id != n.vec_id)
+    SELECT q_id, neighbor_id, rank, cosine_sim FROM (
+        SELECT q_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for 10 query vectors (broadcast scan).",
+    headline=True,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_bruteforce(load(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+@query(
+    "ann_topk_lsh",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm,
+                 array_to_string(list_transform(v[1:4], x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), '') AS bucket
+          FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket AS qbucket FROM n WHERE vec_id < 10),
+    scored AS (SELECT q_id, n.vec_id AS neighbor_id,
+                      ROUND({_DOT_SQL.format(a='qv', b='n.v')} / (qnorm * n.norm), 6) AS cosine_sim
+               FROM n JOIN q ON bucket = qbucket AND q_id != n.vec_id)
+    SELECT q_id, neighbor_id, rank, cosine_sim FROM (
+        SELECT q_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= 3
+    """,
+    doc="LSH-bucketed ANN: sign-projection bucket join instead of cross join.",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_lsh(load(spark, sf_dir, "embeddings"), n_queries=10, k=3, n_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "doc_lang_id",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 len([x for x in w if x IN ('the', 'a', 'of')]) AS score_en,
+                 len([x for x in w if x IN ('el', 'la', 'de')]) AS score_es,
+                 len([x for x in w if x IN ('der', 'die', 'und')]) AS score_de
+          FROM d)
+    SELECT doc_id, score_en, score_es, score_de,
+           CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+    doc="Heuristic marker-word language ID (zero-shuffle scan).",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_quality_scores",
+    sql="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 len(list_distinct(w)) AS n_distinct_words,
+                 length(text) AS n_chars,
+                 len([x for x in w if x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')]) AS n_stop
+          FROM d)
+    SELECT doc_id, n_words, n_distinct_words,
+           ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS avg_word_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           ROUND(0.4 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+                 + 0.3 * LEAST((CAST(n_stop AS DOUBLE) / n_words) * 4.0, 1.0)
+                 + 0.3 * LEAST(n_words / 100.0, 1.0), 6) AS quality_score
+    FROM s
+    """,
+    doc="Document quality features + composite score (training-data filter).",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_token_counts",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> '']) AS re_tokens
+    FROM documents
+    """,
+    doc="Whitespace + regex token counting (pluggable tokenizer seam, FIXTURES B7).",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprints",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(text, ''), x -> ord(x))),
+                       (acc, c) -> (acc * 31 + c) % {MERSENNE_31}) AS fingerprint
+    FROM documents
+    """,
+    doc="Polynomial rolling-hash content fingerprint (lineage/identity key).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary search joins (SURVEY J7/J8 — brute_search_service.py:9-29,
+# extract_concept_service.py:339-349)
+# ---------------------------------------------------------------------------
+
+_VOCAB = [
+    ("compute", "spark"),
+    ("compute", "query"),
+    ("storage", "table"),
+    ("storage", "row"),
+    ("streaming", "stream"),
+    ("streaming", "window"),
+]
+_VOCAB_VALUES = ",".join(f"('{c}','{l}')" for c, l in _VOCAB)
+
+_PHRASES = [
+    ("perf", "fast table"),
+    ("perf", "slow query"),
+    ("join", "hash join"),
+    ("join", "merge join"),
+]
+_PHRASE_VALUES = ",".join(f"('{c}','{l}')" for c, l in _PHRASES)
+
+
+@query(
+    "vocab_word_match",
+    sql=f"""
+    WITH vocab(concept, label) AS (VALUES {_VOCAB_VALUES}),
+    words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT concept,
+           COUNT(*) AS n_hits,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM words JOIN vocab ON word = label
+    GROUP BY concept
+    """,
+    doc="Label equi-join of exploded words vs vocabulary (SURVEY J8).",
+)
+def vocab_word_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(_VOCAB, "concept string, label string")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.join(F.broadcast(vocab), F.col("word") == F.col("label"))
+        .groupBy("concept")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "vocab_phrase_regex_match",
+    sql=f"""
+    WITH vocab(concept, label) AS (VALUES {_PHRASE_VALUES})
+    SELECT concept, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents JOIN vocab ON regexp_matches(text, '\\b' || label || '\\b')
+    GROUP BY concept
+    """,
+    doc="Word-boundary regex vocabulary search (SURVEY J7/F1; brute_search_service.py:9-12).",
+)
+def vocab_phrase_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(_PHRASES, "concept string, label string")
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .where(F.expr("text rlike concat('\\\\b', label, '\\\\b')"))
+        .groupBy("concept")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunking (SURVEY W1)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunks_even",
+    sql="""
+    WITH d AS (SELECT doc_id, text,
+                      GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS INT)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS chunk_no,
+           CAST(i * 150 AS INT) AS chunk_start,
+           CAST(LEAST(i * 150 + 200, length(text)) AS INT) AS chunk_end,
+           CAST(i * 150 AS VARCHAR) || ':' || CAST(LEAST(i * 150 + 200, length(text)) AS VARCHAR) AS chunk_bounds,
+           substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+    FROM d, unnest(range(0, n)) AS t(i)
+    """,
+    doc="Overlapping fixed-size chunker as pure DataFrame explode (SURVEY W1).",
+)
+def doc_chunks_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunker.chunk_even_chars(load(spark, sf_dir, "documents"), size=200, overlap=50)
+
+
+@query(
+    "doc_chunks_token_aware",
+    sql=None,  # imperative offset bookkeeping — rows-only check; unit-tested in tests/
+    doc="Token-aware line-boundary overlapping chunker via mapInPandas (SURVEY W1).",
+)
+def doc_chunks_token_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunker.chunk_by_tokens(load(spark, sf_dir, "documents"), soft_limit_tokens=40)

@@ -1,0 +1,602 @@
+"""Relational operator coverage (SURVEY.md §2.1-2.8) over the TPC-H-ish
+star schema.
+
+Every query here reproduces a semantic the reference implements imperatively
+(Mongo cursor scans, $in lookups, set differences, per-row folds) as a
+declarative Spark plan that Catalyst can push down / broadcast / reorder.
+Reference citations are on each function.
+
+Scale notes (100 TB design):
+  * dimension joins (region/nation/supplier/part) are explicit broadcasts —
+    no shuffle of the fact side;
+  * fact-fact joins (orders x lineitem) shuffle on the join key once; with
+    both tables bucketed by orderkey in a real deployment they co-locate;
+  * aggregations are expressed so Spark's partial (map-side) aggregation
+    applies before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# decimal-exact aggregation helpers (float determinism vs the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+def _one():
+    return F.expr("cast(1.0 as decimal(3,2))")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary — the flagship query.
+# Reference semantics: stats counters / grouped rollups (SURVEY A5, A1);
+# batch_file_station.py:71-92 keeps running count/sum/avg stats per group.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-agg rollup with decimal-exact sums (SURVEY A5).",
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    qty = _dec("l_quantity")
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1: filtered + sorted + limited scan.
+# Reference: batch_request_orchestrator.py:98-178 (cursor w/ filter, sort
+# created_at desc, limit n). Deterministic via unique-key tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "newest_open_orders",
+    sql="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="Filter + multi-key sort + limit scan (SURVEY S1/O1).",
+)
+def newest_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/P8: projection-only scan with predicate — column pruning reaches parquet.
+# Reference: find({}, {"mfg_etld1":1,"_id":0}) batch_request_orchestrator.py:137-141.
+# ---------------------------------------------------------------------------
+@query(
+    "rich_customers_projection",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+    """,
+    doc="Projection + predicate pushdown (SURVEY S2/P8).",
+)
+def rich_customers_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: token-size band filter (reference skips texts <50 or >125k tokens,
+# new_extract_queue_bot.py:81-82) — same shape as a quantity band.
+# ---------------------------------------------------------------------------
+@query(
+    "quantity_band_stats",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5.0 AND 10.0
+    GROUP BY l_returnflag
+    """,
+    doc="Band filter + grouped stats (SURVEY P2/A5).",
+)
+def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").between(5.0, 10.0))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 composite multi-hop equi-join (TPC-H Q5 shape).
+# Reference joins deferred<->manufacturer on composite keys
+# (deferred_manufacturer_service.py:27-36); here the full star join with
+# explicit broadcasts of the dimension side.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    sql="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Multi-hop composite equi-join star query (SURVEY J5) w/ broadcast dims.",
+    headline=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: semi join ("which already exist / are complete").
+# Reference: set-difference existence checks, extract_concept_deferred_service.py:547-570.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_with_urgent_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi existence join (SURVEY J4).",
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: anti join (avoid double-enqueue).
+# Reference: $nin manufacturers-not-in-deferred, batch_request_orchestrator.py:137-144.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join: the reference's core incremental-work discovery (SURVEY J3/X4).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: prefix range scan (custom_id startswith semantics,
+# gpt_batch_request_service.py:746-771). A startswith predicate prunes
+# row groups via parquet min/max stats when data is sorted by the key.
+# ---------------------------------------------------------------------------
+@query(
+    "part_prefix_agg",
+    sql="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM part
+    WHERE p_name LIKE 'small%'
+    GROUP BY p_brand
+    """,
+    doc="Prefix-range predicate + agg (SURVEY J6/X3).",
+)
+def part_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: batched point lookups ($in) as a broadcast equi-join.
+# Reference: gpt_batch_request_service.py:87-152 (custom_id IN ids map).
+# ---------------------------------------------------------------------------
+@query(
+    "order_key_lookup",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 997 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    doc="Batched $in lookup as broadcast hash join (SURVEY J1/J2).",
+)
+def order_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 997 == 0)
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12: override/precedence join — ground truth beats LLM answer
+# (new_extract_queue_bot.py:439-455): left join + coalesce.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_with_override",
+    sql="""
+    WITH corrections AS (
+        SELECT c_custkey AS k, 'PLATINUM' AS seg_override
+        FROM customer WHERE c_acctbal > 9000.0
+    )
+    SELECT COALESCE(seg_override, c_mktsegment) AS segment_final,
+           COUNT(*) AS n_customers
+    FROM customer LEFT JOIN corrections ON c_custkey = k
+    GROUP BY COALESCE(seg_override, c_mktsegment)
+    """,
+    doc="Override-precedence join: coalesce(ground_truth, llm) (SURVEY J12).",
+)
+def segment_with_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    corrections = (
+        customer.where(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("k"), F.lit("PLATINUM").alias("seg_override"))
+    )
+    return (
+        customer.join(F.broadcast(corrections), customer.c_custkey == corrections.k, "left")
+        .select(F.coalesce("seg_override", "c_mktsegment").alias("segment_final"))
+        .groupBy("segment_final")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: exact distinct. Reference uses Python sets / unique indexes
+# (batch_file_station.py:193,213).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_segment_nation",
+    sql="""
+    SELECT DISTINCT c_mktsegment, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="Exact distinct over a join (SURVEY A8).",
+)
+def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/T2/T3: set algebra (union / except / intersect) on key sets.
+# Reference: requested - found, chunk-set unions, llm ∩ mapping
+# (extract_concept_deferred_service.py:557-559 etc.).
+# ---------------------------------------------------------------------------
+@query(
+    "orderkey_set_ops",
+    sql="""
+    WITH f AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+         u AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM f UNION SELECT * FROM u)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM u)) AS n_except,
+      (SELECT COUNT(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM u)) AS n_intersect
+    """,
+    doc="Union / difference / intersection of key sets (SURVEY T1-T3).",
+)
+def orderkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey").distinct()
+    u = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
+    n_union = f.union(u).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_except = f.subtract(u).agg(F.count(F.lit(1)).alias("n_except"))
+    n_intersect = f.intersect(u).agg(F.count(F.lit(1)).alias("n_intersect"))
+    return n_union.crossJoin(n_except).crossJoin(n_intersect)
+
+
+# ---------------------------------------------------------------------------
+# W2: top-k per group (first-chunk selection, binary_classifier_service.py:99-121
+# takes the min-offset chunk; here row_number <= 3 per customer).
+# ---------------------------------------------------------------------------
+@query(
+    "top3_orders_per_customer",
+    sql="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Ranking window top-k per group (SURVEY W2/W3).",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4-analog: running accumulation (the JSONL writer's running caps,
+# batch_jsonl_file_writer.py:96-181) as a frame-spec window sum.
+# ---------------------------------------------------------------------------
+@query(
+    "running_value_per_user",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+    doc="Running window sum with explicit frame (SURVEY A4/W-frames).",
+)
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % 50 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: set-union rollup (per-chunk result sets ⋃ to manufacturer —
+# keyword_reconcile_node.py:75-117) — collect_set + sort + join to string so
+# the hash comparison is order-stable.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_segment_rollup",
+    sql="""
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Set-union rollup to sorted membership list (SURVEY A1/T1).",
+)
+def nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: grouped map inversion (known → set of unknowns,
+# extract_concept_service.py:278-309): group + collect_set of derived key.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_user_buckets",
+    sql="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS user_buckets,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Grouped inversion: key → sorted set of derived values (SURVEY A3).",
+)
+def event_type_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_set(F.col("user_id") % 10)), lambda x: x.cast("string")),
+                ",",
+            ).alias("user_buckets"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2-lite: JSON extraction from the props column + grouped stats.
+# Reference parses LLM JSON payloads (str_util.py + from_json); the repair
+# state machine lives in functions/json_repair.py with unit tests.
+# ---------------------------------------------------------------------------
+@query(
+    "event_props_json_stats",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction + grouped aggregation (SURVEY F2/S10).",
+)
+def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (streaming semantics run in batch; the
+# streaming/ module runs the same plan via readStream+foreachBatch).
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_event_stats",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling time-window aggregation (SURVEY ST1 batch-equivalent).",
+    headline=True,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum).
+# The reference's queue-driven processing has the same "burst" structure.
+# ---------------------------------------------------------------------------
+@query(
+    "user_session_counts",
+    sql="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Sessionization via lag + cumulative flag (guide: common OLAP pattern).",
+)
+def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load(spark, sf_dir, "events")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > 1800.0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,64 @@
+"""Operator-level dedup tests with synthetic duplicates (the sf tables have
+no exact dups, so these fixtures create them — mirrors the reference's
+dedup test suite, scraper_app/tests/test_dedup_util.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_identical_docs_have_identical_minhash(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    df = _docs(spark, [(1, text), (2, text), (3, "totally different words " * 8)])
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in dedup.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = [f"w{i}" for i in range(60)]
+    near = list(base)
+    near[5] = "CHANGED"
+    df = _docs(
+        spark,
+        [(1, " ".join(base)), (2, " ".join(near)), (3, " ".join(f"z{i}" for i in range(60)))],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_similarity"] for r in dedup.lsh_candidate_pairs(df, min_est=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc1: shingles of 5 words -> 3 shingles; doc2 shares exactly 2 of them
+    df = _docs(spark, [(1, "a b c d e"), (2, "b c d e f")])
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc1: {abc,bcd,cde}, doc2: {bcd,cde,def} -> common 2, union 4
+    assert r["n_common"] == 2
+    assert r["jaccard"] == 0.5
+
+
+def test_simhash_close_for_similar_docs(spark):
+    base = [f"w{i}" for i in range(40)]
+    near = list(base)
+    near[0] = "CHANGED"
+    df = _docs(spark, [(1, " ".join(base)), (2, " ".join(near))])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    hamming = bin(out[1] ^ out[2]).count("1")
+    assert hamming <= 10  # near-identical word sets -> close simhash
