@@ -1,0 +1,105 @@
+"""Scalar text/URL/email helpers (SURVEY F3, F4, F6, F9).
+
+Pure-Python cores (unit-testable) plus Spark column expressions. Network
+probes (DNS validation, redirect resolution, geocoding) are out of engine
+scope per SURVEY — the deterministic syntactic parts are implemented; the
+external calls are pluggable seams.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- email extraction (find_email_addresses.py:10-80 semantics) -----------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Spark SQL string literals consume one level of backslash escaping
+_EMAIL_RE_SQL = EMAIL_RE.replace("\\", "\\\\")
+# common non-mail TLD-ish suffixes the reference's validator rejects without DNS
+_BAD_TLDS = ("png", "jpg", "jpeg", "gif", "svg", "webp", "css", "js")
+
+
+def extract_emails_col(text_col: str) -> Column:
+    """Sorted distinct syntactically-valid emails from a text column.
+
+    regexp_extract_all (JVM regex) + array ops — no UDF. DNS validation is
+    the pluggable external step and is stubbed to a TLD deny-list.
+    """
+    bad = ",".join(f"'{t}'" for t in _BAD_TLDS)
+    valid = F.expr(
+        f"filter(regexp_extract_all(lower({text_col}), '{_EMAIL_RE_SQL}', 0), "
+        f"x -> NOT element_at(split(x, '\\\\.'), -1) IN ({bad}))"
+    )
+    return F.array_sort(F.array_distinct(valid))
+
+
+# --- URL normalization / eTLD+1 (url_util.py:9-95 semantics) --------------
+
+# Minimal public-suffix behavior without the PSL dependency: two-label
+# registrable domain, except for a small set of two-level public suffixes.
+_TWO_LEVEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx",
+}
+
+
+def etld1(host_or_url: str) -> str | None:
+    """Registrable domain (eTLD+1) of a host or URL; None if unparseable."""
+    if not host_or_url:
+        return None
+    h = host_or_url.strip().lower()
+    if "//" in h or h.startswith(("http:", "https:")):
+        h = urlsplit(h if "//" in h else "//" + h).hostname or ""
+    h = h.split("@")[-1].split(":")[0].strip(".")
+    if not h or "." not in h:
+        return None
+    labels = h.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def normalize_url(url: str) -> str | None:
+    """Scheme/host normalization: lowercase host, strip default ports,
+    drop fragments, ensure scheme (http default like the reference's
+    fallback probe order)."""
+    if not url or not url.strip():
+        return None
+    u = url.strip()
+    if "://" not in u:
+        u = "http://" + u
+    parts = urlsplit(u)
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = f":{parts.port}" if parts.port and parts.port not in (80, 443) else ""
+    path = parts.path or "/"
+    query = f"?{parts.query}" if parts.query else ""
+    return f"{parts.scheme.lower()}://{host}{port}{path}{query}"
+
+
+# --- URI percent-encoding for RDF instance URIs (F6) ----------------------
+
+_SAFE = re.compile(r"[^A-Za-z0-9_.~-]")
+
+
+def uri_safe(s: str) -> str:
+    """Percent-encode everything outside the RDF-safe character set."""
+    return _SAFE.sub(lambda m: "%{:02X}".format(ord(m.group(0))), s)
+
+
+# --- lat/lng bounds + WKT (F9) ---------------------------------------------
+
+def wkt_point_col(lng_col: str, lat_col: str) -> Column:
+    """POINT(lng lat) when coordinates are in bounds, else NULL."""
+    in_bounds = (
+        (F.col(lat_col) >= -90.0) & (F.col(lat_col) <= 90.0)
+        & (F.col(lng_col) >= -180.0) & (F.col(lng_col) <= 180.0)
+    )
+    return F.when(in_bounds, F.concat(F.lit("POINT("), F.col(lng_col), F.lit(" "), F.col(lat_col), F.lit(")")))

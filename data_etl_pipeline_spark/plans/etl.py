@@ -1,0 +1,297 @@
+"""ETL-machinery queries: block dedup + boilerplate vote (W4/W5), the
+deferred LLM extraction pass (ST2-ST5/X4), triples projection (U3/S13),
+correction folds (A7), and remaining relational shapes (pivot, rollup,
+min-by, deterministic sample).
+
+Fixtures that the reference gets from scraping/Mongo are derived
+deterministically from the driver's documents/customer tables inside the
+query (both engines build them identically), so every operator stays
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.etl import deferred, triples
+from data_etl_pipeline_spark.operators import blocks, records
+from data_etl_pipeline_spark.operators.chunker import chunk_even_chars
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+_HEADER = "NAV HOME ABOUT\nMENU\nSEARCH"
+
+_BLOCKS_CTE = """
+base AS (SELECT source AS site, CAST(doc_id AS INT) AS block_no, doc_id, text,
+                LAG(text) OVER (PARTITION BY source ORDER BY doc_id) AS prev_text
+         FROM documents),
+blocks AS (SELECT site, block_no,
+                  'NAV HOME ABOUT' || chr(10) || 'MENU' || chr(10) || 'SEARCH' || chr(10) ||
+                  CASE WHEN doc_id % 5 = 0 AND prev_text IS NOT NULL THEN prev_text ELSE text END AS body
+           FROM base)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4: first-occurrence-wins block dedup
+# ---------------------------------------------------------------------------
+@query(
+    "blocks_dedup_first_wins",
+    sql=f"""
+    WITH {_BLOCKS_CTE}
+    SELECT site, block_no, rn > 1 AS is_duplicate FROM (
+        SELECT site, block_no,
+               ROW_NUMBER() OVER (PARTITION BY site, sha256(body) ORDER BY block_no) AS rn
+        FROM blocks) t
+    """,
+    doc="Block dedup, first occurrence keeps body (SURVEY W4; dedup_util.py:273-307).",
+)
+def blocks_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = blocks.assemble_blocks_from_documents(load(spark, sf_dir, "documents"), header=_HEADER)
+    return blocks.dedup_blocks_first_wins(b).select("site", "block_no", "is_duplicate")
+
+
+# ---------------------------------------------------------------------------
+# W5: positional majority-vote boilerplate depth
+# ---------------------------------------------------------------------------
+@query(
+    "blocks_header_depth",
+    sql=f"""
+    WITH {_BLOCKS_CTE},
+    lines AS (SELECT site, block_no, CAST(i AS INT) AS pos,
+                     string_split(body, chr(10))[i + 1] AS line
+              FROM blocks, unnest(range(0, LEAST(20, len(string_split(body, chr(10)))))) AS t(i)),
+    nb AS (SELECT site, COUNT(*) AS n_blocks FROM blocks GROUP BY site),
+    lc AS (SELECT site, pos, line, COUNT(*) AS c FROM lines GROUP BY site, pos, line),
+    ts AS (SELECT lc.site, pos, MAX(c) AS top_c FROM lc GROUP BY lc.site, pos),
+    ag AS (SELECT ts.site, pos, (top_c >= CEIL(0.95 * n_blocks)) AS agrees
+           FROM ts JOIN nb ON ts.site = nb.site),
+    d AS (SELECT site,
+                 MIN(CASE WHEN NOT agrees THEN pos END) AS first_break,
+                 MAX(CASE WHEN agrees THEN pos + 1 END) AS max_agree
+          FROM ag GROUP BY site)
+    SELECT site,
+           CAST(CASE WHEN COALESCE(first_break, max_agree, 0) >= 3
+                     THEN COALESCE(first_break, max_agree, 0) ELSE 0 END AS INT) AS header_depth
+    FROM d
+    """,
+    doc="Header/footer boilerplate vote per line position (SURVEY W5; dedup_util.py:153-221).",
+)
+def blocks_header_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = blocks.assemble_blocks_from_documents(load(spark, sf_dir, "documents"), header=_HEADER)
+    return (
+        blocks.header_footer_vote(b, agree_ratio=0.95, min_lines=3)
+        .select("site", F.col("header_depth").cast("int").alias("header_depth"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deferred LLM pass end-to-end (build -> stub-execute -> reconcile)
+# ---------------------------------------------------------------------------
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+@query(
+    "deferred_extraction_results",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text,
+                      GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS INT)) AS n
+               FROM documents),
+    chunks AS (SELECT doc_id, substr(text, CAST(i * 150 + 1 AS INT), 200) AS context
+               FROM d, unnest(range(0, n)) AS t(i)),
+    requests AS (SELECT CAST(doc_id AS VARCHAR) AS entity, f.field, context
+                 FROM chunks, (VALUES ('products'), ('certificates'), ('process_caps')) f(field)),
+    picked AS (SELECT entity, field,
+                      [x for x in string_split(context, ' ')[1:12]
+                       if ({_H60.format(x="x || field")} % 3) = 0] AS found
+               FROM requests),
+    items AS (SELECT entity, field, unnest(found) AS item FROM picked),
+    universe AS (SELECT DISTINCT entity, field FROM requests)
+    SELECT u.entity, u.field,
+           COALESCE(string_agg(DISTINCT item, ',' ORDER BY item), '') AS results
+    FROM universe u LEFT JOIN items i ON u.entity = i.entity AND u.field = i.field
+    GROUP BY u.entity, u.field
+    """,
+    doc="Full deferred-extraction pass: anti-join discovery, stub LLM, JSON repair, A1 rollup (SURVEY §3.3).",
+    headline=True,
+)
+def deferred_extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_even_chars(load(spark, sf_dir, "documents"), size=200, overlap=50)
+    out = deferred.run_extraction_pass(chunks)
+    return out["results"].select(
+        "entity", "field", F.array_join("results", ",").alias("results")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3/S13: triples projection
+# ---------------------------------------------------------------------------
+@query(
+    "customer_triples",
+    sql="""
+    WITH recs AS (SELECT c_name, c_mktsegment, n_name
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    subj AS (SELECT 'urn:ex:' || regexp_replace(c_name, '[^A-Za-z0-9_.~-]', '_', 'g') AS subject,
+                    c_name, c_mktsegment, n_name
+             FROM recs)
+    SELECT subject, 'name' AS predicate, c_name AS object, TRUE AS is_literal FROM subj
+    UNION ALL
+    SELECT subject, 'segment', c_mktsegment, TRUE FROM subj
+    UNION ALL
+    SELECT subject, 'nation', n_name, TRUE FROM subj
+    """,
+    doc="Record -> RDF triples fan-out (SURVEY U3/S13; ttl_generator_service.py:550-631).",
+)
+def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = load(spark, sf_dir, "customer").join(
+        F.broadcast(load(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return triples.project_triples(
+        recs, "c_name", {"name": "c_name", "segment": "c_mktsegment", "nation": "n_name"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: correction fold over ordered logs
+# ---------------------------------------------------------------------------
+@query(
+    "segment_correction_fold",
+    sql="""
+    WITH gt AS (SELECT c_mktsegment AS entity,
+                       list_sort(list(DISTINCT n_name)) AS base_results
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE c_acctbal > 8000.0
+                GROUP BY c_mktsegment),
+    f1 AS (SELECT entity,
+                  list_distinct(list_concat(
+                      list_filter(base_results, x -> NOT list_contains(['NATION_1', 'NATION_2'], x)),
+                      ['ADDED_A'])) AS r1
+           FROM gt),
+    f2 AS (SELECT entity,
+                  list_distinct(list_concat(
+                      list_filter(r1, x -> NOT list_contains(['ADDED_A'], x)),
+                      ['ADDED_B', 'NATION_1'])) AS r2
+           FROM f1)
+    SELECT entity, array_to_string(list_sort(r2), ',') AS final_results FROM f2
+    """,
+    doc="Event-sourced correction fold: base - removes + adds per ordered log (SURVEY A7).",
+)
+def segment_correction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(load(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("c_acctbal") > 8000.0)
+        .groupBy(F.col("c_mktsegment").alias("entity"))
+        .agg(F.array_sort(F.collect_set("n_name")).alias("base_results"))
+    )
+    logs = (
+        "array(named_struct('seq', 1, 'add', array('ADDED_A'), 'remove', array('NATION_1', 'NATION_2')), "
+        "named_struct('seq', 2, 'add', array('ADDED_B', 'NATION_1'), 'remove', array('ADDED_A')))"
+    )
+    gt = base.withColumn("logs", F.expr(logs))
+    folded = records.correction_fold(gt, mode="fold_all")
+    return folded.select("entity", F.array_join("final_results", ",").alias("final_results"))
+
+
+# ---------------------------------------------------------------------------
+# A9: deterministic hash sample (the reference's $sample, made reproducible)
+# ---------------------------------------------------------------------------
+@query(
+    "customer_hash_sample",
+    sql=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE ({_H60.format(x="c_name")} % 20) = 0
+    """,
+    doc="Deterministic hash-based sample (SURVEY A9, reproducible across engines).",
+)
+def customer_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = "cast(conv(substr(md5(c_name), 1, 15), 16, 10) as bigint) % 20"
+    return load(spark, sf_dir, "customer").where(F.expr(f"({h}) = 0")).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup / min-by — remaining relational shapes
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_pivot",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot as conditional aggregation (guide: pivot/unpivot pattern).",
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", dec)).cast("double").alias("qty_f"),
+            F.sum(F.when(F.col("l_linestatus") == "O", dec)).cast("double").alias("qty_o"),
+        )
+    )
+
+
+@query(
+    "order_status_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical rollup with subtotal rows (grouping-sets coverage).",
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "first_ship_per_flag",
+    sql="""
+    SELECT l_returnflag, l_orderkey AS first_orderkey, l_shipdate AS first_shipdate FROM (
+        SELECT l_returnflag, l_orderkey, l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t
+    WHERE rn = 1
+    """,
+    doc="Deterministic min-by (earliest shipment per flag, SURVEY O3).",
+)
+def first_ship_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.min(F.struct("l_shipdate", "l_orderkey", "l_linenumber"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(m.alias("m"))
+        .select(
+            "l_returnflag",
+            F.col("m.l_orderkey").alias("first_orderkey"),
+            F.col("m.l_shipdate").alias("first_shipdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: the windowed agg computed by an actual stream
+# ---------------------------------------------------------------------------
+@query(
+    "stream_hourly_event_counts",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling-window counts via Structured Streaming (readStream + watermark + memory sink).",
+)
+def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_hourly_counts
+
+    return run_stream_hourly_counts(spark, sf_dir)

@@ -1,0 +1,77 @@
+"""Unit tests for scalar function layer (JSON repair F2, emails F4,
+URLs F3, URI encoding F6) — mirrors the reference's test suites
+(core/tests/test_str_util.py, test_url_util.py)."""
+
+from __future__ import annotations
+
+from data_etl_pipeline_spark.functions.json_repair import (
+    parse_json_array,
+    repair_json,
+    strip_markdown_fences,
+)
+from data_etl_pipeline_spark.functions.text import etld1, normalize_url, uri_safe
+
+
+class TestJsonRepair:
+    def test_clean_passthrough(self):
+        assert parse_json_array('["a", "b"]') == ["a", "b"]
+
+    def test_markdown_fences(self):
+        assert parse_json_array('```json\n["a", "b"]\n```') == ["a", "b"]
+        assert parse_json_array('```\n["a"]\n```') == ["a"]
+
+    def test_unescaped_inner_quotes(self):
+        assert parse_json_array('["a "quoted" phrase", "b"]') == ['a "quoted" phrase', "b"]
+
+    def test_already_escaped_quotes_untouched(self):
+        assert parse_json_array('["a \\"ok\\" phrase"]') == ['a "ok" phrase']
+
+    def test_garbage_returns_none(self):
+        assert parse_json_array("not json at all") is None
+        assert parse_json_array('{"k": 1}') is None  # object, not array
+
+    def test_fences_idempotent(self):
+        s = '["x"]'
+        assert strip_markdown_fences(strip_markdown_fences(s)) == s
+        assert repair_json(repair_json(s)) == s
+
+
+class TestUrls:
+    def test_etld1_basic(self):
+        assert etld1("https://www.acme-mfg.com/about") == "acme-mfg.com"
+        assert etld1("sub.deep.example.org") == "example.org"
+
+    def test_etld1_two_level_suffix(self):
+        assert etld1("shop.widgets.co.uk") == "widgets.co.uk"
+
+    def test_etld1_invalid(self):
+        assert etld1("") is None
+        assert etld1("localhost") is None
+
+    def test_normalize(self):
+        assert normalize_url("ACME-mfg.com") == "http://acme-mfg.com/"
+        assert normalize_url("https://X.com:443/a?b=1#frag") == "https://x.com/a?b=1"
+        assert normalize_url("http://x.com:8080/p") == "http://x.com:8080/p"
+        assert normalize_url("   ") is None
+
+
+def test_uri_safe():
+    assert uri_safe("Acme Mfg, Inc.") == "Acme%20Mfg%2C%20Inc."
+    assert uri_safe("safe_name-1.0~x") == "safe_name-1.0~x"
+
+
+def test_email_extraction_spark(spark):
+    from data_etl_pipeline_spark.functions.text import extract_emails_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact sales@acme-mfg.com or SALES@acme-mfg.com today"),
+            (2, "broken image logo@2x.png and real info@example.org"),
+            (3, "no emails here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["emails"] for r in df.select("id", extract_emails_col("text").alias("emails")).collect()}
+    assert out[1] == ["sales@acme-mfg.com"]
+    assert out[2] == ["info@example.org"]
+    assert out[3] == []
