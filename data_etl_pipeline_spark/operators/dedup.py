@@ -50,6 +50,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_array(text_col: str, n: int) -> F.Column:
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        )
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
 
@@ -57,16 +66,18 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     whole-stage codegen: split / transform / explode are JVM built-ins.
     """
     w = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
-        )
-    )
     return (
         df.where(F.size(w) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .select(F.col(id_col).alias("doc_id"), F.explode(_shingle_array(text_col, n)).alias("shingle"))
     )
+
+
+# Generate ordered (x, y) combinations from a doc list sorted by id; used to
+# turn an inverted-index posting list into candidate pairs without a self-join.
+_COMBOS = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"
+)
 
 
 def ngram_jaccard_pairs(
@@ -76,49 +87,43 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via inverted-index self-join.
+    """Exact Jaccard near-dup pairs via an inverted index — ONE corpus scan.
 
-    Join on shared shingle (not a cross join): only pairs with at least one
-    common shingle are materialized. At 100 TB the hot shingles are the skew
-    risk — AQE skew-join handles moderate skew; stopword-like shingles should
-    be df-filtered upstream for extreme corpora.
+    Shape: doc -> (shingle, doc_size) postings -> groupBy shingle ->
+    pair combinations within each posting list -> count per pair. No
+    self-join, so the text is scanned and shingled once; the two shuffles
+    carry only (shingle, id, size) postings and (pair) counts.
+
+    Scale note: a shingle shared by k docs yields k*(k-1)/2 pairs — boiler-
+    plate shingles are the skew risk at 100 TB. Standard mitigation (as in
+    large-corpus dedup pipelines) is dropping ultra-frequent shingles; the
+    posting-list size cap would go right after the groupBy here.
     """
-    sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    docs = df.where(F.size(F.split(F.col(text_col), " ")) >= n).select(
+        F.col(id_col).alias("doc_id"), _shingle_array(text_col, n).alias("sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    postings = docs.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    pair_rows = (
+        postings.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(F.explode(F.expr(_COMBOS)).alias("p"))
+        .select(
+            F.col("p.x.doc_id").alias("doc_a"),
+            F.col("p.y.doc_id").alias("doc_b"),
+            F.col("p.x.n_sh").alias("size_a"),
+            F.col("p.y.n_sh").alias("size_b"),
+        )
+    )
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pair_rows.groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn("jaccard", F.round(jacc, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
-
-
-def _minhash_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(doc_id, i, minhash_i) rows: min over shingles of (A[i]*h + B[i]) % p."""
-    sh = shingles(df, text_col, id_col, n)
-    h = F.expr(f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {MERSENNE_31}")
-    a_arr = "array(" + ",".join(f"{v}L" for v in MINHASH_A) + ")"
-    b_arr = "array(" + ",".join(f"{v}L" for v in MINHASH_B) + ")"
-    return (
-        sh.withColumn("h", h)
-        .select("doc_id", "h", F.explode(F.expr(f"sequence(0, {NUM_MINHASH - 1})")).alias("i"))
-        .withColumn(
-            "perm",
-            F.expr(f"(element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1)) % {MERSENNE_31}"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("perm").alias("m"))
     )
 
 
@@ -127,13 +132,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as an ordered array<bigint>.
 
-    Partial aggregation (map-side min) keeps the shuffle small: the shuffle
-    carries at most docs x NUM_MINHASH rows regardless of corpus size.
+    One shuffle: shingle rows aggregate with NUM_MINHASH independent min()
+    columns (one per permutation) instead of exploding rows x 16. Partial
+    (map-side) min means the shuffle carries one row of 16 longs per
+    document regardless of corpus size.
     """
-    rows = _minhash_rows(df, text_col, id_col, n)
-    # collect_list order is nondeterministic; sort by the (i, m) struct to fix it.
-    sig = F.expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
-    return rows.groupBy("doc_id").agg(sig.alias("signature"))
+    sh = shingles(df, text_col, id_col, n)
+    h = F.expr(f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {MERSENNE_31}")
+    rows = sh.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min(F.expr(f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MERSENNE_31}")).alias(f"m{i}")
+        for i in range(NUM_MINHASH)
+    ]
+    return (
+        rows.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASH)]).alias("signature"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -153,6 +168,8 @@ def lsh_candidate_pairs(
     """
     rows_per_band = NUM_MINHASH // bands
     sig = minhash_signatures(df, text_col, id_col, n)
+    # bucket by (band, band-slice hash); posting-list combinations replace a
+    # signature self-join, so signatures are computed and shuffled once
     banded = sig.select(
         "doc_id",
         "signature",
@@ -166,20 +183,16 @@ def lsh_candidate_pairs(
             )
         ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(F.explode(F.expr(_COMBOS)).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            F.col("p.x.doc_id").alias("doc_a"),
+            F.col("p.y.doc_id").alias("doc_b"),
+            F.col("p.x.signature").alias("sig_a"),
+            F.col("p.y.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
