@@ -1,0 +1,165 @@
+"""Extension queries: multimodal feature extraction, LLM mapping
+validation (J9), token-budget guards (F11), percentile/approx aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators import multimodal
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_H60_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload -> narrow feature table via mapInPandas
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    sql=f"""
+    SELECT doc_id AS item_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           CAST(({_H60.format(x="text")} % 2147483647) % 640 AS INT) AS fake_width,
+           CAST(({_H60.format(x="text")} % 2147483647) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+    doc="Binary multimodal payloads -> feature table via Arrow mapInPandas (decode stubbed).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.payloads_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(payloads)
+
+
+@query(
+    "multimodal_frame_sample",
+    sql="""
+    WITH p AS (SELECT doc_id AS item_id,
+                      GREATEST(1, CAST(strlen(text) / 1024 AS INT)) AS n_frames
+               FROM documents)
+    SELECT item_id, CAST(f AS INT) AS frame_no
+    FROM p, unnest(range(0, n_frames)) t(f)
+    WHERE f % 10 = 0
+    """,
+    doc="Frame-sampling plumbing: payload -> sampled frame rows (decode seam stubbed).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.payloads_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(payloads, every_n=10).select(
+        "item_id", F.col("frame_no").cast("int").alias("frame_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: mapping re-join — validate LLM unknown->known mappings against the
+# vocabulary and the observed unknown set; hallucinations dropped
+# (map_known_to_unknown_service.py:158-210).
+# ---------------------------------------------------------------------------
+_VOCAB9 = ["spark", "query", "table", "row", "stream", "window"]
+_V9_LIST = ",".join(f"'{v}'" for v in _VOCAB9)
+_V9_ARRAY_SQL = "[" + _V9_LIST + "]"
+
+
+@query(
+    "mapping_validation",
+    sql=f"""
+    WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS unknown FROM documents),
+    unmatched AS (SELECT unknown FROM words WHERE unknown NOT IN ({_V9_LIST})),
+    -- the LLM's proposed mapping: deterministic stub; every 7th proposal
+    -- hallucinates a target outside the vocabulary
+    proposals AS (SELECT unknown,
+                         CASE WHEN ({_H60.format(x="unknown")} % 7) = 0 THEN 'HALLUCINATED'
+                              ELSE {_V9_ARRAY_SQL}[CAST({_H60.format(x="unknown")} % 6 AS INT) + 1]
+                         END AS known
+                  FROM unmatched),
+    valid AS (SELECT p.unknown, p.known FROM proposals p WHERE p.known IN ({_V9_LIST}))
+    SELECT known, COUNT(*) AS n_mapped,
+           array_to_string(list_sort(list(unknown)), ',') AS unknowns
+    FROM valid GROUP BY known
+    """,
+    doc="LLM mapping re-validation: hallucinated targets dropped, grouped inversion (SURVEY J9/A3).",
+)
+def mapping_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame([(v,) for v in _VOCAB9], "label string")
+    words = docs.select(F.explode(F.split("text", " ")).alias("unknown")).distinct()
+    unmatched = words.join(F.broadcast(vocab), words.unknown == vocab.label, "left_anti")
+    h = _H60_SPARK.format(x="unknown")
+    arr = "array(" + _V9_LIST + ")"
+    proposals = unmatched.withColumn(
+        "known",
+        F.expr(f"IF(({h} % 7) = 0, 'HALLUCINATED', element_at({arr}, cast({h} % 6 as int) + 1))"),
+    )
+    valid = proposals.join(F.broadcast(vocab), proposals.known == vocab.label, "left_semi")
+    return valid.groupBy("known").agg(
+        F.count(F.lit(1)).alias("n_mapped"),
+        F.array_join(F.array_sort(F.collect_list("unknown")), ",").alias("unknowns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11: token-budget guard (prompt + context + completion <= max_context)
+# ---------------------------------------------------------------------------
+@query(
+    "token_budget_guard",
+    sql="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS ctx_tokens FROM documents)
+    SELECT CASE WHEN 200 + ctx_tokens + 100 <= 300 THEN 'fits' ELSE 'over_budget' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ctx_tokens) AS BIGINT) AS total_ctx_tokens
+    FROM t GROUP BY 1
+    """,
+    doc="Prompt+context+completion budget guard as a filter expression (SURVEY F11).",
+)
+def token_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents").select(F.size(F.split("text", " ")).alias("ctx_tokens"))
+    return (
+        t.withColumn("status", F.when(F.lit(200) + F.col("ctx_tokens") + F.lit(100) <= 300, "fits").otherwise("over_budget"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ctx_tokens").alias("total_ctx_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (scale path: percentile_approx — see rows-only query)
+# ---------------------------------------------------------------------------
+@query(
+    "price_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (both engines share the formula).",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+    )
+
+
+@query(
+    "approx_distinct_scales",
+    sql=None,  # HLL sketches differ across engines by design; tests assert <2% error vs exact
+    doc="approx_count_distinct / percentile_approx — the sketch path used instead of exact ops at 100 TB.",
+)
+def approx_distinct_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
+    )

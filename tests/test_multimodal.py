@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary payload handling, Arrow batch shapes,
+stubbed decode seam, approx-aggregate accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators import multimodal
+
+
+def test_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError, match="no codec"):
+        multimodal.decode_payload(b"\x89PNG...", "image")
+
+
+def test_feature_extraction_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payloads = multimodal.payloads_from_documents(docs)
+    feats = multimodal.extract_features(payloads).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(feats) == 20
+    for r in feats:
+        raw = texts[r["item_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert 0 <= r["fake_width"] < 640 and 0 <= r["fake_height"] < 480
+        assert r["kind"] in ("image", "audio", "video")
+
+
+def test_binary_payload_type(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    payloads = multimodal.payloads_from_documents(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    payloads = multimodal.payloads_from_documents(docs)
+    frames = multimodal.frame_sample_plan(payloads, every_n=10)
+    by_item = {r["item_id"]: r["n"] for r in frames.groupBy("item_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n >= 1 for n in by_item.values())  # every payload yields >= 1 sampled frame
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
+    ).collect()[0]
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("o"), F.approx_count_distinct("l_partkey").alias("p")
+    ).collect()[0]
+    # default HLL rsd is 5%; allow 2x headroom on the tiny smoke table
+    assert abs(approx["o"] - exact["o"]) / exact["o"] < 0.10
+    assert abs(approx["p"] - exact["p"]) / exact["p"] < 0.10
