@@ -50,11 +50,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_array(text_col: str, n: int) -> F.Column:
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+def _docs_with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, sh) with sh = distinct word n-gram array. The text is split
+    exactly once (projected to a column before the size filter) so the plan
+    carries one split per row instead of recomputing it in every predicate.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w"))
+        .where(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n})))")
+            ).alias("sh"),
         )
     )
 
@@ -65,10 +73,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     UDTF-shaped one-row-to-many explode (SURVEY U3). Stays entirely in
     whole-stage codegen: split / transform / explode are JVM built-ins.
     """
-    w = F.split(F.col(text_col), " ")
-    return (
-        df.where(F.size(w) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(_shingle_array(text_col, n)).alias("shingle"))
+    return _docs_with_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -99,9 +105,7 @@ def ngram_jaccard_pairs(
     large-corpus dedup pipelines) is dropping ultra-frequent shingles; the
     posting-list size cap would go right after the groupBy here.
     """
-    docs = df.where(F.size(F.split(F.col(text_col), " ")) >= n).select(
-        F.col(id_col).alias("doc_id"), _shingle_array(text_col, n).alias("sh")
-    )
+    docs = _docs_with_shingles(df, text_col, id_col, n)
     postings = docs.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
