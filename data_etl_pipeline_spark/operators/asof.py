@@ -1,0 +1,81 @@
+"""Distributed as-of join (point-in-time lookup).
+
+The reference never needs an as-of join (its state lives in Mongo rows),
+but a training-data pipeline at 100 TB constantly does: "enrich each event
+with the most recent dimension/fact row at or before the event time".
+TESTDATA's events/orders tables give it a natural home here (event joined
+to the customer's latest order as of the event timestamp).
+
+Spark-first design — the union + ordered-window formulation:
+
+    left  (k, t, payload=null, side=1)
+    right (k, t, payload,      side=0)
+    union -> window last(payload, ignorenulls)
+             over (partition by k order by t, side, tiebreak
+                   rows unbounded preceding .. current row)
+    filter side=1
+
+This is ONE shuffle on the join key and a sort within each partition —
+O(n log n) per partition, no range-predicate join (which Catalyst would
+execute as a broadcast-nested-loop or an exploding theta join). It is the
+same algorithm a sorted-merge `pandas.merge_asof` runs per group, but
+expressed relationally so it distributes: at 1000 executors every key
+group lands in exactly one task and AQE handles size imbalance.
+
+Tie rules (deterministic by construction):
+  * a right row at exactly t_left IS visible (side 0 sorts before side 1);
+  * among right rows sharing (k, t), the greatest tiebreak column wins
+    (last() in tiebreak order) — mirroring "latest by (t, tiebreak)".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` on the equi-key ``on``. Right rows that tie on
+    the timestamp resolve to the greatest ``tiebreak`` value. Left rows
+    with no preceding right row keep nulls (left-outer as-of semantics).
+
+    Returns the left columns plus ``payload_cols`` (prefixed as given).
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    tb_type = dict(right.dtypes)[tiebreak]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.col(tiebreak).alias("_tb"),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType.simpleString()).alias("_payload"),
+        F.lit(1).alias("_side"),
+        *left.columns,
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc("_tb"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(*left.columns, *[F.col(f"_match.{c}").alias(c) for c in payload_cols])
+    )

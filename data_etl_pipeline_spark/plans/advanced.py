@@ -1,0 +1,337 @@
+"""Advanced relational shapes: as-of join, sessionization, grouping-set
+rollups, conditional aggregation, percent-of-total, scalar-subquery max.
+
+These extend SURVEY §2's inventory with the query shapes a 100 TB
+training-data/analytics pipeline needs that the reference engine never
+grew (its workload was point lookups + per-record folds). Each is a
+declarative Catalyst plan with a DuckDB oracle; decimal-exact money math
+follows the registry's float-determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators.asof import asof_join
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _one():
+    return F.expr("cast(1.0 as decimal(3,2))")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event -> the customer's latest order at or before ts.
+# Union+window formulation (operators/asof.py): one shuffle, no range join.
+# The oracle states the same semantics independently as a range join +
+# row_number top-1, which DuckDB can afford at sf0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_orders",
+    sql="""
+    SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey  AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+    doc="As-of (point-in-time) join via single-shuffle union+window.",
+    headline=True,
+)
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
+    )
+    joined = asof_join(
+        events.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["asof_orderkey", "asof_orderdate"],
+        tiebreak="asof_orderkey",
+    )
+    return joined.where(F.col("asof_orderkey").isNotNull()).select(
+        "event_id", F.col("o_custkey").alias("user_id"), "ts", "asof_orderkey", "asof_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions with Spark's native session_window.
+# The scalable path for user-activity splitting (map-side session merge,
+# one shuffle per user key). Oracle: lag/cumulative-sum session ids —
+# an independent formulation of the same gap semantics. A streamed
+# variant with watermarking runs in streaming/windows.py.
+# ---------------------------------------------------------------------------
+_SESSIONS_SQL = """
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    """
+
+
+@query(
+    "user_sessions_gap",
+    sql=_SESSIONS_SQL,
+    doc="Gap-based sessionization (session_window vs lag/cumsum oracle).",
+)
+def user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 18, 6)).cast("double").alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+
+
+@query(
+    "stream_user_sessions",
+    sql=_SESSIONS_SQL,
+    doc="Streaming sessionization (session_window state store + watermark), "
+    "oracle-checked against the same lag/cumsum SQL as the batch twin.",
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_user_sessions
+
+    return run_stream_user_sessions(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets — subtotals + grand total in one pass (partial
+# aggregation applies per grouping set; one shuffle). The reference has no
+# grouping sets (SURVEY §2.4 note); an analytics surface needs them.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_rollup",
+    sql="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP subtotals/grand total (grouping-sets aggregation).",
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 2)).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: join + CASE conditional aggregation. One fact-fact
+# shuffle join (orderkey) + one grouped agg; priorities fold map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_priority_counts",
+    sql="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    """,
+    doc="Conditional aggregation over a fact-fact join (TPC-H Q12 shape).",
+)
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, top 20. Star join
+# (customer/nation broadcast onto the fact side), decimal-exact revenue so
+# the top-k cut is deterministic across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_items_revenue",
+    sql="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="Top-k revenue star join (TPC-H Q10 shape); broadcast dims.",
+)
+def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: percent-of-total (market share) — conditional share of a
+# grouped decimal sum. Supplier-nation share of global revenue per year.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_market_share",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_7'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY year(o_orderdate)
+    """,
+    doc="Percent-of-total conditional share (TPC-H Q8 shape).",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
+    natvol = F.when(F.col("n_name") == "NATION_7", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(natvol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: scalar-subquery max — supplier(s) with the maximum
+# revenue. Spark: aggregate once, broadcast the 1-row max, equi-filter on
+# the exact decimal (no double ties).
+# ---------------------------------------------------------------------------
+@query(
+    "top_revenue_supplier",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT MAX(total) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="Scalar-subquery max (TPC-H Q15 shape); broadcast 1-row max.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))).alias("total"))
+    )
+    max_rev = rev.agg(F.max("total").alias("max_total"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total == max_rev.max_total)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )

@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    import data_etl_pipeline_spark.plans.advanced  # noqa: F401
     import data_etl_pipeline_spark.plans.etl  # noqa: F401
     import data_etl_pipeline_spark.plans.extensions  # noqa: F401
     import data_etl_pipeline_spark.plans.pipeline  # noqa: F401

