@@ -10,7 +10,7 @@ follows the registry's float-determinism contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.asof import asof_join
@@ -288,6 +288,157 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(natvol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-range semantics two ways: the Spark plan is a RANGE-frame window
+# (one shuffle on user_id, no join); the oracle states the same question as
+# an explicit range self-join. Matching results prove the window frame is
+# an exact rewrite of the range join — the rewrite that makes this shape
+# viable at 100 TB (the join explodes quadratically per key; the frame is
+# a single sorted pass per key).
+# ---------------------------------------------------------------------------
+@query(
+    "events_followup_counts",
+    sql="""
+    SELECT a.event_id, COUNT(b.event_id) AS n_followups
+    FROM events a LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 7 DAY
+    GROUP BY a.event_id
+    """,
+    doc="7-day follow-up counts: RANGE-frame window vs range-join oracle.",
+)
+def events_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    micros_7d = 7 * 86400 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, micros_7d)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("n_followups", F.count(F.lit(1)).over(w))
+        .select("event_id", "n_followups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part average) decorrelated
+# into a grouped aggregate + broadcast-able join — the rewrite Catalyst
+# would have to do for the SQL form, stated explicitly.
+# ---------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="Correlated scalar subquery decorrelated to agg+join (TPC-H Q17).",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.avg_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four grouping combinations in one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_status_cube",
+    sql="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets over the fact table.",
+)
+def returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAG analytics: days between consecutive orders per customer (deterministic
+# lag ordering via the unique orderkey tiebreak).
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_gaps",
+    sql="""
+    SELECT o_custkey, o_orderkey, gap_days FROM (
+        SELECT o_custkey, o_orderkey,
+               DATE_DIFF('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders) t
+    WHERE gap_days IS NOT NULL
+    """,
+    doc="LAG inter-order gaps per customer.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE bucketing within each nation (scale-correct: partitioned by the
+# nation key, no global sort).
+# ---------------------------------------------------------------------------
+@query(
+    "customer_acctbal_quartiles",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    doc="NTILE quartiles per nation partition.",
+)
+def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", F.ntile(4).over(w).alias("quartile"))
     )
 
 

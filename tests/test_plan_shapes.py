@@ -65,3 +65,34 @@ def test_dedup_single_scan(spark, sf_dir):
 def test_ann_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_topk_bruteforce")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    # union+window as-of: no join operator at all, exactly one exchange
+    # for the window partitioning (plus AQE read nodes), no range join
+    # that would plan as BroadcastNestedLoop/Cartesian
+    plan = _plan(spark, sf_dir, "events_asof_orders")
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "BroadcastHashJoin"):
+        assert bad not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange (") == 1 and "hashpartitioning" in plan
+
+
+def test_followup_counts_plan_is_window_not_join(spark, sf_dir):
+    # the RANGE-frame rewrite of the 7-day range join: one shuffle, no join
+    plan = _plan(spark, sf_dir, "events_followup_counts")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_q10_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_items_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_cube_partial_aggregation(spark, sf_dir):
+    for name in ("order_priority_rollup", "returnflag_status_cube"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Expand" in plan  # grouping-sets expansion
+        assert plan.count("HashAggregate") >= 2  # partial + final
