@@ -132,6 +132,26 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_user_sessions(spark, sf_dir)
 
 
+@query(
+    "stream_dedup_first_seen",
+    sql="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+    doc="Custom stateful streaming dedup (applyInPandasWithState keyed "
+    "seen-set); single-file source makes arrival order = ts order, so the "
+    "batch row_number oracle states the same result.",
+)
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.stateful import run_stream_dedup_first_seen
+
+    return run_stream_dedup_first_seen(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # ROLLUP grouping sets — subtotals + grand total in one pass (partial
 # aggregation applies per grouping set; one shuffle). The reference has no
