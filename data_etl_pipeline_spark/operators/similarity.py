@@ -91,6 +91,68 @@ def ann_topk_bruteforce(
     )
 
 
+def ann_topk_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k: int = 3,
+    stride: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    to its nearest centroid, probe only each query's ``nprobe`` nearest
+    cells, exact-rerank inside them.
+
+    Centroids here are the deterministic stride sample ``vec_id % stride
+    == 0`` so the index build is oracle-checkable end-to-end; in
+    production the centroid table is the output of a (driver-side or
+    MLlib) k-means over a corpus sample — everything downstream of the
+    centroid table is unchanged.
+
+    Scale shape: centroids are a broadcast dim (X5); assignment is a
+    broadcast join + per-row argmin (map-side, one shuffle to group);
+    probing joins corpus cells to query cells on the centroid id — the
+    scan per query is ~nprobe/n_centroids of the corpus, and the join key
+    (cell id) is the partition key, so no cross join ever materializes.
+    """
+    e = _with_norm(df, vec_col, id_col)
+    c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    dot = _DOT.format(a="v", b="cv")
+    csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+    scored_c = e.join(F.broadcast(c)).select(
+        "vec_id", "v", "norm", "c_id", csim.alias("c_sim")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    ranked = scored_c.withColumn("c_rank", F.row_number().over(w_assign))
+    cells = ranked.where(F.col("c_rank") == 1).select("vec_id", "v", "norm", "c_id")
+    probes = (
+        ranked.where((F.col("vec_id") < n_queries) & (F.col("c_rank") <= nprobe))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("c_id").alias("qc_id"),
+        )
+    )
+    qdot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(qdot) / (F.col("qnorm") * F.col("norm")), 6)
+    # a corpus vector lives in exactly one cell and a query's probe cells
+    # are distinct, so each (q, neighbor) appears at most once
+    scored = cells.join(
+        F.broadcast(probes),
+        (F.col("c_id") == F.col("qc_id")) & (F.col("q_id") != F.col("vec_id")),
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     vec_col: str = "embedding",

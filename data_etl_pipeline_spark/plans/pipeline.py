@@ -235,6 +235,40 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(load(spark, sf_dir, "embeddings"), n_queries=10, k=3, n_bits=4)
 
 
+@query(
+    "ann_topk_ivf",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    c AS (SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n WHERE vec_id % 25 = 0),
+    ranked AS (SELECT n.vec_id, n.v, n.norm, c.c_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY n.vec_id
+                          ORDER BY ROUND({_DOT_SQL.format(a='n.v', b='cv')} / (n.norm * cnorm), 6) DESC,
+                                   c.c_id) AS c_rank
+               FROM n CROSS JOIN c),
+    cells AS (SELECT vec_id, v, norm, c_id FROM ranked WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, c_id AS qc_id
+               FROM ranked WHERE vec_id < 10 AND c_rank <= 2),
+    scored AS (SELECT q_id, cells.vec_id AS neighbor_id,
+                      ROUND({_DOT_SQL.format(a='qv', b='cells.v')} / (qnorm * cells.norm), 6) AS cosine_sim
+               FROM cells JOIN probes ON c_id = qc_id AND q_id != cells.vec_id)
+    SELECT q_id, neighbor_id, rank, cosine_sim FROM (
+        SELECT q_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= 3
+    """,
+    doc="IVF ANN: stride-sampled centroids, nearest-cell assignment, "
+    "nprobe-cell probing with exact rerank (the scale path where probing "
+    "scans ~nprobe/n_centroids of the corpus).",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_ivf(
+        load(spark, sf_dir, "embeddings"), n_queries=10, k=3, stride=25, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""IVF ANN quality + partitioned-write partition pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators import similarity
+from data_etl_pipeline_spark.tables import load
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = _topk_sets(similarity.ann_topk_bruteforce(emb, n_queries=10, k=3))
+    approx = _topk_sets(similarity.ann_topk_ivf(emb, n_queries=10, k=3, stride=25, nprobe=2))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # deterministic data -> deterministic recall; bound it so an index
+    # regression (wrong cell assignment, empty probes) fails loudly
+    assert recall >= 0.3, f"IVF recall@3 degraded: {recall:.2f}"
+    # every query must get k results (probing nprobe cells of a stride-25
+    # sample always yields >= k candidates on this corpus)
+    assert all(len(v) == 3 for v in approx.values())
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned parquet layout: a day filter must read only that
+    day's directory (partition pruning), the physical analog of the
+    reference's prefix-range deletes (SURVEY X3)."""
+    out = str(tmp_path / "events_by_day")
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    # partition filters are applied at planning: one partition dir survives
+    assert "PartitionFilters" in plan
+    n_days = ev.select("day").distinct().count()
+    scanned = back.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
+    assert scanned < all_files / max(n_days - 1, 1) * 2  # ~1 day of files
+    assert back.count() == ev.where(F.col("day") == "2024-01-05").count()
