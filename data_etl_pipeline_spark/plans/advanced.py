@@ -105,6 +105,7 @@ _SESSIONS_SQL = """
     "user_sessions_gap",
     sql=_SESSIONS_SQL,
     doc="Gap-based sessionization (session_window vs lag/cumsum oracle).",
+    headline=True,
 )
 def user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -239,6 +240,7 @@ def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     doc="Top-k revenue star join (TPC-H Q10 shape); broadcast dims.",
+    headline=True,
 )
 def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")

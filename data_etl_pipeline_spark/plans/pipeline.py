@@ -262,6 +262,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN: stride-sampled centroids, nearest-cell assignment, "
     "nprobe-cell probing with exact rerank (the scale path where probing "
     "scans ~nprobe/n_centroids of the corpus).",
+    headline=True,
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(

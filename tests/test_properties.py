@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) over the pure operator cores.
+
+The reference's suite is example-based only (SURVEY §5); these pin the
+invariants the engine's join keys and sinks depend on: chunk offsets must
+slice the original text exactly, byte splitting must be loss-free and
+line-exact, JSON repair must fix the LLM breakage classes without
+corrupting valid payloads, and the as-of kernel must match a brute-force
+reference on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from data_etl_pipeline_spark.functions.json_repair import (
+    parse_json_array,
+    strip_markdown_fences,
+)
+from data_etl_pipeline_spark.operators.chunker import _chunk_one, whitespace_tokens
+from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=2000
+)
+
+
+class TestChunkerProperties:
+    @given(text=texts, soft=st.integers(1, 50), overlap=st.floats(0.0, 0.5))
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_slice_the_text_exactly(self, text, soft, overlap):
+        for c in _chunk_one(text, soft, overlap, max_chunks=100, tokens=whitespace_tokens):
+            assert text[c["chunk_start"] : c["chunk_end"]] == c["chunk_text"]
+            assert c["chunk_bounds"] == f"{c['chunk_start']}:{c['chunk_end']}"
+
+    @given(text=texts, soft=st.integers(1, 50))
+    @settings(max_examples=200, deadline=None)
+    def test_no_overlap_means_monotone_coverage(self, text, soft):
+        chunks = _chunk_one(text, soft, 0.0, max_chunks=10_000, tokens=whitespace_tokens)
+        # without overlap, chunk spans are strictly ordered and disjoint
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["chunk_end"] <= b["chunk_start"]
+            assert a["chunk_no"] + 1 == b["chunk_no"]
+        # every non-blank character of the text is covered by some chunk
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["chunk_start"], c["chunk_end"]))
+        for i, ch in enumerate(text):
+            if not ch.isspace():
+                assert i in covered
+
+    @given(text=texts, soft=st.integers(1, 30), overlap=st.floats(0.0, 0.5), mx=st.integers(1, 5))
+    @settings(max_examples=100, deadline=None)
+    def test_max_chunks_cap_holds(self, text, soft, overlap, mx):
+        assert len(_chunk_one(text, soft, overlap, max_chunks=mx, tokens=whitespace_tokens)) <= mx
+
+
+class TestByteSplitterProperties:
+    lines = st.lists(st.binary(min_size=0, max_size=40).filter(lambda b: b"\n" not in b), min_size=0, max_size=40)
+
+    @given(lines=lines, max_chunk=st.integers(8, 200))
+    @settings(max_examples=200, deadline=None)
+    def test_lossless_and_line_exact(self, lines, max_chunk):
+        data = b"\n".join(lines)
+        parts = split_bytes_on_lines(data, max_chunk)
+        assert b"".join(parts) == data  # loss-free
+        for p in parts[:-1]:
+            # every split point lands on a line boundary
+            assert p.endswith(b"\n") or len(p) >= max_chunk
+        # chunks only exceed max_chunk when a single line does
+        max_line = max((len(line) for line in lines), default=0)
+        for p in parts:
+            assert len(p) <= max(max_chunk, max_line + 1)
+
+
+class TestJsonRepairProperties:
+    payloads = st.lists(
+        st.text(alphabet=st.characters(blacklist_characters='"\\', blacklist_categories=("Cs",)), max_size=20),
+        max_size=8,
+    )
+
+    @given(items=payloads)
+    @settings(max_examples=200, deadline=None)
+    def test_valid_arrays_round_trip(self, items):
+        assert parse_json_array(json.dumps(items)) == items
+
+    @given(items=payloads)
+    @settings(max_examples=200, deadline=None)
+    def test_fenced_arrays_round_trip(self, items):
+        fenced = "```json\n" + json.dumps(items) + "\n```"
+        assert parse_json_array(fenced) == items
+
+    @given(inner=st.text(alphabet=st.sampled_from("ab c"), max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_unescaped_inner_quotes_repaired(self, inner):
+        broken = f'["a "{inner}" phrase", "plain"]'
+        out = parse_json_array(broken)
+        assert out is not None and len(out) == 2 and out[1] == "plain"
+
+    @given(s=st.text(max_size=50))
+    @settings(max_examples=200, deadline=None)
+    def test_strip_fences_never_raises_and_is_idempotent(self, s):
+        once = strip_markdown_fences(s)
+        assert strip_markdown_fences(once) == once or once.startswith("```")
+
+
+def _brute_asof(left, right):
+    out = {}
+    for k, t, eid in left:
+        best = None
+        for rk, rt, rid in right:
+            if rk == k and rt <= t and (best is None or (rt, rid) > best):
+                best = (rt, rid)
+        out[eid] = None if best is None else best[1]
+    return out
+
+
+class TestAsofKernelProperty:
+    @given(
+        left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 10**6)), max_size=12, unique_by=lambda x: x[2]),
+        right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 10**6)), max_size=12, unique_by=lambda x: x[2]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_bruteforce(self, spark, left, right):
+        from datetime import datetime, timedelta
+
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        base = datetime(2024, 1, 1)
+        ldf = spark.createDataFrame(
+            [(k, base + timedelta(hours=t), i) for k, t, i in left] or [(0, base, -1)],
+            "k long, ts timestamp, eid long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, base + timedelta(hours=t), i) for k, t, i in right] or [(99, base, -1)],
+            "k long, rts timestamp, rid long",
+        )
+        got = {
+            r["eid"]: r["rid"]
+            for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload_cols=["rid"], tiebreak="rid").collect()
+        }
+        expect = _brute_asof(
+            [(k, t, i) for k, t, i in left] or [(0, 0, -1)],
+            [(k, t, i) for k, t, i in right] or [(99, 0, -1)],
+        )
+        assert got == expect
