@@ -465,6 +465,72 @@ def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q16 shape: grouped COUNT(DISTINCT) over a join with an exclusion
+# anti-filter. Distinct-count shuffles on (group, value) first — Spark
+# plans the two-phase distinct aggregation automatically.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_supplier_counts",
+    sql="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19)
+    GROUP BY p_brand, p_size
+    """,
+    doc="Grouped distinct-count over join with exclusion filter (TPC-H Q16 shape).",
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar average + anti-join ("rich customers who
+# never ordered"). The 1-row average broadcasts; the anti-join discovers
+# the complement exactly like the reference's double-enqueue guard (J3).
+# ---------------------------------------------------------------------------
+@query(
+    "idle_rich_customers",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="Scalar-average filter + NOT EXISTS anti-join (TPC-H Q22 shape).",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec("c_acctbal", 18, 2)).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), cust.c_acctbal > avg_bal.avg_bal)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", 18, 2)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q15 shape: scalar-subquery max — supplier(s) with the maximum
 # revenue. Spark: aggregate once, broadcast the 1-row max, equi-filter on
 # the exact decimal (no double ties).

@@ -415,6 +415,29 @@ def vocab_phrase_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_match_compiled",
+    sql=f"""
+    WITH vocab(concept, label) AS (VALUES {_PHRASE_VALUES})
+    SELECT concept, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents JOIN vocab ON regexp_matches(text, '\\b' || label || '\\b')
+    GROUP BY concept
+    """,
+    doc="Compiled single-pass multi-pattern vocabulary search (SURVEY J7 "
+    "scale path: one alternation scan per doc instead of |vocab| rlike "
+    "passes); same oracle as the crossJoin+rlike baseline.",
+)
+def vocab_match_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.vocab import vocab_multi_match
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        vocab_multi_match(docs, _PHRASES)
+        .groupBy("concept")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunking (SURVEY W1)
 # ---------------------------------------------------------------------------
