@@ -143,6 +143,29 @@ def reconcile(completed: DataFrame) -> DataFrame:
     )
 
 
+def dead_letters(completed: DataFrame) -> DataFrame:
+    """ST5's error-table path: responses that still fail to parse AFTER
+    repair become append-only error rows (the reference writes
+    ExtractionError rows and resets the request,
+    new_extract_queue_bot.py:228-236 / batch_file_station.py:239-251).
+    Keyed by custom_id so the retry job can unpair exactly these."""
+    repaired = (
+        "IF(startswith(response, '```'), "
+        "regexp_replace(regexp_replace(response, '^```json\\n', ''), '\\n```$', ''), response)"
+    )
+    return (
+        completed.withColumn("_parsed", F.from_json(F.expr(repaired), "array<string>"))
+        .where(F.col("response").isNotNull() & F.col("_parsed").isNull())
+        .select(
+            "custom_id",
+            "entity",
+            "field",
+            F.lit("json_parse_error").alias("error"),
+            "response",
+        )
+    )
+
+
 def run_extraction_pass(chunks: DataFrame, state: DataFrame | None = None) -> dict[str, DataFrame]:
     """One full orchestrator pass: discover missing -> stub-execute ->
     harvest -> reconcile. Returns the new state and reconciled results.
@@ -158,4 +181,8 @@ def run_extraction_pass(chunks: DataFrame, state: DataFrame | None = None) -> di
         responses,
     )
     completed = new_state.where(F.col("response").isNotNull())
-    return {"state": new_state, "results": reconcile(completed)}
+    return {
+        "state": new_state,
+        "results": reconcile(completed),
+        "errors": dead_letters(completed),
+    }

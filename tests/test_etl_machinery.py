@@ -26,6 +26,25 @@ class TestDeferredStateMachine:
         todo_after = deferred.missing_requests(wanted, first["state"])
         assert todo_after.count() == 0  # X4: incremental — nothing missing
 
+    def test_dead_letters_capture_unparseable_responses(self, spark):
+        completed = spark.createDataFrame(
+            [
+                ("1>products>llm_search>chunk>0:9", "1", "products", '["ok"]'),
+                ("2>products>llm_search>chunk>0:9", "2", "products", "```json\n[\"ok\"]\n```"),
+                ("3>products>llm_search>chunk>0:9", "3", "products", "not json at all {"),
+            ],
+            "custom_id string, entity string, field string, response string",
+        )
+        errs = deferred.dead_letters(completed).collect()
+        # repaired fenced payload parses; only the truly broken row lands
+        assert [(e["entity"], e["error"]) for e in errs] == [("3", "json_parse_error")]
+        # and the pass surfaces the same rows under the "errors" key
+        assert "errors" in deferred.run_extraction_pass(
+            spark.createDataFrame(
+                [(1, "0:9", "alpha beta")], "doc_id long, chunk_bounds string, chunk_text string"
+            )
+        )
+
     def test_unpair_missing_resets_batch_id(self, spark):
         state = spark.createDataFrame(
             [("a", "b1"), ("b", "b1"), ("c", None)], "custom_id string, batch_id string"
