@@ -465,6 +465,122 @@ def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING on an aggregate, then semi-join the qualifying
+# keys back to the facts. The heavy groupBy runs ONCE; its (small) output
+# broadcasts into the enrichment join.
+# ---------------------------------------------------------------------------
+@query(
+    "large_order_customers",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+    doc="HAVING on aggregate + semi-join back to facts (TPC-H Q18 shape).",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > F.lit(150).cast("decimal(12,2)"))
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated MIN per group decorrelated into a window
+# min + equality filter (one shuffle on the part key; no re-join of the
+# aggregate against its own input).
+# ---------------------------------------------------------------------------
+@query(
+    "min_acctbal_supplier_per_part",
+    sql="""
+    SELECT l_partkey, s_suppkey, s_name, s_acctbal FROM (
+        SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal,
+               MIN(s_acctbal) OVER (PARTITION BY l_partkey) AS min_bal,
+               MIN(s_suppkey) OVER (PARTITION BY l_partkey, s_acctbal) AS min_supp
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        WHERE l_partkey < 200
+    ) t
+    WHERE s_acctbal = min_bal AND s_suppkey = min_supp
+    """,
+    doc="Correlated MIN decorrelated to window min + filter (TPC-H Q2 shape); "
+    "suppkey tiebreak keeps the pick deterministic.",
+)
+def min_acctbal_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 200).select(
+        "l_partkey", "l_suppkey"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    pairs = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    w_bal = W.partitionBy("l_partkey")
+    w_tie = W.partitionBy("l_partkey", "s_acctbal")
+    return (
+        pairs.withColumn("min_bal", F.min("s_acctbal").over(w_bal))
+        .withColumn("min_supp", F.min("s_suppkey").over(w_tie))
+        .where((F.col("s_acctbal") == F.col("min_bal")) & (F.col("s_suppkey") == F.col("min_supp")))
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: grouped value vs a global-scalar fraction (HAVING
+# against a broadcast 1-row subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "important_nation_stock",
+    sql="""
+    WITH v AS (
+        SELECT s_nationkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, CAST(val AS DOUBLE) AS nation_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.04 FROM v)
+    """,
+    doc="Group value vs global-scalar fraction (TPC-H Q11 shape).",
+)
+def important_nation_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(_dec("l_extendedprice", 18, 2)).alias("val"))
+    )
+    total = v.agg((F.sum("val").cast("double") * 0.04).alias("cutoff"))
+    return (
+        v.join(F.broadcast(total), F.col("val").cast("double") > F.col("cutoff"))
+        .select("s_nationkey", F.col("val").cast("double").alias("nation_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q16 shape: grouped COUNT(DISTINCT) over a join with an exclusion
 # anti-filter. Distinct-count shuffles on (group, value) first — Spark
 # plans the two-phase distinct aggregation automatically.
