@@ -95,6 +95,31 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "item_id")
     )
 
 
+def resize_plan(
+    features: DataFrame, max_side: int = 256, w_col: str = "fake_width", h_col: str = "fake_height"
+) -> DataFrame:
+    """Resize plumbing over the narrow feature table: compute the target
+    geometry (aspect-preserving fit into max_side x max_side, never
+    upscaling) as JVM expressions; only the pixel resample itself sits
+    behind the decode_payload seam. Planning geometry on the feature
+    table instead of the payload table is the 100 TB move — the decision
+    of WHAT to resize never touches the heavy binary column.
+    """
+    w = F.greatest(F.col(w_col), F.lit(1))
+    h = F.greatest(F.col(h_col), F.lit(1))
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return features.select(
+        "item_id",
+        "kind",
+        F.col(w_col).alias("src_width"),
+        F.col(h_col).alias("src_height"),
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("int").alias("target_width"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
 def payloads_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic binary fixture: the documents table's text bytes as
     payloads with a kind column cycling image/audio/video."""

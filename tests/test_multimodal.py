@@ -52,3 +52,27 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     # default HLL rsd is 5%; allow 2x headroom on the tiny smoke table
     assert abs(approx["o"] - exact["o"]) / exact["o"] < 0.10
     assert abs(approx["p"] - exact["p"]) / exact["p"] < 0.10
+
+
+def test_resize_plan_geometry(spark, sf_dir):
+    from data_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        payloads_from_documents,
+        resize_plan,
+    )
+    from data_etl_pipeline_spark.tables import load
+
+    feats = extract_features(payloads_from_documents(load(spark, sf_dir, "documents")))
+    plan = resize_plan(feats, max_side=256)
+    rows = plan.collect()
+    assert len(rows) == feats.count()
+    for r in rows:
+        # aspect-preserving fit, never upscaled, never zero-sized
+        assert 1 <= r["target_width"] <= max(256, 1)
+        assert 1 <= r["target_height"] <= max(256, 1)
+        if r["needs_resize"]:
+            assert max(r["src_width"], r["src_height"]) > 256
+            assert r["scale"] < 1.0
+        else:
+            assert r["scale"] == 1.0
+            assert r["target_width"] == max(r["src_width"], 1)
