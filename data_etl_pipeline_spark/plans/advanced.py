@@ -443,6 +443,45 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Analytic-function family over one partitioned pass: FIRST_VALUE, a
+# 3-row moving average (decimal-exact), and PERCENT_RANK — all share the
+# customer partition, so Catalyst evaluates them in a single Window node
+# per sort order (one shuffle total).
+# ---------------------------------------------------------------------------
+@query(
+    "order_price_analytics",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS ma3_price,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS price_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="FIRST_VALUE / moving-average frame / PERCENT_RANK in one pass.",
+)
+def order_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_ma = w_date.rowsBetween(-2, W.currentRow)
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_date).alias("first_price"),
+        (
+            F.sum(_dec("o_totalprice", 18, 2)).over(w_ma).cast("double")
+            / F.count(F.lit(1)).over(w_ma)
+        ).alias("ma3_price"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # NTILE bucketing within each nation (scale-correct: partitioned by the
 # nation key, no global sort).
 # ---------------------------------------------------------------------------
