@@ -686,6 +686,42 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative algorithm: transitive closure of a concept hierarchy (the
+# reference's in-driver SKOS tree walk, distributed). Spark has no
+# recursive CTE — the engine's fixpoint join loop (operators/hierarchy.py)
+# is checked against DuckDB's WITH RECURSIVE on the same derived edges.
+# ---------------------------------------------------------------------------
+@query(
+    "concept_ancestor_closure",
+    sql="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey // 2 AS ancestor, 1 AS depth
+        FROM part WHERE p_partkey BETWEEN 2 AND 126
+        UNION
+        SELECT a.node, e.p_partkey // 2, a.depth + 1
+        FROM anc a JOIN part e ON a.ancestor = e.p_partkey
+        WHERE e.p_partkey BETWEEN 2 AND 126
+    )
+    SELECT node, ancestor, MIN(depth) AS depth
+    FROM anc GROUP BY node, ancestor
+    """,
+    doc="Transitive closure via iterative fixpoint joins (no recursive CTE "
+    "in Spark) vs a WITH RECURSIVE oracle.",
+)
+def concept_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
+
+    edges = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey").between(2, 126))
+        .select(F.col("p_partkey").alias("child"), F.expr("p_partkey div 2").alias("parent"))
+    )
+    return transitive_closure(edges).select(
+        "node", "ancestor", F.col("depth").cast("int").alias("depth")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q15 shape: scalar-subquery max — supplier(s) with the maximum
 # revenue. Spark: aggregate once, broadcast the 1-row max, equi-filter on
 # the exact decimal (no double ties).

@@ -144,3 +144,25 @@ class TestStatefulStreamingDedup:
             .collect()
         }
         assert streamed == batch
+
+
+class TestTransitiveClosure:
+    def test_terminates_on_cycles(self, spark):
+        from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+        rows = {(r["node"], r["ancestor"]): r["depth"] for r in transitive_closure(edges).collect()}
+        # the pair-space saturates, so the fixpoint loop stops despite the
+        # cycle: each node reaches the other (depth 1) and itself (depth 2)
+        assert rows == {(1, 2): 1, (2, 1): 1, (1, 1): 2, (2, 2): 2}
+
+    def test_chain_depths_are_shortest(self, spark):
+        from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
+
+        edges = spark.createDataFrame([(4, 3), (3, 2), (2, 1), (4, 2)], "child long, parent long")
+        rows = {(r["node"], r["ancestor"]): r["depth"] for r in transitive_closure(edges).collect()}
+        # 4 reaches 2 directly (depth 1, not via 3) and 1 in two hops
+        assert rows[(4, 2)] == 1
+        assert rows[(4, 1)] == 2
+        assert rows[(4, 3)] == 1
+        assert rows[(3, 1)] == 2
