@@ -92,9 +92,7 @@ def blocks_header_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
-@query(
-    "deferred_extraction_results",
-    sql=f"""
+_DEFERRED_SQL = f"""
     WITH d AS (SELECT doc_id, text,
                       GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS INT)) AS n
                FROM documents),
@@ -112,7 +110,12 @@ _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
            COALESCE(string_agg(DISTINCT item, ',' ORDER BY item), '') AS results
     FROM universe u LEFT JOIN items i ON u.entity = i.entity AND u.field = i.field
     GROUP BY u.entity, u.field
-    """,
+    """
+
+
+@query(
+    "deferred_extraction_results",
+    sql=_DEFERRED_SQL,
     doc="Full deferred-extraction pass: anti-join discovery, stub LLM, JSON repair, A1 rollup (SURVEY §3.3).",
     headline=True,
 )
@@ -295,3 +298,17 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.windows import run_stream_hourly_counts
 
     return run_stream_hourly_counts(spark, sf_dir)
+
+
+@query(
+    "stream_deferred_extraction",
+    sql=_DEFERRED_SQL,
+    doc="The deferred pipeline under Structured Streaming: overlapping "
+    "micro-batches (at-least-once re-delivery), per-batch anti-join "
+    "discovery against the persisted state table, idempotent append "
+    "(SURVEY ST1-ST3); reconciles to the same oracle as the batch pass.",
+)
+def stream_deferred_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.deferred_stream import run_stream_extraction
+
+    return run_stream_extraction(spark, sf_dir)
