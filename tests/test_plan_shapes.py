@@ -91,6 +91,20 @@ def test_q10_broadcasts_dimensions(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q6_predicates_all_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan
+    # only the needed columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp" in plan
+
+
 def test_rollup_cube_partial_aggregation(spark, sf_dir):
     for name in ("order_priority_rollup", "returnflag_status_cube"):
         plan = _plan(spark, sf_dir, name)
