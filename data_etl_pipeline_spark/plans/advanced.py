@@ -686,6 +686,54 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S12 as a declared query: round-trip through the CSV format (write the
+# filtered orders slice as CSV, read it back with an explicit schema,
+# aggregate) — the oracle aggregates the same slice from parquet, so a
+# lossy CSV codec (timestamps, floats, quoting) would hash-mismatch.
+# ---------------------------------------------------------------------------
+@query(
+    "csv_roundtrip_agg",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc="CSV source/sink round-trip (SURVEY S12): write slice as CSV, read "
+    "back with schema, aggregate; lossy codecs would hash-mismatch.",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    out = f"{tempfile.gettempdir()}/csv_rt_{_uuid.uuid4().hex[:8]}"
+    sliced = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    # o_orderdate is TIMESTAMP_NTZ -> the NTZ-specific format option applies
+    sliced.write.mode("overwrite").option("header", "true").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+        )
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3 shape: shipping priority — fact-fact join filtered both sides,
 # grouped revenue, deterministic top-10.
 # ---------------------------------------------------------------------------

@@ -438,6 +438,29 @@ def vocab_match_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_match_aho_corasick",
+    sql=f"""
+    WITH vocab(concept, label) AS (VALUES {_PHRASE_VALUES})
+    SELECT concept, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents JOIN vocab ON regexp_matches(text, '\\b' || label || '\\b')
+    GROUP BY concept
+    """,
+    doc="Aho-Corasick multi-pattern vocabulary search: scan cost "
+    "independent of vocabulary size (the 10^5-label ontology path); same "
+    "oracle as the regex variants.",
+)
+def vocab_match_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.vocab import ac_multi_match
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        ac_multi_match(docs, _PHRASES)
+        .groupBy("concept")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunking (SURVEY W1)
 # ---------------------------------------------------------------------------

@@ -145,3 +145,46 @@ class TestAsofKernelProperty:
             [(k, t, i) for k, t, i in right] or [(99, 0, -1)],
         )
         assert got == expect
+
+
+class TestAhoCorasick:
+    def test_finds_overlapping_and_nested_patterns(self):
+        from data_etl_pipeline_spark.operators.vocab import AhoCorasick
+
+        pats = ["he", "she", "his", "hers"]
+        ac = AhoCorasick(pats).attach_patterns(pats)
+        hits = {(s, e, pats[i]) for s, e, i in ac.find("ushers")}
+        assert hits == {(1, 4, "she"), (2, 4, "he"), (2, 6, "hers")}
+
+    def test_matches_regex_alternation_on_random_text(self):
+        import re
+
+        from hypothesis import given, settings, strategies as st
+        from data_etl_pipeline_spark.operators.vocab import AhoCorasick
+
+        pats = ["ab", "abc", "bc", "ca", "aaa"]
+
+        @given(text=st.text(alphabet="abc ", max_size=60))
+        @settings(max_examples=300, deadline=None)
+        def check(text):
+            ac = AhoCorasick(pats).attach_patterns(pats)
+            got = {(s, e, i) for s, e, i in ac.find(text)}
+            want = set()
+            for i, p in enumerate(pats):
+                for m in re.finditer(f"(?={re.escape(p)})", text):
+                    want.add((m.start(), m.start() + len(p), i))
+            assert got == want
+
+        check()
+
+    def test_word_boundary_filter(self, spark):
+        from data_etl_pipeline_spark.operators.vocab import ac_multi_match
+
+        docs = spark.createDataFrame(
+            [(1, "a hash join here"), (2, "rehash joints"), (3, "hash join")],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_id"], r["concept"]) for r in ac_multi_match(docs, [("join", "hash join")]).collect()}
+        # doc 2's "rehash joints" contains the substring but not on word
+        # boundaries; docs 1 and 3 match (start/end-of-string count)
+        assert out == {(1, "join"), (3, "join")}
