@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via an inverted index — ONE corpus scan.
 
@@ -102,17 +103,23 @@ def ngram_jaccard_pairs(
 
     Scale note: a shingle shared by k docs yields k*(k-1)/2 pairs — boiler-
     plate shingles are the skew risk at 100 TB. Standard mitigation (as in
-    large-corpus dedup pipelines) is dropping ultra-frequent shingles; the
-    posting-list size cap would go right after the groupBy here.
+    large-corpus dedup pipelines) is dropping ultra-frequent shingles:
+    pass ``max_postings`` to cap posting-list size right after the groupBy
+    (pairs then undercount n_common on boilerplate — the deliberate
+    trade; the capped variant is declared as its own oracle-checked
+    query so the approximation is visible, not silent).
     """
     docs = _docs_with_shingles(df, text_col, id_col, n)
     postings = docs.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
+    grouped = postings.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    if max_postings is not None:
+        grouped = grouped.where(F.size("ds") <= max_postings)
     pair_rows = (
-        postings.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .where(F.size("ds") > 1)
+        grouped.where(F.size("ds") > 1)
         .select(F.explode(F.expr(_COMBOS)).alias("p"))
         .select(
             F.col("p.x.doc_id").alias("doc_a"),

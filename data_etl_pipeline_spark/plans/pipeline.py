@@ -94,6 +94,33 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@query(
+    "doc_ngram_jaccard_capped",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 12),
+    sk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sk a JOIN sk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.6
+    """,
+    doc="Posting-capped Jaccard (drop shingles shared by >12 docs) — the "
+    "100 TB skew mitigation declared explicitly so the approximation is "
+    "oracle-visible, not silent.",
+)
+def doc_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.6, max_postings=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures
 # ---------------------------------------------------------------------------
