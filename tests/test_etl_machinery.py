@@ -26,6 +26,31 @@ class TestDeferredStateMachine:
         todo_after = deferred.missing_requests(wanted, first["state"])
         assert todo_after.count() == 0  # X4: incremental — nothing missing
 
+    def test_retry_loop_converges_after_lost_responses(self, spark):
+        # ST5 end-to-end: a batch loses half its responses -> those
+        # requests are unpaired and answered by the NEXT pass; after the
+        # retry the state is complete and a further pass creates nothing.
+        from pyspark.sql import functions as F
+
+        chunks = spark.createDataFrame(
+            [(i, "0:9", f"alpha beta gamma delta w{i}") for i in range(8)],
+            "doc_id long, chunk_bounds string, chunk_text string",
+        )
+        wanted = deferred.build_requests(chunks)
+        state = wanted.withColumn("batch_id", F.lit("b1")).withColumn(
+            "response", F.lit(None).cast("string")
+        )
+        # the result file only contains answers for even entities
+        results = deferred.llm_stub_responses(wanted.where(F.col("entity").cast("long") % 2 == 0))
+        state = deferred.unpair_missing(deferred.harvest(state, results), results)
+        lost = state.where(F.col("batch_id").isNull() & F.col("response").isNull())
+        assert lost.count() == wanted.count() / 2
+        # retry pass: answer exactly the unpaired pending requests
+        retry = deferred.llm_stub_responses(lost)
+        state = deferred.harvest(state, retry)
+        assert state.where(F.col("response").isNull()).count() == 0
+        assert deferred.missing_requests(wanted, state).count() == 0  # converged
+
     def test_dead_letters_capture_unparseable_responses(self, spark):
         completed = spark.createDataFrame(
             [
