@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def detect_cycles(edges: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Concept-tree cycle check (SURVEY §3.4 — the reference validates its
+    ontology for cycles in rdf_validation_service.py:37-79): a node on a
+    cycle reaches itself in the closure. Returns (node, depth) rows —
+    empty means acyclic."""
+    closure = transitive_closure(edges, max_depth)
+    return closure.where(F.col("node") == F.col("ancestor")).select(
+        "node", F.col("depth").alias("cycle_length")
+    )
+
+
+def duplicate_labels(vocab: DataFrame, label_col: str = "label") -> DataFrame:
+    """Ontology duplicate-label check (same validation service): labels
+    carried by more than one concept, case-insensitive. Returns
+    (label_lower, n_concepts, concepts) — empty means clean."""
+    return (
+        vocab.groupBy(F.lower(F.col(label_col)).alias("label_lower"))
+        .agg(
+            F.countDistinct("concept").alias("n_concepts"),
+            F.array_sort(F.collect_set("concept")).alias("concepts"),
+        )
+        .where(F.col("n_concepts") > 1)
+    )
+
+
 def transitive_closure(edges: DataFrame, max_depth: int = 32) -> DataFrame:
     """All (node, ancestor, depth) pairs reachable through ``edges``
     (columns: child, parent). depth 1 = direct parent. Fixpoint loop:

@@ -166,3 +166,27 @@ class TestTransitiveClosure:
         assert rows[(4, 1)] == 2
         assert rows[(4, 3)] == 1
         assert rows[(3, 1)] == 2
+
+
+class TestOntologyValidation:
+    def test_cycle_detection(self, spark):
+        from data_etl_pipeline_spark.operators.hierarchy import detect_cycles
+
+        acyclic = spark.createDataFrame([(2, 1), (3, 1), (4, 2)], "child long, parent long")
+        assert detect_cycles(acyclic).isEmpty()
+        cyclic = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (9, 1)], "child long, parent long")
+        rows = {r["node"]: r["cycle_length"] for r in detect_cycles(cyclic).collect()}
+        assert set(rows) == {1, 2, 3}  # node 9 hangs off the cycle but is not on it
+        assert all(v == 3 for v in rows.values())
+
+    def test_duplicate_label_detection(self, spark):
+        from data_etl_pipeline_spark.operators.hierarchy import duplicate_labels
+
+        vocab = spark.createDataFrame(
+            [("welding", "MIG Welding"), ("joining", "mig welding"), ("casting", "Die Casting")],
+            "concept string, label string",
+        )
+        rows = duplicate_labels(vocab).collect()
+        assert len(rows) == 1
+        assert rows[0]["label_lower"] == "mig welding"
+        assert rows[0]["concepts"] == ["joining", "welding"]
