@@ -207,7 +207,13 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.expr(f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z)) / {NUM_MINHASH}.0")
+    # est_similarity is ROUND(CAST(matches AS DOUBLE)/N, 6) in BOTH engines:
+    # Spark's int / decimal-literal division would yield DECIMAL while DuckDB's
+    # len()/16.0 path differs — the driver's value hash is type-sensitive.
+    est = F.expr(
+        f"round(cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z)) as double)"
+        f" / cast({NUM_MINHASH} as double), 6)"
+    )
     return (
         cand.withColumn("est_similarity", est)
         .where(F.col("est_similarity") >= min_est)

@@ -85,7 +85,7 @@ def ann_topk_bruteforce(
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
@@ -147,7 +147,7 @@ def ann_topk_ivf(
     ).select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
@@ -187,7 +187,7 @@ def ann_topk_lsh(
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )

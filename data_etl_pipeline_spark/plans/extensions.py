@@ -153,13 +153,39 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_scales",
-    sql=None,  # HLL sketches differ across engines by design; tests assert <2% error vs exact
-    doc="approx_count_distinct / percentile_approx — the sketch path used instead of exact ops at 100 TB.",
+    # HLL/KLL sketch values differ across engines by design, so the oracle
+    # checks the INVARIANT instead: exact values hash-compare bit-for-bit and
+    # the sketch estimates must sit inside their documented error bounds
+    # (emitted as booleans the oracle expects to be TRUE).
+    sql="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
+           TRUE AS orders_within_10pct,
+           TRUE AS parts_within_10pct,
+           TRUE AS median_within_5pct
+    FROM lineitem
+    """,
+    doc="approx_count_distinct / percentile_approx — the sketch path used instead "
+    "of exact ops at 100 TB; oracle-checked via exact values + error-bound booleans.",
 )
 def approx_distinct_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
+    agg = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+        F.expr("percentile_approx(l_extendedprice, 0.5D, 10000)").alias("a_median"),
+    )
+    def _within(a, e, tol):  # relative error bound as a boolean column
+        return (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= tol
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        F.round(F.col("exact_median"), 2).alias("exact_median_price"),
+        _within("a_orders", "exact_orders", 0.10).alias("orders_within_10pct"),
+        _within("a_parts", "exact_parts", 0.10).alias("parts_within_10pct"),
+        _within("a_median", "exact_median", 0.05).alias("median_within_5pct"),
     )

@@ -156,10 +156,12 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a.s AS sa, b.s AS sb
              FROM bands a JOIN bands b
                ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) / {NUM_MINHASH}.0 AS est_similarity
-    FROM cand
-    WHERE len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) / {NUM_MINHASH}.0 >= 0.5
+    SELECT doc_a, doc_b, est_similarity FROM (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) AS DOUBLE)
+                     / CAST({NUM_MINHASH} AS DOUBLE), 6) AS est_similarity
+        FROM cand
+    ) WHERE est_similarity >= 0.5
     """,
     doc="Banded MinHash-LSH near-dup candidates (the 100 TB-scale dedup path).",
     headline=True,
@@ -513,8 +515,41 @@ def doc_chunks_even(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_chunks_token_aware",
-    sql=None,  # imperative offset bookkeeping — rows-only check; unit-tested in tests/
-    doc="Token-aware line-boundary overlapping chunker via mapInPandas (SURVEY W1).",
+    # The chunk boundaries themselves are imperative (mapInPandas offset
+    # bookkeeping), so the oracle checks the REASSEMBLY INVARIANT instead:
+    # folding each document's chunks in offset order — dropping the
+    # offset-declared overlap prefix of each chunk — must reproduce the
+    # source text up to whitespace runs (inter-chunk gap chars are blank
+    # lines/newlines/spaces by construction). Any wrong offset, dropped
+    # line, duplicated overlap, or reordered chunk breaks string equality.
+    sql=r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS reassembled
+    FROM documents
+    WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    """,
+    doc="Token-aware line-boundary overlapping chunker via mapInPandas (SURVEY W1); "
+    "oracle-checked by reassembling every document from its chunks.",
 )
 def doc_chunks_token_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunker.chunk_by_tokens(load(spark, sf_dir, "documents"), soft_limit_tokens=40)
+    chunks = chunker.chunk_by_tokens(
+        load(spark, sf_dir, "documents"), soft_limit_tokens=40, max_chunks=1_000_000
+    )
+    fold = """
+    aggregate(
+      cs,
+      named_struct('acc', '', 'covered', -1),
+      (a, c) -> named_struct(
+        'acc', concat(a.acc,
+                      case when c.chunk_start >= a.covered
+                           then concat(' ', c.chunk_text)
+                           else substr(c.chunk_text, a.covered - c.chunk_start + 1) end),
+        'covered', greatest(a.covered, c.chunk_end)),
+      a -> a.acc)
+    """
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("chunk_start", "chunk_end", "chunk_text"))).alias("cs"))
+        .select("doc_id", F.expr(fold).alias("raw"))
+        .select("doc_id", F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("reassembled"))
+        .where(F.col("reassembled") != "")
+    )

@@ -46,14 +46,69 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
     return wrap
 
 
+# The driver's CORRECTNESS run processes queries() in dict order and covered
+# exactly 50 entries in round 1, leaving 32 declared queries without a driver
+# row. Emit this round's must-verify queries FIRST: the 32 unchecked, the 2
+# round-1 hash mismatches (now fixed), the former rows-only queries (now
+# oracle-checked), and queries added this round. Already-green queries fill
+# the remaining slots so they are re-confirmed only after every query has
+# earned a row at least once across rounds.
+_VERIFY_FIRST: list[str] = [
+    # round-1 hash mismatches, fixed this round
+    "returnflag_priority_counts",
+    "doc_minhash_lsh_pairs",
+    # unchecked in round 1 (no CORRECTNESS_r01 row)
+    "pricing_summary",
+    "revenue_by_nation",
+    "two_phase_concept_extraction",
+    "ann_topk_ivf",
+    "hourly_event_stats",
+    "newest_open_orders",
+    "rich_customers_projection",
+    "quantity_band_stats",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "part_prefix_agg",
+    "order_key_lookup",
+    "segment_with_override",
+    "distinct_segment_nation",
+    "orderkey_set_ops",
+    "top3_orders_per_customer",
+    "running_value_per_user",
+    "nation_segment_rollup",
+    "event_type_user_buckets",
+    "event_props_json_stats",
+    "user_session_counts",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_token_counts",
+    "doc_fingerprints",
+    "vocab_word_match",
+    "vocab_phrase_regex_match",
+    "vocab_match_compiled",
+    "vocab_match_aho_corasick",
+    "doc_chunks_even",
+    "doc_chunks_token_aware",
+    "address_merge",
+    # rows-only in round 1; oracle-checked this round
+    "approx_distinct_scales",
+]
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _VERIFY_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(first)]
+    return first + rest
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered()}
 
 
 def all_oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}
+    return {name: QUERIES[name].sql for name in _ordered() if QUERIES[name].sql is not None}
 
 
 _LOADED = False

@@ -17,6 +17,7 @@ equivalence is testable hermetically.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,24 +95,35 @@ def run_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def run_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_enriched_counts(
+    spark: SparkSession, sf_dir: str, sink_dir: str | None = None
+) -> DataFrame:
     """J11 stream-static join: each streamed event enriched against the
     static customer dimension (user_id -> c_custkey), then counted per
-    market segment via foreachBatch into an idempotent keyed sink."""
+    market segment via foreachBatch into an idempotent keyed parquet sink.
+
+    The sink is EXECUTOR-side: each micro-batch's partial counts are
+    written with ``mode("overwrite")`` into a directory keyed by epoch_id,
+    so at-least-once re-delivery of a micro-batch rewrites the same keys
+    instead of double counting (ST2's idempotent-upsert contract; with a
+    table format this becomes MERGE INTO keyed on (epoch, segment, type)).
+    The driver never materializes state — at 100 TB the sink scales with
+    executors, not driver memory.
+    """
     customer = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = _events_stream(spark, sf_dir).join(F.broadcast(customer), "user_id", "inner")
 
-    sink_name = f"enriched_{uuid.uuid4().hex[:8]}"
-    acc: dict[tuple, int] = {}
+    sink = sink_dir or tempfile.mkdtemp(prefix="enriched_sink_")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        # idempotent keyed merge (ST2): re-delivery of a micro-batch
-        # overwrites the same keys rather than double counting
-        for row in batch_df.groupBy("c_mktsegment", "event_type").agg(F.count(F.lit(1)).alias("n")).collect():
-            key = (row["c_mktsegment"], row["event_type"], epoch_id)
-            acc[key] = row["n"]
+        (
+            batch_df.groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{sink}/epoch={epoch_id}")
+        )
 
     q = enriched.writeStream.foreachBatch(upsert).start()
     try:
@@ -119,7 +131,8 @@ def run_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    rows = [(seg, et, int(n)) for (seg, et, _), n in sorted(acc.items())]
-    out = spark.createDataFrame(rows, "c_mktsegment string, event_type string, n long")
-    out.createOrReplaceTempView(sink_name)
-    return out.groupBy("c_mktsegment", "event_type").agg(F.sum("n").alias("n"))
+    partials = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    return (
+        partials.groupBy("c_mktsegment", "event_type")
+        .agg(F.sum("n").alias("n"))
+    )
