@@ -39,30 +39,10 @@ def extract_emails_col(text_col: str) -> Column:
 
 # --- URL normalization / eTLD+1 (url_util.py:9-95 semantics) --------------
 
-# Minimal public-suffix behavior without the PSL dependency: two-label
-# registrable domain, except for a small set of two-level public suffixes.
-_TWO_LEVEL_SUFFIXES = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx",
-}
-
-
-def etld1(host_or_url: str) -> str | None:
-    """Registrable domain (eTLD+1) of a host or URL; None if unparseable."""
-    if not host_or_url:
-        return None
-    h = host_or_url.strip().lower()
-    if "//" in h or h.startswith(("http:", "https:")):
-        h = urlsplit(h if "//" in h else "//" + h).hostname or ""
-    h = h.split("@")[-1].split(":")[0].strip(".")
-    if not h or "." not in h:
-        return None
-    labels = h.split(".")
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+# Registrable-domain resolution goes through the embedded public-suffix-list
+# snapshot (functions/psl.py) — wildcard and exception rules included, like
+# the reference's publicsuffix2 dependency.
+from data_etl_pipeline_spark.functions.psl import etld1  # noqa: F401  (re-export)
 
 
 def normalize_url(url: str) -> str | None:

@@ -68,6 +68,28 @@ def whitespace_tokens(s: str) -> int:
     return len(s.split())
 
 
+_BPE_PIECE = None  # compiled lazily so importing this module stays cheap
+
+
+def bpe_ish_tokens(s: str) -> int:
+    """Deterministic BPE-approximating counter — the second tokenizer through
+    the pluggable seam (reference counts with tiktoken,
+    open_ai_key_app/src/open_ai_key_app/utils/token_util.py:6-8; real BPE is
+    a data dependency, not a code change).
+
+    Rules approximating byte-pair behavior: every run of <=4 alphanumerics is
+    one token, longer runs cost ceil(len/4), and every non-space symbol is
+    its own token. Distinct from whitespace_tokens on punctuation and long
+    words, which is what makes seam tests meaningful.
+    """
+    global _BPE_PIECE
+    if _BPE_PIECE is None:
+        import re
+
+        _BPE_PIECE = re.compile(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]")
+    return sum(1 for _ in _BPE_PIECE.finditer(s))
+
+
 def chunk_by_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -151,6 +173,97 @@ def _chunk_one(
         i += 1
     if cur_start is not None and len(chunks) < max_chunks:
         chunks.append(_emit(text, cur_start, cur_end, len(chunks) + 1, tokens))
+    return chunks
+
+
+def chunk_by_tokens_hard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hard_limit_tokens: int = 60,
+    overlap_ratio: float = 0.15,
+    max_chunks: int = 100_000,
+    token_counter: Callable[[str], int] = whitespace_tokens,
+) -> DataFrame:
+    """Hard-limit line-boundary chunker (reference chunk_util.py:318-377,
+    get_chunks_respecting_line_boundaries_with_hard_limit).
+
+    Unlike the soft chunker, the token cap is a CEILING: a line is never
+    added to a chunk it would push over ``hard_limit_tokens``; instead the
+    chunk is emitted and the next chunk backtracks over trailing lines
+    until ``hard_limit_tokens * overlap_ratio`` overlap tokens are carried.
+    Divergences from the reference, both documented here on purpose:
+      * the reference never resets its line accumulator after emitting a
+        chunk, which would re-emit the same bounds forever — we implement
+        the documented intent (fresh accumulator seeded with the overlap);
+      * a single line exceeding the hard limit crashes the reference
+        (first-element access on an empty accumulator) — we emit it as a
+        singleton over-limit chunk so offsets stay exact.
+    Shares _segments/_emit offset bookkeeping with chunk_by_tokens.
+    """
+    if overlap_ratio >= 0.9:
+        raise ValueError(f"overlap_ratio={overlap_ratio} is greater than or equal to 0.9")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for rec in _chunk_one_hard(
+                    str(text), hard_limit_tokens, overlap_ratio, max_chunks, token_counter
+                ):
+                    rec["doc_id"] = doc_id
+                    out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "chunk_no",
+                    "chunk_start",
+                    "chunk_end",
+                    "chunk_bounds",
+                    "chunk_text",
+                    "num_tokens",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, CHUNK_SCHEMA)
+
+
+def _chunk_one_hard(
+    text: str,
+    hard_limit: int,
+    overlap_ratio: float,
+    max_chunks: int,
+    tokens: Callable[[str], int],
+) -> list[dict]:
+    """Hard-cap chunk one document; pure function, unit-tested without Spark."""
+    segs = _segments(text)
+    if not segs:
+        return []
+    seg_tok = [tokens(s[2]) for s in segs]
+    required_overlap = int(hard_limit * overlap_ratio)
+    chunks: list[dict] = []
+    cur: list[int] = []  # indexes into segs
+    cur_tok = 0
+    i = 0
+    while i < len(segs) and len(chunks) < max_chunks:
+        if not cur or cur_tok + seg_tok[i] <= hard_limit:
+            cur.append(i)
+            cur_tok += seg_tok[i]
+            i += 1
+            continue
+        chunks.append(_emit(text, segs[cur[0]][0], segs[cur[-1]][1], len(chunks) + 1, tokens))
+        # backtrack: carry trailing segments until the overlap requirement is
+        # met; j > 0 guarantees forward progress (>= 1 new segment per chunk)
+        j = len(cur) - 1
+        carried = 0
+        while j > 0 and carried < required_overlap:
+            carried += seg_tok[cur[j]]
+            j -= 1
+        cur = cur[j + 1 :]  # carried overlap (possibly best-effort short); [] when required_overlap == 0
+        cur_tok = sum(seg_tok[k] for k in cur)
+    if cur and len(chunks) < max_chunks:
+        chunks.append(_emit(text, segs[cur[0]][0], segs[cur[-1]][1], len(chunks) + 1, tokens))
     return chunks
 
 

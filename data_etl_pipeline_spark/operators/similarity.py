@@ -111,30 +111,45 @@ def ann_topk_ivf(
     centroid table is unchanged.
 
     Scale shape: centroids are a broadcast dim (X5); assignment is a
-    broadcast join + per-row argmin (map-side, one shuffle to group);
-    probing joins corpus cells to query cells on the centroid id — the
-    scan per query is ~nprobe/n_centroids of the corpus, and the join key
-    (cell id) is the partition key, so no cross join ever materializes.
+    1-row broadcast of the collected centroid array + a PER-ROW argmin
+    expression (whole-stage codegen — no window, no Exchange: the corpus
+    is never shuffled to assign cells, and no corpus-x-centroids row set
+    materializes); probing joins corpus cells to query cells on the
+    centroid id — the scan per query is ~nprobe/n_centroids of the
+    corpus, and the join key (cell id) is the partition key, so no cross
+    join ever materializes.
     """
     e = _with_norm(df, vec_col, id_col)
     c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    dot = _DOT.format(a="v", b="cv")
-    csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
-    scored_c = e.join(F.broadcast(c)).select(
-        "vec_id", "v", "norm", "c_id", csim.alias("c_sim")
+    # centroid array as a single broadcast row; per-corpus-row similarity to
+    # every centroid stays an array expression sorted by (sim desc, id asc)
+    cents = c.groupBy().agg(F.collect_list(F.struct("c_id", "cv", "cnorm")).alias("cents"))
+    cdot = _DOT.format(a="v", b="ct.cv")
+    ranked_cells = f"""
+    array_sort(
+      transform(cents, ct -> named_struct(
+        'c_sim', round(({cdot}) / (norm * ct.cnorm), 6),
+        'c_id', ct.c_id)),
+      (l, r) -> case when l.c_sim > r.c_sim then -1 when l.c_sim < r.c_sim then 1
+                     when l.c_id  < r.c_id  then -1 when l.c_id  > r.c_id  then 1
+                     else 0 end)
+    """
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "v", "norm", F.expr(ranked_cells).alias("rc"))
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
-    ranked = scored_c.withColumn("c_rank", F.row_number().over(w_assign))
-    cells = ranked.where(F.col("c_rank") == 1).select("vec_id", "v", "norm", "c_id")
+    cells = assigned.select(
+        "vec_id", "v", "norm", F.expr("rc[0].c_id").alias("c_id")
+    )
     probes = (
-        ranked.where((F.col("vec_id") < n_queries) & (F.col("c_rank") <= nprobe))
+        assigned.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
-            F.col("c_id").alias("qc_id"),
+            F.explode(F.expr(f"transform(slice(rc, 1, {nprobe}), s -> s.c_id)")).alias("qc_id"),
         )
     )
     qdot = _DOT.format(a="qv", b="v")

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_etl_pipeline_spark.functions import psl
 from data_etl_pipeline_spark.operators import multimodal
 from data_etl_pipeline_spark.plans.registry import query
 from data_etl_pipeline_spark.tables import load
@@ -189,3 +190,57 @@ def approx_distinct_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within("a_parts", "exact_parts", 0.10).alias("parts_within_10pct"),
         _within("a_median", "exact_median", 0.05).alias("median_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F3: PSL-based registrable domain (eTLD+1). The test tables carry no URLs,
+# so hosts are DERIVED deterministically from supplier names with a rotation
+# of PSL-tricky suffixes (wildcard *.ck, exception www.ck, private
+# github.io, multi-level k12.va.us, ...). Spark resolves them through the
+# zero-shuffle fold in functions/psl.py; the oracle re-implements PSL
+# matching independently in DuckDB SQL — a true differential test of two
+# implementations over the same embedded rule snapshot.
+# Reference: core/src/core/utils/url_util.py:9-14 (publicsuffix2).
+# ---------------------------------------------------------------------------
+
+_HOST_PREFIXES = ("", "www.", "a.b.")
+_HOST_SUFFIXES = (
+    "com", "org", "co.uk", "co.nz", "com.sg", "github.io", "blogspot.com",
+    "ck", "fk", "k12.va.us", "s3.amazonaws.com", "io", "nom.br",
+)
+
+
+def _host_sql_duckdb() -> str:
+    prefixes = ",".join(f"'{p}'" for p in _HOST_PREFIXES)
+    suffixes = ",".join(f"'{s}'" for s in _HOST_SUFFIXES)
+    return f"""
+    SELECT concat(
+             [{prefixes}][CAST(s_suppkey % {len(_HOST_PREFIXES)} AS INT) + 1],
+             regexp_replace(lower(s_name), '[^a-z0-9]', '-', 'g'),
+             '.',
+             [{suffixes}][CAST(s_suppkey % {len(_HOST_SUFFIXES)} AS INT) + 1]
+           ) AS host
+    FROM supplier
+    """
+
+
+def _hosts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefixes = ",".join(f"'{p}'" for p in _HOST_PREFIXES)
+    suffixes = ",".join(f"'{s}'" for s in _HOST_SUFFIXES)
+    return load(spark, sf_dir, "supplier").select(
+        F.expr(
+            f"concat(element_at(array({prefixes}), cast(s_suppkey % {len(_HOST_PREFIXES)} as int) + 1), "
+            f"regexp_replace(lower(s_name), '[^a-z0-9]', '-'), '.', "
+            f"element_at(array({suffixes}), cast(s_suppkey % {len(_HOST_SUFFIXES)} as int) + 1))"
+        ).alias("host")
+    )
+
+
+@query(
+    "supplier_host_etld1",
+    sql=psl.duckdb_etld1_select(_host_sql_duckdb()),
+    doc="PSL registrable-domain (eTLD+1) with wildcard/exception rules over "
+    "derived hostnames; oracle is an independent DuckDB PSL implementation.",
+)
+def supplier_host_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return psl.with_etld1(_hosts_spark(spark, sf_dir), "host")

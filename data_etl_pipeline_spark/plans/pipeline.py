@@ -553,3 +553,56 @@ def doc_chunks_token_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("reassembled"))
         .where(F.col("reassembled") != "")
     )
+
+
+_REASSEMBLE_FOLD = """
+aggregate(
+  cs,
+  named_struct('acc', '', 'covered', -1),
+  (a, c) -> named_struct(
+    'acc', concat(a.acc,
+                  case when c.chunk_start >= a.covered
+                       then concat(' ', c.chunk_text)
+                       else substr(c.chunk_text, a.covered - c.chunk_start + 1) end),
+    'covered', greatest(a.covered, c.chunk_end)),
+  a -> a.acc)
+"""
+
+
+@query(
+    "doc_chunks_hard_limit",
+    # Same reassembly-invariant oracle as doc_chunks_token_aware, plus the
+    # hard-cap invariant: every chunk must hold <= hard_limit tokens (the
+    # documents corpus has no single line over the cap, so no singleton
+    # exemption is needed) — the oracle expects the boolean to be TRUE.
+    sql=r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS reassembled,
+           TRUE AS within_cap
+    FROM documents
+    WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    """,
+    doc="Hard-token-cap line-boundary chunker with overlap backtrack "
+    "(reference chunk_util.py:318-377), run with the BPE-ish token counter "
+    "through the pluggable seam; oracle-checked by chunk reassembly + cap invariant.",
+)
+def doc_chunks_hard_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunker.chunk_by_tokens_hard(
+        load(spark, sf_dir, "documents"),
+        hard_limit_tokens=48,
+        overlap_ratio=0.15,
+        token_counter=chunker.bpe_ish_tokens,
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk_start", "chunk_end", "chunk_text"))).alias("cs"),
+            F.expr("bool_and(num_tokens <= 48)").alias("within_cap"),
+        )
+        .select("doc_id", "within_cap", F.expr(_REASSEMBLE_FOLD).alias("raw"))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("reassembled"),
+            "within_cap",
+        )
+        .where(F.col("reassembled") != "")
+    )

@@ -92,6 +92,9 @@ _VERIFY_FIRST: list[str] = [
     "address_merge",
     # rows-only in round 1; oracle-checked this round
     "approx_distinct_scales",
+    # new queries this round
+    "supplier_host_etld1",
+    "doc_chunks_hard_limit",
 ]
 
 

@@ -70,3 +70,100 @@ def test_spark_chunker_matches_pure_python(spark, sf_dir):
         expected = _chunk_one(texts[doc_id], 40, 0.15, 100, whitespace_tokens)
         got = sorted(chunks, key=lambda r: r["chunk_no"])
         assert [(c["chunk_bounds"]) for c in expected] == [r["chunk_bounds"] for r in got]
+
+
+# --- hard-limit chunker (reference chunk_util.py:318-377 intent) ----------
+
+from data_etl_pipeline_spark.operators.chunker import (  # noqa: E402
+    _chunk_one_hard,
+    bpe_ish_tokens,
+    chunk_by_tokens_hard,
+)
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("counter", [whitespace_tokens, bpe_ish_tokens])
+def test_hard_limit_is_a_ceiling(counter):
+    text = make_text(30, words_per_line=5)
+    chunks = _chunk_one_hard(text, hard_limit=25, overlap_ratio=0.0, max_chunks=1000, tokens=counter)
+    for c in chunks:
+        assert c["num_tokens"] <= 25 or text[c["chunk_start"]:c["chunk_end"]].count("\n") == 0
+
+
+def test_hard_limit_golden_bounds():
+    # 3 lines x 4 words ("w0_0 w0_1 w0_2 w0_3" = 19 chars), limit 8 -> 2 lines/chunk,
+    # no overlap: chunk1 = lines 0-1 ([0:39]), chunk2 = line 2 ([40:59])
+    text = make_text(3, words_per_line=4)
+    chunks = _chunk_one_hard(text, hard_limit=8, overlap_ratio=0.0, max_chunks=10, tokens=toks)
+    assert [(c["chunk_start"], c["chunk_end"]) for c in chunks] == [(0, 39), (40, 59)]
+    assert [c["chunk_no"] for c in chunks] == [1, 2]
+    for c in chunks:
+        assert text[c["chunk_start"]:c["chunk_end"]] == c["chunk_text"]
+
+
+def test_hard_limit_overlap_backtracks_lines():
+    # limit 10, overlap 0.3 -> required 3 tokens = one 5-word line won't do;
+    # carried overlap is whole trailing lines
+    text = make_text(8, words_per_line=5)
+    chunks = _chunk_one_hard(text, hard_limit=10, overlap_ratio=0.3, max_chunks=100, tokens=toks)
+    assert len(chunks) > 1
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert nxt["chunk_start"] < prev["chunk_end"]  # overlap carried
+        assert nxt["chunk_start"] > prev["chunk_start"]  # forward progress
+
+
+def test_hard_limit_oversized_single_line_is_singleton_chunk():
+    text = "short line\n" + " ".join(f"w{i}" for i in range(50)) + "\nanother short"
+    chunks = _chunk_one_hard(text, hard_limit=10, overlap_ratio=0.0, max_chunks=100, tokens=toks)
+    over = [c for c in chunks if c["num_tokens"] > 10]
+    assert len(over) == 1 and over[0]["num_tokens"] == 50  # emitted alone, offsets exact
+    for c in chunks:
+        assert text[c["chunk_start"]:c["chunk_end"]] == c["chunk_text"]
+
+
+def test_hard_limit_rejects_high_overlap_ratio():
+    import pandas as pd  # noqa: F401
+
+    with pytest.raises(ValueError):
+        _ = chunk_by_tokens_hard.__wrapped__ if hasattr(chunk_by_tokens_hard, "__wrapped__") else None
+        # the guard fires at operator construction, before any Spark job
+        from data_etl_pipeline_spark.operators import chunker as _c
+
+        _c.chunk_by_tokens_hard(None, overlap_ratio=0.95)
+
+
+def test_bpe_ish_tokenizer_differs_from_whitespace():
+    s = "internationalization, tokenizer-seam!"
+    assert whitespace_tokens(s) == 2
+    # internationalization = 20 chars -> 5 pieces; comma 1; tokenizer 9->3? ("toke","nize","r")
+    # -seam! -> '-',1 + 'seam',1 + '!',1 ; total > 2
+    assert bpe_ish_tokens(s) > whitespace_tokens(s)
+    assert bpe_ish_tokens(s) == bpe_ish_tokens(s)  # deterministic
+
+
+@pytest.mark.parametrize("counter", [whitespace_tokens, bpe_ish_tokens])
+def test_soft_chunker_seam_accepts_both_counters(counter):
+    text = make_text(12, words_per_line=6)
+    chunks = _chunk_one(text, soft_limit=20, overlap_ratio=0.1, max_chunks=100, tokens=counter)
+    assert chunks
+    for c in chunks:
+        assert text[c["chunk_start"]:c["chunk_end"]] == c["chunk_text"]
+        assert c["num_tokens"] == counter(c["chunk_text"])
+
+
+def test_spark_hard_chunker_matches_pure_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    rows = chunk_by_tokens_hard(docs, hard_limit_tokens=30, token_counter=bpe_ish_tokens).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert texts[r["doc_id"]][r["chunk_start"]:r["chunk_end"]] == r["chunk_text"]
+    for doc_id, chunks in by_doc.items():
+        expected = _chunk_one_hard(texts[doc_id], 30, 0.15, 100_000, bpe_ish_tokens)
+        got = sorted(
+            [(c["chunk_no"], c["chunk_start"], c["chunk_end"]) for c in chunks]
+        )
+        want = sorted([(c["chunk_no"], c["chunk_start"], c["chunk_end"]) for c in expected])
+        assert got == want

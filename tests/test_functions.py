@@ -43,10 +43,27 @@ class TestUrls:
 
     def test_etld1_two_level_suffix(self):
         assert etld1("shop.widgets.co.uk") == "widgets.co.uk"
+        assert etld1("a.b.example.co.nz") == "example.co.nz"
+        assert etld1("x.example.com.sg") == "example.com.sg"
+        assert etld1("x.school.k12.va.us") == "school.k12.va.us"
+
+    def test_etld1_private_suffixes(self):
+        assert etld1("proj.user.github.io") == "user.github.io"
+        assert etld1("blog.blogspot.com") == "blog.blogspot.com"
+        assert etld1("b.s3.amazonaws.com") == "b.s3.amazonaws.com"
+
+    def test_etld1_wildcard_and_exception(self):
+        # *.ck: any single label under ck is itself a public suffix
+        assert etld1("foo.ck") is None
+        assert etld1("bar.foo.ck") == "bar.foo.ck"
+        # !www.ck overrides the wildcard
+        assert etld1("www.ck") == "www.ck"
+        assert etld1("x.www.ck") == "www.ck"
 
     def test_etld1_invalid(self):
         assert etld1("") is None
         assert etld1("localhost") is None
+        assert etld1("com") is None
 
     def test_normalize(self):
         assert normalize_url("ACME-mfg.com") == "http://acme-mfg.com/"

@@ -110,3 +110,21 @@ def test_rollup_cube_partial_aggregation(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Expand" in plan  # grouping-sets expansion
         assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ivf_assignment_has_no_window(spark, sf_dir):
+    # cell assignment is a per-row argmin over the broadcast centroid array;
+    # the only Window allowed is the final per-query top-k rerank
+    import re
+
+    plan = _plan(spark, sf_dir, "ann_topk_ivf")
+    # exact Window nodes, not WindowGroupLimit pushdown helpers
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_etld1_plan_is_shuffle_free(spark, sf_dir):
+    # PSL matching is literal-array folds in codegen: no Exchange, no join
+    plan = _plan(spark, sf_dir, "supplier_host_etld1")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
