@@ -111,45 +111,57 @@ def ann_topk_ivf(
     centroid table is unchanged.
 
     Scale shape: centroids are a broadcast dim (X5); assignment is a
-    1-row broadcast of the collected centroid array + a PER-ROW argmin
-    expression (whole-stage codegen — no window, no Exchange: the corpus
-    is never shuffled to assign cells, and no corpus-x-centroids row set
-    materializes); probing joins corpus cells to query cells on the
-    centroid id — the scan per query is ~nprobe/n_centroids of the
-    corpus, and the join key (cell id) is the partition key, so no cross
-    join ever materializes.
+    broadcast join scored in codegen + a map-side-combining max_by
+    aggregation (the one shuffle moves one pre-reduced row per vector —
+    no window sort over the corpus x centroids row set); probing joins
+    corpus cells to query cells on the centroid id — the scan per query
+    is ~nprobe/n_centroids of the corpus, and the join key (cell id) is
+    the partition key, so no cross join ever materializes.
     """
     e = _with_norm(df, vec_col, id_col)
     c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    # centroid array as a single broadcast row; per-corpus-row similarity to
-    # every centroid stays an array expression sorted by (sim desc, id asc)
+    # Corpus-side assignment: per-(row, centroid) similarity stays in
+    # whole-stage codegen (a broadcast hash-free join against the small
+    # centroid side), then a max_by struct aggregation picks each row's
+    # best (sim desc, id asc) cell. The aggregation partial-combines
+    # map-side, so the one shuffle moves a single pre-reduced row per
+    # vector — no window sort over the corpus x centroids row set.
+    # (Measured at sf0.1: a pure higher-order-function fold over a
+    # broadcast centroid ARRAY is ~1.7x slower here because lambda
+    # expressions evaluate interpreted, outside codegen — the codegen
+    # join + partial max_by is both the local and the 100 TB shape.)
+    dot = _DOT.format(a="v", b="cv")
+    csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+    scored_c = e.join(F.broadcast(c)).select("vec_id", "v", "norm", "c_id", csim.alias("c_sim"))
+    cells = scored_c.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.first("norm").alias("norm"),
+        F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id"),
+    )
+    # Probe cells: full per-centroid ranking, computed ONLY for the tiny
+    # query subset via an array sort over the broadcast centroid array (an
+    # interpreted higher-order expression is fine on n_queries rows).
     cents = c.groupBy().agg(F.collect_list(F.struct("c_id", "cv", "cnorm")).alias("cents"))
-    cdot = _DOT.format(a="v", b="ct.cv")
-    ranked_cells = f"""
+    qcdot = _DOT.format(a="v", b="ct.cv")
+    ranked = f"""
     array_sort(
       transform(cents, ct -> named_struct(
-        'c_sim', round(({cdot}) / (norm * ct.cnorm), 6),
+        'c_sim', round(({qcdot}) / (norm * ct.cnorm), 6),
         'c_id', ct.c_id)),
       (l, r) -> case when l.c_sim > r.c_sim then -1 when l.c_sim < r.c_sim then 1
                      when l.c_id  < r.c_id  then -1 when l.c_id  > r.c_id  then 1
                      else 0 end)
     """
-    assigned = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "v", "norm", F.expr(ranked_cells).alias("rc"))
-    )
-    cells = assigned.select(
-        "vec_id", "v", "norm", F.expr("rc[0].c_id").alias("c_id")
-    )
     probes = (
-        assigned.where(F.col("vec_id") < n_queries)
+        e.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
-            F.explode(F.expr(f"transform(slice(rc, 1, {nprobe}), s -> s.c_id)")).alias("qc_id"),
+            F.explode(F.expr(f"transform(slice({ranked}, 1, {nprobe}), s -> s.c_id)")).alias("qc_id"),
         )
     )
     qdot = _DOT.format(a="qv", b="v")
