@@ -244,3 +244,79 @@ def _hosts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def supplier_host_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psl.with_etld1(_hosts_spark(spark, sf_dir), "host")
+
+
+# ---------------------------------------------------------------------------
+# Table-format semantics (SURVEY §1.4: ST2 MERGE, S4 time travel) through
+# the versioned parquet layer. The query materializes orders as version 0,
+# MERGEs an update batch (status rewrite for o_orderkey % 7 == 0, inserts
+# for % 13 == 0 under shifted keys), then aggregates BOTH versions via time
+# travel. The oracle recomputes both states relationally — v0 from the raw
+# table, v1 with the same CASE rewrite + UNION ALL inserts — so a wrong
+# merge (lost row, double insert, missed update) or broken time travel
+# changes counts/sums and fails the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_merge_time_travel",
+    sql="""
+    WITH v0 AS (
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1),
+    v1rows AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+             o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT 'NEW' AS status, o_totalprice FROM orders WHERE o_orderkey % 13 = 0),
+    v1 AS (
+      SELECT status, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v1rows GROUP BY 1)
+    SELECT COALESCE(v0.status, v1.status) AS status,
+           COALESCE(v0.n, 0) AS n_v0,
+           COALESCE(v1.n, 0) AS n_v1,
+           COALESCE(v0.total, 0.0) AS total_v0,
+           COALESCE(v1.total, 0.0) AS total_v1
+    FROM v0 FULL OUTER JOIN v1 ON v0.status = v1.status
+    """,
+    doc="MERGE upsert + time-travel read through the versioned table layer "
+    "(Delta/Iceberg semantics over parquet snapshots); oracle recomputes both versions.",
+)
+def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vtbl_"))
+    t.write(base)
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn("o_orderstatus", F.lit("X"))
+    inserts = (
+        base.where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            F.lit("NEW").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    t.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+
+    def agg(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    a0 = agg(t.read(version=0), "n_v0", "total_v0")
+    a1 = agg(t.read(), "n_v1", "total_v1")
+    return (
+        a0.join(a1, on="status", how="full_outer")
+        .select(
+            "status",
+            F.coalesce("n_v0", F.lit(0)).alias("n_v0"),
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("total_v0", F.lit(0.0)).alias("total_v0"),
+            F.coalesce("total_v1", F.lit(0.0)).alias("total_v1"),
+        )
+    )

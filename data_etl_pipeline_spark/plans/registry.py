@@ -95,6 +95,7 @@ _VERIFY_FIRST: list[str] = [
     # new queries this round
     "supplier_host_etld1",
     "doc_chunks_hard_limit",
+    "versioned_merge_time_travel",
 ]
 
 
