@@ -242,3 +242,66 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         f"(v, h) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
     )
     return df.select(F.col(id_col).alias("doc_id"), F.expr(sim).alias("simhash"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    min_est: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH candidate
+    pair graph, labeling every document with the smallest doc id reachable
+    from it (the cluster's canonical representative — "keep the canonical,
+    drop the rest" is the standard corpus-dedup contract).
+
+    Algorithm: min-label propagation to a fixpoint. Labels start as each
+    node's own id; every iteration joins the symmetric edge list against
+    the current labels and lowers each node's label to the minimum of its
+    neighborhood. Iterations needed = graph diameter, which for near-dup
+    clusters is small (they are dense clique-ish blobs, not chains);
+    ``max_iterations`` bounds the loop and convergence is checked each
+    round (count of changed labels — an aggregate, not a collect of data
+    rows). At extreme scale the same loop is what GraphX/GraphFrames
+    connectedComponents runs (alternating large-star/small-star halves the
+    iteration count; the per-iteration shape — join + min-aggregate on the
+    node key — is identical).
+
+    Each iteration localCheckpoints the label table: this truncates the
+    lineage so the plan does not grow exponentially across iterations
+    (same technique as operators/hierarchy.py's semi-naive closure).
+    """
+    pairs = lsh_candidate_pairs(df, text_col, id_col, bands=bands, min_est=min_est)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster")).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -606,3 +606,42 @@ def doc_chunks_hard_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("reassembled") != "")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH candidate graph.
+# Spark runs min-label propagation to a fixpoint (operators/dedup.py::
+# dedup_clusters); the oracle computes reachability with WITH RECURSIVE and
+# takes the minimum reachable id per node — two independent component
+# algorithms that must agree on every document's cluster label.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM cand
+              WHERE ROUND(CAST(len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) AS DOUBLE)
+                          / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+    ),
+    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+    SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """,
+    doc="Connected-component near-dup clusters over MinHash-LSH pairs; Spark "
+    "min-label propagation vs a recursive-reachability oracle.",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(load(spark, sf_dir, "documents"), bands=4, min_est=0.5)

@@ -96,6 +96,7 @@ _VERIFY_FIRST: list[str] = [
     "supplier_host_etld1",
     "doc_chunks_hard_limit",
     "versioned_merge_time_travel",
+    "doc_dedup_clusters",
 ]
 
 

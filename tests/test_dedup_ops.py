@@ -62,3 +62,50 @@ def test_simhash_close_for_similar_docs(spark):
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
     hamming = bin(out[1] ^ out[2]).count("1")
     assert hamming <= 10  # near-identical word sets -> close simhash
+
+
+class TestDedupClusters:
+    def test_known_graph_components(self, spark):
+        from data_etl_pipeline_spark.operators import dedup
+
+        # near-identical trio (0,1,2), identical pair (10,11), singleton 20
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base + " extra"),
+                (2, base + " other"),
+                (10, "one two three four five six seven eight nine ten"),
+                (11, "one two three four five six seven eight nine ten"),
+                (20, "totally different words nothing shared here at all okay then"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["cluster"] for r in dedup.dedup_clusters(docs).collect()}
+        assert out[10] == out[11] == 10
+        assert out[20] == 20
+        assert out[0] == 0 and out[1] == out[2] == 0  # trio collapses to min id
+
+    def test_chain_converges_to_single_component(self, spark):
+        from data_etl_pipeline_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        # chain 1-2, 2-3, 3-4: forces multiple propagation iterations
+        pairs = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "doc_a long, doc_b long, est_similarity double"
+        )
+        docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 5)], "doc_id long, text string")
+        # drive the propagation loop directly over injected edges
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        )
+        labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster")).localCheckpoint()
+        for _ in range(10):
+            nbr = (edges.join(labels, edges.dst == labels.doc_id)
+                   .groupBy("src").agg(F.min("cluster").alias("nc")))
+            labels = (labels.join(nbr, labels.doc_id == nbr.src, "left")
+                      .select("doc_id", F.least(F.col("cluster"), F.coalesce("nc", F.col("cluster"))).alias("cluster"))
+                      .localCheckpoint())
+        out = {r["doc_id"]: r["cluster"] for r in labels.collect()}
+        assert set(out.values()) == {1}
