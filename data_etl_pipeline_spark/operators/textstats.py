@@ -106,3 +106,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         f"cast(0 as bigint), (acc, c) -> (acc * 31 + c) % {MERSENNE_31})"
     )
     return df.select(F.col(id_col).alias("doc_id"), F.expr(fp).alias("fingerprint"))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the quality feature columns IN PLACE (no join): the composing
+    form of ``quality_score`` — adding expressions to an existing plan keeps
+    curation pipelines at one corpus scan."""
+    w = f"split({text_col}, ' ')"
+    n_words = f"size({w})"
+    n_distinct = f"size(array_distinct({w}))"
+    n_stop = _count_in(w, STOPWORDS)
+    stop_ratio = f"(cast({n_stop} as double) / {n_words})"
+    diversity = f"(cast({n_distinct} as double) / {n_words})"
+    score = f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) + 0.3 * least({n_words} / 100.0, 1.0), 6)"
+    return df.withColumn("n_words", F.expr(n_words)).withColumn("quality_score", F.expr(score))

@@ -645,3 +645,66 @@ def doc_chunks_hard_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(load(spark, sf_dir, "documents"), bands=4, min_est=0.5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the composite pipeline a training-data engine
+# exists for — quality gate -> exact dedup (first wins) -> per-source token
+# budget (running-cap window). Each stage is an operator already declared on
+# its own; this query proves they COMPOSE into one plan: one corpus scan,
+# one dedup shuffle, one per-source window — no intermediate materialization.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_curation",
+    sql="""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len([x for x in string_split(text, ' ')
+                  if x in ('the','a','of','and','to','in','is')]) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, text, n_words,
+             ROUND(0.4 * (n_distinct * 1.0 / n_words)
+                   + 0.3 * LEAST(n_stop * 4.0 / n_words, 1.0)
+                   + 0.3 * LEAST(n_words / 100.0, 1.0), 6) AS quality_score
+      FROM q),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.42),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept) t
+      WHERE rn = 1),
+    budgeted AS (
+      SELECT doc_id, source, n_words, quality_score,
+             CAST(SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      FROM deduped)
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words, quality_score, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 400
+    """,
+    doc="Composite curation pipeline: quality gate -> exact dedup -> per-source "
+    "running token budget, in one declarative plan.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = textstats.with_quality(docs).where(F.col("quality_score") >= 0.42)
+    w_dedup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+    )
+    w_budget = W.partitionBy("source").orderBy("doc_id")
+    return (
+        deduped.withColumn("cum_tokens", F.sum("n_words").over(w_budget))
+        .where(F.col("cum_tokens") <= 400)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            "quality_score",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -97,6 +97,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_chunks_hard_limit",
     "versioned_merge_time_travel",
     "doc_dedup_clusters",
+    "corpus_curation",
 ]
 
 

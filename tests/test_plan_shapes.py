@@ -128,3 +128,13 @@ def test_etld1_plan_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "supplier_host_etld1")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_corpus_curation_single_scan_no_join(spark, sf_dir):
+    # quality gate + dedup + budget compose into one plan: one parquet scan,
+    # zero joins (quality columns are appended in place, not joined back)
+    import re
+
+    plan = _plan(spark, sf_dir, "corpus_curation")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
