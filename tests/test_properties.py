@@ -188,3 +188,72 @@ class TestAhoCorasick:
         # doc 2's "rehash joints" contains the substring but not on word
         # boundaries; docs 1 and 3 match (start/end-of-string count)
         assert out == {(1, "join"), (3, "join")}
+
+
+class TestHardChunkerProperties:
+    @given(text=texts, hard=st.integers(1, 50), overlap=st.floats(0.0, 0.5))
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_slice_the_text_exactly(self, text, hard, overlap):
+        from data_etl_pipeline_spark.operators.chunker import _chunk_one_hard
+
+        for c in _chunk_one_hard(text, hard, overlap, max_chunks=100, tokens=whitespace_tokens):
+            assert text[c["chunk_start"] : c["chunk_end"]] == c["chunk_text"]
+
+    @given(text=texts, hard=st.integers(2, 50))
+    @settings(max_examples=200, deadline=None)
+    def test_cap_is_hard_except_singleton_segments(self, text, hard):
+        from data_etl_pipeline_spark.operators.chunker import _chunk_one_hard, _segments
+
+        chunks = _chunk_one_hard(text, hard, 0.0, max_chunks=10_000, tokens=whitespace_tokens)
+        seg_bounds = {(s, e) for s, e, _ in _segments(text)}
+        for c in chunks:
+            # over-cap chunks are only ever a single oversized segment
+            assert c["num_tokens"] <= hard or (c["chunk_start"], c["chunk_end"]) in seg_bounds
+
+    @given(text=texts, hard=st.integers(1, 30), overlap=st.floats(0.0, 0.5))
+    @settings(max_examples=100, deadline=None)
+    def test_forward_progress_and_ordering(self, text, hard, overlap):
+        from data_etl_pipeline_spark.operators.chunker import _chunk_one_hard
+
+        chunks = _chunk_one_hard(text, hard, overlap, max_chunks=10_000, tokens=whitespace_tokens)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] > a["chunk_start"]  # strict progress
+            assert b["chunk_no"] == a["chunk_no"] + 1
+
+
+class TestPslProperties:
+    label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-")
+    )
+
+    @given(labels=st.lists(label, min_size=1, max_size=5))
+    @settings(max_examples=300, deadline=None)
+    def test_etld1_is_suffix_and_respects_public_suffix(self, labels):
+        from data_etl_pipeline_spark.functions.psl import etld1, public_suffix_len
+
+        host = ".".join(labels)
+        d = etld1(host)
+        ps = public_suffix_len(host)
+        if len(labels) <= ps:
+            assert d is None  # the host IS a public suffix (or bare TLD)
+        else:
+            assert d is not None and host.endswith(d)
+            assert d.count(".") == ps  # exactly public suffix + 1 label
+
+    def test_spark_expression_matches_python_on_fuzz_hosts(self, spark):
+        # deterministic fuzz corpus spanning exact/wildcard/exception/private
+        # rules plus unlisted TLDs, evaluated through the codegen fold
+        from data_etl_pipeline_spark.functions import psl
+
+        suffixes = ["com", "co.uk", "co.nz", "github.io", "ck", "www.ck", "k12.va.us", "xyz", "fk"]
+        hosts = []
+        for i in range(200):
+            depth = i % 4
+            name = f"h{i}"
+            prefix = ".".join(f"l{j}" for j in range(depth))
+            host = ".".join(x for x in (prefix, name, suffixes[i % len(suffixes)]) if x)
+            hosts.append(host)
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = dict(psl.with_etld1(df, "host").collect())
+        for h in hosts:
+            assert got[h] == psl.etld1(h), h
