@@ -218,3 +218,71 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, c_id): each vector's best centroid by (cosine desc,
+    c_id asc) — codegen broadcast join + map-side-combining max_by, the
+    same shape as the IVF index build."""
+    dot = _DOT.format(a="v", b="cv")
+    sim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+    scored = e.join(F.broadcast(cents)).select("vec_id", "v", "c_id", sim.alias("c_sim"))
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id"),
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stride: int = 25,
+    iterations: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the centroid
+    builder the IVF index documents as its production seam (ann_topk_ivf
+    uses the deterministic stride sample; this operator refines it).
+
+    Per iteration: cosine assignment (broadcast centroids + max_by, same
+    plan as the IVF build) then per-(cluster, position) means. The mean is
+    computed as a SEQUENTIAL fold over values sorted by vec_id so the
+    result is bit-deterministic and the DuckDB oracle can replay it
+    exactly (cross-partition double addition order would otherwise differ
+    run to run). At production scale the fold becomes a plain avg() —
+    nondeterminism in the 15th decimal is irrelevant without a hash gate —
+    and the per-iteration shape (broadcast join + two grouped aggs) is
+    unchanged. Empty clusters drop out of the groupBy on both engines.
+
+    Returns (cluster, pos, centroid_val) rows for the final iteration,
+    pos 0-based, values rounded to 6 decimals.
+    """
+    e = _with_norm(df, vec_col, id_col)
+    cents = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    comp = None
+    for _ in range(iterations):
+        assigned = _assign_to_centroids(e, cents)
+        pts = assigned.select("c_id", "vec_id", F.posexplode("v").alias("pos", "val"))
+        folded = (
+            pts.groupBy("c_id", "pos")
+            .agg(F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("pv"))
+            .select(
+                "c_id",
+                "pos",
+                F.expr(
+                    "round(aggregate(pv, cast(0.0 as double), (acc, s) -> acc + cast(s.val as double))"
+                    " / size(pv), 6)"
+                ).alias("val"),
+            )
+        )
+        comp = folded
+        cv = (
+            folded.groupBy("c_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)").alias("cv"))
+        )
+        cents = cv.select(
+            "c_id", "cv", F.expr(f"sqrt({_DOT.format(a='cv', b='cv')})").alias("cnorm")
+        )
+    return comp.select(F.col("c_id").alias("cluster"), "pos", F.col("val").alias("centroid_val"))

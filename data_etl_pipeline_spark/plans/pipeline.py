@@ -708,3 +708,67 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's iterations) over the embedding corpus — the
+# IVF centroid-builder seam made real. The oracle UNROLLS the fixed
+# iteration count into CTE chains (assignment window -> per-position
+# sequential-fold means -> rebuilt centroid lists), replaying the exact
+# deterministic arithmetic the Spark operator uses.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle_sql(stride: int, iterations: int, dims: int = 64) -> str:
+    dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{a}[i] * {b}[i] for i in range(1, %d)]), (acc, x) -> acc + x)" % (dims + 1)
+    emb_dot = dot.format(a="CAST(v AS DOUBLE[])", b="CAST(v AS DOUBLE[])")
+    ctes = [
+        "emb AS (SELECT vec_id, embedding AS v, "
+        f"sqrt({emb_dot}) AS norm FROM embeddings)",
+        "cent0 AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv, "
+        f"sqrt({dot.format(a='CAST(embedding AS DOUBLE[])', b='CAST(embedding AS DOUBLE[])')}) AS cnorm "
+        f"FROM embeddings WHERE vec_id % {stride} = 0)",
+    ]
+    for it in range(iterations):
+        pair_dot = dot.format(a="CAST(e.v AS DOUBLE[])", b="c.cv")
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, v FROM ("
+            f"  SELECT e.vec_id, e.v, c.c_id,"
+            f"         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY"
+            f"           ROUND(({pair_dot}) / (e.norm * c.cnorm), 6) DESC, c.c_id ASC) AS rn"
+            f"  FROM emb e, cent{it} c) WHERE rn = 1) "
+            .replace("SELECT vec_id, v FROM (", "SELECT vec_id, v, c_id FROM (")
+        )
+        ctes.append(
+            f"comp{it} AS ("
+            f"  SELECT c_id, i - 1 AS pos,"
+            f"         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f"                 list(CAST(v[i] AS DOUBLE) ORDER BY vec_id)), (acc, x) -> acc + x)"
+            f"               / COUNT(*), 6) AS val"
+            f"  FROM a{it}, range(1, {dims + 1}) t(i)"
+            f"  GROUP BY c_id, i)"
+        )
+        cv_dot = dot.format(a="cv", b="cv")
+        ctes.append(
+            f"cent{it + 1} AS ("
+            f"  SELECT c_id, cv, sqrt({cv_dot}) AS cnorm FROM ("
+            f"    SELECT c_id, list(val ORDER BY pos) AS cv FROM comp{it} GROUP BY c_id))"
+        )
+    final = iterations - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT c_id AS cluster, CAST(pos AS INT) AS pos, val AS centroid_val FROM comp{final}"
+    )
+
+
+@query(
+    "embedding_kmeans_centroids",
+    sql=_kmeans_oracle_sql(stride=25, iterations=2),
+    doc="Two Lloyd's k-means iterations over embeddings (broadcast-join "
+    "assignment + deterministic per-position fold means) vs an unrolled "
+    "CTE-chain oracle — the IVF centroid-builder seam, oracle-checked.",
+)
+def embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_centroids(
+        load(spark, sf_dir, "embeddings"), stride=25, iterations=2
+    )

@@ -98,6 +98,7 @@ _VERIFY_FIRST: list[str] = [
     "versioned_merge_time_travel",
     "doc_dedup_clusters",
     "corpus_curation",
+    "embedding_kmeans_centroids",
 ]
 
 

@@ -47,3 +47,26 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     all_files = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
     assert scanned < all_files / max(n_days - 1, 1) * 2  # ~1 day of files
     assert back.count() == ev.where(F.col("day") == "2024-01-05").count()
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    import math
+
+    from data_etl_pipeline_spark.operators.similarity import kmeans_centroids
+    from data_etl_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = kmeans_centroids(emb, stride=25, iterations=2)
+    rows = out.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["centroid_val"]))
+        assert math.isfinite(r["centroid_val"])
+    n_init = emb.where("vec_id % 25 = 0").count()
+    assert 0 < len(by_cluster) <= n_init  # empty clusters may drop out
+    for cluster, vals in by_cluster.items():
+        assert sorted(p for p, _ in vals) == list(range(64))  # full vector per cluster
+    # deterministic: a second run produces identical values
+    again = {(r["cluster"], r["pos"]): r["centroid_val"] for r in kmeans_centroids(emb, stride=25, iterations=2).collect()}
+    for r in rows:
+        assert again[(r["cluster"], r["pos"])] == r["centroid_val"]
