@@ -99,6 +99,7 @@ def ann_topk_ivf(
     k: int = 3,
     stride: int = 25,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     to its nearest centroid, probe only each query's ``nprobe`` nearest
@@ -119,9 +120,16 @@ def ann_topk_ivf(
     the partition key, so no cross join ever materializes.
     """
     e = _with_norm(df, vec_col, id_col)
-    c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
-    )
+    if centroids is not None:
+        # external centroid table (c_id, cv[, cnorm]) — e.g. the output of
+        # kmeans_centroids reassembled into vectors
+        c = centroids
+        if "cnorm" not in c.columns:
+            c = c.withColumn("cnorm", F.expr(f"sqrt({_DOT.format(a='cv', b='cv')})"))
+    else:
+        c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+        )
     # Corpus-side assignment: per-(row, centroid) similarity stays in
     # whole-stage codegen (a broadcast hash-free join against the small
     # centroid side), then a max_by struct aggregation picks each row's

@@ -70,3 +70,22 @@ def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
     again = {(r["cluster"], r["pos"]): r["centroid_val"] for r in kmeans_centroids(emb, stride=25, iterations=2).collect()}
     for r in rows:
         assert again[(r["cluster"], r["pos"])] == r["centroid_val"]
+
+
+def test_ivf_with_kmeans_centroids_end_to_end(spark, sf_dir):
+    # the centroid seam closed: refine centroids with 2 Lloyd's iterations,
+    # feed them back into the IVF index, and keep recall at or above floor
+    from data_etl_pipeline_spark.operators.similarity import ann_topk_ivf, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        kmeans_centroids(emb, stride=25, iterations=2)
+        .groupBy(F.col("cluster").alias("c_id"))
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, centroid_val))), s -> s.centroid_val)").alias("cv"))
+    )
+    exact = _topk_sets(similarity.ann_topk_bruteforce(emb, n_queries=10, k=3))
+    approx = _topk_sets(ann_topk_ivf(emb, n_queries=10, k=3, nprobe=2, centroids=cents))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.3, f"IVF(kmeans) recall@3 degraded: {recall:.2f}"
+    assert all(len(v) == 3 for v in approx.values())
