@@ -120,3 +120,67 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     diversity = f"(cast({n_distinct} as double) / {n_words})"
     score = f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) + 0.3 * least({n_words} / 100.0, 1.0), 6)"
     return df.withColumn("n_words", F.expr(n_words)).withColumn("quality_score", F.expr(score))
+
+
+# --- PII redaction (training-corpus scrubbing) ----------------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Email/phone redaction with redaction counts — the scrub step a
+    training pipeline runs before tokenization. Pure regexp_replace /
+    regexp_count expressions (RE2-compatible patterns so the DuckDB oracle
+    evaluates the same automata); zero shuffles, one corpus scan.
+    """
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long")
+    phones = F.regexp_count(F.col(text_col), F.lit(PHONE_PATTERN)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted_text"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+    )
+
+
+# --- repetition filter (Gopher-style quality gate) ------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document repetition ratios: fraction of words taken by the most
+    frequent word, and fraction of n-gram occurrences taken by the most
+    frequent n-gram — the standard repetition quality gates (Gopher /
+    RefinedWeb style rules) for dropping boilerplate-heavy documents.
+
+    All array expressions (split -> aggregate over the distinct set), so
+    the operator is a zero-shuffle corpus scan.
+    """
+    w = f"split({text_col}, ' ')"
+    top_word = (
+        f"array_max(transform(array_distinct({w}), "
+        f"d -> size(filter({w}, x -> x = d))))"
+    )
+    grams = (
+        f"transform(sequence(0, size({w}) - {n}), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {n})))"
+    )
+    top_gram = (
+        f"array_max(transform(array_distinct({grams}), "
+        f"d -> size(filter({grams}, x -> x = d))))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({w})").cast("long").alias("n_words"),
+        F.expr(f"round(cast({top_word} as double) / size({w}), 6)").alias("top_word_ratio"),
+        F.expr(
+            f"case when size({w}) >= {n} then "
+            f"round(cast({top_gram} as double) / (size({w}) - {n} + 1), 6) end"
+        ).alias("top_trigram_ratio"),
+    )

@@ -772,3 +772,80 @@ def embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_centroids(
         load(spark, sf_dir, "embeddings"), stride=25, iterations=2
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The synthetic documents carry no PII, so both engines
+# append the SAME deterministic contact line (email + phone derived from
+# doc_id) before redacting — the redaction automata then provably fire on
+# every row and the counts/outputs hash-compare.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_pii_redaction",
+    sql=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+    FROM aug
+    """,
+    doc="Email/phone PII scrub with counts over deterministically augmented "
+    "text; RE2-compatible patterns evaluated by both engines.",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com or 555-', "
+            "lpad(cast(doc_id % 1000 as string), 3, '0'), '-1234')"
+        ).alias("text"),
+    )
+    return textstats.redact_pii(docs)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality gate (Gopher-style): drop documents dominated by one
+# word or one n-gram.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition_filter",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(CAST(list_max(list_transform(list_distinct(ws),
+                     d -> len([x for x in ws if x = d]))) AS DOUBLE) / len(ws), 6) AS top_word_ratio,
+             CASE WHEN len(ws) >= 3 THEN
+               ROUND(CAST(list_max(list_transform(
+                       list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]),
+                       d -> len([g for g in [array_to_string(ws[i:i+2], ' ')
+                                             for i in range(1, len(ws) - 1)] if g = d])))
+                     AS DOUBLE) / (len(ws) - 2), 6) END AS top_trigram_ratio
+      FROM w)
+    SELECT doc_id, n_words, top_word_ratio, top_trigram_ratio,
+           top_word_ratio <= 0.2 AND COALESCE(top_trigram_ratio, 0.0) <= 0.18 AS keep
+    FROM stats
+    """,
+    doc="Repetition ratios (top word / top trigram share) with a keep flag — "
+    "the Gopher-style boilerplate gate.",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = textstats.repetition_stats(load(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "top_word_ratio",
+        "top_trigram_ratio",
+        (
+            (F.col("top_word_ratio") <= 0.2)
+            & (F.coalesce("top_trigram_ratio", F.lit(0.0)) <= 0.18)
+        ).alias("keep"),
+    )

@@ -99,6 +99,8 @@ _VERIFY_FIRST: list[str] = [
     "doc_dedup_clusters",
     "corpus_curation",
     "embedding_kmeans_centroids",
+    "doc_pii_redaction",
+    "doc_repetition_filter",
 ]
 
 

@@ -92,3 +92,28 @@ def test_email_extraction_spark(spark):
     assert out[1] == ["sales@acme-mfg.com"]
     assert out[2] == ["info@example.org"]
     assert out[3] == []
+
+
+class TestPiiAndRepetition:
+    def test_redact_pii_pins_behavior(self, spark):
+        from data_etl_pipeline_spark.operators.textstats import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@ex.co.uk and x@y.io, call 555-123-4567 or 555-1234-1234 end")],
+            "doc_id long, text string",
+        )
+        r = redact_pii(df).collect()[0]
+        assert r["n_emails"] == 2 and r["n_phones"] == 2
+        assert "<EMAIL>" in r["redacted_text"] and "<PHONE>" in r["redacted_text"]
+        assert "@" not in r["redacted_text"]
+
+    def test_repetition_stats_flags_boilerplate(self, spark):
+        from data_etl_pipeline_spark.operators.textstats import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam"), (2, "one two three four five six")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert out[1]["top_word_ratio"] == 1.0 and out[1]["top_trigram_ratio"] == 1.0
+        assert out[2]["top_word_ratio"] < 0.2
