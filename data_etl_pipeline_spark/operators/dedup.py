@@ -244,6 +244,104 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("doc_id"), F.expr(sim).alias("simhash"))
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many of
+    its distinct word ``n``-grams also appear in the evaluation set — the
+    decontamination step a training pipeline runs before a corpus ships.
+
+    Scale shape: the eval set is tiny next to the corpus, so its distinct
+    n-gram set is broadcast; the corpus is shingled in codegen and hits are
+    a broadcast semi-style join + per-doc count — ONE corpus scan, no
+    shuffle of corpus text. Documents shorter than ``n`` words carry no
+    n-grams and are excluded (mirrored in the oracle).
+    """
+    ev = (
+        _docs_with_shingles(eval_df, text_col, id_col, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    docs = _docs_with_shingles(corpus, text_col, id_col, n)
+    hits = (
+        docs.select("doc_id", F.explode("sh").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash banding — the step that turns E4's
+    signatures into an actual dedup path (reference dedups exact bodies,
+    scraper_app/src/scraper_app/utils/dedup_util.py:51-64; SimHash banding
+    is the standard fuzzy extension at corpus scale).
+
+    Shape mirrors MinHash-LSH: the 60-bit signature splits into ``bands``
+    15-bit band keys; documents sharing any band key become candidates via
+    posting-list combinations (NO signature self-join), then candidates are
+    kept when the full-signature hamming distance <= ``max_hamming``.
+
+    A pair within hamming distance d differs in at most d bit positions, so
+    with bands > d at least one band matches exactly — banding with
+    bands = 4 is EXACT (lossless) for the default max_hamming = 3 and a
+    high-recall candidate filter above that. One corpus scan; the shuffles
+    carry (band_key, doc_id, simhash) postings and the candidate pairs.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    postings = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'key', shiftright(simhash, b * {band_bits}) & {mask}))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        postings.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(F.explode(F.expr(_COMBOS)).alias("p"))
+        .select(
+            F.col("p.x.doc_id").alias("doc_a"),
+            F.col("p.y.doc_id").alias("doc_b"),
+            F.col("p.x.simhash").alias("sim_a"),
+            F.col("p.y.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     text_col: str = "text",

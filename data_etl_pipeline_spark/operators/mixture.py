@@ -1,0 +1,74 @@
+"""Domain-mixture resampling: downsample over-represented sources so the
+corpus token mixture approaches a target share per source.
+
+Training pipelines control the mixture of domains/sources feeding a run
+(uniform, or DoReMi-style learned weights). This operator computes each
+source's token mass, derives the per-source keep probability
+
+    p_s = min(1, target_tokens_per_source / source_tokens)
+
+and keeps a document iff its deterministic hash bucket falls under p_s.
+The keep decision uses INTEGER arithmetic only —
+
+    bucket * source_tokens * n_sources < total_tokens * 1_000_000
+
+— so the Spark plan and the DuckDB oracle agree bit-for-bit with no float
+threshold at the boundary. (Overflow bound: the left product stays in
+int64 while source_tokens * n_sources < 9.2e12, i.e. corpora to ~10^12
+tokens per source group; beyond that, divide through first.)
+
+Scale shape: one aggregate over the narrow (source, n_tokens) projection
+produces a per-source dim of |sources| rows, broadcast back onto the
+corpus scan; the sampling filter is a row-local hash compare. No shuffle
+of document text, ONE wide scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_etl_pipeline_spark.functions.hashing import md5_int60
+
+BUCKETS = 1_000_000
+
+
+def rebalance_to_uniform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Uniform-target mixture resample. Returns the kept documents as
+    (source, doc_id, n_tokens, bucket, sample_rate) — sample_rate is the
+    rounded keep probability, for mixture accounting downstream.
+    """
+    sized = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    per_source = sized.groupBy("source").agg(F.sum("n_tokens").alias("source_tokens"))
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    dims = per_source.crossJoin(F.broadcast(totals))  # |sources| x 1 rows
+    bucket = md5_int60("cast(doc_id as string)") % BUCKETS
+    return (
+        sized.join(F.broadcast(dims), "source")
+        .withColumn("bucket", bucket)
+        .where(
+            F.col("bucket") * F.col("source_tokens") * F.col("n_sources")
+            < F.col("total_tokens") * F.lit(BUCKETS)
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            F.expr(
+                "round(least(1.0, (cast(total_tokens as double) / n_sources) "
+                "/ source_tokens), 6)"
+            ).alias("sample_rate"),
+        )
+    )

@@ -18,7 +18,14 @@ from data_etl_pipeline_spark.functions.hashing import (
     MINHASH_B,
     NUM_MINHASH,
 )
-from data_etl_pipeline_spark.operators import chunker, dedup, similarity, textstats
+from data_etl_pipeline_spark.operators import (
+    chunker,
+    dedup,
+    mixture,
+    packing,
+    similarity,
+    textstats,
+)
 from data_etl_pipeline_spark.plans.registry import query
 from data_etl_pipeline_spark.tables import load
 
@@ -193,6 +200,151 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+# SimHash band-key equality across 4x15-bit bands; oracle mirrors the banding
+# with a plain self-join (oracle clarity; the Spark plan is the posting-list
+# inverted index with no self-join).
+_SIMHASH_BAND_MATCH = " OR ".join(
+    f"((a.simhash >> {b * 15}) & 32767) = ((b.simhash >> {b * 15}) & 32767)" for b in range(4)
+)
+
+
+@query(
+    "doc_simhash_pairs",
+    sql=f"""
+    WITH d AS (SELECT doc_id,
+                      list_transform(list_distinct(string_split(text, ' ')),
+                                     x -> {_H32_SQL.format(x='x')}) AS hs
+               FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 60)), (acc, j) -> acc +
+               CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1
+                                                         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (v, x) -> v + x) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+      FROM d)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({_SIMHASH_BAND_MATCH})
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs: 4x15-bit band-key candidates filtered by "
+    "hamming distance <= 3 (banding is lossless at this bound) — completes "
+    "the SimHash signatures into a dedup path.",
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), bands=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: docs sharing 4-grams with a held-out eval set
+# (doc_id % 97 == 0 — deterministic in both engines). 4 is the longest gram
+# the synthetic corpus actually collides on (8 docs hit); production runs
+# use 8-13-gram windows, a parameter of the same plan.
+# ---------------------------------------------------------------------------
+@query(
+    "benchmark_contamination",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+3], ' ')
+                                for i in range(1, len(ws) - 2)]) AS sh
+          FROM w WHERE len(ws) >= 4),
+    ev AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM (SELECT doc_id, unnest(sh) AS gram FROM g WHERE doc_id % 97 <> 0) cg
+             JOIN ev USING (gram) GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+           COALESCE(n_hits, 0) AS n_contaminated,
+           COALESCE(n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.doc_id % 97 <> 0
+    """,
+    doc="Benchmark decontamination: per-document count of distinct 4-grams "
+    "shared with the held-out eval slice (broadcast eval n-gram set, one "
+    "corpus scan).",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy first-fit context-window packing per source.
+# The packing recurrence is sequential by construction, so the oracle is a
+# recursive CTE stepping doc-by-doc within each source — the ground truth
+# the Arrow-batched applyInPandas packer must reproduce exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_packing",
+    sql="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM w WHERE rn = 1
+      UNION ALL
+      SELECT w.doc_id, w.source, w.n_tokens, w.rn,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN w.n_tokens
+                  ELSE p.fill + w.n_tokens END
+      FROM p JOIN w ON w.source = p.source AND w.rn = p.rn + 1)
+    SELECT source, doc_id, n_tokens, bin FROM p
+    """,
+    doc="Greedy first-fit sequence packing into 256-token context windows "
+    "per source (applyInPandas over the narrow token-count projection; "
+    "recursive-CTE oracle).",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(load(spark, sf_dir, "documents"), capacity=256)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling toward a uniform per-source token share.
+# Integer-only keep threshold so both engines decide identically at the
+# boundary (see operators/mixture.py).
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_rebalance",
+    sql=f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    per_source AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+      FROM sized GROUP BY source),
+    totals AS (
+      SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_source)
+    SELECT s.source, s.doc_id, s.n_tokens,
+           (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {mixture.BUCKETS}) AS bucket,
+           ROUND(LEAST(1.0, (CAST(total_tokens AS DOUBLE) / n_sources)
+                 / source_tokens), 6) AS sample_rate
+    FROM sized s JOIN per_source p ON s.source = p.source, totals
+    WHERE (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {mixture.BUCKETS}) * p.source_tokens * n_sources
+          < total_tokens * {mixture.BUCKETS}
+    """,
+    doc="Domain-mixture resample toward uniform per-source token share — "
+    "deterministic hash sampling with an integer-only keep threshold.",
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture.rebalance_to_uniform(load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

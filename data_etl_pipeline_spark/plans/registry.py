@@ -101,6 +101,12 @@ _VERIFY_FIRST: list[str] = [
     "embedding_kmeans_centroids",
     "doc_pii_redaction",
     "doc_repetition_filter",
+    "doc_simhash_pairs",
+    "benchmark_contamination",
+    "sequence_packing",
+    "mixture_rebalance",
+    "customer_order_distribution",
+    "sole_returned_suppliers",
 ]
 
 

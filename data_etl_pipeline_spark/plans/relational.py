@@ -600,3 +600,83 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregation (the
+# order-count distribution). Covers the outer-join-with-join-side-filter
+# semantics the reference expresses as a Mongo $lookup with a pipeline
+# filter. Scale: orders filtered before the join, count per customer is a
+# partial agg on the join key, the distribution agg is over |distinct
+# counts| rows — negligible.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: order-count-per-customer distribution via a "
+    "filtered left outer join and a two-level aggregation.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: nested EXISTS + NOT EXISTS against the same fact table.
+# "The supplier whose line was returned on a multi-supplier order where no
+# OTHER supplier's line was returned" — the sole-blame pattern. Catalyst
+# decorrelates both subqueries into a left-semi and a left-anti join on
+# l_orderkey; all three scans are the same lineitem file, shuffled on the
+# order key once each (bucketing co-locates them in a real deployment).
+# ---------------------------------------------------------------------------
+@query(
+    "sole_returned_suppliers",
+    sql="""
+    SELECT l1.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    """,
+    doc="TPC-H Q21 shape: semi + anti self-joins on the fact table (sole "
+    "returned supplier per multi-supplier order).",
+)
+def sole_returned_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = lineitem.where(F.col("l_returnflag") == "R")
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    with_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    sole = with_other.join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )

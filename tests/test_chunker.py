@@ -4,6 +4,8 @@ chunk maps — data_etl_app/tests/test_utils/test_chunk_util.py:9-80)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_etl_pipeline_spark.operators.chunker import _chunk_one, chunk_by_tokens, whitespace_tokens
 
 
@@ -167,3 +169,34 @@ def test_spark_hard_chunker_matches_pure_python(spark, sf_dir):
         )
         want = sorted([(c["chunk_no"], c["chunk_start"], c["chunk_end"]) for c in expected])
         assert got == want
+
+
+class TestSequencePacking:
+    def test_greedy_first_fit_bins(self, spark):
+        from data_etl_pipeline_spark.operators.packing import pack_sequences
+
+        rows = [
+            # (doc_id, text) in one source; capacity 10 tokens (stripped)
+            (1, "a " * 4),   # 4 tokens -> bin 0 (fill 4)
+            (2, "b " * 3),   # 3 tokens -> bin 0 (fill 7)
+            (3, "c " * 7),   # 7 tokens -> 7+7 > 10 -> bin 1
+            (4, "d " * 20),  # 20 tokens > capacity -> alone in bin 2
+            (5, "e"),        # 1 token -> bin 3 (doc 4 overflowed its bin)
+        ]
+        df = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+        ).withColumn("source", F.lit("s"))
+        out = {r["doc_id"]: r["bin"] for r in pack_sequences(df, capacity=10).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+    def test_bins_never_mix_sources(self, spark):
+        from data_etl_pipeline_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * 5, f"s{i % 3}") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        out = pack_sequences(df, capacity=12).collect()
+        assert len(out) == 30
+        # bin ids restart at 0 within every source
+        assert {r["source"] for r in out if r["bin"] == 0} == {"s0", "s1", "s2"}

@@ -109,3 +109,48 @@ class TestDedupClusters:
                       .localCheckpoint())
         out = {r["doc_id"]: r["cluster"] for r in labels.collect()}
         assert set(out.values()) == {1}
+
+
+class TestSimhashPairs:
+    def test_identical_docs_pair_at_zero(self, spark):
+        text = " ".join(f"w{i}" for i in range(40))
+        df = _docs(spark, [(1, text), (2, text), (3, "entirely other tokens " * 10)])
+        rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(df).collect()}
+        assert rows[(1, 2)] == 0
+        assert (1, 3) not in rows and (2, 3) not in rows
+
+    def test_banding_is_lossless_at_max_hamming_3(self, spark):
+        # brute-force hamming over all pairs == banded output at the bound
+        base = [f"tok{i}" for i in range(50)]
+        docs = []
+        for i in range(8):
+            words = list(base)
+            words[i] = f"alt{i}"   # small perturbations -> small hamming
+            docs.append((i, " ".join(words)))
+        df = _docs(spark, docs)
+        sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+        want = {
+            (a, b)
+            for a in sig
+            for b in sig
+            if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+        }
+        got = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(df).collect()}
+        assert got == want
+
+
+class TestBenchmarkContamination:
+    def test_counts_shared_distinct_ngrams(self, spark):
+        ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+        corpus = _docs(
+            spark,
+            [
+                (1, "xx the quick brown fox yy zz aa"),      # 1 shared 4-gram
+                (2, "totally disjoint words here padded out"),
+                (3, "the quick brown fox jumps over aa bb"), # 3 shared 4-grams
+            ],
+        )
+        out = {r["doc_id"]: r for r in dedup.benchmark_contamination(corpus, ev, n=4).collect()}
+        assert out[1]["n_contaminated"] == 1 and out[1]["contaminated"]
+        assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+        assert out[3]["n_contaminated"] == 3 and out[3]["contaminated"]
