@@ -4,16 +4,27 @@ fixed-capacity context windows ("bins"), per source.
 Training pipelines pack tokenized documents into fixed-length training
 sequences to avoid padding waste; the packing decision is inherently
 sequential (bin state depends on every earlier document), so it cannot be a
-pure window expression. The parallel unit is the group: each source packs
-independently, so the operator is a groupBy(source).applyInPandas over the
-tiny (source, doc_id, n_tokens) projection — token counting happens JVM-side
-and the text NEVER shuffles.
+pure window expression. The parallel unit is the group, and the group key is
+(source, shard) — NOT the source alone: greedy first-fit is sequential per
+group, so a source holding 30% of a 100 TB corpus would otherwise land on a
+single executor as one giant Arrow batch. The shard is a deterministic
+function of the doc id (``doc_id % n_shards``), so both engines (and any
+re-run) agree on the assignment, and packing happens independently per
+shard — exactly how multi-worker packers behave.
 
-Scale shape at 100 TB: one Arrow batch per source carrying three narrow
-columns. A pathologically large single source is pre-sharded by
-(source, hash(doc_id) % k) first — packing then happens per shard, which is
-exactly how multi-worker packers behave; the shard column rides along as
-part of the group key.
+Cross-shard fragmentation bound: each (source, shard) stream ends with at
+most one partially-filled bin, so sharding wastes at most ``n_shards - 1``
+extra partial bins per source versus the unsharded packing — bounded by
+``(n_shards - 1) * capacity`` tokens per source, independent of corpus
+size. The same trade the JSONL bin-packing sink documents for its
+size-capped batch files (sources/jsonl.py).
+
+Bin ids are made globally unique per source without any cross-shard
+coordination: ``bin = local_bin * n_shards + shard``.
+
+Scale shape at 100 TB: one Arrow batch per (source, shard) carrying three
+narrow columns. Token counting happens JVM-side and the text NEVER
+shuffles.
 
 Reference parity: the reference packs JSONL requests into size-capped batch
 files (data_etl_app bin-packing sink, SURVEY S9); this is the token-level
@@ -32,17 +43,24 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    n_shards: int = 8,
 ) -> DataFrame:
-    """Greedy first-fit packing in ``id_col`` order within each group.
+    """Greedy first-fit packing in ``id_col`` order within (group, shard).
 
     A document that does not fit in the current bin closes it and opens the
     next one; a document longer than ``capacity`` occupies a bin alone.
-    Returns (group, doc_id, n_tokens, bin) — bin ids restart at 0 per group.
+    ``n_shards=1`` reproduces classic per-group first-fit exactly; larger
+    values trade bounded fragmentation (≤ one partial bin per extra shard)
+    for parallelism within heavy groups. Returns (group, doc_id, n_tokens,
+    bin) with bin ids unique per group (``local_bin * n_shards + shard``).
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     sized = df.select(
         F.col(group_col).alias("source"),
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        (F.col(id_col) % F.lit(n_shards)).cast("long").alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -59,6 +77,12 @@ def pack_sequences(
         pdf["bin"] = pd.Series(bins, dtype="int64")
         return pdf
 
-    return sized.groupBy("source").applyInPandas(
-        pack, "source string, doc_id long, n_tokens long, bin long"
+    packed = sized.groupBy("source", "shard").applyInPandas(
+        pack, "source string, doc_id long, n_tokens long, shard long, bin long"
+    )
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.col("bin") * F.lit(n_shards) + F.col("shard")).cast("long").alias("bin"),
     )

@@ -337,7 +337,10 @@ def events_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros_7d = 7 * 86400 * 1_000_000
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # unix_micros only accepts TIMESTAMP; the cast is a no-op for LTZ
+        # reads and, under the UTC session timezone, instant-preserving for
+        # TIMESTAMP_NTZ reads — so the micros range frame is NTZ-proof.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(1, micros_7d)
     )
     return (

@@ -278,37 +278,46 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sequence packing: greedy first-fit context-window packing per source.
-# The packing recurrence is sequential by construction, so the oracle is a
-# recursive CTE stepping doc-by-doc within each source — the ground truth
-# the Arrow-batched applyInPandas packer must reproduce exactly.
+# Sequence packing: greedy first-fit context-window packing per
+# (source, shard). The packing recurrence is sequential by construction, so
+# the oracle is a recursive CTE stepping doc-by-doc within each
+# (source, shard) partition — the ground truth the Arrow-batched
+# applyInPandas packer must reproduce exactly. The shard key
+# (doc_id % 8) is what keeps a skew-heavy source from serializing onto one
+# executor (operators/packing.py documents the fragmentation bound); the
+# oracle shards identically so the approximation is itself verified.
 # ---------------------------------------------------------------------------
 @query(
     "sequence_packing",
     sql="""
     WITH RECURSIVE w AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, doc_id % 8 AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY source, doc_id % 8
+                                ORDER BY doc_id) AS rn
       FROM documents),
     p AS (
-      SELECT doc_id, source, n_tokens, rn,
+      SELECT doc_id, source, shard, n_tokens, rn,
              CAST(0 AS BIGINT) AS bin, n_tokens AS fill
       FROM w WHERE rn = 1
       UNION ALL
-      SELECT w.doc_id, w.source, w.n_tokens, w.rn,
+      SELECT w.doc_id, w.source, w.shard, w.n_tokens, w.rn,
              CASE WHEN p.fill + w.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
              CASE WHEN p.fill + w.n_tokens > 256 THEN w.n_tokens
                   ELSE p.fill + w.n_tokens END
-      FROM p JOIN w ON w.source = p.source AND w.rn = p.rn + 1)
-    SELECT source, doc_id, n_tokens, bin FROM p
+      FROM p JOIN w ON w.source = p.source AND w.shard = p.shard
+                   AND w.rn = p.rn + 1)
+    SELECT source, doc_id, n_tokens, bin * 8 + shard AS bin FROM p
     """,
     doc="Greedy first-fit sequence packing into 256-token context windows "
-    "per source (applyInPandas over the narrow token-count projection; "
-    "recursive-CTE oracle).",
+    "per (source, shard) — the shard key de-skews heavy sources "
+    "(applyInPandas over the narrow token-count projection; recursive-CTE "
+    "oracle sharded identically).",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return packing.pack_sequences(load(spark, sf_dir, "documents"), capacity=256)
+    return packing.pack_sequences(
+        load(spark, sf_dir, "documents"), capacity=256, n_shards=8
+    )
 
 
 # ---------------------------------------------------------------------------

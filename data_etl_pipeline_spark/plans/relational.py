@@ -588,11 +588,14 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     events = load(spark, sf_dir, "events")
-    flagged = events.withColumn(
+    # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ (a double cast
+    # does not exist for NTZ); comparing in microseconds keeps the strict
+    # ">" boundary identical to the oracle's epoch() fractional-seconds diff.
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > 1800.0),
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > F.lit(1_800_000_000)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

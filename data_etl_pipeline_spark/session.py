@@ -25,6 +25,12 @@ def get_spark(app_name: str = "data_etl_pipeline_spark", cpus: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin parquet timestamp inference so semantics cannot flip with the
+        # runtime's default: tz-less parquet timestamps read as TIMESTAMP_NTZ
+        # (matching DuckDB's naive timestamps in the oracle). Every query is
+        # NTZ-proof regardless (timestampdiff instead of double casts;
+        # streaming casts to TIMESTAMP at the watermark boundary only).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -39,8 +39,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks and session windows require TIMESTAMP (event-time state
+    # eviction is instant-based); a TIMESTAMP_NTZ parquet read is converted
+    # to the same instant under the UTC session timezone. Outputs are cast
+    # back to the batch ts type so stream/batch twins stay comparable.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     _ = batch
     return stream
+
+
+def _batch_ts_type(spark: SparkSession, sf_dir: str) -> str:
+    """The ts dtype the batch catalog exposes ('timestamp' or 'timestamp_ntz')."""
+    return dict(load(spark, sf_dir, "events").dtypes)["ts"]
+
+
+def _align_ts_cols(spark: SparkSession, sf_dir: str, df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cast streaming-output timestamp columns back to the batch ts dtype.
+
+    The streaming path computes in TIMESTAMP (watermark requirement); when
+    the batch side reads TIMESTAMP_NTZ, the UTC round-trip LTZ -> NTZ is the
+    identity on the underlying micros, so this is a type alignment only.
+    """
+    target = _batch_ts_type(spark, sf_dir)
+    for c in cols:
+        if dict(df.dtypes).get(c) != target:
+            df = df.withColumn(c, F.col(c).cast(target))
+    return df
 
 
 def run_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +85,7 @@ def run_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _align_ts_cols(spark, sf_dir, spark.table(name), ["window_start"])
 
 
 def run_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +117,9 @@ def run_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return _align_ts_cols(
+        spark, sf_dir, spark.table(name), ["session_start", "session_end"]
+    )
 
 
 def run_stream_enriched_counts(

@@ -186,7 +186,10 @@ class TestSequencePacking:
         df = spark.createDataFrame(
             [(i, t.strip()) for i, t in rows], "doc_id long, text string"
         ).withColumn("source", F.lit("s"))
-        out = {r["doc_id"]: r["bin"] for r in pack_sequences(df, capacity=10).collect()}
+        out = {
+            r["doc_id"]: r["bin"]
+            for r in pack_sequences(df, capacity=10, n_shards=1).collect()
+        }
         assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
 
     def test_bins_never_mix_sources(self, spark):
@@ -198,5 +201,48 @@ class TestSequencePacking:
         )
         out = pack_sequences(df, capacity=12).collect()
         assert len(out) == 30
-        # bin ids restart at 0 within every source
-        assert {r["source"] for r in out if r["bin"] == 0} == {"s0", "s1", "s2"}
+        owners: dict[tuple, set] = {}
+        for r in out:
+            owners.setdefault((r["source"], r["bin"]), set()).add(r["source"])
+        assert all(len(s) == 1 for s in owners.values())
+
+    def test_sharded_packing_matches_per_shard_first_fit(self, spark):
+        """Sharded packing == unsharded first-fit applied to each shard's
+        doc subset, with bin ids mapped as local_bin * n_shards + shard."""
+        from data_etl_pipeline_spark.operators.packing import pack_sequences
+
+        docs = [(i, "t " * ((i * 7) % 23 + 1), "s") for i in range(100)]
+        df = spark.createDataFrame(
+            [(i, t.strip(), s) for i, t, s in docs],
+            "doc_id long, text string, source string",
+        )
+        sharded = {r["doc_id"]: r["bin"] for r in pack_sequences(df, capacity=40, n_shards=4).collect()}
+        for shard in range(4):
+            sub = df.where(F.col("doc_id") % 4 == shard)
+            plain = {
+                r["doc_id"]: r["bin"]
+                for r in pack_sequences(sub, capacity=40, n_shards=1).collect()
+            }
+            for doc_id, local_bin in plain.items():
+                assert sharded[doc_id] == local_bin * 4 + shard
+
+    def test_single_source_corpus_packs_in_parallel_groups(self, spark):
+        """De-skew guarantee: one giant source still fans out into n_shards
+        independent packing groups (the applyInPandas group key), so a
+        source holding most of a corpus cannot serialize onto one task."""
+        from data_etl_pipeline_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * 9, "only_source") for i in range(64)],
+            "doc_id long, text string, source string",
+        )
+        out = pack_sequences(df, capacity=20, n_shards=8)
+        # shard = doc_id % 8 -> 8 distinct (source, shard) groups; visible in
+        # the output as 8 disjoint bin-id residue classes mod 8
+        residues = {r["bin"] % 8 for r in out.collect()}
+        assert residues == set(range(8))
+        # capacity is respected within every bin (no doc here exceeds it)
+        per_bin = (
+            out.groupBy("bin").agg(F.sum("n_tokens").alias("tot")).collect()
+        )
+        assert all(r["tot"] <= 20 for r in per_bin)
