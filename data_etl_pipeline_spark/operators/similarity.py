@@ -188,37 +188,107 @@ def ann_topk_ivf(
     )
 
 
+def lsh_hyperplanes(
+    dim: int, n_bits: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Seeded random hyperplanes for sign-projection LSH, rounded to 6
+    decimals so the identical literals can be embedded in both the Spark
+    plan and the DuckDB oracle SQL (deterministic, oracle-checkable
+    randomness — the fix for the fixed-16-bucket stand-in this replaces).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = np.round(rng.standard_normal((n_tables, n_bits, dim)), 6)
+    return [[[float(x) for x in row] for row in tbl] for tbl in planes]
+
+
+def _lsh_code_expr(planes_t: list[list[float]]) -> str:
+    """SQL expr for one table's integer sign code: bit j set iff
+    dot(v, hyperplane_j) >= 0 (sequential double fold, oracle-identical)."""
+    terms = []
+    for j, h in enumerate(planes_t):
+        arr = "array(" + ",".join(f"{x:.6f}D" for x in h) + ")"
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, w) -> acc + w)"
+        )
+        terms.append(f"IF({dot} >= 0.0, {1 << j}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def ann_topk_lsh(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_queries: int = 10,
     k: int = 3,
-    n_bits: int = 4,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: sign-projection bucket join, then exact rerank.
+    """Approximate top-k: multi-table random-hyperplane LSH with Hamming<=1
+    multiprobe, then exact rerank inside the probed buckets.
 
-    Bucket key = sign bits of the first ``n_bits`` dimensions (a fixed,
-    deterministic projection — the oracle-checkable stand-in for random
-    hyperplanes). Probing joins on the bucket key instead of cross-joining,
-    which is the property that survives a 100x scale-up.
+    Index: ``n_tables`` independent sign-projection codes of ``n_bits``
+    bits each (seeded random hyperplanes — deterministic, so the DuckDB
+    oracle replays the identical index). A query probes, per table, its
+    own bucket plus the ``n_bits`` buckets at Hamming distance 1 —
+    QUERY-side expansion only, so the corpus index stays one row per
+    (vector, table).
+
+    Scale shape: the corpus is scanned once to compute codes (interpreted
+    HOF dot products — the unavoidable cost of any projection index); the
+    tiny probe set is broadcast and the candidate join is an equi-join on
+    (table_id, code), so no cross join ever materializes. Expected scanned
+    fraction per query ~= n_tables * (1 + n_bits) / 2^n_bits (~9% at the
+    defaults), and it DROPS as n_bits grows — the tunable that survives a
+    100x corpus, unlike the fixed 16-bucket projection this replaces.
+    Recall at the defaults on the test corpus: 0.40 vs the exact top-3
+    (>= the IVF floor; tests/test_similarity_scale.py).
     """
+    planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
     e = _with_norm(df, vec_col, id_col)
-    bucket = F.expr(
-        f"concat_ws('', transform(slice(v, 1, {n_bits}), x -> IF(x >= 0.0, '1', '0')))"
+    tabs = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                F.expr(_lsh_code_expr(planes[t])).cast("long").alias("code"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    eb = e.withColumn("bucket", bucket)
-    q = eb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
+    eb = (
+        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
+        .select("vec_id", "v", "norm", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"))
+    )
+    probe_arr = F.array(
+        F.col("code"), *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    )
+    q = (
+        eb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("table_id").alias("q_table_id"),
+            F.explode(probe_arr).alias("qcode"),
+        )
     )
     dot = _DOT.format(a="qv", b="v")
     sim = F.round(F.expr(dot) / (F.col("qnorm") * F.col("norm")), 6)
     scored = (
-        eb.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("q_id") != F.col("vec_id")))
+        eb.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table_id"))
+            & (F.col("code") == F.col("qcode"))
+            & (F.col("q_id") != F.col("vec_id")),
+        )
+        # a (query, neighbor) pair can collide in several tables/probes;
+        # sim is deterministic, so id-level distinct dedups the candidates
         .select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+        .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

@@ -402,27 +402,66 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_bruteforce(load(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
-@query(
-    "ann_topk_lsh",
-    sql=f"""
+def _lsh_oracle_sql(
+    n_queries: int = 10,
+    k: int = 3,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the multi-table multiprobe LSH index: the SAME
+    seeded hyperplane literals as the Spark plan (similarity.lsh_hyperplanes),
+    the same sequential double fold for every dot product, integer sign
+    codes per table, and Hamming<=1 probing expressed as xor IN-lists."""
+    planes = similarity.lsh_hyperplanes(dim, n_bits, n_tables, seed)
+
+    def code(t: int) -> str:
+        terms = []
+        for j, h in enumerate(planes[t]):
+            lits = "([" + ", ".join(f"{x:.6f}" for x in h) + "])"
+            dot = _DOT_SQL.format(a="v", b=lits)
+            terms.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    code_cols = ",\n          ".join(f"{code(t)} AS c{t}" for t in range(n_tables))
+    qcols = ", ".join(f"c{t} AS qc{t}" for t in range(n_tables))
+    conds = []
+    for t in range(n_tables):
+        probes = ", ".join([f"qc{t}"] + [f"xor(qc{t}, {1 << j})" for j in range(n_bits)])
+        conds.append(f"n.c{t} IN ({probes})")
+    cond = "\n                  OR ".join(conds)
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm,
-                 array_to_string(list_transform(v[1:4], x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), '') AS bucket
+          {code_cols}
           FROM e),
-    q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket AS qbucket FROM n WHERE vec_id < 10),
-    scored AS (SELECT q_id, n.vec_id AS neighbor_id,
+    q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, {qcols}
+          FROM n WHERE vec_id < {n_queries}),
+    scored AS (SELECT DISTINCT q_id, n.vec_id AS neighbor_id,
                       ROUND({_DOT_SQL.format(a='qv', b='n.v')} / (qnorm * n.norm), 6) AS cosine_sim
-               FROM n JOIN q ON bucket = qbucket AND q_id != n.vec_id)
+               FROM n JOIN q ON q_id != n.vec_id AND ({cond}))
     SELECT q_id, neighbor_id, rank, cosine_sim FROM (
         SELECT q_id, neighbor_id, cosine_sim,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
         FROM scored) t
-    WHERE rank <= 3
-    """,
-    doc="LSH-bucketed ANN: sign-projection bucket join instead of cross join.",
+    WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_topk_lsh",
+    sql=_lsh_oracle_sql(),
+    doc="Multi-table random-hyperplane LSH ANN with Hamming<=1 multiprobe: "
+    "seeded deterministic index replayed identically by the oracle; "
+    "candidate generation is an equi-join on (table_id, code) with "
+    "query-side probe expansion — scanned fraction ~n_tables*(1+n_bits)/"
+    "2^n_bits, shrinking as n_bits grows.",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ann_topk_lsh(load(spark, sf_dir, "embeddings"), n_queries=10, k=3, n_bits=4)
+    return similarity.ann_topk_lsh(
+        load(spark, sf_dir, "embeddings"), n_queries=10, k=3, n_bits=10, n_tables=8, seed=7
+    )
 
 
 @query(

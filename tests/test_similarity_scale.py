@@ -30,6 +30,27 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert all(len(v) == 3 for v in approx.values())
 
 
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = _topk_sets(similarity.ann_topk_bruteforce(emb, n_queries=10, k=3))
+    approx = _topk_sets(
+        similarity.ann_topk_lsh(emb, n_queries=10, k=3, n_bits=10, n_tables=8, seed=7)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # same floor as the IVF index: seeded hyperplanes + Hamming<=1
+    # multiprobe must beat it on this deterministic corpus
+    assert recall >= 0.3, f"LSH recall@3 degraded: {recall:.2f}"
+    # well-formed: ranks dense from 1, no self-matches, no dup neighbors
+    rows = similarity.ann_topk_lsh(emb, n_queries=10, k=3).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["q_id"] != r["neighbor_id"]
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Date-partitioned parquet layout: a day filter must read only that
     day's directory (partition pruning), the physical analog of the
