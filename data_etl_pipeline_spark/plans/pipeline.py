@@ -19,6 +19,7 @@ from data_etl_pipeline_spark.functions.hashing import (
     NUM_MINHASH,
 )
 from data_etl_pipeline_spark.operators import (
+    bpe,
     chunker,
     dedup,
     mixture,
@@ -804,6 +805,35 @@ def doc_chunks_hard_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("reassembled"),
             "within_cap",
         )
+        .where(F.col("reassembled") != "")
+    )
+
+
+@query(
+    "doc_chunks_bpe",
+    # Reassembly-invariant oracle (counter-agnostic): see doc_chunks_token_aware.
+    sql=r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS reassembled
+    FROM documents
+    WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    """,
+    doc="Token-aware chunker driven by REAL byte-level BPE (embedded "
+    "GPT-2-format merge table, operators/bpe.py) — the third tokenizer "
+    "through the pluggable seam, closing the tiktoken fidelity gap "
+    "(reference token_util.py:6-8); reassembly-invariant oracle.",
+)
+def doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunker.chunk_by_tokens(
+        load(spark, sf_dir, "documents"),
+        soft_limit_tokens=40,
+        max_chunks=1_000_000,
+        token_counter=bpe.bpe_tokens,
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("chunk_start", "chunk_end", "chunk_text"))).alias("cs"))
+        .select("doc_id", F.expr(_REASSEMBLE_FOLD).alias("raw"))
+        .select("doc_id", F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("reassembled"))
         .where(F.col("reassembled") != "")
     )
 

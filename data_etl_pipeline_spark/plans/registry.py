@@ -63,6 +63,7 @@ _VERIFY_FIRST: list[str] = [
     "sequence_packing",
     "ann_topk_lsh",
     "doc_chunks_token_aware",
+    "doc_chunks_bpe",
     "versioned_merge_time_travel",
     # (c) green in round 1 only — re-confirm (staleness rotation)
     "user_sessions_gap",

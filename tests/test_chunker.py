@@ -84,7 +84,12 @@ from data_etl_pipeline_spark.operators.chunker import (  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.mark.parametrize("counter", [whitespace_tokens, bpe_ish_tokens])
+from data_etl_pipeline_spark.operators.bpe import bpe_tokens  # noqa: E402
+
+_COUNTERS = [whitespace_tokens, bpe_ish_tokens, bpe_tokens]
+
+
+@pytest.mark.parametrize("counter", _COUNTERS)
 def test_hard_limit_is_a_ceiling(counter):
     text = make_text(30, words_per_line=5)
     chunks = _chunk_one_hard(text, hard_limit=25, overlap_ratio=0.0, max_chunks=1000, tokens=counter)
@@ -134,6 +139,30 @@ def test_hard_limit_rejects_high_overlap_ratio():
         _c.chunk_by_tokens_hard(None, overlap_ratio=0.95)
 
 
+def test_real_bpe_counter_merges_and_caches():
+    # ' the' is one token (successive merges to the known GPT-2 symbol),
+    # unknown character runs stay one-symbol-per-char
+    assert bpe_tokens(" the") == 1
+    assert bpe_tokens(" the the the") == 3
+    assert bpe_tokens("zqzqzq") == 6
+    # merge ranks cascade: lower-rank pair merges first, so the composed
+    # symbol keeps merging ('Ġ'+'t' -> 'Ġt', 'Ġt'+'he' -> 'Ġthe')
+    assert bpe_tokens(" that") == 1
+    # distinct from both existing counters on real prose
+    s = "The quick brown fox, internationally known!"
+    assert len({whitespace_tokens(s), bpe_ish_tokens(s), bpe_tokens(s)}) == 3
+    assert bpe_tokens(s) == bpe_tokens(s)  # deterministic / cached
+
+
+def test_real_bpe_loads_external_merge_table():
+    # the seam contract: the table is data, not code — load_merges accepts
+    # any merges.txt-format iterable (e.g. the full public GPT-2 file)
+    from data_etl_pipeline_spark.operators.bpe import load_merges
+
+    ranks = load_merges(["a b", "ab c"])
+    assert ranks == {("a", "b"): 0, ("ab", "c"): 1}
+
+
 def test_bpe_ish_tokenizer_differs_from_whitespace():
     s = "internationalization, tokenizer-seam!"
     assert whitespace_tokens(s) == 2
@@ -143,7 +172,7 @@ def test_bpe_ish_tokenizer_differs_from_whitespace():
     assert bpe_ish_tokens(s) == bpe_ish_tokens(s)  # deterministic
 
 
-@pytest.mark.parametrize("counter", [whitespace_tokens, bpe_ish_tokens])
+@pytest.mark.parametrize("counter", _COUNTERS)
 def test_soft_chunker_seam_accepts_both_counters(counter):
     text = make_text(12, words_per_line=6)
     chunks = _chunk_one(text, soft_limit=20, overlap_ratio=0.1, max_chunks=100, tokens=counter)
