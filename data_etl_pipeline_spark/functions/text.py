@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urlsplit
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -23,11 +24,30 @@ _EMAIL_RE_SQL = EMAIL_RE.replace("\\", "\\\\")
 _BAD_TLDS = ("png", "jpg", "jpeg", "gif", "svg", "webp", "css", "js")
 
 
+def default_tld_validator(email: str) -> bool:
+    """Deny-list stand-in for the reference's DNS deliverability check
+    (find_email_addresses.py:45-80 uses email_validator, which resolves
+    the domain); rejects asset-extension pseudo-TLDs without network."""
+    return email.rsplit(".", 1)[-1] not in _BAD_TLDS
+
+
+def extract_emails(text: str, validator=default_tld_validator) -> list[str]:
+    """Pure-Python core: sorted distinct syntactic candidates filtered by
+    the INJECTABLE validator — the same pluggable-seam pattern as the
+    chunker's token counter, so a real DNS resolver (or a cached
+    deliverability table) drops in without touching extraction."""
+    cands = sorted({m.group(0).lower() for m in re.finditer(EMAIL_RE, text or "")})
+    return [e for e in cands if validator(e)]
+
+
 def extract_emails_col(text_col: str) -> Column:
     """Sorted distinct syntactically-valid emails from a text column.
 
-    regexp_extract_all (JVM regex) + array ops — no UDF. DNS validation is
-    the pluggable external step and is stubbed to a TLD deny-list.
+    regexp_extract_all (JVM regex) + array ops — no UDF; the default
+    TLD-deny-list validator is compiled straight into the expression, so
+    the common path stays in codegen. For a custom validator (e.g. DNS),
+    use extract_emails_validated_col, which pays the Arrow boundary only
+    when the seam is actually exercised.
     """
     bad = ",".join(f"'{t}'" for t in _BAD_TLDS)
     valid = F.expr(
@@ -35,6 +55,19 @@ def extract_emails_col(text_col: str) -> Column:
         f"x -> NOT element_at(split(x, '\\\\.'), -1) IN ({bad}))"
     )
     return F.array_sort(F.array_distinct(valid))
+
+
+def extract_emails_validated_col(text_col: str, validator=default_tld_validator) -> Column:
+    """Email extraction with an injected validator, as a vectorized pandas
+    UDF (Arrow-batched, never row-at-a-time in the JVM). The validator is
+    any picklable ``str -> bool``; results must match extract_emails_col
+    when given default_tld_validator (asserted in tests)."""
+
+    @F.pandas_udf("array<string>")
+    def _extract(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: extract_emails(t, validator))
+
+    return _extract(F.col(text_col))
 
 
 # --- URL normalization / eTLD+1 (url_util.py:9-95 semantics) --------------

@@ -384,21 +384,21 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        # the changed flag rides along inside the propagation select, so
+        # convergence costs one trivial scan of the materialized checkpoint
+        # instead of re-joining new labels against old (which doubled the
+        # heavy per-iteration job count)
         new_labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
+                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     edges.unpersist()

@@ -5,36 +5,77 @@ delete_where; reference graph_db_manufacturer_service.py:10-33 and
 s3_util.py version checks).
 
 Delta/Iceberg are the production implementations of this seam — neither is
-installable in this sandbox, so the layer reproduces their SEMANTICS over
-parquet snapshots plus a JSON commit log:
+installable in this sandbox, so the layer reproduces their SEMANTICS, now
+including manifest + data-skipping mechanics, over parquet + a JSON log:
 
-    <path>/_log/v{N}.json       {"version", "op", "num_rows", "detail"}
-    <path>/v{N}/part-*.parquet  full snapshot for version N
+    <path>/_log/v{N}.json        manifest: {"version", "op", "num_rows",
+                                 "detail", "schema", "files": [{"path",
+                                 "num_rows", "stats": {col: [min, max]}}]}
+    <path>/data/f-{N}-{i}.parquet  immutable data files, shared by every
+                                   version whose manifest references them
 
-Every operation is copy-on-write: it reads the latest snapshot, applies the
-change as a DataFrame plan (join/filter/union — all executor-side), and
-writes the next snapshot atomically-enough for a single writer (the log
-entry is written only after the snapshot commit succeeds; readers resolve
-the latest version FROM THE LOG, so a torn snapshot write is invisible).
+A commit writes ONLY the data files it changes and re-lists the untouched
+ones — exactly Delta's add/remove-file model collapsed into a full file
+list per version (simpler to read back, same skipping behavior):
 
-Scale notes, explicit because this is the part Delta does better:
-  * MERGE here rewrites the full table; Delta/Iceberg prune to touched
-    files. The API (merge keys, condition pushdown) is identical, so
-    swapping the backend does not change callers.
-  * Snapshots store full copies; table formats store deltas + manifests.
-  * Concurrent writers need the format's optimistic log protocol — out of
-    scope for the sandbox layer, same single-writer model as the
-    reference's Mongo upserts.
+  * MERGE prunes with per-file min/max stats on the merge keys: a file
+    whose key range cannot intersect the update batch's key range is
+    carried forward by reference — not read, not rewritten. Only
+    intersecting files are anti-joined and rewritten.
+  * DELETE WHERE / replaceWhere accept an optional ``prune`` callable
+    (stats dict -> might-match bool; see ``range_prune``/``prefix_prune``)
+    — the explicit form of the min/max predicate evaluation Delta derives
+    from the WHERE clause. Without it they conservatively rewrite all
+    files (always correct).
+  * Time travel = reading an older manifest; snapshots share unchanged
+    data files instead of duplicating them.
+
+Still single-writer (the log entry is written last and readers resolve
+the latest version FROM THE LOG, so a torn data write is invisible);
+concurrent writers need the format's optimistic log protocol — out of
+scope here, same single-writer model as the reference's Mongo upserts.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+StatsPredicate = Callable[[dict], bool]
+
+
+def range_prune(col: str, lo, hi) -> StatsPredicate:
+    """Might-match test for ``col BETWEEN lo AND hi``-shaped predicates."""
+
+    def might_match(stats: dict) -> bool:
+        mm = stats.get(col)
+        if not mm or mm[0] is None or mm[1] is None:
+            return True  # no stats -> cannot skip
+        return not (mm[1] < lo or mm[0] > hi)
+
+    return might_match
+
+
+def prefix_prune(col: str, prefix: str) -> StatsPredicate:
+    """Might-match test for ``STRSTARTS(col, prefix)`` (S13 prefix delete):
+    matching strings sort in [prefix, prefix + U+10FFFF)."""
+    upper = prefix + chr(0x10FFFF)
+
+    def might_match(stats: dict) -> bool:
+        mm = stats.get(col)
+        if not mm or mm[0] is None or mm[1] is None:
+            return True
+        return not (mm[1] < prefix or mm[0] >= upper)
+
+    return might_match
 
 
 class VersionedTable:
@@ -44,6 +85,7 @@ class VersionedTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self._log_dir = os.path.join(self.path, "_log")
+        self._data_dir = os.path.join(self.path, "data")
 
     # ---- log -------------------------------------------------------------
 
@@ -68,60 +110,174 @@ class VersionedTable:
                 entries.append(json.load(fh))
         return entries
 
-    def _commit(self, df: DataFrame, op: str, detail: str) -> int:
+    def _manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self._versions():
+            raise ValueError(f"no version {version!r} at {self.path}")
+        with open(os.path.join(self._log_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    # ---- data files ------------------------------------------------------
+
+    @staticmethod
+    def _stat_cols(schema: T.StructType) -> list[str]:
+        keep = (T.NumericType, T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
+        return [f.name for f in schema.fields if isinstance(f.dataType, keep)]
+
+    @staticmethod
+    def _json_safe(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    def _write_files(self, df: DataFrame, version: int) -> list[dict]:
+        """Write ``df`` as immutable data files + per-file min/max stats.
+
+        One write job, then ONE stats job over the fresh files grouped by
+        input_file_name — per-file stats without a per-file pass. The same
+        stats Delta keeps in add-file actions; merge/delete skip with them.
+        """
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        back = self.spark.read.schema(df.schema).parquet(tmp)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in self._stat_cols(df.schema):
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        per_file = back.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        os.makedirs(self._data_dir, exist_ok=True)
+        entries: list[dict] = []
+        for i, row in enumerate(sorted(per_file, key=lambda r: r["__file"])):
+            if row["__n"] == 0:
+                continue
+            name = f"f-{version}-{i}.parquet"
+            src = row["__file"]
+            src_path = src[len("file:"):] if src.startswith("file:") else src
+            os.rename(src_path, os.path.join(self._data_dir, name))
+            stats = {
+                c: [self._json_safe(row[f"__min_{c}"]), self._json_safe(row[f"__max_{c}"])]
+                for c in self._stat_cols(df.schema)
+            }
+            entries.append({"path": f"data/{name}", "num_rows": row["__n"], "stats": stats})
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    def _commit(self, new_df: DataFrame | None, carry: list[dict], op: str, detail: str,
+                schema_json: str | None = None) -> int:
         version = (self.latest_version() + 1) if self._versions() else 0
-        snap = os.path.join(self.path, f"v{version}")
-        df.write.mode("overwrite").parquet(snap)
-        n = self.spark.read.parquet(snap).count()
+        new_files = self._write_files(new_df, version) if new_df is not None else []
+        files = carry + new_files
         os.makedirs(self._log_dir, exist_ok=True)
         entry = {
             "version": version,
             "op": op,
-            "num_rows": n,
+            "num_rows": sum(f["num_rows"] for f in files),
             "detail": detail,
+            "schema": schema_json or (new_df.schema.json() if new_df is not None else None),
+            "files": files,
+            "files_carried": len(carry),
+            "files_written": len(new_files),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         # the log entry IS the commit: written last, so readers never see
-        # a half-written snapshot as latest
+        # half-written data as latest
         with open(os.path.join(self._log_dir, f"v{version}.json"), "w") as fh:
             json.dump(entry, fh)
         return version
+
+    def _read_files(self, files: list[dict], schema_json: str) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # ---- operations ------------------------------------------------------
 
     def write(self, df: DataFrame) -> int:
         """Create the table (version 0) or replace it wholesale."""
-        return self._commit(df, "write", "full snapshot")
+        return self._commit(df, [], "write", "full snapshot")
 
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to an older version."""
-        v = self.latest_version() if version is None else version
-        if v is None or v not in self._versions():
-            raise ValueError(f"no version {version!r} at {self.path}")
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        man = self._manifest(version)
+        return self._read_files(man["files"], man["schema"])
+
+    def _split_by_key_range(self, files: list[dict], updates: DataFrame, keys: list[str]):
+        """(touched, carried): a file is carried iff its min/max range on
+        some key is provably disjoint from the update batch's key range —
+        the Delta data-skipping rule, evaluated from manifest stats alone
+        (no data read for carried files)."""
+        bounds_row = updates.agg(
+            *[F.min(k).alias(f"__min_{k}") for k in keys],
+            *[F.max(k).alias(f"__max_{k}") for k in keys],
+        ).collect()[0]
+        touched, carried = [], []
+        for f in files:
+            might = True
+            for k in keys:
+                lo, hi = self._json_safe(bounds_row[f"__min_{k}"]), self._json_safe(bounds_row[f"__max_{k}"])
+                if lo is None or hi is None:
+                    continue  # empty/all-null update batch: no range evidence
+                mm = f["stats"].get(k)
+                if mm and mm[0] is not None and mm[1] is not None and (mm[1] < lo or mm[0] > hi):
+                    might = False
+                    break
+            (touched if might else carried).append(f)
+        return touched, carried
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Upsert: rows matching on ``keys`` are replaced by ``updates``,
         unmatched update rows are inserted (Delta ``MERGE WHEN MATCHED
-        UPDATE SET * WHEN NOT MATCHED INSERT *``). Executor-side plan:
-        anti-join current state against the update keys, union the
-        updates. Re-merging the same batch is a no-op state change —
-        ST2's idempotent at-least-once contract."""
-        cur = self.read()
+        UPDATE SET * WHEN NOT MATCHED INSERT *``). Files whose key stats
+        cannot intersect the update batch are carried forward untouched;
+        only intersecting files are anti-joined and rewritten. Re-merging
+        the same batch is a no-op state change — ST2's idempotent
+        at-least-once contract."""
+        man = self._manifest()
+        touched, carried = self._split_by_key_range(man["files"], updates, keys)
+        cur = self._read_files(touched, man["schema"])
         kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(updates.select(*cur.columns))
-        return self._commit(merged, "merge", f"keys={keys}")
+        return self._commit(
+            merged, carried, "merge",
+            f"keys={keys} files_skipped={len(carried)} files_rewritten={len(touched)}",
+            schema_json=man["schema"],
+        )
 
-    def delete_where(self, cond: Column | str) -> int:
+    def delete_where(self, cond: Column | str, prune: StatsPredicate | None = None) -> int:
         """DELETE WHERE: drop matching rows (S13 prefix-delete shape).
-        Rows where the predicate is NULL are kept, matching SQL DELETE."""
+        Rows where the predicate is NULL are kept, matching SQL DELETE.
+        ``prune`` (e.g. ``prefix_prune``/``range_prune``) lets provably
+        unaffected files be carried forward without a rewrite — the
+        explicit form of Delta's stats-based predicate skipping."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
+        man = self._manifest()
+        if prune is None:
+            touched, carried = man["files"], []
+        else:
+            touched = [f for f in man["files"] if prune(f["stats"])]
+            carried = [f for f in man["files"] if not prune(f["stats"])]
         keep = ~F.coalesce(cond, F.lit(False))
-        return self._commit(self.read().where(keep), "delete", str(cond))
+        kept = self._read_files(touched, man["schema"]).where(keep)
+        return self._commit(
+            kept, carried, "delete",
+            f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}",
+            schema_json=man["schema"],
+        )
 
-    def replace_where(self, df: DataFrame, cond: Column | str) -> int:
+    def replace_where(self, df: DataFrame, cond: Column | str,
+                      prune: StatsPredicate | None = None) -> int:
         """Delta ``replaceWhere``: atomically swap the partition(s)
-        selected by ``cond`` with ``df`` (which must satisfy ``cond``)."""
+        selected by ``cond`` with ``df`` (which must satisfy ``cond``).
+        ``prune`` carries provably unaffected files forward unrewritten."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
-        kept = self.read().where(~F.coalesce(cond, F.lit(False)))
-        return self._commit(kept.unionByName(df.where(cond)), "replace_where", str(cond))
+        man = self._manifest()
+        if prune is None:
+            touched, carried = man["files"], []
+        else:
+            touched = [f for f in man["files"] if prune(f["stats"])]
+            carried = [f for f in man["files"] if not prune(f["stats"])]
+        kept = self._read_files(touched, man["schema"]).where(~F.coalesce(cond, F.lit(False)))
+        return self._commit(
+            kept.unionByName(df.where(cond)), carried, "replace_where",
+            f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}",
+            schema_json=man["schema"],
+        )

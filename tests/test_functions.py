@@ -94,6 +94,46 @@ def test_email_extraction_spark(spark):
     assert out[3] == []
 
 
+def test_email_validator_seam_is_injectable(spark):
+    """The DNS-deliverability step is a pluggable validator (same seam
+    pattern as the chunker token counter): a fake resolver that only
+    accepts example.org must filter accordingly, and the default
+    validator through the pandas-UDF path must agree with the codegen
+    column expression."""
+    from data_etl_pipeline_spark.functions.text import (
+        extract_emails,
+        extract_emails_col,
+        extract_emails_validated_col,
+    )
+
+    def fake_dns_resolver(email: str) -> bool:
+        return email.endswith("@example.org")  # only this domain "resolves"
+
+    assert extract_emails(
+        "a@example.org b@nxdomain.test c@example.org", validator=fake_dns_resolver
+    ) == ["a@example.org", "c@example.org"]
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact sales@acme-mfg.com or SALES@acme-mfg.com today"),
+            (2, "broken image logo@2x.png and real info@example.org"),
+            (3, "no emails here"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    both = df.select(
+        "id",
+        extract_emails_col("text").alias("codegen"),
+        extract_emails_validated_col("text").alias("seam_default"),
+        extract_emails_validated_col("text", fake_dns_resolver).alias("seam_dns"),
+    ).collect()
+    for r in both:
+        assert list(r["seam_default"]) == list(r["codegen"] or [])
+    dns = {r["id"]: list(r["seam_dns"]) for r in both}
+    assert dns == {1: [], 2: ["info@example.org"], 3: [], 4: []}
+
+
 class TestPiiAndRepetition:
     def test_redact_pii_pins_behavior(self, spark):
         from data_etl_pipeline_spark.operators.textstats import redact_pii

@@ -74,3 +74,61 @@ def test_replace_where_swaps_partition(table, spark):
 def test_read_missing_version_raises(table):
     with pytest.raises(ValueError):
         table.read(version=7)
+
+
+def _files(t, version=None):
+    return {f["path"] for f in t._manifest(version)["files"]}
+
+
+def test_merge_skips_disjoint_files(spark, tmp_path):
+    """Data skipping: a merge touching one id range must carry every
+    range-disjoint file forward BY REFERENCE — same path, never read,
+    never rewritten (the Delta pruning the full-rewrite version lacked)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(90)], "id long, tag string, val double"
+    ).repartitionByRange(3, "id")
+    t.write(base)
+    v0_files = _files(t)
+    assert len(v0_files) == 3  # range-partitioned -> disjoint id stats
+
+    updates = spark.createDataFrame([(5, "B", 55.0), (7, "C", 77.0)], "id long, tag string, val double")
+    t.merge(updates, keys=["id"])
+    v1_files = _files(t)
+    # exactly one file overlaps ids 5..7; the other two are carried
+    carried = v0_files & v1_files
+    assert len(carried) == 2
+    assert t._manifest()["files_carried"] == 2
+    # and the merged state is still exact
+    rows = {r["id"]: (r["tag"], r["val"]) for r in t.read().collect()}
+    assert len(rows) == 90
+    assert rows[5] == ("B", 55.0) and rows[7] == ("C", 77.0)
+    assert rows[4] == ("tag4", 4.0)
+    # time travel still sees the pre-merge rows out of the shared files
+    old = {r["id"]: r["tag"] for r in t.read(version=0).collect()}
+    assert old[5] == "tag5"
+
+
+def test_delete_where_prunes_with_range_hint(spark, tmp_path):
+    from data_etl_pipeline_spark.sources.versioned import range_prune
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(90)], "id long, tag string, val double"
+    ).repartitionByRange(3, "id")
+    t.write(base)
+    v0_files = _files(t)
+    t.delete_where(F.col("id") < 10, prune=range_prune("id", 0, 9))
+    assert len(v0_files & _files(t)) == 2  # two files provably unaffected
+    assert t.read().count() == 80
+
+
+def test_prefix_prune_matches_strstarts_semantics():
+    from data_etl_pipeline_spark.sources.versioned import prefix_prune
+
+    p = prefix_prune("url", "http://a")
+    assert p({"url": ["http://a/x", "http://a/z"]})  # inside
+    assert not p({"url": ["http://b", "http://c"]})  # all above the prefix range
+    assert not p({"url": ["ftp://x", "gopher://y"]})  # all below
+    assert p({"url": ["http://", "http://z"]})  # straddles
+    assert p({})  # no stats -> cannot skip
