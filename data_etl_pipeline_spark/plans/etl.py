@@ -312,3 +312,182 @@ def stream_deferred_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.deferred_stream import run_stream_extraction
 
     return run_stream_extraction(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# S9/S10/O4: JSONL exchange-file round trip. Requests built from orders are
+# bin-packed into size-capped JSONL files (sources/jsonl.py applyInPandas
+# packer), written partitioned by file_id, read back as JSON lines, and
+# aggregated. The oracle aggregates the same request set straight from
+# parquet — a lost, duplicated, or corrupted line anywhere in the
+# pack -> write -> read cycle breaks the hash. (File ids depend on the
+# partition layout, so the output aggregates over request payloads only.)
+# ---------------------------------------------------------------------------
+@query(
+    "jsonl_roundtrip_agg",
+    sql="""
+    SELECT o_orderstatus AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_ids,
+           CAST(SUM((o_orderkey % 97) + 10) AS BIGINT) AS total_tokens
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc="JSONL bin-packing sink + result source round trip (SURVEY S9/S10; "
+    "caps enforced by the packer, exactness proven in pytest) — the oracle "
+    "recomputes the aggregate from the un-round-tripped rows.",
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources import jsonl
+
+    requests = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("custom_id"),
+            ((F.col("o_orderkey") % 97) + 10).cast("long").alias("num_tokens"),
+            F.col("o_orderstatus").alias("context"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    jsonl.write_request_files(requests, out, max_requests=64, max_tokens=4000)
+    back = spark.read.schema("custom_id string, body struct<context string>").json(
+        f"{out}/file_id=*"
+    )
+    toks = requests.select("custom_id", "num_tokens")
+    return (
+        back.select("custom_id", F.col("body.context").alias("context"))
+        .join(toks, "custom_id")
+        .groupBy("context")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("custom_id").alias("n_ids"),
+            F.sum("num_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST6: resource-aware batch scheduling. plan_tick is DRIVER-side control
+# flow by design (the reference's key-bundle loop is a coordinator, not a
+# dataflow operator; SURVEY maps it so) — the tick's pending list is a
+# bounded batch (one tick of work), so the collect is bounded too. The
+# oracle replays the same greedy state machine as a recursive CTE, so the
+# quota/cooldown arithmetic is hash-checked, not just unit-tested.
+# ---------------------------------------------------------------------------
+_SCHED_QUOTAS = [("k1", 500), ("k2", 300), ("k3", 200)]
+
+
+@query(
+    "batch_schedule_plan",
+    sql=f"""
+    WITH RECURSIVE pending AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS work_id,
+             (o_orderkey % 97) + 10 AS tok,
+             ROW_NUMBER() OVER (ORDER BY (o_orderkey % 97) + 10, o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey <= 4000),
+    step AS (
+      SELECT rn, work_id, tok, 1 AS k, tok AS spent
+      FROM pending WHERE rn = 1
+      UNION ALL
+      SELECT p.rn, p.work_id, p.tok,
+             CASE WHEN s.spent >= (CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 300 WHEN 3 THEN 200 ELSE 0 END)
+                       OR s.spent + p.tok > (CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 300 WHEN 3 THEN 200 ELSE 0 END)
+                  THEN s.k + 1 ELSE s.k END AS k,
+             CASE WHEN s.spent >= (CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 300 WHEN 3 THEN 200 ELSE 0 END)
+                       OR s.spent + p.tok > (CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 300 WHEN 3 THEN 200 ELSE 0 END)
+                  THEN p.tok ELSE s.spent + p.tok END AS spent
+      FROM step s JOIN pending p ON p.rn = s.rn + 1 WHERE s.k <= 3)
+    SELECT 'k' || k AS key_id, work_id FROM step WHERE k <= 3
+    """,
+    doc="Resource-aware scheduling tick (SURVEY ST6): token-quota greedy "
+    "assignment of smallest-first pending work to key bundles; the oracle "
+    "replays the identical state machine as a recursive CTE.",
+)
+def batch_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.etl.scheduler import KeyBundle, plan_tick
+
+    pending_df = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") <= 4000))
+        .select(
+            F.col("o_orderkey").cast("string").alias("work_id"),
+            ((F.col("o_orderkey") % 97) + 10).cast("long").alias("tok"),
+            F.col("o_orderkey").alias("_ord"),
+        )
+        .orderBy("tok", "_ord")
+    )
+    # one tick's pending batch: bounded by construction, so the collect is a
+    # coordinator-sized list, not a data-scale materialization
+    pending = [(r["work_id"], int(r["tok"])) for r in pending_df.collect()]
+    bundles = [KeyBundle(key_id=k, token_quota=q) for k, q in _SCHED_QUOTAS]
+    plan = plan_tick(bundles, pending, now=0.0)
+    rows = [(k, wid) for k, wids in plan.items() for wid in wids]
+    return spark.createDataFrame(rows, "key_id string, work_id string")
+
+
+# ---------------------------------------------------------------------------
+# ST7/S4: versioned reprocessing trigger — entities whose current content
+# version differs from the last processed version (or were never processed)
+# need re-extraction. Both engines build the same current/processed pair
+# from orders, so the anti-join is fully hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "version_drift_entities",
+    sql="""
+    WITH current AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS entity, o_orderkey % 5 AS version_id
+      FROM orders),
+    processed AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS entity,
+             CASE WHEN o_orderkey % 7 = 0 THEN (o_orderkey % 5) + 1
+                  ELSE o_orderkey % 5 END AS version_id
+      FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT c.entity, c.version_id FROM current c
+    ANTI JOIN processed p ON c.entity = p.entity AND c.version_id = p.version_id
+    """,
+    doc="Version-drift detection (SURVEY ST7/S4): anti-join of current "
+    "content versions against last-processed versions.",
+)
+def version_drift_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.etl.scheduler import detect_version_drift
+
+    orders = load(spark, sf_dir, "orders")
+    current = orders.select(
+        F.col("o_orderkey").cast("string").alias("entity"),
+        (F.col("o_orderkey") % 5).alias("version_id"),
+    )
+    processed = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("string").alias("entity"),
+        F.when(F.col("o_orderkey") % 7 == 0, (F.col("o_orderkey") % 5) + 1)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("version_id"),
+    )
+    return detect_version_drift(current, processed)
+
+
+# ---------------------------------------------------------------------------
+# J11/S7: stream-static enrichment through the foreachBatch idempotent
+# keyed sink. The streaming query joins each micro-batch against the
+# static customer dim, writes per-epoch partial counts to a keyed parquet
+# sink (at-least-once upsert contract), and the final answer re-aggregates
+# the partials — the oracle states the same question as a plain join.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_enriched_counts",
+    sql="""
+    SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    doc="Stream-static enrichment + foreachBatch idempotent keyed sink "
+    "(SURVEY J11/S7/ST2): per-epoch partial counts re-aggregated; oracle "
+    "is the equivalent static join.",
+)
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_enriched_counts
+
+    return run_stream_enriched_counts(spark, sf_dir)

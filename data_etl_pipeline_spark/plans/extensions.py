@@ -320,3 +320,101 @@ def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_v1", F.lit(0.0)).alias("total_v1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F4/F12: email extraction over deterministic synthesized contact text
+# (the corpus has no email column; both engines build the identical text
+# from customer rows, so extraction + deny-list validation is fully
+# hash-checked). The DNS-deliverability step stays the pluggable seam
+# (functions/text.py::extract_emails_validated_col, tested with a fake
+# resolver); the deny-list default compiles into codegen here.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_emails",
+    sql=r"""
+    WITH t AS (
+      SELECT c_custkey,
+             'Contact cust' || c_custkey || '@' ||
+             CASE CAST(c_custkey % 3 AS INT)
+                  WHEN 0 THEN 'mail.example.com'
+                  WHEN 1 THEN 'logo.png'
+                  ELSE 'shop.example.org' END ||
+             ' or ADMIN' || c_custkey || '@Example.COM today' AS text
+      FROM customer),
+    x AS (
+      SELECT c_custkey,
+             list_sort(list_distinct(list_filter(
+               regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'),
+               e -> NOT list_extract(string_split(e, '.'), len(string_split(e, '.')))
+                    IN ('png', 'jpg', 'jpeg', 'gif', 'svg', 'webp', 'css', 'js')))) AS emails
+      FROM t)
+    SELECT c_custkey, CAST(len(emails) AS INT) AS n_emails,
+           array_to_string(emails, ',') AS emails_csv
+    FROM x
+    """,
+    doc="Email extraction + TLD deny-list validation (SURVEY F4, F12 case "
+    "normalization) over deterministic contact text; the DNS step is the "
+    "documented injectable seam.",
+)
+def customer_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.functions.text import extract_emails_col
+
+    text = F.concat(
+        F.lit("Contact cust"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@"),
+        F.when(F.col("c_custkey") % 3 == 0, "mail.example.com")
+        .when(F.col("c_custkey") % 3 == 1, "logo.png")
+        .otherwise("shop.example.org"),
+        F.lit(" or ADMIN"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@Example.COM today"),
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", text.alias("text"))
+        .select("c_custkey", extract_emails_col("text").alias("emails"))
+        .select(
+            "c_custkey",
+            F.size("emails").alias("n_emails"),
+            F.array_join("emails", ",").alias("emails_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9: lat/lng bounds check + WKT point rendering. Coordinates are derived
+# as integral-valued doubles (identical text rendering in both engines);
+# every 5th supplier is pushed out of bounds to exercise the NULL path.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_wkt_points",
+    sql="""
+    WITH c AS (
+      SELECT s_suppkey,
+             CAST(((s_suppkey * 7) % 181) - 90 AS DOUBLE)
+               * (CASE WHEN s_suppkey % 5 = 0 THEN 3 ELSE 1 END) AS lat,
+             CAST(((s_suppkey * 13) % 361) - 180 AS DOUBLE) AS lng
+      FROM supplier)
+    SELECT s_suppkey,
+           CASE WHEN lat BETWEEN -90 AND 90 AND lng BETWEEN -180 AND 180
+                THEN 'POINT(' || CAST(lng AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')'
+           END AS wkt
+    FROM c
+    """,
+    doc="Lat/lng bounds validation + WKT POINT rendering (SURVEY F9); "
+    "out-of-bounds coordinates yield NULL, matching the reference's guard.",
+)
+def supplier_wkt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.functions.text import wkt_point_col
+
+    c = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            (((F.col("s_suppkey") * 7) % 181) - 90).cast("double")
+            * F.when(F.col("s_suppkey") % 5 == 0, F.lit(3)).otherwise(F.lit(1))
+        ).alias("lat"),
+        ((((F.col("s_suppkey") * 13) % 361)) - 180).cast("double").alias("lng"),
+    )
+    return c.select("s_suppkey", wkt_point_col("lng", "lat").alias("wkt"))

@@ -59,12 +59,18 @@ _VERIFY_FIRST: list[str] = [
     "events_followup_counts",
     "stream_hourly_event_counts",
     "stream_user_sessions",
-    # (b) implementation touched this round
+    # (b) implementation touched or added this round
     "sequence_packing",
     "ann_topk_lsh",
     "doc_chunks_token_aware",
     "doc_chunks_bpe",
     "versioned_merge_time_travel",
+    "jsonl_roundtrip_agg",
+    "batch_schedule_plan",
+    "version_drift_entities",
+    "stream_enriched_counts",
+    "customer_emails",
+    "supplier_wkt_points",
     # (c) green in round 1 only — re-confirm (staleness rotation)
     "user_sessions_gap",
     "stream_dedup_first_seen",
