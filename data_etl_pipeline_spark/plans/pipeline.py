@@ -1079,3 +1079,95 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce("top_trigram_ratio", F.lit(0.0)) <= 0.18)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test stratified split: the standard corpus-prep op. Assignment
+# is a deterministic md5 bucket of the doc id (same integer-threshold trick
+# as mixture_rebalance, so both engines decide identically at boundaries);
+# stratification is per source, verified by the per-(source, split) rollup.
+# Scale: one scan, one grouped agg — the split column is a zero-shuffle
+# codegen expression a writer would partitionBy.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_split",
+    sql="""
+    WITH b AS (
+      SELECT source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/val/test split, stratified per source "
+    "(md5-bucket assignment, integer thresholds).",
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document — corpus-statistics text analysis. The
+# idf is the EXACT rational N/df (computed as one IEEE double division,
+# bit-identical in both engines) instead of a log, so the hash gate needs
+# no rounding tolerance; ordering by (score desc, term asc) is total.
+# Scale: two shuffles (doc-term tf agg, term df agg) + a term-keyed join;
+# stopword-scale df skew is bounded because the df side is one row per
+# distinct term (pre-reduced), and AQE splits hot term partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tfidf_topk",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT doc_id, tf.term, tf,
+             CAST(tf * n_docs AS DOUBLE) / df AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, tf.term) AS rnk
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (rational idf = N/df, exact in "
+    "both engines; two pre-reduced shuffles + a term-keyed join).",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).select("doc_id", F.lower("term").alias("term")).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -71,6 +71,8 @@ _VERIFY_FIRST: list[str] = [
     "stream_enriched_counts",
     "customer_emails",
     "supplier_wkt_points",
+    "stratified_split",
+    "doc_tfidf_topk",
     # (c) green in round 1 only — re-confirm (staleness rotation)
     "user_sessions_gap",
     "stream_dedup_first_seen",

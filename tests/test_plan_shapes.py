@@ -138,3 +138,24 @@ def test_corpus_curation_single_scan_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_curation")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_lsh_candidates_are_equi_join_not_cross(spark, sf_dir):
+    # multiprobe LSH: candidate generation must be a broadcast EQUI-join on
+    # (table_id, code) — the probe expansion happens on the tiny query side
+    # only, so no cartesian/nested-loop join over the corpus ever appears
+    plan = _plan(spark, sf_dir, "ann_topk_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_packing_groups_by_source_and_shard(spark, sf_dir):
+    # the de-skew guarantee in the plan: the packing exchange partitions on
+    # BOTH source and shard, so one giant source fans out across executors
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+
+    m = re.search(r"hashpartitioning\(source[^)]*shard", plan)
+    assert m, "packing exchange must partition on (source, shard)"
