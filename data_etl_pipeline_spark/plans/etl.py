@@ -491,3 +491,211 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.windows import run_stream_enriched_counts
 
     return run_stream_enriched_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# ST6 cooldown arithmetic across ticks: tick 1 plans as usual; every key
+# that shipped a batch completes at t=100 (k2's fails), and tick 2 at
+# t=800 may only use keys whose cooldown has expired (success 600 s ->
+# k1/k3 back at 700; failure 1800 s -> k2 out until 1900). The oracle
+# replays both greedy passes as recursive CTEs over the same pending
+# order, with tick 2 restricted to the surviving keys.
+# ---------------------------------------------------------------------------
+_B1 = "(CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 300 WHEN 3 THEN 200 ELSE 0 END)"
+_B2 = "(CASE s.k WHEN 1 THEN 500 WHEN 2 THEN 200 ELSE 0 END)"  # k1, k3 in key order
+
+
+@query(
+    "batch_schedule_two_ticks",
+    sql=f"""
+    WITH RECURSIVE pending AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS work_id,
+             (o_orderkey % 97) + 10 AS tok,
+             ROW_NUMBER() OVER (ORDER BY (o_orderkey % 97) + 10, o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey <= 4000),
+    t1 AS (
+      SELECT rn, work_id, tok, 1 AS k, tok AS spent
+      FROM pending WHERE rn = 1
+      UNION ALL
+      -- k saturates at 4 (= unassigned) so every leftover item still flows
+      -- through the recursion and lands in tick 2's pending list
+      SELECT p.rn, p.work_id, p.tok,
+             CASE WHEN s.k >= 4 THEN 4
+                  WHEN s.spent >= {_B1} OR s.spent + p.tok > {_B1} THEN s.k + 1
+                  ELSE s.k END,
+             CASE WHEN s.k >= 4 THEN 0
+                  WHEN s.spent >= {_B1} OR s.spent + p.tok > {_B1} THEN p.tok
+                  ELSE s.spent + p.tok END
+      FROM t1 s JOIN pending p ON p.rn = s.rn + 1),
+    rest AS (
+      SELECT work_id, tok, ROW_NUMBER() OVER (ORDER BY rn) AS rn
+      FROM t1 WHERE k > 3),
+    t2 AS (
+      SELECT rn, work_id, tok, 1 AS k, tok AS spent
+      FROM rest WHERE rn = 1
+      UNION ALL
+      SELECT p.rn, p.work_id, p.tok,
+             CASE WHEN s.spent >= {_B2} OR s.spent + p.tok > {_B2} THEN s.k + 1 ELSE s.k END,
+             CASE WHEN s.spent >= {_B2} OR s.spent + p.tok > {_B2} THEN p.tok ELSE s.spent + p.tok END
+      FROM t2 s JOIN rest p ON p.rn = s.rn + 1 WHERE s.k <= 2)
+    SELECT 1 AS tick, 'k' || k AS key_id, work_id FROM t1 WHERE k <= 3
+    UNION ALL
+    SELECT 2 AS tick, CASE k WHEN 1 THEN 'k1' ELSE 'k3' END AS key_id, work_id
+    FROM t2 WHERE k <= 2
+    """,
+    doc="Two scheduler ticks with success/failure cooldowns between them "
+    "(SURVEY ST6): k2's failed batch sits out tick 2; oracle replays both "
+    "greedy passes as recursive CTEs.",
+)
+def batch_schedule_two_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.etl.scheduler import KeyBundle, complete_batch, plan_tick
+
+    pending_df = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") <= 4000))
+        .select(
+            F.col("o_orderkey").cast("string").alias("work_id"),
+            ((F.col("o_orderkey") % 97) + 10).cast("long").alias("tok"),
+            F.col("o_orderkey").alias("_ord"),
+        )
+        .orderBy("tok", "_ord")
+    )
+    pending = [(r["work_id"], int(r["tok"])) for r in pending_df.collect()]
+    bundles = {k: KeyBundle(key_id=k, token_quota=q) for k, q in _SCHED_QUOTAS}
+    plan1 = plan_tick(list(bundles.values()), pending, now=0.0)
+    rows = [(1, k, wid) for k, wids in sorted(plan1.items()) for wid in wids]
+
+    # every key that shipped completes at t=100; k2's batch fails
+    for k in plan1:
+        bundles[k] = dataclasses_replace_in_flight(bundles[k], f"batch-{k}")
+        bundles[k] = complete_batch(bundles[k], now=100.0, success=(k != "k2"))
+    assigned = {wid for wids in plan1.values() for wid in wids}
+    remaining = [(wid, tok) for wid, tok in pending if wid not in assigned]
+    plan2 = plan_tick(list(bundles.values()), remaining, now=800.0)
+    rows += [(2, k, wid) for k, wids in sorted(plan2.items()) for wid in wids]
+    return spark.createDataFrame(rows, "tick int, key_id string, work_id string")
+
+
+def dataclasses_replace_in_flight(bundle, batch_id):
+    import dataclasses
+
+    return dataclasses.replace(bundle, in_flight_batch=batch_id)
+
+
+# ---------------------------------------------------------------------------
+# ST5 + P4/P5: the unpair/retry path of the deferred state machine. All
+# requests ship in deterministic batches; a deterministic subset of
+# custom_ids never comes back; unpair_missing nulls their batch_id so the
+# next discovery pass retries exactly those. The oracle recomputes the
+# per-field ledger (shipped / responded / unpaired-for-retry / pending)
+# from the same md5 partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "deferred_retry_state",
+    sql="""
+    WITH d AS (SELECT doc_id, text,
+                      GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS INT)) AS n
+               FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i * 150 AS VARCHAR) || ':' ||
+             CAST(LEAST(i * 150 + 200, length(text)) AS VARCHAR) AS chunk_bounds
+      FROM d, unnest(range(0, n)) AS t(i)),
+    req AS (
+      SELECT CAST(doc_id AS VARCHAR) || '>' || f || '>llm_search>chunk>' || chunk_bounds AS custom_id,
+             f AS field
+      FROM chunks, unnest(['products', 'certificates', 'process_caps']) AS u(f)),
+    h AS (SELECT custom_id, field,
+                 (('0x' || substr(md5(custom_id), 1, 15))::BIGINT % 4) AS resp_slot
+          FROM req)
+    SELECT field,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN resp_slot <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_responded,
+           CAST(SUM(CASE WHEN resp_slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unpaired,
+           CAST(SUM(CASE WHEN resp_slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM h GROUP BY field
+    """,
+    doc="Deferred-pipeline unpair/retry ledger (SURVEY ST5, P4/P5 "
+    "completion/pending predicates): missing result ids are unpaired for "
+    "retry; per-field counts hash-checked.",
+)
+def deferred_retry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.etl.deferred import build_requests, harvest, llm_stub_responses, unpair_missing
+    from data_etl_pipeline_spark.operators.chunker import chunk_even_chars
+
+    chunks = chunk_even_chars(load(spark, sf_dir, "documents"), size=200, overlap=50)
+    requests = build_requests(chunks)
+    h = F.expr("cast(conv(substr(md5(custom_id), 1, 15), 16, 10) as bigint)")
+    state = requests.select(
+        "custom_id", "entity", "field",
+        F.concat(F.lit("b"), (h % 5).cast("string")).alias("batch_id"),
+        F.lit(None).cast("string").alias("response"),
+    )
+    responses = llm_stub_responses(requests.where((h % 4) != 0))
+    unpaired = unpair_missing(state, responses)
+    harvested = harvest(unpaired, responses)
+    return harvested.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum(F.when(F.col("response").isNotNull(), 1).otherwise(0)).alias("n_responded"),
+        F.sum(F.when(F.col("batch_id").isNull(), 1).otherwise(0)).alias("n_unpaired"),
+        F.sum(F.when(F.col("response").isNull(), 1).otherwise(0)).alias("n_pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11: byte-exact JSONL splitter. A coordinator-side utility by design
+# (the reference splits exchange-file blobs before upload); the query
+# builds a bounded JSONL blob from an orders slice, splits it at line
+# boundaries under a byte cap, and reports per-chunk stats. The oracle
+# replays the greedy line packing as a recursive CTE over the same byte
+# costs — any off-by-one in the newline backscan breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "jsonl_split_chunks",
+    sql="""
+    WITH RECURSIVE lines AS (
+      SELECT CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus AS line,
+             o_orderkey,
+             length(CAST(o_orderkey AS VARCHAR)) + 3 AS cost,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 17 = 0),
+    s AS (
+      SELECT rn, o_orderkey, cost, 1 AS chunk, cost AS filled
+      FROM lines WHERE rn = 1
+      UNION ALL
+      SELECT l.rn, l.o_orderkey, l.cost,
+             CASE WHEN s.filled + l.cost > 4096 THEN s.chunk + 1 ELSE s.chunk END,
+             CASE WHEN s.filled + l.cost > 4096 THEN l.cost ELSE s.filled + l.cost END
+      FROM s JOIN lines l ON l.rn = s.rn + 1)
+    SELECT CAST(chunk AS INT) AS chunk_no,
+           CAST(SUM(cost) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(o_orderkey) AS first_id,
+           MAX(o_orderkey) AS last_id
+    FROM s GROUP BY chunk
+    """,
+    doc="Byte-exact JSONL splitter (SURVEY S11): line-boundary cuts under "
+    "a 4096-byte cap; recursive-CTE oracle replays the greedy packing.",
+)
+def jsonl_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    # bounded exchange-file blob (coordinator-side utility, like the
+    # reference's pre-upload splitter) — every line newline-terminated
+    data = "".join(f"{r['o_orderkey']},{r['o_orderstatus']}\n" for r in rows).encode()
+    chunks = split_bytes_on_lines(data, max_chunk=4096)
+    out = []
+    for i, ch in enumerate(chunks, start=1):
+        ls = ch.decode().rstrip("\n").split("\n")
+        ids = [int(line.split(",")[0]) for line in ls]
+        out.append((i, len(ch), len(ls), min(ids), max(ids)))
+    return spark.createDataFrame(
+        out, "chunk_no int, n_bytes long, n_lines long, first_id long, last_id long"
+    )

@@ -73,6 +73,9 @@ _VERIFY_FIRST: list[str] = [
     "supplier_wkt_points",
     "stratified_split",
     "doc_tfidf_topk",
+    "batch_schedule_two_ticks",
+    "deferred_retry_state",
+    "jsonl_split_chunks",
     # (c) green in round 1 only — re-confirm (staleness rotation)
     "user_sessions_gap",
     "stream_dedup_first_seen",
