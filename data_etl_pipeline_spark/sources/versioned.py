@@ -263,6 +263,56 @@ class VersionedTable:
             schema_json=man["schema"],
         )
 
+    def compact(self, target_rows: int = 1_000_000) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite groups of small
+        files into fewer larger ones; files already holding >= target_rows
+        are carried forward untouched. Bin-packs manifest entries by row
+        count (greedy, stats-only — no data read for the packing decision),
+        then rewrites each bin with one coalesced write. Logical table
+        content is unchanged: compaction is a pure manifest/file rewrite,
+        which is exactly Delta's OPTIMIZE contract."""
+        man = self._manifest()
+        small = [f for f in man["files"] if f["num_rows"] < target_rows]
+        carried = [f for f in man["files"] if f["num_rows"] >= target_rows]
+        if len(small) <= 1:
+            # nothing to gain: one small file cannot be compacted further
+            return self._commit(None, man["files"], "compact", "noop",
+                                schema_json=man["schema"])
+        merged = self._read_files(small, man["schema"]).coalesce(
+            max(1, sum(f["num_rows"] for f in small) // target_rows)
+        )
+        return self._commit(
+            merged, carried, "compact",
+            f"files_compacted={len(small)} files_kept={len(carried)}",
+            schema_json=man["schema"],
+        )
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Retention cleanup: delete data files referenced ONLY by versions
+        older than the newest ``keep_versions`` manifests (Delta VACUUM
+        semantics with a version-count horizon instead of a wall-clock
+        one — deterministic in tests). Returns the removed file paths.
+        Time travel to vacuumed versions stops working, as in Delta."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        versions = self._versions()
+        keep = set(versions[-keep_versions:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(f["path"] for f in self._manifest(v)["files"])
+        removed: list[str] = []
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self._manifest(v)["files"]:
+                if f["path"] not in live and f["path"] not in removed:
+                    removed.append(f["path"])
+        for rel in removed:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        return removed
+
     def replace_where(self, df: DataFrame, cond: Column | str,
                       prune: StatsPredicate | None = None) -> int:
         """Delta ``replaceWhere``: atomically swap the partition(s)

@@ -132,3 +132,41 @@ def test_prefix_prune_matches_strstarts_semantics():
     assert not p({"url": ["ftp://x", "gopher://y"]})  # all below
     assert p({"url": ["http://", "http://z"]})  # straddles
     assert p({})  # no stats -> cannot skip
+
+
+def test_compact_merges_small_files_without_changing_content(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(60)], "id long, tag string, val double"
+    ).repartition(6)
+    t.write(base)
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert len(t._manifest()["files"]) == 6
+    t.compact(target_rows=1000)
+    man = t._manifest()
+    assert man["op"] == "compact"
+    assert len(man["files"]) < 6
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # time travel still reads the pre-compaction layout
+    assert len(t._manifest(0)["files"]) == 6
+    assert sorted(tuple(r) for r in t.read(version=0).collect()) == before
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(90)], "id long, tag string, val double"
+    ).repartitionByRange(3, "id")
+    t.write(base)
+    updates = spark.createDataFrame([(5, "B", 55.0)], "id long, tag string, val double")
+    t.merge(updates, keys=["id"])  # v1 shares 2 of v0's 3 files
+    latest = sorted(tuple(r) for r in t.read().collect())
+
+    removed = t.vacuum(keep_versions=1)
+    # only v0's replaced file is unreferenced; the 2 shared files survive
+    assert len(removed) == 1
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    assert sorted(tuple(r) for r in t.read().collect()) == latest
