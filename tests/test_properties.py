@@ -257,3 +257,53 @@ class TestPslProperties:
         got = dict(psl.with_etld1(df, "host").collect())
         for h in hosts:
             assert got[h] == psl.etld1(h), h
+
+
+class TestBpeProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_count_bounds_and_determinism(self, s):
+        from data_etl_pipeline_spark.operators.bpe import _PRETOKEN, bpe_tokens
+
+        n = bpe_tokens(s)
+        pretokens = [m.group(0) for m in _PRETOKEN.finditer(s)]
+        # merges only ever shrink: count is between #pretokens and #chars
+        assert len(pretokens) <= n or not pretokens
+        assert n <= len(s) or s == ""
+        assert n == bpe_tokens(s)  # deterministic / cache-consistent
+        assert (n == 0) == (len(pretokens) == 0)
+
+    @given(st.lists(st.sampled_from(["the", "and", "that", "info", "x1", "!"]), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_concatenation_subadditivity(self, words):
+        # BPE counts are per-pretoken, so joining with spaces costs exactly
+        # the sum of each ' word' pretoken's cost
+        from data_etl_pipeline_spark.operators.bpe import bpe_tokens
+
+        s = "".join(" " + w for w in words)
+        assert bpe_tokens(s) == sum(bpe_tokens(" " + w) for w in words)
+
+
+class TestByteSplitterProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+        st.integers(min_value=16, max_value=256),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_split_reassembles_and_respects_cap(self, ids, max_chunk):
+        from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines
+
+        data = "".join(f"{i}\n" for i in ids).encode()
+        chunks = split_bytes_on_lines(data, max_chunk=max_chunk)
+        assert b"".join(chunks) == data  # byte-exact reassembly
+        for ch in chunks:
+            # a chunk over the cap is only legal when it cannot be cut at a
+            # newline: i.e. it contains a single over-long line
+            assert len(ch) <= max_chunk or ch.rstrip(b"\n").count(b"\n") == 0
+            assert ch.endswith(b"\n")  # trailing-newline corpus -> line-exact cuts
