@@ -291,11 +291,15 @@ def ann_topk_lsh(
         .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
+    # expose the pre-ranking candidate set so tests can pin the index's
+    # selectivity (scanned fraction), not just its recall
+    ranked._lsh_candidates = scored  # type: ignore[attr-defined]
+    return ranked
 
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:

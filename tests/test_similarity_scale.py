@@ -110,3 +110,18 @@ def test_ivf_with_kmeans_centroids_end_to_end(spark, sf_dir):
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.3, f"IVF(kmeans) recall@3 degraded: {recall:.2f}"
     assert all(len(v) == 3 for v in approx.values())
+
+
+def test_lsh_scanned_fraction_is_bounded(spark, sf_dir):
+    """Selectivity guard: the multiprobe index must keep the candidate set
+    a small fraction of the query x corpus cross product — the property
+    that makes it the scale path (expected ~n_tables*(1+n_bits)/2^n_bits
+    plus random collisions; a degenerate projection that matched
+    everything would pass recall while silently becoming a cross join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = similarity.ann_topk_lsh(emb, n_queries=10, k=3, n_bits=10, n_tables=8, seed=7)
+    candidates = out._lsh_candidates.count()
+    frac = candidates / (10 * n)
+    assert frac < 0.25, f"LSH candidate fraction too high: {frac:.2f}"
+    assert candidates > 0  # and not degenerate-empty either
