@@ -191,8 +191,22 @@ class VersionedTable:
 
     # ---- operations ------------------------------------------------------
 
-    def write(self, df: DataFrame) -> int:
-        """Create the table (version 0) or replace it wholesale."""
+    def write(self, df: DataFrame, cluster_by: list[str] | None = None,
+              n_files: int | None = None) -> int:
+        """Create the table (version 0) or replace it wholesale.
+
+        ``cluster_by`` range-partitions the data files on the given keys
+        before writing — the liquid-clustering analog that makes per-file
+        min/max stats disjoint, which is what gives MERGE/DELETE skipping
+        its bite (unclustered files all overlap and nothing can be
+        skipped). ``n_files`` pins the file count; left None, AQE sizes
+        the range partitions (which may coalesce a tiny table to one)."""
+        if cluster_by:
+            df = (
+                df.repartitionByRange(n_files, *cluster_by)
+                if n_files
+                else df.repartitionByRange(*cluster_by)
+            )
         return self._commit(df, [], "write", "full snapshot")
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -236,6 +250,10 @@ class VersionedTable:
         cur = self._read_files(touched, man["schema"])
         kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(updates.select(*cur.columns))
+        if len(touched) > 1:
+            # re-cluster the rewritten slice on the merge keys so its new
+            # files keep disjoint stats and stay skippable next merge
+            merged = merged.repartitionByRange(len(touched), *keys)
         return self._commit(
             merged, carried, "merge",
             f"keys={keys} files_skipped={len(carried)} files_rewritten={len(touched)}",

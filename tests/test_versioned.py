@@ -170,3 +170,27 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     for rel in removed:
         assert not os.path.exists(os.path.join(t.path, rel))
     assert sorted(tuple(r) for r in t.read().collect()) == latest
+
+
+def test_cluster_by_enables_skipping_without_caller_partitioning(spark, tmp_path):
+    """write(cluster_by=...) must produce range-disjoint file stats from an
+    arbitrarily-partitioned input, so merges skip without the caller
+    knowing about file layout; successive merges keep skipping because the
+    rewritten slice is re-clustered on the merge keys."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(90)], "id long, tag string, val double"
+    ).repartition(3)  # hash layout: every file spans the full id range
+    t.write(base, cluster_by=["id"], n_files=3)
+    files0 = _files(t)
+    assert len(files0) >= 2
+
+    u1 = spark.createDataFrame([(5, "B", 55.0)], "id long, tag string, val double")
+    t.merge(u1, keys=["id"])
+    assert t._manifest()["files_carried"] >= 1  # clustering made skipping possible
+
+    u2 = spark.createDataFrame([(85, "Z", 1.0)], "id long, tag string, val double")
+    t.merge(u2, keys=["id"])
+    assert t._manifest()["files_carried"] >= 1
+    rows = {r["id"]: r["tag"] for r in t.read().collect()}
+    assert len(rows) == 90 and rows[5] == "B" and rows[85] == "Z"
