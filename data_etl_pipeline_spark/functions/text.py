@@ -36,7 +36,10 @@ def extract_emails(text: str, validator=default_tld_validator) -> list[str]:
     the INJECTABLE validator — the same pluggable-seam pattern as the
     chunker's token counter, so a real DNS resolver (or a cached
     deliverability table) drops in without touching extraction."""
-    cands = sorted({m.group(0).lower() for m in re.finditer(EMAIL_RE, text or "")})
+    # lowercase BEFORE matching, exactly like the column expression —
+    # matching first would diverge on characters whose lower() maps into
+    # the ASCII email class (e.g. the Kelvin sign U+212A -> 'k')
+    cands = sorted({m.group(0) for m in re.finditer(EMAIL_RE, (text or "").lower())})
     return [e for e in cands if validator(e)]
 
 

@@ -217,19 +217,19 @@ def _lsh_code_expr(planes_t: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ann_topk_lsh(
+def lsh_candidates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_queries: int = 10,
-    k: int = 3,
     n_bits: int = 10,
     n_tables: int = 8,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH with Hamming<=1
-    multiprobe, then exact rerank inside the probed buckets.
+    """Deduped, scored LSH candidate set (q_id, neighbor_id, cosine_sim)
+    BEFORE top-k ranking — exposed so selectivity (scanned fraction) is
+    directly testable, not just recall.
 
     Index: ``n_tables`` independent sign-projection codes of ``n_bits``
     bits each (seeded random hyperplanes — deterministic, so the DuckDB
@@ -245,8 +245,6 @@ def ann_topk_lsh(
     fraction per query ~= n_tables * (1 + n_bits) / 2^n_bits (~9% at the
     defaults), and it DROPS as n_bits grows — the tunable that survives a
     100x corpus, unlike the fixed 16-bucket projection this replaces.
-    Recall at the defaults on the test corpus: 0.40 vs the exact top-3
-    (>= the IVF floor; tests/test_similarity_scale.py).
     """
     planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
     e = _with_norm(df, vec_col, id_col)
@@ -290,16 +288,35 @@ def ann_topk_lsh(
         .select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
         .distinct()
     )
+    return scored
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k: int = 3,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH with Hamming<=1
+    multiprobe (lsh_candidates), then exact rerank inside the probed
+    buckets. Recall at the defaults on the test corpus: 0.40 vs the exact
+    top-3 (>= the IVF floor; tests/test_similarity_scale.py).
+    """
+    scored = lsh_candidates(
+        df, vec_col, id_col,
+        n_queries=n_queries, n_bits=n_bits, n_tables=n_tables, seed=seed, dim=dim,
+    )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    ranked = (
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
-    # expose the pre-ranking candidate set so tests can pin the index's
-    # selectivity (scanned fraction), not just its recall
-    ranked._lsh_candidates = scored  # type: ignore[attr-defined]
-    return ranked
 
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:

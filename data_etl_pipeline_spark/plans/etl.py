@@ -675,7 +675,10 @@ def deferred_retry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY chunk
     """,
     doc="Byte-exact JSONL splitter (SURVEY S11): line-boundary cuts under "
-    "a 4096-byte cap; recursive-CTE oracle replays the greedy packing.",
+    "a 4096-byte cap; recursive-CTE oracle replays the greedy packing. "
+    "Precondition (held by construction here): every line fits the cap — "
+    "an over-cap line is cut mid-line by the splitter, which the oracle "
+    "deliberately does not model (pinned in test_etl_machinery).",
 )
 def jsonl_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines

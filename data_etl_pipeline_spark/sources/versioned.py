@@ -65,15 +65,23 @@ def range_prune(col: str, lo, hi) -> StatsPredicate:
 
 
 def prefix_prune(col: str, prefix: str) -> StatsPredicate:
-    """Might-match test for ``STRSTARTS(col, prefix)`` (S13 prefix delete):
-    matching strings sort in [prefix, prefix + U+10FFFF)."""
-    upper = prefix + chr(0x10FFFF)
+    """Might-match test for ``STRSTARTS(col, prefix)`` (S13 prefix delete).
+
+    Matching strings have no finite upper bound (prefix + U+10FFFF... still
+    matches), but every prefix-matching string sorts strictly below any
+    NON-matching string greater than ``prefix`` — so a file is provably
+    clean iff its max sorts below the prefix, or its min is a non-matching
+    string above it."""
 
     def might_match(stats: dict) -> bool:
         mm = stats.get(col)
         if not mm or mm[0] is None or mm[1] is None:
             return True
-        return not (mm[1] < prefix or mm[0] >= upper)
+        if mm[1] < prefix:
+            return False  # whole file below the prefix range
+        if mm[0] > prefix and not mm[0].startswith(prefix):
+            return False  # whole file above every prefix-matching string
+        return True
 
     return might_match
 
@@ -125,8 +133,24 @@ class VersionedTable:
         return [f.name for f in schema.fields if isinstance(f.dataType, keep)]
 
     @staticmethod
-    def _json_safe(v):
-        return v.isoformat() if hasattr(v, "isoformat") else v
+    def _json_safe(v, widen: int = 0):
+        """JSON-serializable stat value. Decimals become floats, WIDENED
+        one ulp outward (widen=-1 for mins, +1 for maxes) so the stored
+        bound stays sound under the narrowing conversion — a min rounded
+        up could otherwise wrongly exclude a file from a merge. Update-side
+        bounds (widen=0) may be off by an ulp in the tight direction, which
+        only costs an unnecessary rewrite, never a wrong skip."""
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        import decimal
+        import math
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            if widen:
+                f = math.nextafter(f, -math.inf if widen < 0 else math.inf)
+            return f
+        return v
 
     def _write_files(self, df: DataFrame, version: int) -> list[dict]:
         """Write ``df`` as immutable data files + per-file min/max stats.
@@ -152,7 +176,10 @@ class VersionedTable:
             src_path = src[len("file:"):] if src.startswith("file:") else src
             os.rename(src_path, os.path.join(self._data_dir, name))
             stats = {
-                c: [self._json_safe(row[f"__min_{c}"]), self._json_safe(row[f"__max_{c}"])]
+                c: [
+                    self._json_safe(row[f"__min_{c}"], widen=-1),
+                    self._json_safe(row[f"__max_{c}"], widen=1),
+                ]
                 for c in self._stat_cols(df.schema)
             }
             entries.append({"path": f"data/{name}", "num_rows": row["__n"], "stats": stats})
@@ -207,6 +234,8 @@ class VersionedTable:
                 if n_files
                 else df.repartitionByRange(*cluster_by)
             )
+        elif n_files:
+            df = df.repartition(n_files)
         return self._commit(df, [], "write", "full snapshot")
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -203,3 +203,25 @@ class TestStreaming:
         rows = out.collect()
         assert rows  # events joined to customer segments
         assert {c for c in out.columns} == {"c_mktsegment", "event_type", "n"}
+
+
+def test_byte_splitter_cuts_mid_line_only_when_no_newline_in_backscan():
+    """An over-cap line with no newline in the backscan window is cut at
+    the raw byte cap (the reference's behavior) — the jsonl_split_chunks
+    oracle deliberately does NOT model this, which is safe because its
+    blob is built from short lines (documented precondition)."""
+    from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines
+
+    data = b"a" * 100 + b"\n" + b"b" * 300 + b"\n"
+    chunks = split_bytes_on_lines(data, max_chunk=120, backscan=30)
+    assert b"".join(chunks) == data
+    # first cut lands at the newline (byte 100, inside the 30-byte
+    # backscan window of byte 120)...
+    assert chunks[0] == b"a" * 100 + b"\n"
+    # ...but the long b-line exceeds the cap with no newline inside the
+    # backscan window, so it is cut mid-line at exactly max_chunk bytes
+    assert len(chunks[1]) == 120 and not chunks[1].endswith(b"\n")
+    # and with a backscan too short to reach the newline, even the first
+    # cut is mid-line at the raw cap (the reference's bounded look-back)
+    short = split_bytes_on_lines(data, max_chunk=120, backscan=10)
+    assert len(short[0]) == 120 and not short[0].endswith(b"\n")

@@ -120,8 +120,7 @@ def test_lsh_scanned_fraction_is_bounded(spark, sf_dir):
     everything would pass recall while silently becoming a cross join)."""
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
-    out = similarity.ann_topk_lsh(emb, n_queries=10, k=3, n_bits=10, n_tables=8, seed=7)
-    candidates = out._lsh_candidates.count()
+    candidates = similarity.lsh_candidates(emb, n_queries=10, n_bits=10, n_tables=8, seed=7).count()
     frac = candidates / (10 * n)
     assert frac < 0.25, f"LSH candidate fraction too high: {frac:.2f}"
     assert candidates > 0  # and not degenerate-empty either

@@ -194,3 +194,26 @@ def test_cluster_by_enables_skipping_without_caller_partitioning(spark, tmp_path
     assert t._manifest()["files_carried"] >= 1
     rows = {r["id"]: r["tag"] for r in t.read().collect()}
     assert len(rows) == 90 and rows[5] == "B" and rows[85] == "Z"
+
+
+def test_decimal_columns_get_sound_float_stats(spark, tmp_path):
+    """Decimal stats must serialize (they are not JSON-native) and stay
+    SOUND under the float conversion: stored min <= true min, stored max
+    >= true max, so skipping decisions never wrongly exclude a file."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    ).select("id", F.col("v").cast("decimal(18,6)").alias("v")).repartitionByRange(2, "id")
+    t.write(base)  # would raise TypeError on json.dump before the fix
+    man = t._manifest()
+    for f in man["files"]:
+        lo, hi = f["stats"]["v"]
+        assert isinstance(lo, float) and isinstance(hi, float)
+        assert lo <= hi
+    # merge on the decimal-stats table still works and still skips
+    updates = spark.createDataFrame([(1, 99.0)], "id long, v double").select(
+        "id", F.col("v").cast("decimal(18,6)").alias("v")
+    )
+    t.merge(updates, keys=["id"])
+    assert t._manifest()["files_carried"] == 1
+    assert t.read().where("id = 1").collect()[0]["v"] == 99.0
