@@ -60,7 +60,11 @@ def pack_sequences(
         F.col(group_col).alias("source"),
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
-        (F.col(id_col) % F.lit(n_shards)).cast("long").alias("shard"),
+        # pmod, not %: Spark's % is sign-preserving, so a negative doc id
+        # would yield a negative shard and break the injectivity of
+        # bin = local_bin * n_shards + shard (bins from different shards
+        # could collide and a merged bin could exceed capacity)
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

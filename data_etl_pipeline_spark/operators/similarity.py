@@ -43,8 +43,24 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
+    max_rows: int = 10_000,
 ) -> DataFrame:
-    """All pairs (a < b) with round(cosine, 6) >= threshold."""
+    """All pairs (a < b) with round(cosine, 6) >= threshold.
+
+    This is the O(n^2) EXACTNESS BASELINE, not a scale path — ``max_rows``
+    makes that un-copyable into a production recipe: the input cardinality
+    is counted up front and the call fails fast (ValueError) past the
+    bound instead of melting a cluster with an n^2 theta-join. Raise the
+    bound explicitly only when you mean it; the scale paths are
+    ann_topk_ivf / ann_topk_lsh / doc_minhash_lsh_pairs.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is an O(n^2) baseline: input has {n} rows > "
+            f"max_rows={max_rows}; use the LSH/IVF scale paths or raise "
+            "max_rows explicitly"
+        )
     e = _with_norm(df, vec_col, id_col)
     a = e.alias("a")
     b = e.alias("b")
@@ -217,15 +233,29 @@ def _lsh_code_expr(planes_t: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _probe_masks(n_bits: int, probe_hamming: int) -> list[int]:
+    """XOR masks enumerating every code within Hamming distance
+    ``probe_hamming`` (0 first, then single bits, then bit pairs)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)]
+    if probe_hamming > 2:
+        raise ValueError(f"probe_hamming <= 2 supported, got {probe_hamming}")
+    return masks
+
+
 def lsh_candidates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_queries: int = 10,
-    n_bits: int = 10,
+    n_bits: int = 12,
     n_tables: int = 8,
     seed: int = 7,
     dim: int = 64,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Deduped, scored LSH candidate set (q_id, neighbor_id, cosine_sim)
     BEFORE top-k ranking — exposed so selectivity (scanned fraction) is
@@ -233,8 +263,8 @@ def lsh_candidates(
 
     Index: ``n_tables`` independent sign-projection codes of ``n_bits``
     bits each (seeded random hyperplanes — deterministic, so the DuckDB
-    oracle replays the identical index). A query probes, per table, its
-    own bucket plus the ``n_bits`` buckets at Hamming distance 1 —
+    oracle replays the identical index). A query probes, per table, every
+    bucket within Hamming distance ``probe_hamming`` of its own code —
     QUERY-side expansion only, so the corpus index stays one row per
     (vector, table).
 
@@ -242,17 +272,26 @@ def lsh_candidates(
     HOF dot products — the unavoidable cost of any projection index); the
     tiny probe set is broadcast and the candidate join is an equi-join on
     (table_id, code), so no cross join ever materializes. Expected scanned
-    fraction per query ~= n_tables * (1 + n_bits) / 2^n_bits (~9% at the
-    defaults), and it DROPS as n_bits grows — the tunable that survives a
+    fraction per query ~= n_tables * n_probes / 2^n_bits where n_probes =
+    sum_{i<=probe_hamming} C(n_bits, i) (~15% at the defaults: 8 * 79 /
+    4096), and it DROPS as n_bits grows — the tunable that survives a
     100x corpus, unlike the fixed 16-bucket projection this replaces.
+
+    The embedding length must equal ``dim``: a mismatch raises at runtime
+    (zip_with would otherwise NULL-pad, every dot product would go NULL,
+    and all codes would silently collapse into one bucket).
     """
     planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
     e = _with_norm(df, vec_col, id_col)
+    dim_guard = (
+        f"IF(size(v) = {dim}, {{code}}, "
+        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
+    )
     tabs = F.array(
         *[
             F.struct(
                 F.lit(t).cast("int").alias("table_id"),
-                F.expr(_lsh_code_expr(planes[t])).cast("long").alias("code"),
+                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
             )
             for t in range(n_tables)
         ]
@@ -262,7 +301,7 @@ def lsh_candidates(
         .select("vec_id", "v", "norm", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"))
     )
     probe_arr = F.array(
-        F.col("code"), *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+        *[F.col("code").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_bits, probe_hamming)]
     )
     q = (
         eb.where(F.col("vec_id") < n_queries)
@@ -297,19 +336,21 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     n_queries: int = 10,
     k: int = 3,
-    n_bits: int = 10,
+    n_bits: int = 12,
     n_tables: int = 8,
     seed: int = 7,
     dim: int = 64,
+    probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH with Hamming<=1
-    multiprobe (lsh_candidates), then exact rerank inside the probed
-    buckets. Recall at the defaults on the test corpus: 0.40 vs the exact
-    top-3 (>= the IVF floor; tests/test_similarity_scale.py).
+    """Approximate top-k: multi-table random-hyperplane LSH with
+    Hamming<=``probe_hamming`` multiprobe (lsh_candidates), then exact
+    rerank inside the probed buckets. Recall at the defaults on the test
+    corpus is asserted >= 0.6 in tests/test_similarity_scale.py.
     """
     scored = lsh_candidates(
         df, vec_col, id_col,
         n_queries=n_queries, n_bits=n_bits, n_tables=n_tables, seed=seed, dim=dim,
+        probe_hamming=probe_hamming,
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

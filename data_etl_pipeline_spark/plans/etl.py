@@ -658,7 +658,8 @@ def deferred_retry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderkey,
              length(CAST(o_orderkey AS VARCHAR)) + 3 AS cost,
              ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
-      FROM orders WHERE o_orderkey % 17 = 0),
+      FROM orders WHERE o_orderkey % 17 = 0
+      QUALIFY rn <= 512),
     s AS (
       SELECT rn, o_orderkey, cost, 1 AS chunk, cost AS filled
       FROM lines WHERE rn = 1
@@ -683,11 +684,15 @@ def deferred_retry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jsonl_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.sources.jsonl import split_bytes_on_lines
 
+    # .limit(512) bounds the driver-side collect BY CONSTRUCTION at any sf
+    # (the operator is a coordinator utility like the reference's pre-upload
+    # splitter; the oracle mirrors the bound with QUALIFY rn <= 512)
     rows = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 17 == 0)
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
+        .limit(512)
         .collect()
     )
     # bounded exchange-file blob (coordinator-side utility, like the
