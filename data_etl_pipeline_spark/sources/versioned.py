@@ -30,10 +30,18 @@ list per version (simpler to read back, same skipping behavior):
   * Time travel = reading an older manifest; snapshots share unchanged
     data files instead of duplicating them.
 
-Still single-writer (the log entry is written last and readers resolve
-the latest version FROM THE LOG, so a torn data write is invisible);
-concurrent writers need the format's optimistic log protocol — out of
-scope here, same single-writer model as the reference's Mongo upserts.
+Concurrent writers use the optimistic log protocol Delta uses: the commit
+of version N is an EXCLUSIVE create of ``_log/v{N}.json`` (write-temp +
+``os.link``, which fails atomically if the name exists). A writer that
+loses the race re-reads the latest manifest, re-derives its change
+against it, and retries — so two interleaved MERGEs both land, neither
+lost (test_versioned.py::test_concurrent_writers_both_commit). Data files
+carry a per-attempt random token in their names, so racing writers can
+never collide on a data path; an abandoned attempt only leaves orphan
+files that the next ``vacuum()`` removes. MERGE sources are pinned with
+``localCheckpoint`` before the first read so the skip decision, the
+anti-join, and the union all see the SAME rows even if the source plan is
+nondeterministic (Delta imposes the same constraint on MERGE sources).
 """
 
 from __future__ import annotations
@@ -50,6 +58,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 StatsPredicate = Callable[[dict], bool]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A commit could not claim a version after repeated contention."""
 
 
 def range_prune(col: str, lo, hi) -> StatsPredicate:
@@ -158,8 +170,13 @@ class VersionedTable:
         One write job, then ONE stats job over the fresh files grouped by
         input_file_name — per-file stats without a per-file pass. The same
         stats Delta keeps in add-file actions; merge/delete skip with them.
+        File names carry a per-attempt random token so concurrent writers
+        targeting the same version number can never collide on a path.
         """
-        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex[:8]}")
+        from urllib.parse import unquote, urlparse
+
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self.path, f"_tmp-{token}")
         df.write.mode("overwrite").parquet(tmp)
         back = self.spark.read.schema(df.schema).parquet(tmp)
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -171,9 +188,12 @@ class VersionedTable:
         for i, row in enumerate(sorted(per_file, key=lambda r: r["__file"])):
             if row["__n"] == 0:
                 continue
-            name = f"f-{version}-{i}.parquet"
+            name = f"f-{version}-{token}-{i}.parquet"
             src = row["__file"]
-            src_path = src[len("file:"):] if src.startswith("file:") else src
+            # input_file_name() is a URI: strip the scheme AND percent-decode
+            # (Hadoop encodes spaces/'%'/'#' in paths; a raw strip would
+            # os.rename a nonexistent encoded path)
+            src_path = unquote(urlparse(src).path) if "://" in src or src.startswith("file:") else src
             os.rename(src_path, os.path.join(self._data_dir, name))
             stats = {
                 c: [
@@ -186,28 +206,86 @@ class VersionedTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 
+    def _try_claim(self, version: int, entry: dict) -> bool:
+        """Atomically claim ``v{version}.json``: write a temp file, then
+        ``os.link`` it to the final name — link fails with FileExistsError
+        iff another writer already committed that version. This is the
+        put-if-absent primitive Delta's log protocol needs from its store."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        try:
+            os.link(tmp, os.path.join(self._log_dir, f"v{version}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
     def _commit(self, new_df: DataFrame | None, carry: list[dict], op: str, detail: str,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None, max_attempts: int = 10) -> int:
+        """Commit a change that does NOT depend on the prior manifest
+        (``write``'s full snapshot): the data files are written once and,
+        if the version claim is lost to a concurrent writer, re-claimed
+        under the next number — no re-derivation needed."""
+        schema_json = schema_json or (new_df.schema.json() if new_df is not None else None)
         version = (self.latest_version() + 1) if self._versions() else 0
         new_files = self._write_files(new_df, version) if new_df is not None else []
+        for _ in range(max_attempts):
+            if self._claim_with_files(version, new_files, carry, op, detail, schema_json):
+                return version
+            version = self.latest_version() + 1
+        self._drop_orphans(new_files)
+        raise ConcurrentCommitError(
+            f"gave up after {max_attempts} contended commit attempts at {self.path}"
+        )
+
+    def _claim_with_files(self, version: int, new_files: list[dict], carry: list[dict],
+                          op: str, detail: str, schema_json: str | None) -> bool:
         files = carry + new_files
-        os.makedirs(self._log_dir, exist_ok=True)
         entry = {
             "version": version,
             "op": op,
             "num_rows": sum(f["num_rows"] for f in files),
             "detail": detail,
-            "schema": schema_json or (new_df.schema.json() if new_df is not None else None),
+            "schema": schema_json,
             "files": files,
             "files_carried": len(carry),
             "files_written": len(new_files),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        # the log entry IS the commit: written last, so readers never see
+        # the log entry IS the commit: claimed last, so readers never see
         # half-written data as latest
-        with open(os.path.join(self._log_dir, f"v{version}.json"), "w") as fh:
-            json.dump(entry, fh)
-        return version
+        return self._try_claim(version, entry)
+
+    def _drop_orphans(self, new_files: list[dict]) -> None:
+        for f in new_files:
+            p = os.path.join(self.path, f["path"])
+            if os.path.exists(p):
+                os.remove(p)
+
+    def _commit_retry(self, build, op: str, max_attempts: int = 10) -> int:
+        """Optimistic-concurrency loop for manifest-derived commits.
+
+        ``build(man) -> (new_df, carry, detail, schema_json)`` derives the
+        change from the CURRENT manifest; if the exclusive claim of the
+        next version number fails (a concurrent writer won), the attempt's
+        data files are dropped and the change is re-derived against the
+        fresh manifest — the retry semantics of Delta's commit protocol,
+        which is what makes two interleaved writers both land without
+        lost updates."""
+        for _ in range(max_attempts):
+            man = self._manifest()
+            version = man["version"] + 1
+            new_df, carry, detail, schema_json = build(man)
+            new_files = self._write_files(new_df, version) if new_df is not None else []
+            if self._claim_with_files(version, new_files, carry, op, detail, schema_json):
+                return version
+            self._drop_orphans(new_files)
+        raise ConcurrentCommitError(
+            f"gave up after {max_attempts} contended commit attempts at {self.path}"
+        )
 
     def _read_files(self, files: list[dict], schema_json: str) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(schema_json))
@@ -273,21 +351,30 @@ class VersionedTable:
         cannot intersect the update batch are carried forward untouched;
         only intersecting files are anti-joined and rewritten. Re-merging
         the same batch is a no-op state change — ST2's idempotent
-        at-least-once contract."""
-        man = self._manifest()
-        touched, carried = self._split_by_key_range(man["files"], updates, keys)
-        cur = self._read_files(touched, man["schema"])
-        kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = kept.unionByName(updates.select(*cur.columns))
-        if len(touched) > 1:
-            # re-cluster the rewritten slice on the merge keys so its new
-            # files keep disjoint stats and stay skippable next merge
-            merged = merged.repartitionByRange(len(touched), *keys)
-        return self._commit(
-            merged, carried, "merge",
-            f"keys={keys} files_skipped={len(carried)} files_rewritten={len(touched)}",
-            schema_json=man["schema"],
-        )
+        at-least-once contract.
+
+        ``updates`` is pinned with an eager localCheckpoint before any
+        read: the plan is otherwise evaluated three times (key-bounds agg,
+        anti-join, union), and a nondeterministic source (sampling, rand,
+        re-read of changing files) could produce skip decisions
+        inconsistent with the rows actually merged. Delta imposes the same
+        determinism requirement on MERGE sources; the checkpoint makes it
+        hold by construction (consistent-or-fail, never recomputed)."""
+        updates = updates.localCheckpoint(eager=True)
+
+        def build(man: dict):
+            touched, carried = self._split_by_key_range(man["files"], updates, keys)
+            cur = self._read_files(touched, man["schema"])
+            kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = kept.unionByName(updates.select(*cur.columns))
+            if len(touched) > 1:
+                # re-cluster the rewritten slice on the merge keys so its new
+                # files keep disjoint stats and stay skippable next merge
+                merged = merged.repartitionByRange(len(touched), *keys)
+            detail = f"keys={keys} files_skipped={len(carried)} files_rewritten={len(touched)}"
+            return merged, carried, detail, man["schema"]
+
+        return self._commit_retry(build, "merge")
 
     def delete_where(self, cond: Column | str, prune: StatsPredicate | None = None) -> int:
         """DELETE WHERE: drop matching rows (S13 prefix-delete shape).
@@ -296,19 +383,19 @@ class VersionedTable:
         unaffected files be carried forward without a rewrite — the
         explicit form of Delta's stats-based predicate skipping."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
-        man = self._manifest()
-        if prune is None:
-            touched, carried = man["files"], []
-        else:
-            touched = [f for f in man["files"] if prune(f["stats"])]
-            carried = [f for f in man["files"] if not prune(f["stats"])]
-        keep = ~F.coalesce(cond, F.lit(False))
-        kept = self._read_files(touched, man["schema"]).where(keep)
-        return self._commit(
-            kept, carried, "delete",
-            f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}",
-            schema_json=man["schema"],
-        )
+
+        def build(man: dict):
+            if prune is None:
+                touched, carried = man["files"], []
+            else:
+                touched = [f for f in man["files"] if prune(f["stats"])]
+                carried = [f for f in man["files"] if not prune(f["stats"])]
+            keep = ~F.coalesce(cond, F.lit(False))
+            kept = self._read_files(touched, man["schema"]).where(keep)
+            detail = f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}"
+            return kept, carried, detail, man["schema"]
+
+        return self._commit_retry(build, "delete")
 
     def compact(self, target_rows: int = 1_000_000) -> int:
         """OPTIMIZE-style small-file compaction: rewrite groups of small
@@ -318,28 +405,31 @@ class VersionedTable:
         then rewrites each bin with one coalesced write. Logical table
         content is unchanged: compaction is a pure manifest/file rewrite,
         which is exactly Delta's OPTIMIZE contract."""
-        man = self._manifest()
-        small = [f for f in man["files"] if f["num_rows"] < target_rows]
-        carried = [f for f in man["files"] if f["num_rows"] >= target_rows]
-        if len(small) <= 1:
-            # nothing to gain: one small file cannot be compacted further
-            return self._commit(None, man["files"], "compact", "noop",
-                                schema_json=man["schema"])
-        merged = self._read_files(small, man["schema"]).coalesce(
-            max(1, sum(f["num_rows"] for f in small) // target_rows)
-        )
-        return self._commit(
-            merged, carried, "compact",
-            f"files_compacted={len(small)} files_kept={len(carried)}",
-            schema_json=man["schema"],
-        )
+        def build(man: dict):
+            small = [f for f in man["files"] if f["num_rows"] < target_rows]
+            carried = [f for f in man["files"] if f["num_rows"] >= target_rows]
+            if len(small) <= 1:
+                # nothing to gain: one small file cannot be compacted further
+                return None, man["files"], "noop", man["schema"]
+            merged = self._read_files(small, man["schema"]).coalesce(
+                max(1, sum(f["num_rows"] for f in small) // target_rows)
+            )
+            return (merged, carried,
+                    f"files_compacted={len(small)} files_kept={len(carried)}",
+                    man["schema"])
+
+        return self._commit_retry(build, "compact")
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Retention cleanup: delete data files referenced ONLY by versions
         older than the newest ``keep_versions`` manifests (Delta VACUUM
         semantics with a version-count horizon instead of a wall-clock
-        one — deterministic in tests). Returns the removed file paths.
-        Time travel to vacuumed versions stops working, as in Delta."""
+        one — deterministic in tests), plus orphan data files no manifest
+        references at all (the residue of commit attempts that lost an
+        optimistic-concurrency race). Returns the removed file paths.
+        Time travel to vacuumed versions stops working, as in Delta — and
+        like Delta's VACUUM, this must not run concurrently with an
+        in-flight writer (its pre-claim data files look like orphans)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         versions = self._versions()
@@ -347,13 +437,21 @@ class VersionedTable:
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self._manifest(v)["files"])
+        referenced: set[str] = set()
         removed: list[str] = []
         for v in versions:
+            ref = [f["path"] for f in self._manifest(v)["files"]]
+            referenced.update(ref)
             if v in keep:
                 continue
-            for f in self._manifest(v)["files"]:
-                if f["path"] not in live and f["path"] not in removed:
-                    removed.append(f["path"])
+            for path in ref:
+                if path not in live and path not in removed:
+                    removed.append(path)
+        if os.path.isdir(self._data_dir):
+            for name in sorted(os.listdir(self._data_dir)):
+                rel = f"data/{name}"
+                if rel not in referenced and rel not in removed:
+                    removed.append(rel)
         for rel in removed:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
@@ -366,15 +464,15 @@ class VersionedTable:
         selected by ``cond`` with ``df`` (which must satisfy ``cond``).
         ``prune`` carries provably unaffected files forward unrewritten."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
-        man = self._manifest()
-        if prune is None:
-            touched, carried = man["files"], []
-        else:
-            touched = [f for f in man["files"] if prune(f["stats"])]
-            carried = [f for f in man["files"] if not prune(f["stats"])]
-        kept = self._read_files(touched, man["schema"]).where(~F.coalesce(cond, F.lit(False)))
-        return self._commit(
-            kept.unionByName(df.where(cond)), carried, "replace_where",
-            f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}",
-            schema_json=man["schema"],
-        )
+
+        def build(man: dict):
+            if prune is None:
+                touched, carried = man["files"], []
+            else:
+                touched = [f for f in man["files"] if prune(f["stats"])]
+                carried = [f for f in man["files"] if not prune(f["stats"])]
+            kept = self._read_files(touched, man["schema"]).where(~F.coalesce(cond, F.lit(False)))
+            detail = f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}"
+            return kept.unionByName(df.where(cond)), carried, detail, man["schema"]
+
+        return self._commit_retry(build, "replace_where")

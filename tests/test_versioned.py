@@ -217,3 +217,87 @@ def test_decimal_columns_get_sound_float_stats(spark, tmp_path):
     t.merge(updates, keys=["id"])
     assert t._manifest()["files_carried"] == 1
     assert t.read().where("id = 1").collect()[0]["v"] == 99.0
+
+
+def test_concurrent_writers_both_commit(spark, tmp_path, monkeypatch):
+    """Optimistic log protocol: writer A reads the manifest, then writer B
+    commits BEFORE A claims its version. A's exclusive v{N}.json claim
+    must fail, A must re-derive against B's manifest and retry — both
+    updates land, neither is lost (last-write-wins would drop B's)."""
+    path = str(tmp_path / "tbl")
+    a = VersionedTable(spark, path)
+    b = VersionedTable(spark, path)
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(30)], "id long, tag string, val double"
+    )
+    a.write(base)
+
+    u_b = spark.createDataFrame([(7, "FROM_B", 7.7)], "id long, tag string, val double")
+    interposed = {"done": False}
+    orig = VersionedTable._write_files
+
+    def interpose(self, df, version):
+        files = orig(self, df, version)
+        if self is a and not interposed["done"]:
+            interposed["done"] = True
+            b.merge(u_b, keys=["id"])  # B wins the race for this version
+        return files
+
+    monkeypatch.setattr(VersionedTable, "_write_files", interpose)
+    u_a = spark.createDataFrame([(3, "FROM_A", 3.3)], "id long, tag string, val double")
+    a.merge(u_a, keys=["id"])
+
+    rows = {r["id"]: r["tag"] for r in a.read().collect()}
+    assert rows[3] == "FROM_A" and rows[7] == "FROM_B"  # no lost update
+    assert len(rows) == 30
+    ops = [h["op"] for h in a.history()]
+    assert ops == ["write", "merge", "merge"]  # three versions, two merges
+    # the abandoned attempt's data files are orphans; vacuum sweeps them
+    # without touching anything the surviving manifests reference
+    latest = sorted(tuple(r) for r in a.read().collect())
+    a.vacuum(keep_versions=3)
+    assert sorted(tuple(r) for r in a.read().collect()) == latest
+    assert sorted(tuple(r) for r in a.read(version=1).collect())  # time travel intact
+
+
+def test_merge_pins_nondeterministic_updates(spark, tmp_path):
+    """The MERGE source is localCheckpoint-pinned: a nondeterministic
+    updates plan (rand()) must yield a self-consistent merge — the rows
+    inserted are exactly the rows the skip decision and anti-join saw."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)], "id long, tag string, val double"
+    )
+    t.write(base)
+    # nondeterministic ids, but collision-free WITHIN a single evaluation
+    # (disjoint 10-wide ranges per source row) — so any duplicate can only
+    # come from the merge re-evaluating the plan with fresh randomness
+    updates = (
+        spark.range(3)
+        .select(
+            (F.col("id") * 10 + 100 + (F.rand(seed=None) * 9).cast("long")).alias("id"),
+            F.lit("new").alias("tag"),
+            F.lit(1.0).alias("val"),
+        )
+    )
+    t.merge(updates, keys=["id"])
+    rows = t.read().collect()
+    # every inserted row appears exactly once (a re-evaluated plan could
+    # insert ids the dedup/anti-join never saw, or duplicate them)
+    new_ids = [r["id"] for r in rows if r["tag"] == "new"]
+    assert len(new_ids) == len(set(new_ids))
+    assert 10 <= len(rows) <= 13
+
+
+def test_write_files_handles_percent_encoded_paths(spark, tmp_path):
+    """A table path containing characters Hadoop percent-encodes (space,
+    '%', '#') must round-trip through input_file_name() -> os.rename."""
+    t = VersionedTable(spark, str(tmp_path / "odd dir %41 #x" / "tbl"))
+    base = spark.createDataFrame([(1, "a", 1.0)], "id long, tag string, val double")
+    t.write(base)
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a", 1.0)]
+    t.merge(
+        spark.createDataFrame([(2, "b", 2.0)], "id long, tag string, val double"),
+        keys=["id"],
+    )
+    assert len(t.read().collect()) == 2
