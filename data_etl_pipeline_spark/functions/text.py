@@ -60,6 +60,38 @@ def extract_emails_col(text_col: str) -> Column:
     return F.array_sort(F.array_distinct(valid))
 
 
+def make_dns_validator(resolve_mx, cache: dict | None = None):
+    """Build a DNS-deliverability validator for the injectable seam —
+    the shape of the reference's email_validator flow
+    (find_email_addresses.py:45-80: syntactic parse, then resolve the
+    domain; undeliverable -> drop), with a per-domain cache so a corpus
+    with few distinct domains pays one lookup per domain, not per row.
+
+    ``resolve_mx`` is any ``domain -> bool`` (true iff the domain has a
+    mail exchanger). Network calls are out of engine scope per SURVEY, so
+    production wires a real resolver here; tests inject a deterministic
+    fake. The TLD deny-list still short-circuits first — no resolver is
+    consulted for asset-extension pseudo-domains.
+
+    The returned validator is a plain picklable-by-closure ``str -> bool``
+    usable with extract_emails / extract_emails_validated_col; the cache
+    is PER-EXECUTOR after pickling (each worker warms its own), which is
+    the right scale behavior — a shared driver-side cache would serialize
+    every lookup through one node.
+    """
+    cache = {} if cache is None else cache
+
+    def validator(email: str) -> bool:
+        if not default_tld_validator(email):
+            return False
+        domain = email.rsplit("@", 1)[-1]
+        if domain not in cache:
+            cache[domain] = bool(resolve_mx(domain))
+        return cache[domain]
+
+    return validator
+
+
 def extract_emails_validated_col(text_col: str, validator=default_tld_validator) -> Column:
     """Email extraction with an injected validator, as a vectorized pandas
     UDF (Arrow-batched, never row-at-a-time in the JVM). The validator is

@@ -134,6 +134,41 @@ def test_email_validator_seam_is_injectable(spark):
     assert dns == {1: [], 2: ["info@example.org"], 3: [], 4: []}
 
 
+def test_make_dns_validator_caches_and_short_circuits(spark):
+    """The DNS-shaped validator factory completes the injection contract
+    (reference find_email_addresses.py:45-80: parse, then resolve the
+    domain, undeliverable -> drop): one resolver call per DISTINCT domain
+    (cached), deny-listed pseudo-TLDs never reach the resolver, and the
+    validator drops straight into the Arrow-batched extraction column."""
+    from data_etl_pipeline_spark.functions.text import (
+        extract_emails,
+        extract_emails_validated_col,
+        make_dns_validator,
+    )
+
+    calls: list[str] = []
+
+    def fake_resolve_mx(domain: str) -> bool:
+        calls.append(domain)  # deterministic fake: .org domains have MX
+        return domain.endswith(".org")
+
+    v = make_dns_validator(fake_resolve_mx)
+    text = "a@good.org b@dead.com c@good.org d@logo.png e@also.org"
+    assert extract_emails(text, validator=v) == ["a@good.org", "c@good.org", "e@also.org"]
+    # one lookup per distinct domain; the deny-listed .png never resolved
+    assert sorted(calls) == ["also.org", "dead.com", "good.org"]
+    # cache hit: re-validating adds no calls
+    assert v("x@good.org") and len(calls) == 3
+
+    # end-to-end through the vectorized seam (fresh validator: the closure
+    # pickles into executors, each warming its own per-executor cache)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = df.select(
+        extract_emails_validated_col("text", make_dns_validator(fake_resolve_mx)).alias("emails")
+    ).collect()
+    assert list(out[0]["emails"]) == ["a@good.org", "c@good.org", "e@also.org"]
+
+
 class TestPiiAndRepetition:
     def test_redact_pii_pins_behavior(self, spark):
         from data_etl_pipeline_spark.operators.textstats import redact_pii
