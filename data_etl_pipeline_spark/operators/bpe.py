@@ -16,12 +16,22 @@ and the public ``encoder.py``/``merges.txt`` format:
      the merge table until no ranked pair remains;
   4. the token count is the number of surviving symbols.
 
-The merge table is a compact embedded subset in merges.txt format (rank =
-list position), seeded from the well-known head of the public GPT-2 merge
-list plus common English continuations. Swapping in the full 50k-entry
-table is a DATA change only — load_merges() accepts any iterable of pairs
-— which is precisely the seam contract: chunk decisions respond to a real
-subword vocabulary, not whitespace.
+The merge table is two composed data sources, in merges.txt format (rank =
+list position):
+
+  1. an embedded subset seeded from the well-known head of the public
+     GPT-2 merge list (public-rank precedence for the most common English
+     pairs), then
+  2. ``bpe_merges.txt`` — a table TRAINED on the engine's own document
+     corpus by scripts/train_bpe_merges.py, the same frequency-ordered
+     pair-merging procedure that built the public GPT-2 vocabulary,
+     run to saturation (every frequent corpus word ends as one token).
+
+So token counts track the real subword statistics of the data the engine
+processes. Swapping in the full 50k-entry public GPT-2 table (when
+tiktoken's data is available) is a DATA change only — load_merges()
+accepts any iterable of pairs — which is precisely the seam contract:
+chunk decisions respond to a real subword vocabulary, not whitespace.
 
 Pure Python on purpose: it runs inside the chunker's Arrow-batched
 mapInPandas, never as a row-at-a-time Spark UDF, and ``functools.lru_cache``
@@ -30,6 +40,7 @@ memoizes per-pre-token work (Zipf distribution makes the hit rate high).
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
@@ -273,15 +284,25 @@ is h
 
 
 def load_merges(lines=None) -> dict[tuple[str, str], int]:
-    """Parse merges.txt-format lines into a pair -> rank table."""
-    src = _MERGES_TXT.splitlines() if lines is None else lines
+    """Parse merges.txt-format lines into a pair -> rank table.
+
+    Without arguments, loads the composed default table: the embedded
+    GPT-2-head subset first (keeping public rank precedence), then the
+    corpus-trained ``bpe_merges.txt`` (pairs already ranked are skipped)."""
+    if lines is None:
+        lines = _MERGES_TXT.splitlines()
+        trained = os.path.join(os.path.dirname(__file__), "bpe_merges.txt")
+        if os.path.exists(trained):
+            with open(trained) as fh:
+                lines = lines + fh.read().splitlines()
     ranks: dict[tuple[str, str], int] = {}
-    for line in src:
+    for line in lines:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         left, right = line.split(" ")
-        ranks[(left, right)] = len(ranks)
+        if (left, right) not in ranks:
+            ranks[(left, right)] = len(ranks)
     return ranks
 
 

@@ -154,6 +154,42 @@ def test_real_bpe_counter_merges_and_caches():
     assert bpe_tokens(s) == bpe_tokens(s)  # deterministic / cached
 
 
+def test_bpe_corpus_trained_table_is_loaded():
+    """The composed default table = embedded GPT-2 head + the
+    corpus-trained bpe_merges.txt (scripts/train_bpe_merges.py, run to
+    saturation): corpus-frequent words must collapse to far fewer tokens
+    than the head alone produces, and head behavior must be unchanged."""
+    from data_etl_pipeline_spark.operators.bpe import _MERGES_TXT, _RANKS, load_merges
+
+    head_only = load_merges(_MERGES_TXT.splitlines())
+    assert len(_RANKS) > len(head_only)  # trained tail actually appended
+    # head ranks keep public precedence: same rank for every head pair
+    for pair, rank in head_only.items():
+        assert _RANKS[pair] == rank
+
+    def count_with(ranks, pretoken):
+        # replay the merge loop under an explicit table
+        symbols = ["Ġ", *pretoken[1:]] if pretoken.startswith(" ") else list(pretoken)
+        while len(symbols) > 1:
+            ranked = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(symbols, symbols[1:]))
+                if (a, b) in ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            symbols[i : i + 2] = [symbols[i] + symbols[i + 1]]
+        return len(symbols)
+
+    # corpus-frequent words saturate under the composed table
+    assert count_with(_RANKS, " spark") == 1
+    assert count_with(_RANKS, " spark") < count_with(head_only, " spark")
+    total_composed = sum(count_with(_RANKS, " " + w) for w in ["spark", "window", "vector", "customer"])
+    total_head = sum(count_with(head_only, " " + w) for w in ["spark", "window", "vector", "customer"])
+    assert total_composed < total_head
+
+
 def test_real_bpe_loads_external_merge_table():
     # the seam contract: the table is data, not code — load_merges accepts
     # any merges.txt-format iterable (e.g. the full public GPT-2 file)
