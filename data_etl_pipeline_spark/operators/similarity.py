@@ -360,6 +360,102 @@ def ann_topk_lsh(
     )
 
 
+def build_lsh_index(
+    df: DataFrame,
+    table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> int:
+    """Persist the LSH code index through a VersionedTable: one row per
+    (vector, table) carrying (vec_id, table_id, code, v, norm), written
+    range-clustered on (table_id, code) so probe-time scans prune with the
+    manifest's per-file min/max stats.
+
+    This is how the code-compute cost amortizes at 100 TB: hyperplane
+    evaluation happens ONCE per corpus version here (SCALE.md); every
+    subsequent probe reads stored codes and never re-evaluates a
+    hyperplane (asserted on the probe plan in tests). Incremental corpus
+    changes go through ``table.merge`` keyed on (vec_id, table_id).
+
+    Returns the committed version. ``table`` is a
+    ``sources.versioned.VersionedTable`` (kept untyped to avoid the
+    import cycle).
+    """
+    planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
+    e = _with_norm(df, vec_col, id_col)
+    dim_guard = (
+        f"IF(size(v) = {dim}, {{code}}, "
+        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
+    )
+    tabs = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    index = (
+        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
+        .select(
+            "vec_id", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"),
+            "v", "norm",
+        )
+    )
+    return table.write(index, cluster_by=["table_id", "code"])
+
+
+def lsh_probe_persisted(
+    index_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 12,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k over a PERSISTED LSH index (build_lsh_index): the
+    query rows' stored codes are expanded to Hamming<=``probe_hamming``
+    probes by pure bit arithmetic (XOR against precomputed masks) and
+    equi-joined back against the index on (table_id, code) — no hyperplane
+    is ever evaluated on this path; the only dot products are the exact
+    rerank inside the probed buckets. Same output contract as
+    ann_topk_lsh: (q_id, neighbor_id, rank, cosine_sim)."""
+    q = (
+        index_df.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("table_id").alias("q_table_id"),
+            F.explode(
+                F.array(*[F.col("code").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_bits, probe_hamming)])
+            ).alias("qcode"),
+        )
+    )
+    dot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(dot) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = (
+        index_df.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table_id"))
+            & (F.col("code") == F.col("qcode"))
+            & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+        .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, c_id): each vector's best centroid by (cosine desc,
     c_id asc) — codegen broadcast join + map-side-combining max_by, the

@@ -473,6 +473,26 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_lsh_persisted",
+    sql=_lsh_oracle_sql(k=5),
+    doc="ANN over a PERSISTED LSH index: codes are computed once and "
+    "written through the versioned table clustered on (table_id, code); "
+    "the probe path expands stored codes by XOR bit arithmetic and "
+    "equi-joins the index with itself — no hyperplane evaluation on the "
+    "probe plan (asserted in tests). The 100 TB shape: hyperplane cost "
+    "amortizes to once per corpus version, probes read pruned files.",
+)
+def ann_topk_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    idx = VersionedTable(spark, tempfile.mkdtemp(prefix="lsh-index-"))
+    similarity.build_lsh_index(load(spark, sf_dir, "embeddings"), idx)
+    return similarity.lsh_probe_persisted(idx.read(), n_queries=10, k=5)
+
+
+@query(
     "ann_topk_ivf",
     sql=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -151,3 +151,63 @@ def test_cosine_pairs_guard_trips_on_oversized_input(spark, sf_dir):
     # at or under the bound it still runs (the declared baseline query)
     n = emb.count()
     assert similarity.cosine_pairs(emb, threshold=0.9, max_rows=n).count() >= 0
+
+
+def test_persisted_lsh_index_probe_has_no_hyperplane_eval(spark, sf_dir, tmp_path):
+    """build_lsh_index pays the hyperplane cost once (persisted through
+    the versioned table); the probe plan must contain NO hyperplane
+    literal — only stored-code XOR expansion + the exact rerank dots —
+    and must scan the persisted index files."""
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VersionedTable(spark, str(tmp_path / "lsh-index"))
+    similarity.build_lsh_index(emb, idx)
+
+    probe = similarity.lsh_probe_persisted(idx.read(), n_queries=10, k=3)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(probe._jdf.queryExecution(), "formatted")
+    # a hyperplane evaluation would embed the seeded literals in the plan
+    planes = similarity.lsh_hyperplanes(64, 12, 8, 7)
+    lit = f"{planes[0][0][0]:.6f}"
+    assert lit not in plan, "probe plan re-evaluates hyperplanes"
+    assert "raise_error" not in plan  # the dim guard lives on the build path only
+    assert "lsh-index" in plan  # scans the persisted table files
+
+    # identical results to the from-scratch index at the same config
+    fresh = similarity.ann_topk_lsh(emb, n_queries=10, k=3)
+    assert sorted(map(tuple, probe.where("rank <= 3").collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+    # reuse: a second probe (new reader, same persisted version) needs no
+    # rebuild and returns the same rows
+    again = similarity.lsh_probe_persisted(
+        VersionedTable(spark, str(tmp_path / "lsh-index")).read(), n_queries=10, k=3
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, probe.collect()))
+
+
+def test_persisted_lsh_index_merges_incrementally(spark, sf_dir, tmp_path):
+    """Corpus growth goes through MERGE on (vec_id, table_id): new vectors'
+    codes land, existing rows are untouched, and file-stat clustering on
+    (table_id, code) lets the merge skip provably-disjoint files."""
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.where("vec_id < 400")
+    new = emb.where("vec_id >= 400")
+    idx = VersionedTable(spark, str(tmp_path / "lsh-index"))
+    similarity.build_lsh_index(old, idx)
+    n0 = idx.read().count()
+
+    # build codes for the delta only, then merge
+    delta_tbl = VersionedTable(spark, str(tmp_path / "delta"))
+    similarity.build_lsh_index(new, delta_tbl)
+    idx.merge(delta_tbl.read(), keys=["vec_id", "table_id"])
+    assert idx.read().count() == n0 + delta_tbl.read().count()
+    # the merged index answers identically to a from-scratch build
+    full = VersionedTable(spark, str(tmp_path / "full"))
+    similarity.build_lsh_index(emb, full)
+    a = sorted(map(tuple, similarity.lsh_probe_persisted(idx.read(), n_queries=5, k=3).collect()))
+    b = sorted(map(tuple, similarity.lsh_probe_persisted(full.read(), n_queries=5, k=3).collect()))
+    assert a == b
