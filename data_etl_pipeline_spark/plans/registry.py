@@ -47,67 +47,73 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the four
-# TIMESTAMP_NTZ-broken queries fixed this round (one driver-red in r2, three
-# environment-regressed), (b) the 17 queries whose implementation changed or
-# was added this round, then (c) 29 of the 42 queries whose only green
-# driver row is round 1 (staleness rotation, keeping the complex
-# streaming/state-machine/dedup/timestamp queries and deferring 13 simple
-# unchanged relational shapes to the round-4 rotation).
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 7
+# queries whose implementation or results changed (or that are new) this
+# round, (b) the 13 queries whose only green driver row is round 1 — the
+# r3 verdict's rotation debt, now at the front, then (c) 30 of the 45
+# queries whose latest green row is round 2 (staleness rotation, keeping
+# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 15 simple
+# unchanged relational shapes — customer_order_distribution,
+# customers_with_urgent_orders, customers_without_orders,
+# distinct_segment_nation, event_type_user_buckets, nation_segment_rollup,
+# newest_open_orders, order_key_lookup, orderkey_set_ops, part_prefix_agg,
+# quantity_band_stats, returnflag_priority_counts, revenue_by_nation,
+# rich_customers_projection, vocab_word_match — to the round-5 rotation,
+# where they MUST go first).
 _VERIFY_FIRST: list[str] = [
-    # (a) NTZ-broken in the r2 environment, fixed this round
-    "user_session_counts",
-    "events_followup_counts",
-    "stream_hourly_event_counts",
-    "stream_user_sessions",
-    # (b) implementation touched or added this round
-    "sequence_packing",
-    "ann_topk_lsh",
-    "doc_chunks_token_aware",
-    "doc_chunks_bpe",
-    "versioned_merge_time_travel",
-    "doc_dedup_clusters",
-    "jsonl_roundtrip_agg",
-    "batch_schedule_plan",
-    "version_drift_entities",
-    "stream_enriched_counts",
-    "customer_emails",
-    "supplier_wkt_points",
-    "stratified_split",
-    "doc_tfidf_topk",
-    "batch_schedule_two_ticks",
-    "deferred_retry_state",
-    "jsonl_split_chunks",
-    # (c) green in round 1 only — re-confirm (staleness rotation)
-    "user_sessions_gap",
-    "stream_dedup_first_seen",
-    "customer_order_gaps",
-    "order_price_analytics",
-    "csv_roundtrip_agg",
-    "forecast_revenue_change",
-    "concept_ancestor_closure",
-    "blocks_dedup_first_wins",
-    "blocks_header_depth",
-    "deferred_extraction_results",
-    "customer_triples",
-    "segment_correction_fold",
-    "customer_hash_sample",
-    "returnflag_pivot",
-    "order_status_rollup",
-    "first_ship_per_flag",
-    "stream_deferred_extraction",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "mapping_validation",
-    "token_budget_guard",
-    "price_percentiles",
-    "doc_exact_dedup",
-    "doc_ngram_jaccard_pairs",
-    "doc_ngram_jaccard_capped",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "embedding_cosine_pairs",
-    "ann_topk_bruteforce",
+    # (a) changed or new this round
+    "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
+    "ann_topk_lsh_persisted",  # NEW: persisted-index probe
+    "doc_chunks_bpe",          # corpus-trained merge table composed in
+    "jsonl_split_chunks",      # bounded collect (limit 512, oracle-mirrored)
+    "sequence_packing",        # pmod sharding (oracle-mirrored)
+    "embedding_cosine_pairs",  # max_rows guard on the O(n^2) baseline
+    "versioned_merge_time_travel",  # optimistic-concurrency commit path
+    # (b) green in round 1 only — the r3 verdict's rotation debt
+    "returned_items_revenue",
+    "shipping_priority",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "order_priority_rollup",
+    "returnflag_status_cube",
+    "small_quantity_revenue",
+    "brand_supplier_counts",
+    "idle_rich_customers",
+    "large_order_customers",
+    "min_acctbal_supplier_per_part",
+    "important_nation_stock",
+    "customer_acctbal_quartiles",
+    # (c) latest green row is round 2 — re-confirm (staleness rotation)
+    "pricing_summary",
+    "events_asof_orders",
+    "two_phase_concept_extraction",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_pairs",
+    "doc_chunks_even",
+    "doc_chunks_hard_limit",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_pii_redaction",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_token_counts",
+    "embedding_kmeans_centroids",
+    "ann_topk_ivf",
+    "corpus_curation",
+    "benchmark_contamination",
+    "mixture_rebalance",
+    "address_merge",
+    "approx_distinct_scales",
+    "event_props_json_stats",
+    "hourly_event_stats",
+    "running_value_per_user",
+    "segment_with_override",
+    "sole_returned_suppliers",
+    "supplier_host_etld1",
+    "top3_orders_per_customer",
+    "vocab_match_aho_corasick",
+    "vocab_match_compiled",
+    "vocab_phrase_regex_match",
 ]
 
 
