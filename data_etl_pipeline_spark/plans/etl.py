@@ -493,6 +493,25 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_enriched_counts(spark, sf_dir)
 
 
+@query(
+    "stream_merge_versioned_counts",
+    sql="""
+    SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    doc="Streaming MERGE INTO the versioned table keyed on (epoch, "
+    "segment, type): micro-batch partial counts land as idempotent "
+    "upserts through the optimistic commit log — one queryable table "
+    "with time travel over ingestion history; oracle is the equivalent "
+    "static join (SURVEY S7/ST2 + the lakehouse seam).",
+)
+def stream_merge_versioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_merge_versioned
+
+    return run_stream_merge_versioned(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # ST6 cooldown arithmetic across ticks: tick 1 plans as usual; every key
 # that shipped a batch completes at t=100 (k2's fails), and tick 2 at

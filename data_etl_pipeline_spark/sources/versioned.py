@@ -344,7 +344,7 @@ class VersionedTable:
             (touched if might else carried).append(f)
         return touched, carried
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+    def merge(self, updates: DataFrame, keys: list[str], merge_schema: bool = False) -> int:
         """Upsert: rows matching on ``keys`` are replaced by ``updates``,
         unmatched update rows are inserted (Delta ``MERGE WHEN MATCHED
         UPDATE SET * WHEN NOT MATCHED INSERT *``). Files whose key stats
@@ -352,6 +352,16 @@ class VersionedTable:
         only intersecting files are anti-joined and rewritten. Re-merging
         the same batch is a no-op state change — ST2's idempotent
         at-least-once contract.
+
+        ``merge_schema=True`` is Delta's mergeSchema evolution: columns in
+        ``updates`` that the table lacks are APPENDED to the table schema
+        (nullable); carried/old files are read under the evolved schema
+        and surface NULL for the new columns (parquet schema-on-read —
+        nothing is rewritten), and time travel to older versions still
+        reads the schema those versions committed. Columns the table has
+        but ``updates`` lacks are filled with NULL on inserted rows.
+        Without the flag, extra update columns are dropped (project to the
+        table schema).
 
         ``updates`` is pinned with an eager localCheckpoint before any
         read: the plan is otherwise evaluated three times (key-bounds agg,
@@ -363,16 +373,28 @@ class VersionedTable:
         updates = updates.localCheckpoint(eager=True)
 
         def build(man: dict):
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            if merge_schema:
+                extra = [f for f in updates.schema.fields if f.name not in schema.fieldNames()]
+                schema = T.StructType(
+                    schema.fields
+                    + [T.StructField(f.name, f.dataType, True) for f in extra]
+                )
+            schema_json = schema.json()
             touched, carried = self._split_by_key_range(man["files"], updates, keys)
-            cur = self._read_files(touched, man["schema"])
+            cur = self._read_files(touched, schema_json)
             kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
-            merged = kept.unionByName(updates.select(*cur.columns))
+            ups = updates
+            for f in schema.fields:
+                if f.name not in ups.columns:
+                    ups = ups.withColumn(f.name, F.lit(None).cast(f.dataType))
+            merged = kept.unionByName(ups.select(*[f.name for f in schema.fields]))
             if len(touched) > 1:
                 # re-cluster the rewritten slice on the merge keys so its new
                 # files keep disjoint stats and stay skippable next merge
                 merged = merged.repartitionByRange(len(touched), *keys)
             detail = f"keys={keys} files_skipped={len(carried)} files_rewritten={len(touched)}"
-            return merged, carried, detail, man["schema"]
+            return merged, carried, detail, schema_json
 
         return self._commit_retry(build, "merge")
 

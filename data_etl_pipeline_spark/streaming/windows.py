@@ -163,3 +163,52 @@ def run_stream_enriched_counts(
         partials.groupBy("c_mktsegment", "event_type")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def run_stream_merge_versioned(
+    spark: SparkSession, sf_dir: str, table_path: str | None = None
+) -> DataFrame:
+    """Stream-static enrichment landing in the VERSIONED TABLE via
+    MERGE — the lakehouse form of run_stream_enriched_counts' keyed sink
+    (its docstring promises "with a table format this becomes MERGE INTO
+    keyed on (epoch, segment, type)"; this is that, made real).
+
+    Each micro-batch's partial counts MERGE into the table keyed on
+    (epoch, c_mktsegment, event_type): at-least-once re-delivery of a
+    micro-batch replaces its own epoch's rows instead of double counting
+    (ST2), the optimistic commit log serializes the sink against any
+    concurrent writer, and the result is ONE queryable table with time
+    travel over ingestion history instead of a directory of partials.
+    Returns the final per-(segment, type) totals read from the table.
+    """
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = _events_stream(spark, sf_dir).join(F.broadcast(customer), "user_id", "inner")
+
+    tbl = VersionedTable(spark, table_path or tempfile.mkdtemp(prefix="stream_merge_tbl_"))
+    if tbl.latest_version() is None:
+        tbl.write(spark.createDataFrame(
+            [], "epoch long, c_mktsegment string, event_type string, n long"
+        ))
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = (
+            batch_df.groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(epoch_id).cast("long").alias("epoch"),
+                "c_mktsegment", "event_type", "n",
+            )
+        )
+        tbl.merge(counts, keys=["epoch", "c_mktsegment", "event_type"])
+
+    q = enriched.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return tbl.read().groupBy("c_mktsegment", "event_type").agg(F.sum("n").alias("n"))

@@ -301,3 +301,42 @@ def test_write_files_handles_percent_encoded_paths(spark, tmp_path):
         keys=["id"],
     )
     assert len(t.read().collect()) == 2
+
+
+def test_merge_schema_evolution(table, spark):
+    """Delta mergeSchema semantics: a new column in the updates is
+    appended (nullable), old/carried files surface NULL for it via
+    schema-on-read (nothing rewritten for them), rows the updates lack
+    columns for get NULL, and time travel still reads each version's own
+    schema."""
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, "eu"), (4, "d", 40.0, "us")],
+        "id long, tag string, val double, region string",
+    )
+    table.merge(updates, keys=["id"], merge_schema=True)
+    rows = {r["id"]: (r["tag"], r["region"]) for r in table.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", "eu"), 3: ("c", None), 4: ("d", "us")}
+    # time travel: version 0 predates the column
+    assert "region" not in table.read(version=0).columns
+    # a later merge WITHOUT the new column null-fills it on inserts
+    table.merge(
+        spark.createDataFrame([(5, "e", 50.0)], "id long, tag string, val double"),
+        keys=["id"],
+    )
+    assert {r["id"]: r["region"] for r in table.read().collect()}[5] is None
+    # stats skipping still sound: files lacking stats for the new column
+    # are conservatively touched, never wrongly skipped
+    table.merge(
+        spark.createDataFrame([(2, "B2", 2.2, "apac")],
+                              "id long, tag string, val double, region string"),
+        keys=["id"], merge_schema=True,
+    )
+    assert {r["id"]: r["tag"] for r in table.read().collect()}[2] == "B2"
+
+
+def test_merge_without_flag_drops_extra_columns(table, spark):
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, "eu")], "id long, tag string, val double, region string"
+    )
+    table.merge(updates, keys=["id"])  # no merge_schema
+    assert "region" not in table.read().columns
