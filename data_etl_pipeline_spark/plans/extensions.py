@@ -323,6 +323,63 @@ def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER through the versioned layer: rewrite an arbitrarily-laid-
+# out table clustered on the Morton curve over (o_custkey, o_orderkey),
+# then MERGE a key-sparse update batch — multi-dimensional file skipping
+# with content correctness proven by the oracle (the layout itself is
+# asserted in tests/test_versioned.py::test_optimize_zorder_skips_on_every_dimension).
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_zorder_merge",
+    sql="""
+    WITH cur AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN CAST(o_totalprice + 1000.00 AS DECIMAL(15,2))
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey <= 4000)
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM cur GROUP BY 1
+    """,
+    doc="OPTIMIZE ZORDER BY (o_custkey, o_orderkey) + MERGE through the "
+    "versioned table: Morton-curve layout makes per-file stats tight on "
+    "both dimensions so the key-sparse merge skips files; oracle replays "
+    "the logical content (layout asserted separately in tests).",
+)
+def versioned_zorder_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="ztbl_"))
+    t.write(base.repartition(5))  # arbitrary hash layout, nothing skippable
+    t.optimize_zorder(["o_custkey", "o_orderkey"], n_files=4)
+    updates = (
+        base.where(F.col("o_orderkey") % 100 == 0)
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(1000.00)).cast("decimal(15,2)"),
+        )
+    )
+    t.merge(updates, keys=["o_orderkey"])
+    return (
+        t.read()
+        .groupBy(F.pmod(F.col("o_custkey"), F.lit(10)).cast("long").alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F4/F12: email extraction over deterministic synthesized contact text
 # (the corpus has no email column; both engines build the identical text
 # from customer rows, so extraction + deny-list validation is fully

@@ -340,3 +340,42 @@ def test_merge_without_flag_drops_extra_columns(table, spark):
     )
     table.merge(updates, keys=["id"])  # no merge_schema
     assert "region" not in table.read().columns
+
+
+def test_optimize_zorder_skips_on_every_dimension(spark, tmp_path):
+    """Z-ordering must yield per-file stats that prune on BOTH curve
+    dimensions; lexicographic cluster_by only prunes on its leading key.
+    Content must be byte-identical before/after (pure layout commit)."""
+    import itertools
+
+    from data_etl_pipeline_spark.sources.versioned import range_prune
+
+    rows = [(x, y, f"p{x}-{y}") for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x long, y long, payload string")
+
+    def skipped(t, col, lo, hi):
+        p = range_prune(col, lo, hi)
+        return sum(0 if p(f["stats"]) else 1 for f in t._manifest()["files"])
+
+    # lexicographic clustering on (x, y): leading key prunes, second doesn't
+    lex = VersionedTable(spark, str(tmp_path / "lex"))
+    lex.write(df, cluster_by=["x", "y"], n_files=4)
+    assert skipped(lex, "x", 0, 7) >= 1
+    assert skipped(lex, "y", 0, 7) == 0  # every file spans the full y range
+
+    zt = VersionedTable(spark, str(tmp_path / "z"))
+    zt.write(df.repartition(5))  # arbitrary hash layout
+    before = sorted(tuple(r) for r in zt.read().collect())
+    assert skipped(zt, "x", 0, 7) == 0 and skipped(zt, "y", 0, 7) == 0
+    zt.optimize_zorder(["x", "y"], n_files=4)
+    assert zt._manifest()["op"] == "zorder"
+    # quadrant-shaped files: a tight range on EITHER dimension prunes
+    assert skipped(zt, "x", 0, 7) >= 1
+    assert skipped(zt, "y", 0, 7) >= 1
+    assert sorted(tuple(r) for r in zt.read().collect()) == before
+    # and a merge into one corner now skips files on both bounds
+    up = spark.createDataFrame([(1, 1, "NEW")], "x long, y long, payload string")
+    zt.merge(up, keys=["x", "y"])
+    assert zt._manifest()["files_carried"] >= 1
+    got = {(r["x"], r["y"]): r["payload"] for r in zt.read().collect()}
+    assert got[(1, 1)] == "NEW" and len(got) == 1024
