@@ -162,6 +162,121 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, signature, band, band_key) — one row per document per band:
+    the PERSISTABLE LSH band index. Batch pair-mining
+    (lsh_candidate_pairs) groups it by (band, band_key); ingest-time
+    incremental dedup (incremental_minhash_dedup) equi-joins a new
+    batch's bands against a persisted copy (e.g. through
+    sources/versioned.py keyed on (doc_id, band))."""
+    rows_per_band = NUM_MINHASH // bands
+    sig = minhash_signatures(df, text_col, id_col, n)
+    return sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(f"transform(slice(signature, band * {rows_per_band} + 1, {rows_per_band}), x -> cast(x as string))"),
+            )
+        ),
+    )
+
+
+_EST_SIM = (
+    "round(cast(size(filter(zip_with({a}, {b}, (x, y) -> x = y), z -> z)) as double)"
+    f" / cast({{n}} as double), 6)"
+)
+
+
+def incremental_minhash_dedup(
+    index_df: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    min_est: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time near-dup gate: dedup a NEW document batch against a
+    persisted band index without touching the already-ingested corpus.
+
+    A new document is dropped iff
+      (a) one of its bands collides with an INDEXED document and the
+          signature similarity estimate >= ``min_est``
+          (status ``dup_of_index``), else
+      (b) it collides at >= ``min_est`` with a SMALLER-ID document of its
+          own batch (status ``dup_in_batch`` — W4 first-wins, evaluated
+          against the whole batch, deliberately non-transitive: the
+          oracle-checkable greedy a 100 TB ingest actually runs).
+
+    Returns ``(status_df, index_delta)``: per-new-doc (doc_id, status),
+    and the kept documents' band rows to MERGE into the index so the next
+    batch dedups against them too. Scale shape: the index join is an
+    equi-join on (band, band_key) — the corpus is never rescanned, never
+    re-shingled; per batch the only work is the new docs' signatures plus
+    posting-list joins.
+    """
+    nb = minhash_band_index(new_docs, text_col, id_col, n, bands)
+    est_idx = F.expr(_EST_SIM.format(a="signature", b="idx_sig", n=NUM_MINHASH))
+    vs_index = (
+        nb.join(
+            index_df.select(
+                F.col("band"), F.col("band_key"), F.col("signature").alias("idx_sig")
+            ),
+            on=["band", "band_key"],
+        )
+        .where(est_idx >= min_est)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_of_index", F.lit(True))
+    )
+    est_ab = F.expr(_EST_SIM.format(a="sig_a", b="sig_b", n=NUM_MINHASH))
+    intra = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .where(est_ab >= min_est)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    status = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(vs_index, on="doc_id", how="left")
+        .join(intra, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of_index"), F.lit("dup_of_index"))
+            .when(F.col("dup_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    kept_ids = status.where(F.col("status") == "kept").select("doc_id")
+    index_delta = nb.join(kept_ids, on="doc_id", how="left_semi")
+    return status, index_delta
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -177,23 +292,7 @@ def lsh_candidate_pairs(
     high-cardinality key, the scalable core of MinHash dedup). Estimated
     similarity = fraction of equal signature positions.
     """
-    rows_per_band = NUM_MINHASH // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
-    # bucket by (band, band-slice hash); posting-list combinations replace a
-    # signature self-join, so signatures are computed and shuffled once
-    banded = sig.select(
-        "doc_id",
-        "signature",
-        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
-    ).withColumn(
-        "band_key",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.expr(f"transform(slice(signature, band * {rows_per_band} + 1, {rows_per_band}), x -> cast(x as string))"),
-            )
-        ),
-    )
+    banded = minhash_band_index(df, text_col, id_col, n, bands)
     cand = (
         banded.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("ds"))

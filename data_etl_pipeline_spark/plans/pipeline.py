@@ -905,6 +905,63 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ingest-time incremental near-dup gate: the 80% of the corpus already
+# ingested lives as a PERSISTED band index (versioned table); the new 20%
+# batch is deduped against that index via an equi-join on (band, band_key)
+# plus a first-wins intra-batch pass — the corpus is never rescanned or
+# re-shingled. The kept docs' band rows MERGE back into the index so the
+# next batch sees them. The oracle recomputes both sides relationally.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_minhash_dedup",
+    sql=f"""
+    WITH {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    old AS (SELECT * FROM bands WHERE ((doc_id % 5) + 5) % 5 <> 0),
+    new AS (SELECT * FROM bands WHERE ((doc_id % 5) + 5) % 5 = 0),
+    vs_index AS (
+      SELECT DISTINCT n.doc_id FROM new n JOIN old o
+        ON n.b = o.b AND n.band_key = o.band_key
+       AND ROUND(CAST(len([i FOR i IN range(1, {NUM_MINHASH + 1}) IF n.s[i] = o.s[i]]) AS DOUBLE)
+                 / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5),
+    intra AS (
+      SELECT DISTINCT b2.doc_id FROM new a JOIN new b2
+        ON a.b = b2.b AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+       AND ROUND(CAST(len([i FOR i IN range(1, {NUM_MINHASH + 1}) IF a.s[i] = b2.s[i]]) AS DOUBLE)
+                 / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN v.doc_id IS NOT NULL THEN 'dup_of_index'
+                WHEN i.doc_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0) d
+    LEFT JOIN vs_index v ON v.doc_id = d.doc_id
+    LEFT JOIN intra i ON i.doc_id = d.doc_id
+    """,
+    doc="Incremental ingest dedup against a persisted MinHash band index "
+    "(versioned table): new-batch bands equi-join the index (dup_of_index) "
+    "plus a first-wins intra-batch pass (dup_in_batch); kept docs' bands "
+    "MERGE back into the index. The already-ingested corpus is never "
+    "rescanned — the per-batch cost is the batch's own signatures.",
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="band-index-"))
+    t.write(dedup.minhash_band_index(old), cluster_by=["band"])
+    status, delta = dedup.incremental_minhash_dedup(t.read(), new)
+    t.merge(delta, keys=["doc_id", "band"])  # next batch dedups against these too
+    return status
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation: the composite pipeline a training-data engine
 # exists for — quality gate -> exact dedup (first wins) -> per-source token
 # budget (running-cap window). Each stage is an operator already declared on

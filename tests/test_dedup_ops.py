@@ -154,3 +154,42 @@ class TestBenchmarkContamination:
         assert out[1]["n_contaminated"] == 1 and out[1]["contaminated"]
         assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
         assert out[3]["n_contaminated"] == 3 and out[3]["contaminated"]
+
+
+def test_incremental_dedup_index_grows_across_batches(spark, tmp_path):
+    """A doc kept from batch 1 must block its near-dup in batch 2 (the
+    index delta was merged), an indexed near-dup drops on arrival, and a
+    novel doc passes; intra-batch first-wins keeps the smaller id."""
+    from data_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = "spark filter group join window sort hash scan stream batch " * 6
+    novel1 = "entirely different words about gardens rivers mountains clouds " * 6
+    novel2 = "yet another unrelated text regarding music painting sculpture dance " * 6
+    corpus = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    t = VersionedTable(spark, str(tmp_path / "band-index"))
+    t.write(minhash_band_index(corpus))
+
+    b1 = spark.createDataFrame(
+        [(10, base + "extra tail"), (11, novel1), (12, novel1 + " slight tail")],
+        "doc_id long, text string",
+    )
+    s1, d1 = incremental_minhash_dedup(t.read(), b1)
+    got1 = {r["doc_id"]: r["status"] for r in s1.collect()}
+    assert got1[10] == "dup_of_index"      # near-dup of the indexed doc
+    assert got1[11] == "kept"              # novel, first of its pair
+    assert got1[12] == "dup_in_batch"      # near-dup of smaller-id 11
+    t.merge(d1, keys=["doc_id", "band"])
+    assert {r["doc_id"] for r in d1.select("doc_id").distinct().collect()} == {11}
+
+    # batch 2: a near-dup of batch 1's KEPT doc must now drop via the index
+    b2 = spark.createDataFrame(
+        [(20, novel1 + " other tail"), (21, novel2)], "doc_id long, text string"
+    )
+    s2, d2 = incremental_minhash_dedup(t.read(), b2)
+    got2 = {r["doc_id"]: r["status"] for r in s2.collect()}
+    assert got2[20] == "dup_of_index"
+    assert got2[21] == "kept"
