@@ -15,7 +15,10 @@ Usage: python scripts/strict_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyarrow as pa
 
