@@ -456,6 +456,106 @@ def lsh_probe_persisted(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stride: int = 25,
+    centroids: DataFrame | None = None,
+) -> int:
+    """Persist the IVF cell assignment through a VersionedTable: one row
+    per vector (vec_id, c_id, v, norm), range-clustered on c_id so probe
+    scans prune to the probed cells via manifest stats.
+
+    The corpus-side assignment (the broadcast-centroid scoring + max_by
+    reduction — the expensive part of ann_topk_ivf) runs ONCE per corpus
+    version here; probes (ivf_probe_persisted) re-derive the tiny
+    centroid table from the index itself (the stride rows) and never
+    re-assign the corpus. Incremental growth: assign ONLY the delta with
+    ``centroids=ivf_index_centroids(existing_index)`` (the same centroid
+    set the index was built with — partial-build stride centroids would
+    be inconsistent), then MERGE on vec_id."""
+    e = _with_norm(df, vec_col, id_col)
+    if centroids is not None:
+        c = centroids
+    else:
+        c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+        )
+    dot = _DOT.format(a="v", b="cv")
+    csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+    scored = e.join(F.broadcast(c)).select("vec_id", "v", "norm", "c_id", csim.alias("c_sim"))
+    cells = scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.first("norm").alias("norm"),
+        F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id"),
+    ).select("vec_id", "c_id", "v", "norm")
+    return table.write(cells, cluster_by=["c_id"])
+
+
+def ivf_index_centroids(index_df: DataFrame, stride: int = 25) -> DataFrame:
+    """(c_id, cv, cnorm) recovered from a persisted IVF index's stride
+    rows — the centroid set to pass to build_ivf_index for delta batches
+    so incremental assignments stay consistent with the existing index."""
+    return index_df.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+
+
+def ivf_probe_persisted(
+    index_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    stride: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k over a PERSISTED IVF index (build_ivf_index):
+    centroids are recovered from the index's own stride rows (their
+    stored vectors — no recomputation of anything corpus-sized), each
+    query ranks the broadcast centroid array and probes its ``nprobe``
+    nearest cells, and the equi-join on c_id scans only those cells'
+    rows. The corpus assignment (the max_by reduction) never re-runs —
+    the probe plan contains no corpus-wide aggregation (plan-asserted in
+    tests). Same output contract as ann_topk_ivf."""
+    cents_rows = ivf_index_centroids(index_df, stride)
+    cents = cents_rows.groupBy().agg(
+        F.collect_list(F.struct("c_id", "cv", "cnorm")).alias("cents")
+    )
+    qcdot = _DOT.format(a="v", b="ct.cv")
+    ranked = f"""
+    array_sort(
+      transform(cents, ct -> named_struct(
+        'c_sim', round(({qcdot}) / (norm * ct.cnorm), 6),
+        'c_id', ct.c_id)),
+      (l, r) -> case when l.c_sim > r.c_sim then -1 when l.c_sim < r.c_sim then 1
+                     when l.c_id  < r.c_id  then -1 when l.c_id  > r.c_id  then 1
+                     else 0 end)
+    """
+    probes = (
+        index_df.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(F.expr(f"transform(slice({ranked}, 1, {nprobe}), s -> s.c_id)")).alias("qc_id"),
+        )
+    )
+    qdot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(qdot) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = index_df.join(
+        F.broadcast(probes),
+        (F.col("c_id") == F.col("qc_id")) & (F.col("q_id") != F.col("vec_id")),
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, c_id): each vector's best centroid by (cosine desc,
     c_id asc) — codegen broadcast join + map-side-combining max_by, the

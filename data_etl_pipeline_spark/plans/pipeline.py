@@ -527,6 +527,46 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_topk_ivf_persisted",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    c AS (SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n WHERE vec_id % 25 = 0),
+    ranked AS (SELECT n.vec_id, n.v, n.norm, c.c_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY n.vec_id
+                          ORDER BY ROUND({_DOT_SQL.format(a='n.v', b='cv')} / (n.norm * cnorm), 6) DESC,
+                                   c.c_id) AS c_rank
+               FROM n CROSS JOIN c),
+    cells AS (SELECT vec_id, v, norm, c_id FROM ranked WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, c_id AS qc_id
+               FROM ranked WHERE vec_id < 10 AND c_rank <= 2),
+    scored AS (SELECT q_id, cells.vec_id AS neighbor_id,
+                      ROUND({_DOT_SQL.format(a='qv', b='cells.v')} / (qnorm * cells.norm), 6) AS cosine_sim
+               FROM cells JOIN probes ON c_id = qc_id AND q_id != cells.vec_id)
+    SELECT q_id, neighbor_id, rank, cosine_sim FROM (
+        SELECT q_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= 4
+    """,
+    doc="ANN over a PERSISTED IVF index: the corpus cell assignment (the "
+    "expensive max_by reduction) runs once and is written through the "
+    "versioned table clustered on c_id; probes recover centroids from the "
+    "index's own stride rows and scan only the probed cells — no "
+    "corpus-wide aggregation on the probe plan (asserted in tests).",
+)
+def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    idx = VersionedTable(spark, tempfile.mkdtemp(prefix="ivf-index-"))
+    similarity.build_ivf_index(load(spark, sf_dir, "embeddings"), idx, stride=25)
+    return similarity.ivf_probe_persisted(idx.read(), n_queries=10, k=4, stride=25, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -211,3 +211,38 @@ def test_persisted_lsh_index_merges_incrementally(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, similarity.lsh_probe_persisted(idx.read(), n_queries=5, k=3).collect()))
     b = sorted(map(tuple, similarity.lsh_probe_persisted(full.read(), n_queries=5, k=3).collect()))
     assert a == b
+
+
+def test_persisted_ivf_index_probe_never_reassigns_corpus(spark, sf_dir, tmp_path):
+    """build_ivf_index pays the corpus assignment once; the probe must
+    match ann_topk_ivf exactly at the same config, scan the persisted
+    files, and carry no corpus-wide max_by assignment in its plan."""
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VersionedTable(spark, str(tmp_path / "ivf-index"))
+    similarity.build_ivf_index(emb, idx, stride=25)
+
+    probe = similarity.ivf_probe_persisted(idx.read(), n_queries=10, k=3, stride=25, nprobe=2)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(probe._jdf.queryExecution(), "formatted")
+    assert "max_by" not in plan  # the assignment reducer lives on the build path
+    assert "ivf-index" in plan   # scans the persisted table files
+
+    fresh = similarity.ann_topk_ivf(emb, n_queries=10, k=3, stride=25, nprobe=2)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, fresh.collect()))
+
+    # incremental growth: the delta batch is assigned against the EXISTING
+    # index's centroid set (ivf_index_centroids), merged on vec_id, and the
+    # result must equal assigning the full corpus against that same set
+    part = VersionedTable(spark, str(tmp_path / "part"))
+    similarity.build_ivf_index(emb.where("vec_id < 400"), part, stride=25)
+    cents = similarity.ivf_index_centroids(part.read(), stride=25)
+    delta = VersionedTable(spark, str(tmp_path / "delta"))
+    similarity.build_ivf_index(emb.where("vec_id >= 400"), delta, stride=25, centroids=cents)
+    part.merge(delta.read(), keys=["vec_id"])
+
+    full = VersionedTable(spark, str(tmp_path / "full"))
+    similarity.build_ivf_index(emb, full, stride=25, centroids=cents)
+    a = sorted(map(tuple, part.read().select("vec_id", "c_id").collect()))
+    b = sorted(map(tuple, full.read().select("vec_id", "c_id").collect()))
+    assert a == b
