@@ -360,6 +360,77 @@ def ann_topk_lsh(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.85,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """ALL embedding near-dup pairs above ``threshold`` — the scale path
+    that replaces the O(n^2) ``cosine_pairs`` baseline for production
+    dedup: candidates are posting-list combinations within each
+    (table_id, code) bucket (the same single-scan inverted-index shape as
+    the MinHash/SimHash pair miners — never a corpus self-join), deduped
+    across tables, then exact-verified with the sequential-fold cosine.
+
+    Candidate recall at the defaults is the multi-table sign-LSH
+    collision probability 1-(1-p^n_bits)^n_tables with p = 1 - theta/pi
+    (~0.56 for cosine 0.85; more tables or fewer bits raise it — the
+    explicit recall/cost knob, where the baseline's cost knob is n^2).
+    Expected bucket size is n/2^n_bits per table, so combo fan-out stays
+    bounded; both engines replay the identical seeded index, so the
+    oracle checks the exact pair set.
+    """
+    planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
+    e = _with_norm(df, vec_col, id_col)
+    dim_guard = (
+        f"IF(size(v) = {dim}, {{code}}, "
+        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
+    )
+    tabs = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    eb = (
+        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
+        .select("vec_id", "v", "norm", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"))
+    )
+    combos = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"
+    )
+    cand = (
+        eb.groupBy("table_id", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "norm"))).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(F.explode(F.expr(combos)).alias("p"))
+        .select(
+            F.col("p.x.vec_id").alias("vec_a"),
+            F.col("p.y.vec_id").alias("vec_b"),
+            F.col("p.x.v").alias("va"),
+            F.col("p.y.v").alias("vb"),
+            F.col("p.x.norm").alias("na"),
+            F.col("p.y.norm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
 def build_lsh_index(
     df: DataFrame,
     table,

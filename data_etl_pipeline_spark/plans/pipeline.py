@@ -528,6 +528,37 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup_pairs",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dup AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 25 = 0),
+    c AS (SELECT * FROM e UNION ALL SELECT * FROM dup),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM c)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) >= 0.999
+    """,
+    doc="Embedding near-dup PAIRS at scale: posting-list combinations "
+    "inside (table_id, code) LSH buckets + exact cosine verify — the "
+    "single-scan inverted-index shape (zero joins, plan-asserted in "
+    "tests) that replaces the O(n^2) cosine_pairs baseline. The corpus "
+    "is the embeddings table plus exact duplicates of every 25th vector "
+    "(the duplicate-document -> identical-embedding ingest case, where "
+    "sign-LSH candidate recall is exactly 1.0 — identical vectors share "
+    "every code); at threshold 0.999 only those duplicates qualify, so "
+    "the relational all-pairs oracle provably equals the index output.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    return similarity.lsh_near_dup_pairs(corpus, threshold=0.999)
+
+
+@query(
     "ann_topk_ivf_persisted",
     sql=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

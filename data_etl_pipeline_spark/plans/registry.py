@@ -47,20 +47,20 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 11
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 12
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 26 of the 45
+# r3 verdict's rotation debt, now at the front, then (c) 25 of the 45
 # queries whose latest green row is round 2 (staleness rotation, keeping
-# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 19 simple
+# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 20 simple
 # unchanged shapes — customer_order_distribution,
 # customers_with_urgent_orders, customers_without_orders,
 # distinct_segment_nation, event_type_user_buckets, nation_segment_rollup,
 # newest_open_orders, order_key_lookup, orderkey_set_ops, part_prefix_agg,
 # quantity_band_stats, returnflag_priority_counts, revenue_by_nation,
 # rich_customers_projection, vocab_word_match, approx_distinct_scales,
-# vocab_phrase_regex_match, vocab_match_compiled, vocab_match_aho_corasick —
-# to the round-5 rotation,
+# vocab_phrase_regex_match, vocab_match_compiled, vocab_match_aho_corasick,
+# top3_orders_per_customer — to the round-5 rotation,
 # where they MUST go first).
 _VERIFY_FIRST: list[str] = [
     # (a) changed or new this round
@@ -75,6 +75,7 @@ _VERIFY_FIRST: list[str] = [
     "versioned_zorder_merge",  # NEW: OPTIMIZE ZORDER + skipping merge
     "incremental_minhash_dedup",  # NEW: ingest dedup vs persisted band index
     "ann_topk_ivf_persisted",  # NEW: persisted IVF cell assignment
+    "embedding_near_dup_pairs",  # NEW: LSH-bucketed pair mining, no self-join
     # (b) green in round 1 only — the r3 verdict's rotation debt
     "returned_items_revenue",
     "shipping_priority",
@@ -115,7 +116,6 @@ _VERIFY_FIRST: list[str] = [
     "segment_with_override",
     "sole_returned_suppliers",
     "supplier_host_etld1",
-    "top3_orders_per_customer",
 ]
 
 

@@ -246,3 +246,25 @@ def test_persisted_ivf_index_probe_never_reassigns_corpus(spark, sf_dir, tmp_pat
     a = sorted(map(tuple, part.read().select("vec_id", "c_id").collect()))
     b = sorted(map(tuple, full.read().select("vec_id", "c_id").collect()))
     assert a == b
+
+
+def test_lsh_near_dup_pairs_finds_exact_dups_without_self_join(spark, sf_dir):
+    """The pair miner must find every exact-duplicate pair (identical
+    vectors share every code -> candidate recall 1.0), report cosine 1.0,
+    produce no false pairs on this corpus at 0.999, and keep the
+    inverted-index plan shape: ZERO Join operators — pairs come from
+    posting-list combinations after a groupBy, never a corpus self-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    n_dups = dups.count()
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    pairs = similarity.lsh_near_dup_pairs(corpus, threshold=0.999)
+    rows = pairs.collect()
+    assert len(rows) == n_dups
+    for r in rows:
+        assert r["vec_b"] == r["vec_a"] + 100000
+        assert r["cosine_sim"] == 1.0
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan, "pair mining must not self-join the corpus"
