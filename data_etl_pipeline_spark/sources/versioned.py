@@ -451,26 +451,37 @@ class VersionedTable:
         MERGE/DELETE prune on any of the curve's dimensions (the
         multi-dimensional skipping Delta's OPTIMIZE ZORDER buys).
 
-        Mechanism: each column is rank-normalized to ``bits`` bits with an
-        ntile window (locally a global sort per column — the same cost
-        class as Delta's range-id computation; at production scale the
-        rank map comes from approxQuantile boundaries computed on a
-        sample, everything downstream identical), the per-column bits are
-        interleaved into one Morton key, and files are range-partitioned
-        on that key. Logical content is unchanged — a pure layout commit,
-        like ``compact``."""
+        Mechanism: each column is rank-normalized to ``bits`` bits of
+        bucket id against approxQuantile boundaries (one sketch pass, no
+        global sort — a whole-table ntile window would funnel every row
+        through ONE task, the 100 TB killer this deliberately avoids);
+        the bucket id is computed row-locally as a fold over the
+        broadcast boundary array, the per-column bits are interleaved
+        into one Morton key, and files are range-partitioned on that key.
+        Logical content is unchanged — a pure layout commit, like
+        ``compact``. Quantile sketching makes the LAYOUT approximate,
+        never the data; skew (repeated boundary values) only widens some
+        buckets. Columns must be numeric (Delta's ZORDER maps strings
+        through the same range-id trick; out of scope here)."""
         if not cols:
             raise ValueError("optimize_zorder needs at least one column")
-        from pyspark.sql import Window as W
 
         def build(man: dict):
             cur = self._read_files(man["files"], man["schema"])
+            n = 1 << bits
+            probs = [i / n for i in range(1, n)]
             z = cur
             for c in cols:
-                z = z.withColumn(
+                # one G-K sketch pass per column; boundaries become a
+                # broadcast literal array and bucketing is a row-local fold
+                bounds = cur.stat.approxQuantile(c, probs, 1.0 / (4 * n))
+                arr = F.array(*[F.lit(float(b)) for b in bounds])
+                z = z.withColumn("__bnd", arr).withColumn(
                     f"__r_{c}",
-                    (F.ntile(1 << bits).over(W.orderBy(F.col(c))) - 1).cast("long"),
-                )
+                    F.expr(
+                        f"aggregate(__bnd, 0L, (acc, b) -> acc + IF(cast({c} as double) > b, 1L, 0L))"
+                    ),
+                ).drop("__bnd")
             k = len(cols)
             terms = [
                 f"(((__r_{c} >> {b}) & 1) << {b * k + i})"
