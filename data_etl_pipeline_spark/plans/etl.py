@@ -301,6 +301,25 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_window_merge_counts",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="UPDATE-mode windowed streaming MERGE: each micro-batch upserts "
+    "only its CHANGED windows into the versioned table keyed on "
+    "(window_start, event_type) — late events re-emit and replace their "
+    "window row; converges to the batch answer under out-of-order "
+    "multi-batch arrival (tested). The scale-correct alternative to "
+    "complete-mode sinks that rewrite all state every batch.",
+)
+def stream_window_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_update_merge_windows
+
+    return run_stream_update_merge_windows(spark, sf_dir)
+
+
+@query(
     "stream_deferred_extraction",
     sql=_DEFERRED_SQL,
     doc="The deferred pipeline under Structured Streaming: overlapping "

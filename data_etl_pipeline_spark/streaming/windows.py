@@ -165,6 +165,68 @@ def run_stream_enriched_counts(
     )
 
 
+def run_stream_update_merge_windows(
+    spark: SparkSession, sf_dir: str, table_path: str | None = None,
+    source_dir: str | None = None,
+) -> DataFrame:
+    """UPDATE-mode windowed aggregation landing via MERGE keyed on the
+    WINDOW itself: each micro-batch emits only the windows it changed
+    (update mode — a late event inside the watermark re-emits its
+    already-written window), and foreachBatch MERGEs those rows into the
+    versioned table keyed on (window_start, event_type), so the table
+    always holds the latest value per window and converges to the batch
+    answer regardless of arrival order (asserted over a multi-file
+    out-of-order source in tests).
+
+    This is the scale-correct sink pair for windowed streams: complete
+    mode (run_stream_hourly_counts' memory sink) rewrites ALL state every
+    batch — fine for a test harness, a killer at 100 TB — while here the
+    per-batch sink work is proportional to the CHANGED windows only, and
+    the table's key-range skipping means old window files are carried by
+    reference, not rewritten. ``source_dir`` lets callers stream a
+    multi-file copy of the events table to force real multi-batch
+    processing with late data.
+    """
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    if source_dir is None:
+        stream = _events_stream(spark, sf_dir)
+    else:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(source_dir)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    agg = (
+        stream.withWatermark("ts", "720 hours")  # keep every window live: late
+        # files in the out-of-order test source must still update their windows
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tbl = VersionedTable(spark, table_path or tempfile.mkdtemp(prefix="win_merge_tbl_"))
+    if tbl.latest_version() is None:
+        tbl.write(spark.createDataFrame([], "window_start timestamp, event_type string, n long"))
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        tbl.merge(batch_df, keys=["window_start", "event_type"])
+
+    q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _align_ts_cols(spark, sf_dir, tbl.read(), ["window_start"])
+
+
 def run_stream_merge_versioned(
     spark: SparkSession, sf_dir: str, table_path: str | None = None
 ) -> DataFrame:

@@ -265,3 +265,37 @@ def test_stream_merge_versioned_matches_batch(spark, sf_dir, tmp_path):
     assert again == expect
     # the ingestion history is time-travelable: version count grew per epoch
     assert len(tbl.history()) >= 2
+
+
+def test_stream_window_merge_converges_under_out_of_order_arrival(spark, sf_dir, tmp_path):
+    """Update-mode windowed MERGE: hours are spread across 3 source files
+    so every micro-batch delivers LATE events for windows earlier batches
+    already wrote — each re-emission must replace its window row, and the
+    final table must equal the batch groupBy exactly."""
+    from pyspark.sql import functions as F
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+    from data_etl_pipeline_spark.streaming.windows import run_stream_update_merge_windows
+    from data_etl_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "shuffled_events")
+    # 3 files, each containing events from ALL hours (hash split)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(3, F.pmod(F.col("event_id"), F.lit(3))).write.parquet(src)
+
+    out = run_stream_update_merge_windows(
+        spark, sf_dir, table_path=str(tmp_path / "win_tbl"), source_dir=src
+    )
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in out.collect()}
+    expect = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expect
+
+    # multi-batch really happened: one merge commit per micro-batch + v0
+    tbl = VersionedTable(spark, str(tmp_path / "win_tbl"))
+    assert len(tbl.history()) >= 3
