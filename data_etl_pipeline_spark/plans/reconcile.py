@@ -160,3 +160,37 @@ def two_phase_concept_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("concept")), ",").alias("concepts"),
         F.count(F.lit(1)).alias("n_concepts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (entity resolution on free-text keys): part names vs a
+# deterministically-corrupted copy (3rd character dropped), matched at edit
+# distance <= 1 through the lossless q-gram count-filter blocking of
+# operators/fuzzy.py. The oracle is the quadratic levenshtein join — equal
+# output is exactly the losslessness claim.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_name_match",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part),
+    corrupt AS (SELECT DISTINCT substr(s, 1, 2) || substr(s, 4) AS s FROM names)
+    SELECT n.s AS left_id, c.s AS right_id,
+           CAST(levenshtein(n.s, c.s) AS BIGINT) AS dist
+    FROM names n, corrupt c
+    WHERE levenshtein(n.s, c.s) <= 1
+    """,
+    doc="Edit-distance similarity join (<= 1) between part names and a "
+    "corrupted copy via lossless q-gram count-filter blocking "
+    "(posting-list equi-join + bounded short bucket, never a cross join "
+    "on the long side); quadratic-oracle equality IS the losslessness "
+    "proof (Gravano et al. VLDB 2001 count filtering).",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+
+    names = load(spark, sf_dir, "part").select(F.col("p_name").alias("s")).distinct()
+    left = names.select(F.col("s").alias("id"), "s")
+    right = names.select(
+        F.concat(F.expr("substring(s, 1, 2)"), F.expr("substring(s, 4)")).alias("s")
+    ).distinct().select(F.col("s").alias("id"), "s")
+    return fuzzy_match_pairs(left, right, max_dist=1, q=2)

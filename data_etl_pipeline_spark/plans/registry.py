@@ -47,12 +47,12 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 13
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 14
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 24 of the 45
+# r3 verdict's rotation debt, now at the front, then (c) 23 of the 45
 # queries whose latest green row is round 2 (staleness rotation, keeping
-# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 21 simple
+# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
 # unchanged shapes — customer_order_distribution,
 # customers_with_urgent_orders, customers_without_orders,
 # distinct_segment_nation, event_type_user_buckets, nation_segment_rollup,
@@ -60,7 +60,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # quantity_band_stats, returnflag_priority_counts, revenue_by_nation,
 # rich_customers_projection, vocab_word_match, approx_distinct_scales,
 # vocab_phrase_regex_match, vocab_match_compiled, vocab_match_aho_corasick,
-# top3_orders_per_customer, supplier_host_etld1 — to the round-5 rotation,
+# top3_orders_per_customer, supplier_host_etld1, sole_returned_suppliers —
+# to the round-5 rotation,
 # where they MUST go first).
 _VERIFY_FIRST: list[str] = [
     # (a) changed or new this round
@@ -77,6 +78,7 @@ _VERIFY_FIRST: list[str] = [
     "ann_topk_ivf_persisted",  # NEW: persisted IVF cell assignment
     "embedding_near_dup_pairs",  # NEW: LSH-bucketed pair mining, no self-join
     "stream_window_merge_counts",  # NEW: update-mode windowed MERGE sink
+    "fuzzy_name_match",        # NEW: lossless q-gram edit-distance join
     # (b) green in round 1 only — the r3 verdict's rotation debt
     "returned_items_revenue",
     "shipping_priority",
@@ -115,7 +117,6 @@ _VERIFY_FIRST: list[str] = [
     "hourly_event_stats",
     "running_value_per_user",
     "segment_with_override",
-    "sole_returned_suppliers",
 ]
 
 
