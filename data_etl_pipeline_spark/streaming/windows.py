@@ -167,7 +167,7 @@ def run_stream_enriched_counts(
 
 def run_stream_update_merge_windows(
     spark: SparkSession, sf_dir: str, table_path: str | None = None,
-    source_dir: str | None = None,
+    source_dir: str | None = None, watermark: str = "2 hours",
 ) -> DataFrame:
     """UPDATE-mode windowed aggregation landing via MERGE keyed on the
     WINDOW itself: each micro-batch emits only the windows it changed
@@ -203,9 +203,12 @@ def run_stream_update_merge_windows(
         if dict(stream.dtypes).get("ts") == "timestamp_ntz":
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
+    # the watermark bounds state AND lateness: events later than it are
+    # dropped, which is the streaming contract — convergence to the batch
+    # answer holds for arrivals within the watermark (the out-of-order
+    # test passes a wide one to cover its artificial multi-day disorder)
     agg = (
-        stream.withWatermark("ts", "720 hours")  # keep every window live: late
-        # files in the out-of-order test source must still update their windows
+        stream.withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", "1 hour").getField("start").alias("window_start"),
             F.col("event_type"),

@@ -285,7 +285,8 @@ def test_stream_window_merge_converges_under_out_of_order_arrival(spark, sf_dir,
     raw.repartition(3, F.pmod(F.col("event_id"), F.lit(3))).write.parquet(src)
 
     out = run_stream_update_merge_windows(
-        spark, sf_dir, table_path=str(tmp_path / "win_tbl"), source_dir=src
+        spark, sf_dir, table_path=str(tmp_path / "win_tbl"), source_dir=src,
+        watermark="720 hours",  # cover the artificial multi-day disorder
     )
     got = {(r["window_start"], r["event_type"]): r["n"] for r in out.collect()}
     expect = {
