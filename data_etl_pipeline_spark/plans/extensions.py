@@ -380,6 +380,86 @@ def versioned_zorder_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Change-data-feed through the versioned layer (Delta CDF's snapshot-diff
+# form): write orders as v0 clustered on the key, MERGE a key-bounded
+# update+insert batch, DELETE a pruned key range, then read the net
+# row-level changes v0 -> latest. Files outside the touched key ranges are
+# carried by reference and never read by the feed — the oracle proves the
+# feed is exactly the logical diff, so a carried file wrongly included (or
+# a changed row missed) fails the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_change_feed",
+    sql="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 8000),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= 3000
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM v0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'NEW', o_totalprice
+      FROM v0 WHERE o_orderkey % 13 = 0),
+    v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT BETWEEN 1000 AND 1500),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             a.o_orderkey AS ok_old, b.o_orderkey AS ok_new,
+             a.o_orderstatus AS st_old, b.o_orderstatus AS st_new,
+             a.o_totalprice AS tp_old, b.o_totalprice AS tp_new
+      FROM v0 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+    SELECT k AS o_orderkey, st_new AS o_orderstatus, tp_new AS o_totalprice,
+           'insert' AS change_type
+    FROM j WHERE ok_old IS NULL
+    UNION ALL
+    SELECT k, st_old, tp_old, 'delete' FROM j WHERE ok_new IS NULL
+    UNION ALL
+    SELECT k, st_old, tp_old, 'update_preimage'
+    FROM j WHERE ok_old IS NOT NULL AND ok_new IS NOT NULL
+      AND (st_old <> st_new OR tp_old <> tp_new)
+    UNION ALL
+    SELECT k, st_new, tp_new, 'update_postimage'
+    FROM j WHERE ok_old IS NOT NULL AND ok_new IS NOT NULL
+      AND (st_old <> st_new OR tp_old <> tp_new)
+    """,
+    doc="Change-data-feed (Delta CDF snapshot-diff form) over the versioned "
+    "table: MERGE + DELETE WHERE, then net row-level changes v0 -> latest "
+    "reading only removed/added files; oracle recomputes the logical diff.",
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable, range_prune
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 8000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="cdf_tbl_"))
+    # clustered layout -> the key-bounded MERGE and pruned DELETE carry the
+    # untouched key-range files, which the feed then never reads
+    t.write(base, cluster_by=["o_orderkey"], n_files=8)
+    updates = (
+        base.where((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 3000))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    t.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    t.delete_where(
+        F.col("o_orderkey").between(1000, 1500),
+        prune=range_prune("o_orderkey", 1000, 1500),
+    )
+    return t.change_feed(keys=["o_orderkey"], from_version=0)
+
+
+# ---------------------------------------------------------------------------
 # F4/F12: email extraction over deterministic synthesized contact text
 # (the corpus has no email column; both engines build the identical text
 # from customer rows, so extraction + deny-list validation is fully

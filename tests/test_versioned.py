@@ -379,3 +379,82 @@ def test_optimize_zorder_skips_on_every_dimension(spark, tmp_path):
     assert zt._manifest()["files_carried"] >= 1
     got = {(r["x"], r["y"]): r["payload"] for r in zt.read().collect()}
     assert got[(1, 1)] == "NEW" and len(got) == 1024
+
+
+def test_change_feed_net_diff_and_carried_files_unread(spark, tmp_path):
+    """change_feed emits exactly the logical diff, with the preimage of an
+    update-then-delete being the FROM-version row, and reads ONLY files
+    removed/added between the manifests (the Delta-CDF scale property)."""
+    from data_etl_pipeline_spark.sources.versioned import range_prune
+
+    t = VersionedTable(spark, str(tmp_path / "cdf"))
+    rows = [(i, "keep", float(i)) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, tag string, val double")
+    t.write(df, cluster_by=["id"], n_files=8)
+
+    # v1: update ids 0-3, insert 100-101; v2: delete id 2 (updated then deleted)
+    up = spark.createDataFrame(
+        [(i, "upd", float(i) + 0.5) for i in range(4)]
+        + [(100, "new", 100.0), (101, "new", 101.0)],
+        "id long, tag string, val double",
+    )
+    t.merge(up, keys=["id"])
+    t.delete_where(F.col("id") == 2, prune=range_prune("id", 2, 2))
+
+    feed = {
+        (r["id"], r["change_type"]): (r["tag"], r["val"])
+        for r in t.change_feed(keys=["id"], from_version=0).collect()
+    }
+    assert feed[(100, "insert")] == ("new", 100.0)
+    assert feed[(101, "insert")] == ("new", 101.0)
+    # net effect of update-then-delete: ONE delete, carrying the v0 preimage
+    assert feed[(2, "delete")] == ("keep", 2.0)
+    assert (2, "update_preimage") not in feed and (2, "update_postimage") not in feed
+    for i in (0, 1, 3):
+        assert feed[(i, "update_preimage")] == ("keep", float(i))
+        assert feed[(i, "update_postimage")] == ("upd", float(i) + 0.5)
+    # unchanged rows inside carried files contribute nothing
+    assert len(feed) == 2 + 1 + 3 * 2
+
+    # scale property: the bounded MERGE + pruned DELETE carried most of the
+    # clustered files, so the feed's inputs exclude them entirely
+    man0 = t._manifest(0)
+    man2 = t._manifest()
+    shared = {f["path"] for f in man0["files"]} & {f["path"] for f in man2["files"]}
+    assert len(shared) >= 5  # 8 clustered files, only the low-key ones touched
+    read_paths = {f["path"] for f in man0["files"] + man2["files"]} - shared
+    assert all(p not in shared for p in read_paths)
+
+
+def test_change_feed_schema_evolution_null_preimage(spark, tmp_path):
+    """After mergeSchema evolution, preimages report NULL for columns that
+    did not exist at from_version (Delta CDF behavior)."""
+    t = VersionedTable(spark, str(tmp_path / "cdf_evo"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string"))
+    up = spark.createDataFrame([(2, "B", 9.0)], "id long, tag string, score double")
+    t.merge(up, keys=["id"], merge_schema=True)
+    feed = {
+        (r["id"], r["change_type"]): (r["tag"], r["score"])
+        for r in t.change_feed(keys=["id"], from_version=0).collect()
+    }
+    assert feed[(2, "update_preimage")] == ("b", None)
+    assert feed[(2, "update_postimage")] == ("B", 9.0)
+    assert (1, "update_preimage") not in feed
+
+
+def test_merge_mixed_upsert_batch_skips_between_key_clusters(spark, tmp_path):
+    """A single MERGE batch mixing low-key updates with high-key inserts
+    must not touch the files between the two key clusters (global-bounds
+    skipping would rewrite the whole table here)."""
+    t = VersionedTable(spark, str(tmp_path / "mixed"))
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(80)], "id long, payload string")
+    t.write(df, cluster_by=["id"], n_files=8)
+    batch = spark.createDataFrame(
+        [(0, "UPD"), (5, "UPD"), (500, "NEW"), (501, "NEW")], "id long, payload string"
+    )
+    t.merge(batch, keys=["id"])
+    man = t._manifest()
+    assert man["files_carried"] >= 6  # only the id<10 file (+ none for inserts) rewritten
+    got = {r["id"]: r["payload"] for r in t.read().collect()}
+    assert got[0] == "UPD" and got[5] == "UPD" and got[500] == "NEW" and len(got) == 82
+    assert got[79] == "p79"
