@@ -736,6 +736,78 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+_ROUNDTRIP_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_custkey % 10 = {rem}
+    GROUP BY o_orderstatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# S12 widened across formats: the same slice->write->read->aggregate proof
+# for ORC (typed columnar: timestamps/doubles round-trip natively) and
+# JSON lines (text codec: the NTZ timestamp format must be pinned on both
+# sides, like CSV). The oracle aggregates the un-round-tripped rows, so
+# any codec loss hash-mismatches.
+# ---------------------------------------------------------------------------
+@query(
+    "orc_roundtrip_agg",
+    sql=_ROUNDTRIP_SQL.format(rem=1),
+    doc="ORC source/sink round-trip (SURVEY S12 family): write slice as "
+    "ORC, read back, aggregate; typed columnar codec round-trips natively.",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    out = f"{tempfile.gettempdir()}/orc_rt_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 1).write.mode(
+        "overwrite"
+    ).orc(out)
+    return _roundtrip_agg(spark.read.orc(out))
+
+
+@query(
+    "json_roundtrip_agg",
+    sql=_ROUNDTRIP_SQL.format(rem=2),
+    doc="JSON-lines source/sink round-trip (SURVEY S12 family): write slice "
+    "as JSONL, read back with explicit schema + pinned NTZ timestamp "
+    "format, aggregate; a lossy text codec would hash-mismatch.",
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    out = f"{tempfile.gettempdir()}/json_rt_{_uuid.uuid4().hex[:8]}"
+    sliced = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 2)
+    sliced.write.mode("overwrite").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss"
+    ).json(out)
+    back = (
+        spark.read.option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+        )
+        .json(out)
+    )
+    return _roundtrip_agg(back)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q3 shape: shipping priority — fact-fact join filtered both sides,
 # grouped revenue, deterministic top-10.
@@ -887,4 +959,75 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis over the event stream: per-user first-touch cascade
+# view -> click -> purchase, where each stage's first touch must be AT OR
+# AFTER the previous stage's (not merely present). Three grouped mins +
+# three equi-joins, ALL keyed on user_id — one partitioning serves every
+# stage (Exchange reuse), so at 100 TB this is three map-side-combined
+# aggs over progressively tiny intermediates, never a sort or window over
+# the raw stream.
+# ---------------------------------------------------------------------------
+@query(
+    "event_funnel_stages",
+    sql="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CAST(v.t_view IS NOT NULL AS INT)
+                + CAST(c.t_click IS NOT NULL AS INT)
+                + CAST(p.t_purchase IS NOT NULL AS INT) AS INT) AS funnel_stage,
+           v.t_view, c.t_click, p.t_purchase
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    doc="Per-user ordered funnel (view -> click -> purchase first-touch "
+    "cascade): stage N's first touch must be at/after stage N-1's; one "
+    "user_id partitioning reused across all aggs and joins.",
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.alias("funnel_stage"), "t_view", "t_click", "t_purchase")
     )

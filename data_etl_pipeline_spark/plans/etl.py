@@ -320,6 +320,23 @@ def stream_window_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_event_counts",
+    sql="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exact dedup: dropDuplicates state across micro-batches "
+    "absorbs an at-least-once source's full-table redelivery + partial "
+    "slice (SURVEY ST2's exactly-once effect); per-type counts equal the "
+    "base table's distinct-id counts or the hash inflates ~2.3x.",
+)
+def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_dedup_counts
+
+    return run_stream_dedup_counts(spark, sf_dir)
+
+
+@query(
     "stream_deferred_extraction",
     sql=_DEFERRED_SQL,
     doc="The deferred pipeline under Structured Streaming: overlapping "

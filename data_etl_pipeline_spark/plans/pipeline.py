@@ -1326,3 +1326,73 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group least-squares fit (A-family extension: covariance aggregates).
+# Training pipelines calibrate quality/length relationships per source;
+# slope, intercept and Pearson r come from the five exact integer sufficient
+# statistics (sum x, y, xy, x^2, y^2 — one map-side-combined groupBy, no
+# UDF, no second pass), with the closed-form double arithmetic written in
+# the SAME operation order in both engines so results are bit-identical
+# before the final round(6).
+# ---------------------------------------------------------------------------
+@query(
+    "per_source_quality_regression",
+    sql="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             n_chars AS y
+      FROM documents),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM t GROUP BY source)
+    SELECT source, n AS n_docs,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+    FROM s
+    """,
+    doc="Per-source least-squares fit of chars on whitespace tokens + "
+    "Pearson r from exact integer sufficient statistics (single "
+    "map-side-combined groupBy; closed-form double math mirrored "
+    "operation-for-operation in the oracle).",
+)
+def per_source_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy - sx * sy).cast("double")
+    var_n = (n * sxx - sx * sx).cast("double")
+    vary_n = (n * syy - sy * sy).cast("double")
+    slope = cov_n / var_n
+    return s.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy.cast("double") - slope * sx.cast("double")) / n.cast("double"), 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n / (F.sqrt(var_n) * F.sqrt(vary_n)), 6).alias("corr"),
+    )

@@ -47,10 +47,10 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 14
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 20
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 23 of the 45
+# r3 verdict's rotation debt, now at the front, then (c) 17 of the 45
 # queries whose latest green row is round 2 (staleness rotation, keeping
 # the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
 # unchanged shapes — customer_order_distribution,
@@ -65,6 +65,12 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # where they MUST go first).
 _VERIFY_FIRST: list[str] = [
     # (a) changed or new this round
+    "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
+    "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
+    "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
+    "json_roundtrip_agg",      # NEW: JSON-lines source/sink round trip
+    "per_source_quality_regression",  # NEW: covariance-aggregate fit
+    "event_funnel_stages",     # NEW: ordered first-touch funnel
     "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
     "ann_topk_lsh_persisted",  # NEW: persisted-index probe
     "doc_chunks_bpe",          # corpus-trained merge table composed in
@@ -99,10 +105,6 @@ _VERIFY_FIRST: list[str] = [
     "two_phase_concept_extraction",
     "doc_minhash_lsh_pairs",
     "doc_simhash_pairs",
-    "doc_chunks_even",
-    "doc_chunks_hard_limit",
-    "doc_fingerprints",
-    "doc_lang_id",
     "doc_pii_redaction",
     "doc_quality_scores",
     "doc_repetition_filter",
@@ -115,9 +117,12 @@ _VERIFY_FIRST: list[str] = [
     "address_merge",
     "event_props_json_stats",
     "hourly_event_stats",
-    "running_value_per_user",
-    "segment_with_override",
 ]
+# doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
+# running_value_per_user, segment_with_override moved to the round-5
+# rotation front (with the 22 deferred shapes above): the 6 brand-new
+# queries of this round have no driver row at all yet, which outranks
+# refreshing an r2-green row.
 
 
 def _ordered() -> list[str]:

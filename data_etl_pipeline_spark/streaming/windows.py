@@ -230,6 +230,53 @@ def run_stream_update_merge_windows(
     return _align_ts_cols(spark, sf_dir, tbl.read(), ["window_start"])
 
 
+def run_stream_dedup_counts(
+    spark: SparkSession, sf_dir: str, source_dir: str | None = None,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: an at-least-once source redelivers
+    the whole events table plus a partial slice across three micro-batches;
+    ``dropDuplicates`` on the event id keeps only first arrivals ACROSS
+    batches (state-store backed), giving the exactly-once effect the
+    reference's queue consumers get from idempotent upserts (SURVEY ST2 —
+    SQS redelivers, the upsert absorbs). Each batch's survivors land in an
+    epoch-keyed idempotent parquet sink; the returned per-type counts equal
+    the distinct-id counts of the base table, which the oracle checks — an
+    undetected duplicate would inflate the hash ~2.3x.
+
+    Scale note: key-only dedup retains one state row per id for the run —
+    right for bounded replays/backfills. Unbounded streams bound state with
+    ``withWatermark + dropDuplicatesWithinWatermark`` (same plan shape),
+    trading exactness for duplicates arriving later than the allowed
+    lateness. State is hash-partitioned by id across executors either way.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = source_dir or tempfile.mkdtemp(prefix="dup_events_src_")
+    # three files -> three micro-batches: full, full redelivery, 1/3 slice
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    dedup = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+    sink = sink_dir or tempfile.mkdtemp(prefix="dedup_sink_")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = dedup.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    survivors = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def run_stream_merge_versioned(
     spark: SparkSession, sf_dir: str, table_path: str | None = None
 ) -> DataFrame:
