@@ -460,6 +460,94 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance driven by the change feed: the
+# per-status (count, total) aggregate is maintained by applying SIGNED
+# deltas from change_feed(v0 -> latest) to the v0 aggregate — inserts and
+# update-postimages add, deletes and update-preimages subtract — instead
+# of re-aggregating the snapshot. At 100 TB the delta volume is the
+# changed rows only (and change_feed reads only removed/added files), so
+# view maintenance costs O(changes), not O(table). The query RETURNS the
+# incrementally-maintained view; the oracle aggregates the final logical
+# state directly, so any drift between delta math and truth fails the
+# hash.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_materialized_view",
+    sql="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 8000),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= 3000
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM v0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'NEW', o_totalprice
+      FROM v0 WHERE o_orderkey % 13 = 0),
+    v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT BETWEEN 1000 AND 1500)
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM v2 GROUP BY o_orderstatus
+    """,
+    doc="Incremental materialized-view maintenance: v0 aggregate + signed "
+    "change-feed deltas (O(changes), not O(table)); oracle aggregates the "
+    "final state directly, so delta-math drift fails the hash.",
+)
+def cdc_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable, range_prune
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 8000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="mv_tbl_"))
+    t.write(base, cluster_by=["o_orderkey"], n_files=8)
+    updates = (
+        base.where((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 3000))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    t.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    t.delete_where(
+        F.col("o_orderkey").between(1000, 1500),
+        prune=range_prune("o_orderkey", 1000, 1500),
+    )
+
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    view0 = t.read(version=0).groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total")
+    )
+    deltas = (
+        t.change_feed(keys=["o_orderkey"], from_version=0)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(dec * sign.cast("decimal(2,0)")).alias("total"),
+        )
+    )
+    return (
+        view0.unionByName(deltas)
+        .groupBy("status")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .where(F.col("n") > 0)
+        .select("status", "n", F.col("total").cast("double").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # F4/F12: email extraction over deterministic synthesized contact text
 # (the corpus has no email column; both engines build the identical text
 # from customer rows, so extraction + deny-list validation is fully

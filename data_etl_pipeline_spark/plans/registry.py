@@ -47,10 +47,10 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 20
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 21
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 17 of the 45
+# r3 verdict's rotation debt, now at the front, then (c) 16 of the 45
 # queries whose latest green row is round 2 (staleness rotation, keeping
 # the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
 # unchanged shapes — customer_order_distribution,
@@ -71,6 +71,7 @@ _VERIFY_FIRST: list[str] = [
     "json_roundtrip_agg",      # NEW: JSON-lines source/sink round trip
     "per_source_quality_regression",  # NEW: covariance-aggregate fit
     "event_funnel_stages",     # NEW: ordered first-touch funnel
+    "cdc_materialized_view",   # NEW: incremental view maintenance via CDC
     "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
     "ann_topk_lsh_persisted",  # NEW: persisted-index probe
     "doc_chunks_bpe",          # corpus-trained merge table composed in
@@ -114,13 +115,12 @@ _VERIFY_FIRST: list[str] = [
     "corpus_curation",
     "benchmark_contamination",
     "mixture_rebalance",
-    "address_merge",
     "event_props_json_stats",
     "hourly_event_stats",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
-# running_value_per_user, segment_with_override moved to the round-5
-# rotation front (with the 22 deferred shapes above): the 6 brand-new
+# running_value_per_user, segment_with_override, address_merge moved to the round-5
+# rotation front (with the 22 deferred shapes above): the 7 brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.
 
