@@ -1031,3 +1031,125 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", stage.alias("funnel_stage"), "t_view", "t_click", "t_purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range-containment) join with NO equi-key: error events open
+# 10-minute incident windows; count all traffic inside each window.
+# Catalyst alone would plan `ts BETWEEN start AND end` as a broadcast
+# nested loop (or a cartesian product once the window side outgrows the
+# broadcast threshold); operators/intervals.py bucketizes the time axis so
+# it becomes a shuffled equi-join on the bucket id + exact post-filter —
+# both sides scale out, no O(n*m). Bucket width = the window length, so
+# each window explodes to <= 2 bucket rows.
+# ---------------------------------------------------------------------------
+@query(
+    "incident_window_event_counts",
+    sql="""
+    WITH w AS (
+        SELECT event_id AS window_id, ts AS w_start,
+               ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error' AND event_id % 8 = 0
+    )
+    SELECT w.window_id, w.w_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id, w.w_start
+    """,
+    doc="Pure range-containment join (no equi-key) via time-bucketed "
+    "equi-join: incident windows x the full event stream.",
+)
+def incident_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.intervals import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    windows = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % 8 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+        )
+    )
+    points = ev.select(F.col("ts").alias("p_ts"), "user_id", "value")
+    return (
+        interval_join(points, windows, "p_ts", "w_start", "w_end", bucket_width_s=600)
+        .groupBy("window_id", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value", 18, 2)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill: densify each event type's hourly
+# timeline (zero rows for silent hours) and carry the last observed
+# hourly average forward. Spark has no generate_series relation — the
+# axis is sequence()+explode over per-key (min, max) bounds, then a left
+# join back and a last(ignorenulls) window. Scale shape: the dense axis
+# is (keys x hours) — metadata-sized next to the raw stream (720 rows per
+# key per month) — and the agg, axis join, and window all share one
+# event_type partitioning. Avg follows the registry contract: exact
+# decimal sum / count in double, rounded before the ffill in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_hourly_gap_fill",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY event_type
+    ),
+    axis AS (
+        SELECT b.event_type, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hr
+        FROM bounds b
+    )
+    SELECT a.event_type, a.hr,
+           COALESCE(h.cnt, 0) AS n_events,
+           ROUND(CAST(h.sv AS DOUBLE) / h.cnt, 6) AS hr_avg_value,
+           LAST_VALUE(ROUND(CAST(h.sv AS DOUBLE) / h.cnt, 6) IGNORE NULLS)
+               OVER (PARTITION BY a.event_type ORDER BY a.hr
+                     ROWS UNBOUNDED PRECEDING) AS ffill_avg_value
+    FROM axis a
+    LEFT JOIN hourly h ON a.event_type = h.event_type AND a.hr = h.hr
+    """,
+    doc="Dense hourly timeline per event type (sequence+explode axis) with "
+    "zero-filled counts and forward-filled hourly averages.",
+)
+def event_type_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value", 18, 2)).alias("sv")
+    )
+    axis = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("hr"),
+        )
+    )
+    hr_avg = F.round(F.col("sv").cast("double") / F.col("cnt"), 6)
+    filled = axis.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+        hr_avg.alias("hr_avg_value"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.withColumn(
+        "ffill_avg_value", F.last("hr_avg_value", ignorenulls=True).over(w)
+    )

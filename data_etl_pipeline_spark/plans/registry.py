@@ -65,6 +65,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # where they MUST go first).
 _VERIFY_FIRST: list[str] = [
     # (a) changed or new this round
+    "incident_window_event_counts",  # NEW: bucketed interval join, no equi-key
+    "event_type_hourly_gap_fill",    # NEW: dense hourly axis + forward fill
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
@@ -115,12 +117,11 @@ _VERIFY_FIRST: list[str] = [
     "corpus_curation",
     "benchmark_contamination",
     "mixture_rebalance",
-    "event_props_json_stats",
-    "hourly_event_stats",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
-# running_value_per_user, segment_with_override, address_merge moved to the round-5
-# rotation front (with the 22 deferred shapes above): the 7 brand-new
+# running_value_per_user, segment_with_override, address_merge,
+# event_props_json_stats, hourly_event_stats moved to the round-5
+# rotation front (with the 22 deferred shapes above): the brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.
 
