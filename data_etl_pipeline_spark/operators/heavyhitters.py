@@ -1,0 +1,89 @@
+"""Exact heavy hitters in two passes with bounded memory (Misra-Gries).
+
+At 100 TB the item domain (tokens, n-grams, URLs) is far too large to
+hash-aggregate exactly in one shot — the groupBy state itself is the
+scale problem. The classic fix is two passes:
+
+  pass 1  per-partition Misra-Gries summaries with k counters each.
+          MG guarantees any item with LOCAL count > N_p/(k+1) still owns
+          a counter at partition end, so an item with GLOBAL count
+          > N/(k+1) must survive in at least one partition (if it were
+          below the bar everywhere, its global count would be at most
+          sum_p N_p/(k+1) = N/(k+1)). The union of per-partition
+          survivors is therefore a SUPERSET of every item with frequency
+          >= support when k >= 1/support. At most k candidates per
+          partition — driver/broadcast sized by construction.
+
+  pass 2  exact re-count of candidates only: broadcast-semi-join the
+          stream against the candidate set, one small groupBy, filter by
+          the exact threshold ceil(support * N). Misra-Gries
+          over/under-counts never reach the result — the sketch only
+          nominates, the second scan decides.
+
+State per task is one dict of <= 2k entries — independent of the item
+domain size — and the heavy shuffle aggregates only candidate rows.
+(Misra & Gries 1982; the summary-merge bound follows Agarwal et al.,
+"Mergeable Summaries", PODS 2012.)
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries with ``k`` counters; returns the
+    distinct surviving items (superset of all items with global
+    frequency > 1/(k+1))."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[item_col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all; drop zeros. Amortized O(1) per item
+                    # via dict rebuild only when a decrement happens.
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return (
+        items.select(item_col)
+        .mapInPandas(summarize, schema=f"{item_col} string")
+        .distinct()
+    )
+
+
+def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
+    """Exact items with frequency >= ``support`` (count >= ceil(support*N))
+    plus their exact counts and shares, via MG-nominate + exact re-count.
+
+    Result columns: ``<item_col>``, ``cnt``, ``share`` (round 6).
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    k = max(1, math.ceil(1.0 / support))
+    candidates = misra_gries_candidates(items, item_col, k)
+    total = items.select(F.count(F.lit(1)).alias("total"))
+    return (
+        items.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("total")))
+        .select(
+            item_col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -1153,3 +1153,36 @@ def event_type_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.withColumn(
         "ffill_avg_value", F.last("hr_avg_value", ignorenulls=True).over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof distinct-set rollup: per-user event-type membership via the
+# salted two-phase collector (operators/skew.py). The direct
+# groupBy(key).collect_set funnels every row of a hot key through one
+# reducer; salting on hash(value) bounds any task's input to ~1/16 of the
+# hottest key while partial sets pre-dedup map-side. Result is provably
+# identical (sets are order-normalized) — the oracle computes the direct
+# rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_types_salted",
+    sql="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Distinct-set rollup through the salted two-phase collector "
+    "(bounded per-task input on hot keys); identical to the direct rollup.",
+)
+def user_event_types_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.skew import salted_set_rollup
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    rolled = salted_set_rollup(ev, "user_id", "event_type", n_salt=16, out_col="types")
+    return rolled.select(
+        "user_id",
+        F.array_join(F.col("types"), ",").alias("event_types"),
+        F.size("types").cast("long").alias("n_types"),
+    )

@@ -1396,3 +1396,60 @@ def per_source_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(cov_n / (F.sqrt(var_n) * F.sqrt(vary_n)), 6).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with bounded memory: word trigrams whose corpus
+# share clears a support threshold. One-shot groupBy over the full n-gram
+# domain IS the scale problem at 100 TB; operators/heavyhitters.py runs
+# per-partition Misra-Gries summaries (<= 1/support counters per task,
+# candidates provably a superset of every >= support item), then an exact
+# broadcast-semi-join re-count of candidates only. The oracle recomputes
+# the ground truth directly — the sketch may only nominate, never decide,
+# so the result is exact and partitioning-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "trigram_heavy_hitters",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS arr
+              FROM documents)
+    ),
+    tri AS (
+        SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS trigram
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tri)
+    SELECT trigram, COUNT(*) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.total), 6) AS share
+    FROM tri, tot
+    GROUP BY trigram
+    HAVING COUNT(*) >= CEIL(0.0002 * ANY_VALUE(tot.total))
+    """,
+    doc="Exact >=0.02%% word trigrams via per-partition Misra-Gries "
+    "nomination + exact candidate re-count (two scans, bounded state).",
+)
+def trigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
+        ).alias("arr")
+    )
+    trigrams = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 3 THEN "
+                "  transform(sequence(0, size(arr) - 3), "
+                "            i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2])) "
+                "ELSE array() END"
+            )
+        ).alias("trigram")
+    )
+    return heavy_hitters(trigrams, "trigram", support=0.0002)

@@ -67,6 +67,8 @@ _VERIFY_FIRST: list[str] = [
     # (a) changed or new this round
     "incident_window_event_counts",  # NEW: bucketed interval join, no equi-key
     "event_type_hourly_gap_fill",    # NEW: dense hourly axis + forward fill
+    "trigram_heavy_hitters",         # NEW: Misra-Gries nominate + exact recount
+    "user_event_types_salted",       # NEW: skew-proof two-phase set rollup
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
@@ -115,12 +117,11 @@ _VERIFY_FIRST: list[str] = [
     "embedding_kmeans_centroids",
     "ann_topk_ivf",
     "corpus_curation",
-    "benchmark_contamination",
-    "mixture_rebalance",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
 # running_value_per_user, segment_with_override, address_merge,
-# event_props_json_stats, hourly_event_stats moved to the round-5
+# event_props_json_stats, hourly_event_stats, benchmark_contamination,
+# mixture_rebalance moved to the round-5
 # rotation front (with the 22 deferred shapes above): the brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.

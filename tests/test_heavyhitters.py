@@ -1,0 +1,72 @@
+"""Misra-Gries nomination guarantee and exactness of the two-pass
+heavy-hitter operator."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from data_etl_pipeline_spark.operators.heavyhitters import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def _zipf_stream(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    # heavy head + long tail of singletons
+    items = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.30:
+            items.append("alpha")
+        elif r < 0.45:
+            items.append("beta")
+        elif r < 0.52:
+            items.append("gamma")
+        else:
+            items.append(f"tail{rng.randrange(n)}")
+    return items
+
+
+class TestHeavyHitters:
+    def test_matches_exact_counts(self, spark):
+        stream = _zipf_stream(5000, seed=7)
+        df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(8)
+        support = 0.05
+        got = {r["item"]: (r["cnt"], r["share"]) for r in
+               heavy_hitters(df, "item", support).collect()}
+        counts = Counter(stream)
+        total = len(stream)
+        import math
+        want = {i: c for i, c in counts.items() if c >= math.ceil(support * total)}
+        assert set(got) == set(want)
+        for i, c in want.items():
+            assert got[i][0] == c
+            assert got[i][1] == round(c / total, 6)
+
+    def test_candidates_are_superset_of_heavy(self, spark):
+        # adversarial order: all heavy items first, then a flood of tail —
+        # the decrement storm must not evict a true heavy hitter's claim
+        stream = ["hot"] * 400 + [f"t{i}" for i in range(3600)]
+        random.Random(3).shuffle(stream)
+        df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(4)
+        k = 10  # guarantees count > N/(k+1) = 4000/11 ~ 364 survives
+        cand = {r["item"] for r in misra_gries_candidates(df, "item", k).collect()}
+        assert "hot" in cand
+
+    def test_candidate_count_bounded_by_k_per_partition(self, spark):
+        stream = [f"u{i}" for i in range(10_000)]  # all distinct: worst case
+        df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(5)
+        k = 7
+        n_cand = misra_gries_candidates(df, "item", k).count()
+        assert n_cand <= k * 5
+
+    def test_parameter_validation(self, spark):
+        df = spark.createDataFrame([("x",)], "item string")
+        with pytest.raises(ValueError, match="support"):
+            heavy_hitters(df, "item", 0.0)
+        with pytest.raises(ValueError, match="k must"):
+            misra_gries_candidates(df, "item", 0)
