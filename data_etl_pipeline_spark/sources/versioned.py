@@ -621,6 +621,26 @@ class VersionedTable:
 
         return self._commit_retry(build, "zorder")
 
+    def expire_versions(self, keep_versions: int = 10) -> list[int]:
+        """Log retention (Iceberg ``expire_snapshots``): drop every
+        manifest older than the newest ``keep_versions``, after a
+        ``vacuum`` under the same horizon has reclaimed the data files
+        only those versions referenced. Without this the ``_log`` grows
+        one full file-list per commit forever — at 100 TB with thousands
+        of commits the metadata itself becomes a scan problem. Time
+        travel and ``change_feed`` to expired versions raise instead of
+        reading dangling manifests; ``history()`` reflects what is
+        actually readable. Returns the expired version numbers. Like
+        ``vacuum``, must not run concurrently with an in-flight writer."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.vacuum(keep_versions)
+        versions = self._versions()
+        expired = versions[:-keep_versions]
+        for v in expired:
+            os.remove(os.path.join(self._log_dir, f"v{v}.json"))
+        return expired
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Retention cleanup: delete data files referenced ONLY by versions
         older than the newest ``keep_versions`` manifests (Delta VACUUM

@@ -458,3 +458,33 @@ def test_merge_mixed_upsert_batch_skips_between_key_clusters(spark, tmp_path):
     got = {r["id"]: r["payload"] for r in t.read().collect()}
     assert got[0] == "UPD" and got[5] == "UPD" and got[500] == "NEW" and len(got) == 82
     assert got[79] == "p79"
+
+
+def test_expire_versions_drops_old_manifests_and_files(spark, tmp_path):
+    import os
+
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "id long, tag string, val double"
+    t.write(spark.createDataFrame([(i, f"t{i}", float(i)) for i in range(30)], schema))
+    for v in range(1, 4):
+        t.merge(spark.createDataFrame([(1, f"upd{v}", float(v))], schema), keys=["id"])
+    assert t._versions() == [0, 1, 2, 3]
+    latest = sorted(tuple(r) for r in t.read().collect())
+
+    expired = t.expire_versions(keep_versions=2)
+    assert expired == [0, 1]
+    assert t._versions() == [2, 3]
+    assert [m["version"] for m in t.history()] == [2, 3]
+    assert sorted(tuple(r) for r in t.read().collect()) == latest
+    assert sorted(tuple(r) for r in t.read(version=2).collect()) != []
+    with pytest.raises(ValueError, match="no version"):
+        t.read(version=0)
+    # every remaining data file is referenced by a surviving manifest
+    live = {f["path"] for v in (2, 3) for f in t._manifest(v)["files"]}
+    on_disk = {f"data/{n}" for n in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk == live
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        t.expire_versions(keep_versions=0)
