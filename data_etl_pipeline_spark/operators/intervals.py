@@ -63,8 +63,14 @@ def interval_join(
     # computed identically on both sides.
     width_us = int(bucket_width_s) * 1_000_000  # Python-side: no int32 overflow
 
+    # integer `div`, not floor(x / w): stays in long arithmetic (codegen
+    # integer op, no double rounding to reason about). div truncates toward
+    # zero while floor rounds down, but any monotone non-decreasing bucket
+    # function is correct here — bucket(start) <= bucket(ts) <= bucket(end)
+    # whenever start <= ts <= end, so the point's bucket is always in the
+    # interval's exploded range.
     def _bucket(col: str):
-        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(width_us))
+        return F.expr(f"unix_micros(cast(`{col}` as timestamp)) div {width_us}")
 
     p = points.withColumn("_ib", _bucket(point_ts))
     i = intervals.withColumn(
