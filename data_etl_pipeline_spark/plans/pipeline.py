@@ -1453,3 +1453,82 @@ def trigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trigram")
     )
     return heavy_hitters(trigrams, "trigram", support=0.0002)
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring (the CCNet/Gopher curation step): score every
+# document by its average negative log-likelihood under a Laplace-smoothed
+# bigram model trained on the corpus itself. Two grouped counts build the
+# model (bigram + unigram-context), one scalar vocab count smooths it,
+# and scoring is an equi-join of doc bigrams against the model — at 100 TB
+# the model table is orders of magnitude smaller than the corpus (it
+# grows with vocabulary^2 worst case, not corpus size) and broadcasts;
+# past the broadcast threshold it degrades to a plain shuffled equi-join
+# on w1,w2. No UDFs anywhere: tokenize/bigram are array expressions, the
+# likelihood is codegen arithmetic + ln. avg(-ln p) is rounded to 6
+# decimals per the registry float contract (each p is the same double in
+# both engines: integer-count division).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_lm_nll",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS arr
+              FROM documents)
+    ),
+    big AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks)
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN(CAST(bc.c2 + 1 AS DOUBLE) / (uc.c1 + v.vocab))), 6) AS nll
+    FROM big g
+    JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+    JOIN uc ON g.w1 = uc.w1
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+    doc="Per-document avg negative log-likelihood under a corpus-trained "
+    "Laplace-smoothed bigram LM (CCNet-style quality scoring).",
+)
+def doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
+        ).alias("arr"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 2 THEN "
+                "  transform(sequence(0, size(arr) - 2), "
+                "            i -> struct(arr[i] AS w1, arr[i+1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode("arr").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    p = (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("vocab"))
+    return (
+        bigrams.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("nll"),
+        )
+    )

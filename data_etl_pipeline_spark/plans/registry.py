@@ -69,6 +69,7 @@ _VERIFY_FIRST: list[str] = [
     "event_type_hourly_gap_fill",    # NEW: dense hourly axis + forward fill
     "trigram_heavy_hitters",         # NEW: Misra-Gries nominate + exact recount
     "user_event_types_salted",       # NEW: skew-proof two-phase set rollup
+    "doc_lm_nll",                    # NEW: bigram-LM quality scoring
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
@@ -116,12 +117,11 @@ _VERIFY_FIRST: list[str] = [
     "doc_token_counts",
     "embedding_kmeans_centroids",
     "ann_topk_ivf",
-    "corpus_curation",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
 # running_value_per_user, segment_with_override, address_merge,
 # event_props_json_stats, hourly_event_stats, benchmark_contamination,
-# mixture_rebalance moved to the round-5
+# mixture_rebalance, corpus_curation moved to the round-5
 # rotation front (with the 22 deferred shapes above): the brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.
