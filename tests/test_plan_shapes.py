@@ -159,3 +159,39 @@ def test_sequence_packing_groups_by_source_and_shard(spark, sf_dir):
 
     m = re.search(r"hashpartitioning\(source[^)]*shard", plan)
     assert m, "packing exchange must partition on (source, shard)"
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "incident_window_event_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the range predicate rides an equi-join on the bucket id
+    assert "HashJoin" in plan
+
+
+def test_lm_model_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_lm_nll")
+    assert plan.count("BroadcastHashJoin") >= 2  # bigram + context models
+    assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """A partitioned-parquet fact joined to a selectively-filtered dim must
+    plan a DPP subquery filter: only matching partitions are scanned. This
+    is the 100 TB pattern for date-partitioned lakes — verify the engine's
+    session config leaves Catalyst free to inject it."""
+    from data_etl_pipeline_spark.tables import load
+
+    fact_dir = str(tmp_path / "orders_by_priority")
+    load(spark, "/root/testdata/sf0.001", "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 3)], "o_orderpriority string, rank int"
+    ).where("rank = 1")
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
