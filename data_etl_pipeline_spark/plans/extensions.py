@@ -4,7 +4,7 @@ validation (J9), token-budget guards (F11), percentile/approx aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.functions import psl
@@ -643,3 +643,94 @@ def supplier_wkt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((((F.col("s_suppkey") * 13) % 361)) - 180).cast("double").alias("lng"),
     )
     return c.select("s_suppkey", wkt_point_col("lng", "lat").alias("wkt"))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build from the change-data-feed: customer segments
+# get a v1 MERGE rewrite (5th keys -> SEG-A) and a v2 DELETE (50th keys),
+# and the dimension's validity intervals are assembled from the ACTUAL
+# CDC events — v0 snapshot rows open intervals, update/insert postimages
+# open replacement intervals, deletes close without reopening; one
+# lead-over-version window per key turns the event log into
+# [effective_from, effective_to) rows. The oracle recomputes the expected
+# intervals relationally from the raw table, so a wrong change feed (lost
+# update, phantom delete) shifts an interval and fails the hash. Scale
+# shape: events are O(changes) on top of the v0 snapshot; the window
+# partitions on the dimension key with a handful of rows per key.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_scd2_dimension",
+    sql="""
+    WITH s0 AS (
+        SELECT c_custkey, c_mktsegment AS segment, 0 AS v, 'set' AS kind FROM customer),
+    chg1 AS (
+        SELECT c_custkey, 'SEG-A' AS segment, 1 AS v, 'set' AS kind
+        FROM customer WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'SEG-A'),
+    del2 AS (
+        SELECT c_custkey, CAST(NULL AS VARCHAR) AS segment, 2 AS v, 'close' AS kind
+        FROM customer WHERE c_custkey % 50 = 0),
+    ev AS (
+        SELECT * FROM s0 UNION ALL SELECT * FROM chg1 UNION ALL SELECT * FROM del2)
+    SELECT c_custkey, segment,
+           CAST(v AS INT) AS effective_from,
+           CAST(LEAD(v) OVER w AS INT) AS effective_to,
+           LEAD(v) OVER w IS NULL AS is_current
+    FROM ev
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY v)
+    QUALIFY kind = 'set'
+    """,
+    doc="SCD Type-2 dimension assembled from the versioned table's change "
+    "feed (MERGE rewrite + DELETE close); oracle recomputes the intervals "
+    "relationally.",
+)
+def versioned_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="scd2_"))
+    t.write(base)
+    t.merge(
+        base.where(F.col("c_custkey") % 5 == 0).withColumn("c_mktsegment", F.lit("SEG-A")),
+        keys=["c_custkey"],
+    )
+    t.delete_where(F.col("c_custkey") % 50 == 0)
+
+    def feed(v_from: int, v_to: int) -> DataFrame:
+        cf = t.change_feed(["c_custkey"], v_from, v_to)
+        sets = cf.where(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(v_to).alias("v"),
+            F.lit("set").alias("kind"),
+        )
+        closes = cf.where(F.col("change_type") == "delete").select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("segment"),
+            F.lit(v_to).alias("v"),
+            F.lit("close").alias("kind"),
+        )
+        return sets.unionByName(closes)
+
+    s0 = t.read(version=0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("v"),
+        F.lit("set").alias("kind"),
+    )
+    events = s0.unionByName(feed(0, 1)).unionByName(feed(1, 2))
+    w = W.partitionBy("c_custkey").orderBy("v")
+    return (
+        events.withColumn("effective_to", F.lead("v").over(w))
+        .where(F.col("kind") == "set")
+        .select(
+            "c_custkey",
+            "segment",
+            F.col("v").cast("int").alias("effective_from"),
+            F.col("effective_to").cast("int").alias("effective_to"),
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
