@@ -673,7 +673,7 @@ def supplier_wkt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM s0 UNION ALL SELECT * FROM chg1 UNION ALL SELECT * FROM del2)
     SELECT c_custkey, segment,
            CAST(v AS INT) AS effective_from,
-           CAST(LEAD(v) OVER w AS INT) AS effective_to,
+           CAST(COALESCE(LEAD(v) OVER w, 2147483647) AS INT) AS effective_to,
            LEAD(v) OVER w IS NULL AS is_current
     FROM ev
     WINDOW w AS (PARTITION BY c_custkey ORDER BY v)
@@ -730,7 +730,13 @@ def versioned_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "segment",
             F.col("v").cast("int").alias("effective_from"),
-            F.col("effective_to").cast("int").alias("effective_to"),
+            # open intervals use an INT32_MAX sentinel, not NULL: a nullable
+            # int column round-trips through pandas as float64, which the
+            # driver's value hash sees as a type change (the '9999-12-31'
+            # convention, integer form)
+            F.coalesce(F.col("effective_to"), F.lit(2147483647))
+            .cast("int")
+            .alias("effective_to"),
             F.col("effective_to").isNull().alias("is_current"),
         )
     )
