@@ -1532,3 +1532,66 @@ def doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p)), 6).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection: per-source KL divergence of the token
+# distribution against the whole corpus. The monitoring primitive a
+# 100 TB ingest pipeline runs per batch — "did this source's language
+# shift?" — as two map-side-combined groupBys (per-source and global
+# token counts) and one broadcast join of the GLOBAL distribution into
+# the per-source rows: the model table grows with vocabulary, not corpus.
+# KL terms p*ln(p/q) use count ratios (identical doubles in both
+# engines), summed per source and rounded to 6 decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "source_token_kl",
+    sql="""
+    WITH toks AS (
+        SELECT source, t.tok FROM documents,
+        UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) >= 2)) AS t(tok)
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+    gc AS (SELECT tok, SUM(c) AS g FROM sc GROUP BY tok),
+    gt AS (SELECT SUM(g) AS m FROM gc)
+    SELECT sc.source,
+           CAST(ANY_VALUE(st.n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(SUM((CAST(sc.c AS DOUBLE) / st.n)
+                     * LN((CAST(sc.c AS DOUBLE) / st.n)
+                          / (CAST(gc.g AS DOUBLE) / gt.m))), 6) AS kl_vs_corpus
+    FROM sc
+    JOIN st ON sc.source = st.source
+    JOIN gc ON sc.tok = gc.tok
+    CROSS JOIN gt
+    GROUP BY sc.source
+    """,
+    doc="Per-source KL divergence of token distribution vs the whole corpus "
+    "(drift monitoring); global distribution broadcast into per-source rows.",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)")
+        ).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("m"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("m")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(gc), "tok")
+        .join(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -47,10 +47,10 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 27
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 28
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 10 of the
+# r3 verdict's rotation debt, now at the front, then (c) 9 of the
 # queries whose latest green row is round 2 (staleness rotation, keeping
 # the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
 # unchanged shapes — customer_order_distribution,
@@ -71,6 +71,7 @@ _VERIFY_FIRST: list[str] = [
     "user_event_types_salted",       # NEW: skew-proof two-phase set rollup
     "doc_lm_nll",                    # NEW: bigram-LM quality scoring
     "versioned_scd2_dimension",      # NEW: SCD2 intervals from the change feed
+    "source_token_kl",               # NEW: per-source distribution drift (KL)
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
@@ -115,13 +116,13 @@ _VERIFY_FIRST: list[str] = [
     "doc_pii_redaction",
     "doc_quality_scores",
     "doc_repetition_filter",
-    "doc_token_counts",
     "ann_topk_ivf",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
 # running_value_per_user, segment_with_override, address_merge,
 # event_props_json_stats, hourly_event_stats, benchmark_contamination,
-# mixture_rebalance, corpus_curation, embedding_kmeans_centroids moved to the round-5
+# mixture_rebalance, corpus_curation, embedding_kmeans_centroids,
+# doc_token_counts moved to the round-5
 # rotation front (with the 22 deferred shapes above): the brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.
