@@ -57,9 +57,11 @@ def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame
                     counters = {i: c - 1 for i, c in counters.items() if c > 1}
         yield pd.DataFrame({item_col: list(counters.keys())})
 
+    narrow = items.select(item_col)
     return (
-        items.select(item_col)
-        .mapInPandas(summarize, schema=f"{item_col} string")
+        # schema derived from the input, so non-string item domains
+        # (hashes, ids) work unchanged
+        narrow.mapInPandas(summarize, schema=narrow.schema)
         .distinct()
     )
 

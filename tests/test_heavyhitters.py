@@ -70,3 +70,9 @@ class TestHeavyHitters:
             heavy_hitters(df, "item", 0.0)
         with pytest.raises(ValueError, match="k must"):
             misra_gries_candidates(df, "item", 0)
+
+    def test_non_string_item_domain(self, spark):
+        stream = [1] * 50 + list(range(100, 200))
+        df = spark.createDataFrame([(s,) for s in stream], "item long").repartition(3)
+        got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", 0.2).collect()}
+        assert got == {1: 50}
