@@ -123,3 +123,29 @@ class TestGapFill:
             assert all(
                 (r["n_events"] == 0) == (r["hr_avg_value"] is None) for r in rows
             )
+
+
+def test_interval_join_falls_back_to_shuffled_join_past_broadcast(spark):
+    """The designed scale path: when the interval side outgrows the
+    broadcast threshold the bucket equi-join becomes a shuffled
+    SortMergeJoin — never a nested loop."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = interval_join(
+            _points(spark), _intervals(spark), "p_ts", "start", "end", 600
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        # semantics unchanged under the shuffled strategy
+        assert _pairs(out) == _pairs(
+            _points(spark).join(
+                _intervals(spark),
+                (F.col("start") <= F.col("p_ts")) & (F.col("p_ts") < F.col("end")),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
