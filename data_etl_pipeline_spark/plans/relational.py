@@ -683,3 +683,33 @@ def sole_returned_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).alias("numwait")
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 scale variant: the same top-3-per-customer through the BOUNDED-
+# SHUFFLE operator (operators/topk.py) — each map task pre-reduces to its
+# local top-3 per group before the exchange, so the shuffle carries at
+# most k rows per group per task instead of the raw table (the map-side-
+# combine of ranking). Identical result to the window form; the oracle is
+# the same SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "top3_orders_per_customer_bounded",
+    sql="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rank FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group with bounded shuffle: map-side partial top-k "
+    "pre-reduce, then one window over k rows per group per task.",
+)
+def top3_orders_per_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.topk import grouped_topk
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return grouped_topk(
+        orders, ["o_custkey"], "o_totalprice", k=3, tiebreak="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "rank")
