@@ -1595,3 +1595,71 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-canonical selection by QUALITY, not label order: within each
+# near-dup cluster keep the longest document (ties -> lowest doc_id) —
+# the RefinedWeb/FineWeb curation policy, where the canonical copy should
+# be the most complete one, not the first-seen one. Reuses the connected-
+# component clustering; the selection adds one doc_id-keyed join and one
+# window over cluster groups (cluster sizes are bounded by the LSH
+# banding, so no hot reducer).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_dedup_keep_best",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM cand
+              WHERE ROUND(CAST(len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) AS DOUBLE)
+                          / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+    ),
+    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    members AS (
+        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+               len(string_split(d.text, ' ')) AS n_words
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+    SELECT cluster, doc_id AS keep_id, n_words AS keep_words,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (SELECT cluster, doc_id, n_words,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                                    ORDER BY n_words DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_members
+          FROM members) t
+    WHERE rn = 1
+    """,
+    doc="Keep-best near-dup policy: within each LSH cluster keep the "
+    "longest document (RefinedWeb-style canonical selection).",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, bands=4, min_est=0.5)
+    words = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words"))
+    j = clusters.join(words, "doc_id")
+    w = W.partitionBy("cluster").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy("cluster")))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_words").alias("keep_words"),
+            "n_members",
+        )
+    )
