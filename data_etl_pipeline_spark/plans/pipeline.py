@@ -1663,3 +1663,63 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination audit: near-dup clusters whose members span
+# MULTIPLE sources — the leakage check a training pipeline runs before
+# attributing mixture weights or deduplicating per-source (a doc counted
+# in two sources double-weights its distribution and can leak held-out
+# material between splits). One source join + one grouped agg on top of
+# the component clustering; emits the spanning sources sorted for a
+# deterministic hash.
+# ---------------------------------------------------------------------------
+@query(
+    "cross_source_leakage",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM cand
+              WHERE ROUND(CAST(len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) AS DOUBLE)
+                          / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+    ),
+    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    members AS (
+        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster, d.source
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+    SELECT cluster,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT source) AS n_sources,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+    FROM members
+    GROUP BY cluster
+    HAVING COUNT(DISTINCT source) >= 2
+    """,
+    doc="Near-dup clusters spanning multiple sources (contamination / "
+    "double-weighting audit before mixture attribution).",
+)
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, bands=4, min_est=0.5)
+    j = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .where(F.col("n_sources") >= 2)
+    )
