@@ -621,6 +621,13 @@ class VersionedTable:
 
         return self._commit_retry(build, "zorder")
 
+    def count_rows(self, version: int | None = None) -> int:
+        """``COUNT(*)`` answered from the manifest alone — the metadata-only
+        scan Iceberg/Delta serve from their stats, with zero data files
+        read at any table size. Each commit sums its per-file counts, so
+        the number is exact for every retained version."""
+        return int(self._manifest(version)["num_rows"])
+
     def expire_versions(self, keep_versions: int = 10) -> list[int]:
         """Log retention (Iceberg ``expire_snapshots``): drop every
         manifest older than the newest ``keep_versions``, after a

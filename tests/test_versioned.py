@@ -488,3 +488,16 @@ def test_expire_versions_drops_old_manifests_and_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_versions"):
         t.expire_versions(keep_versions=0)
+
+
+def test_count_rows_is_metadata_only_and_exact(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "id long, tag string, val double"
+    t.write(spark.createDataFrame([(i, f"t{i}", float(i)) for i in range(40)], schema))
+    t.merge(
+        spark.createDataFrame([(1, "upd", 9.0), (100, "new", 1.0)], schema), keys=["id"]
+    )
+    t.delete_where("id % 10 = 0")
+    for v in (0, 1, 2):
+        assert t.count_rows(version=v) == t.read(version=v).count()
+    assert t.count_rows() == t.read().count()
