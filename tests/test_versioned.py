@@ -501,3 +501,41 @@ def test_count_rows_is_metadata_only_and_exact(spark, tmp_path):
     for v in (0, 1, 2):
         assert t.count_rows(version=v) == t.read(version=v).count()
     assert t.count_rows() == t.read().count()
+
+
+def test_merge_racing_compact_neither_lost(spark, tmp_path, monkeypatch):
+    """Maintenance (compact) racing a writer (merge): whichever loses the
+    version claim must re-derive against the winner's manifest — the
+    merged row survives compaction and the compacted layout still holds
+    every row."""
+    path = str(tmp_path / "tbl")
+    writer = VersionedTable(spark, path)
+    maint = VersionedTable(spark, path)
+    base = spark.createDataFrame(
+        [(i, f"tag{i}", float(i)) for i in range(60)], "id long, tag string, val double"
+    ).repartition(6)
+    writer.write(base)
+
+    interposed = {"done": False}
+    orig = VersionedTable._write_files
+
+    def interpose(self, df, version):
+        files = orig(self, df, version)
+        if self is maint and not interposed["done"]:
+            # the writer sneaks a merge in while compact holds its files
+            interposed["done"] = True
+            writer.merge(
+                spark.createDataFrame([(5, "MERGED", 55.0)], "id long, tag string, val double"),
+                keys=["id"],
+            )
+        return files
+
+    monkeypatch.setattr(VersionedTable, "_write_files", interpose)
+    maint.compact(target_rows=1000)
+
+    rows = {r["id"]: r["tag"] for r in maint.read().collect()}
+    assert rows[5] == "MERGED"  # compaction did not resurrect the old row
+    assert len(rows) == 60
+    assert [h["op"] for h in maint.history()] == ["write", "merge", "compact"]
+    # compaction actually consolidated the layout it re-derived
+    assert len(maint._manifest()["files"]) < 6
