@@ -300,3 +300,55 @@ def test_stream_window_merge_converges_under_out_of_order_arrival(spark, sf_dir,
     # multi-batch really happened: one merge commit per micro-batch + v0
     tbl = VersionedTable(spark, str(tmp_path / "win_tbl"))
     assert len(tbl.history()) >= 3
+
+
+def test_watermarked_dedup_bounds_state_and_drops_in_window_dups(spark, tmp_path):
+    """The unbounded-stream swap SCALE.md documents for streaming dedup:
+    ``withWatermark + dropDuplicatesWithinWatermark`` keeps only state
+    inside the lateness horizon. Within-watermark redeliveries are still
+    dropped exactly; the state row count is bounded by the horizon instead
+    of the stream's full key cardinality."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="wm_src_", dir=str(tmp_path))
+    base = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.expr("timestamp '2024-01-01 00:00:00'") + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    # batch 1: all events; batch 2: full redelivery (all inside the horizon
+    # because event times are re-read unchanged)
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = tempfile.mkdtemp(prefix="wm_sink_", dir=str(tmp_path))
+
+    def write_epoch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = stream.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+
+    out = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    assert out.select("event_id").distinct().count() == 100
+    assert out.count() == 100  # the full redelivery was absorbed
+    # state is watermark-bounded: the operator reports rows in state
+    state_rows = [
+        op.get("numRowsTotal")
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert state_rows and max(state_rows) <= 200
