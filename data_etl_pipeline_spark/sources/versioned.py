@@ -59,6 +59,16 @@ from pyspark.sql import types as T
 
 StatsPredicate = Callable[[dict], bool]
 
+# Per-file Bloom index layout (Delta's bloom filter index, manifest-resident):
+# 8192 bits = 128 longs per (file, column), two xxhash64 probes. For ~500
+# distinct keys per file the false-positive rate is (1-e^(-2*500/8192))^2
+# ~= 1.3% — a point lookup whose key is absent skips ~99% of range-
+# overlapping files. Both the build and the probe are pure codegen
+# expressions; Python only carries the word arrays through the manifest.
+_BLOOM_BITS = 8192
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (0x9E3779B1, 0x85EBCA77)
+
 
 class ConcurrentCommitError(RuntimeError):
     """A commit could not claim a version after repeated contention."""
@@ -164,7 +174,12 @@ class VersionedTable:
             return f
         return v
 
-    def _write_files(self, df: DataFrame, version: int) -> list[dict]:
+    @staticmethod
+    def _bloom_pos_expr(col: str, seed: int) -> str:
+        return f"pmod(xxhash64({seed}L, `{col}`), {_BLOOM_BITS})"
+
+    def _write_files(self, df: DataFrame, version: int,
+                     bloom_cols: list[str] | None = None) -> list[dict]:
         """Write ``df`` as immutable data files + per-file min/max stats.
 
         One write job, then ONE stats job over the fresh files grouped by
@@ -179,9 +194,22 @@ class VersionedTable:
         tmp = os.path.join(self.path, f"_tmp-{token}")
         df.write.mode("overwrite").parquet(tmp)
         back = self.spark.read.schema(df.schema).parquet(tmp)
+        bloom_cols = [c for c in (bloom_cols or []) if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in self._stat_cols(df.schema):
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        # Bloom build: fold each row's two probe bits into 128 bit_or words
+        # per column — same single stats job, all codegen
+        for j, c in enumerate(bloom_cols):
+            back = back.withColumn(f"__bp_{j}_0", F.expr(self._bloom_pos_expr(c, _BLOOM_SEEDS[0])))
+            back = back.withColumn(f"__bp_{j}_1", F.expr(self._bloom_pos_expr(c, _BLOOM_SEEDS[1])))
+            for w in range(_BLOOM_WORDS):
+                terms = " | ".join(
+                    f"IF(__bp_{j}_{i} div 64 = {w}, "
+                    f"shiftleft(cast(1 as bigint), cast(__bp_{j}_{i} % 64 as int)), 0L)"
+                    for i in range(len(_BLOOM_SEEDS))
+                )
+                aggs.append(F.expr(f"bit_or({terms})").alias(f"__bloom_{j}_{w}"))
         per_file = back.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
         os.makedirs(self._data_dir, exist_ok=True)
         entries: list[dict] = []
@@ -202,7 +230,13 @@ class VersionedTable:
                 ]
                 for c in self._stat_cols(df.schema)
             }
-            entries.append({"path": f"data/{name}", "num_rows": row["__n"], "stats": stats})
+            entry = {"path": f"data/{name}", "num_rows": row["__n"], "stats": stats}
+            if bloom_cols:
+                entry["bloom"] = {
+                    c: [int(row[f"__bloom_{j}_{w}"] or 0) for w in range(_BLOOM_WORDS)]
+                    for j, c in enumerate(bloom_cols)
+                }
+            entries.append(entry)
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 
@@ -224,16 +258,21 @@ class VersionedTable:
             os.remove(tmp)
 
     def _commit(self, new_df: DataFrame | None, carry: list[dict], op: str, detail: str,
-                schema_json: str | None = None, max_attempts: int = 10) -> int:
+                schema_json: str | None = None, max_attempts: int = 10,
+                bloom_cols: list[str] | None = None) -> int:
         """Commit a change that does NOT depend on the prior manifest
         (``write``'s full snapshot): the data files are written once and,
         if the version claim is lost to a concurrent writer, re-claimed
         under the next number — no re-derivation needed."""
         schema_json = schema_json or (new_df.schema.json() if new_df is not None else None)
         version = (self.latest_version() + 1) if self._versions() else 0
-        new_files = self._write_files(new_df, version) if new_df is not None else []
+        new_files = (
+            self._write_files(new_df, version, bloom_cols=bloom_cols)
+            if new_df is not None else []
+        )
         for _ in range(max_attempts):
-            if self._claim_with_files(version, new_files, carry, op, detail, schema_json):
+            if self._claim_with_files(version, new_files, carry, op, detail, schema_json,
+                                      bloom_cols=bloom_cols):
                 return version
             version = self.latest_version() + 1
         self._drop_orphans(new_files)
@@ -242,7 +281,8 @@ class VersionedTable:
         )
 
     def _claim_with_files(self, version: int, new_files: list[dict], carry: list[dict],
-                          op: str, detail: str, schema_json: str | None) -> bool:
+                          op: str, detail: str, schema_json: str | None,
+                          bloom_cols: list[str] | None = None) -> bool:
         files = carry + new_files
         entry = {
             "version": version,
@@ -255,6 +295,8 @@ class VersionedTable:
             "files_written": len(new_files),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if bloom_cols:
+            entry["bloom_cols"] = list(bloom_cols)
         # the log entry IS the commit: claimed last, so readers never see
         # half-written data as latest
         return self._try_claim(version, entry)
@@ -278,9 +320,14 @@ class VersionedTable:
         for _ in range(max_attempts):
             man = self._manifest()
             version = man["version"] + 1
+            bloom_cols = man.get("bloom_cols")  # the index config persists
             new_df, carry, detail, schema_json = build(man)
-            new_files = self._write_files(new_df, version) if new_df is not None else []
-            if self._claim_with_files(version, new_files, carry, op, detail, schema_json):
+            new_files = (
+                self._write_files(new_df, version, bloom_cols=bloom_cols)
+                if new_df is not None else []
+            )
+            if self._claim_with_files(version, new_files, carry, op, detail, schema_json,
+                                      bloom_cols=bloom_cols):
                 return version
             self._drop_orphans(new_files)
         raise ConcurrentCommitError(
@@ -297,7 +344,7 @@ class VersionedTable:
     # ---- operations ------------------------------------------------------
 
     def write(self, df: DataFrame, cluster_by: list[str] | None = None,
-              n_files: int | None = None) -> int:
+              n_files: int | None = None, bloom_cols: list[str] | None = None) -> int:
         """Create the table (version 0) or replace it wholesale.
 
         ``cluster_by`` range-partitions the data files on the given keys
@@ -314,7 +361,10 @@ class VersionedTable:
             )
         elif n_files:
             df = df.repartition(n_files)
-        return self._commit(df, [], "write", "full snapshot")
+        # ``bloom_cols`` turns on a per-file Bloom index on those columns —
+        # persisted in the manifest and rebuilt automatically on every
+        # rewrite (merge/delete/compact/zorder) via the commit loop
+        return self._commit(df, [], "write", "full snapshot", bloom_cols=bloom_cols)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to an older version."""
@@ -435,7 +485,22 @@ class VersionedTable:
                 mm = f["stats"].get(k)
                 if not mm or mm[0] is None or mm[1] is None:
                     continue  # no stats on this key -> no evidence from it
-                c = F.col(k).isNull() | F.col(k).between(F.lit(mm[0]), F.lit(mm[1]))
+                c = F.col(k).between(F.lit(mm[0]), F.lit(mm[1]))
+                bloom = (f.get("bloom") or {}).get(k)
+                if bloom is not None and len(files) <= 256:
+                    # Bloom probe: both hash positions must be set bits.
+                    # Catches keys INSIDE the range box but absent from the
+                    # file — the point-lookup gap min/max cannot close.
+                    # Gated at 256 files: each probe inlines a 128-long
+                    # array literal, which dominates planning past that.
+                    arr = "array(" + ",".join(f"{w}L" for w in bloom) + ")"
+                    for seed in _BLOOM_SEEDS:
+                        pos = self._bloom_pos_expr(k, seed)
+                        c = c & F.expr(
+                            f"(shiftright(element_at({arr}, cast(({pos}) div 64 as int) + 1), "
+                            f"cast(({pos}) % 64 as int)) & 1) = 1"
+                        )
+                c = F.col(k).isNull() | c
                 pred = c if pred is None else (pred & c)
             flags.append(
                 F.max((pred if pred is not None else F.lit(True)).cast("int")).alias(f"_f{i}")

@@ -236,8 +236,8 @@ def test_concurrent_writers_both_commit(spark, tmp_path, monkeypatch):
     interposed = {"done": False}
     orig = VersionedTable._write_files
 
-    def interpose(self, df, version):
-        files = orig(self, df, version)
+    def interpose(self, df, version, **kw):
+        files = orig(self, df, version, **kw)
         if self is a and not interposed["done"]:
             interposed["done"] = True
             b.merge(u_b, keys=["id"])  # B wins the race for this version
@@ -519,8 +519,8 @@ def test_merge_racing_compact_neither_lost(spark, tmp_path, monkeypatch):
     interposed = {"done": False}
     orig = VersionedTable._write_files
 
-    def interpose(self, df, version):
-        files = orig(self, df, version)
+    def interpose(self, df, version, **kw):
+        files = orig(self, df, version, **kw)
         if self is maint and not interposed["done"]:
             # the writer sneaks a merge in while compact holds its files
             interposed["done"] = True
@@ -539,3 +539,46 @@ def test_merge_racing_compact_neither_lost(spark, tmp_path, monkeypatch):
     assert [h["op"] for h in maint.history()] == ["write", "merge", "compact"]
     # compaction actually consolidated the layout it re-derived
     assert len(maint._manifest()["files"]) < 6
+
+
+def test_bloom_index_skips_in_range_absent_keys(spark, tmp_path):
+    """Per-file Bloom index: a point MERGE whose keys fall INSIDE a file's
+    min/max box but are absent from the file must carry it — the gap
+    range stats cannot close. Without the index the same merge rewrites
+    range-overlapping files."""
+    schema = "id long, tag string, val double"
+    evens = spark.createDataFrame(
+        [(i * 2, f"t{i}", float(i)) for i in range(60)], schema
+    )  # ids 0,2,...,118
+
+    plain = VersionedTable(spark, str(tmp_path / "plain"))
+    plain.write(evens, cluster_by=["id"], n_files=3)
+    bloomed = VersionedTable(spark, str(tmp_path / "bloomed"))
+    bloomed.write(evens, cluster_by=["id"], n_files=3, bloom_cols=["id"])
+    assert bloomed._manifest()["bloom_cols"] == ["id"]
+    assert all("bloom" in f and len(f["bloom"]["id"]) == 128
+               for f in bloomed._manifest()["files"])
+
+    # odd keys: inside every range box, present in no file -> pure inserts
+    batch = spark.createDataFrame([(7, "NEW", 7.0), (21, "NEW", 21.0)], schema)
+    plain.merge(batch, keys=["id"])
+    bloomed.merge(batch, keys=["id"])
+
+    assert "files_skipped=3" in bloomed._manifest()["detail"]
+    assert "files_rewritten=0" in bloomed._manifest()["detail"]
+    assert "files_rewritten=1" in plain._manifest()["detail"]  # range says touch
+    assert sorted(tuple(r) for r in bloomed.read().collect()) == sorted(
+        tuple(r) for r in plain.read().collect()
+    )
+
+    # a PRESENT key still rewrites exactly its file, and the rewrite
+    # re-derives the bloom (the index config persists through the log)
+    upd = spark.createDataFrame([(4, "UPD", 99.0)], schema)
+    bloomed.merge(upd, keys=["id"])
+    man = bloomed._manifest()
+    assert "files_rewritten=1" in man["detail"]
+    assert man["bloom_cols"] == ["id"]
+    assert all("bloom" in f for f in man["files"])
+    rows = {r["id"]: r["tag"] for r in bloomed.read().collect()}
+    assert rows[4] == "UPD" and rows[7] == "NEW"
+    assert len(rows) == 62
