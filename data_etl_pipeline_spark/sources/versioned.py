@@ -21,7 +21,11 @@ list per version (simpler to read back, same skipping behavior):
   * MERGE prunes with per-file min/max stats on the merge keys: a file
     whose key range cannot intersect the update batch's key range is
     carried forward by reference — not read, not rewritten. Only
-    intersecting files are anti-joined and rewritten.
+    intersecting files are anti-joined and rewritten. An opt-in per-file
+    BLOOM index (``write(bloom_cols=...)``, Delta's bloom filter index)
+    additionally carries files whose range overlaps but which provably
+    lack every batch key — the point-lookup gap min/max cannot close; the
+    index config persists in the log and rewrites rebuild it.
   * DELETE WHERE / replaceWhere accept an optional ``prune`` callable
     (stats dict -> might-match bool; see ``range_prune``/``prefix_prune``)
     — the explicit form of the min/max predicate evaluation Delta derives
