@@ -740,3 +740,49 @@ def versioned_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("effective_to").isNull().alias("is_current"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point MERGE through the Bloom-indexed table: orders clustered on the key
+# with a per-file Bloom index (write(bloom_cols=...)), then a sparse
+# point-update batch (every 97th key). The skip decision ANDs the Bloom
+# bit-probe onto the range test, so files whose range overlaps the batch
+# but which lack every key are carried by reference — the in-range-absent
+# gap min/max stats cannot close (skip behavior itself is test-asserted in
+# tests/test_versioned.py; this query proves end-to-end content
+# correctness of the bloom-enabled path against a relational oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_bloom_point_merge",
+    sql="""
+    WITH v1rows AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'P' ELSE o_orderstatus END AS status,
+               o_totalprice
+        FROM orders)
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM v1rows GROUP BY status
+    """,
+    doc="Sparse point MERGE through the Bloom-indexed versioned table; "
+    "oracle recomputes the merged state relationally.",
+)
+def versioned_bloom_point_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vbloom_"))
+    t.write(base, cluster_by=["o_orderkey"], n_files=8, bloom_cols=["o_orderkey"])
+    updates = base.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("P")
+    )
+    t.merge(updates, keys=["o_orderkey"])
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
