@@ -1186,3 +1186,34 @@ def user_event_types_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("types"), ",").alias("event_types"),
         F.size("types").cast("long").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window functions (percent_rank / cume_dist) — the two
+# ranking shapes the catalog did not yet exercise: supplier account
+# balances ranked within their nation. Both are one pass over the same
+# per-nation partitioning every other supplier window shares; at 100 TB
+# the partition key (nation) bounds each task's sort.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_balance_distribution",
+    sql="""
+    SELECT s_nationkey, s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    doc="percent_rank / cume_dist / ntile over one per-nation partitioning "
+    "(SURVEY 2.5 ranking breadth).",
+)
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return load(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -47,10 +47,10 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 32
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 33
 # queries whose implementation or results changed (or that are new) this
 # round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 5 of the
+# r3 verdict's rotation debt, now at the front, then (c) 4 of the
 # queries whose latest green row is round 2 (staleness rotation, keeping
 # the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
 # unchanged shapes — customer_order_distribution,
@@ -76,6 +76,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_dedup_keep_best",           # NEW: keep-longest cluster canonical
     "cross_source_leakage",          # NEW: multi-source near-dup audit
     "versioned_bloom_point_merge",   # NEW: Bloom-indexed point MERGE
+    "supplier_balance_distribution", # NEW: percent_rank/cume_dist breadth
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
@@ -116,14 +117,13 @@ _VERIFY_FIRST: list[str] = [
     "events_asof_orders",
     "two_phase_concept_extraction",
     "doc_minhash_lsh_pairs",
-    "ann_topk_ivf",
 ]
 # doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
 # running_value_per_user, segment_with_override, address_merge,
 # event_props_json_stats, hourly_event_stats, benchmark_contamination,
 # mixture_rebalance, corpus_curation, embedding_kmeans_centroids,
 # doc_token_counts, doc_repetition_filter, doc_quality_scores,
-# doc_pii_redaction, doc_simhash_pairs moved to the round-5
+# doc_pii_redaction, doc_simhash_pairs, ann_topk_ivf moved to the round-5
 # rotation front (with the 22 deferred shapes above): the brand-new
 # queries of this round have no driver row at all yet, which outranks
 # refreshing an r2-green row.
