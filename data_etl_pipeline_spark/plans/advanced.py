@@ -1217,3 +1217,34 @@ def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream watermarked interval join — two live event streams (views
+# and purchases) correlated per user within an event-time window. The one
+# Structured Streaming join shape the surface did not yet exercise: both
+# sides moving, StreamingSymmetricHashJoin buffering each in keyed state
+# under watermarks (streaming/ss_join.py documents the eviction-safety
+# argument that makes the exact batch oracle valid).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_stream_attribution",
+    sql="""
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_attributed_purchases
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+    GROUP BY v.user_id
+    """,
+    doc="Stream-stream inner join under watermarks: per-user view->purchase "
+    "attribution within 60 minutes, both sides live micro-batched streams; "
+    "oracle is the equivalent exact batch interval join.",
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.ss_join import run_stream_stream_attribution
+
+    return run_stream_stream_attribution(spark, sf_dir)

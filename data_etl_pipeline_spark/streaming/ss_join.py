@@ -1,0 +1,135 @@
+"""Stream-stream watermarked interval join (view -> purchase attribution).
+
+The reference joins queue-driven record streams only against static state
+(Mongo lookups, SURVEY J11); an engine surface also needs the two-moving-
+sides case: correlate two live event streams on a key within an event-time
+window.  Spark-first mapping: two file-source streams over the same
+ts-range-partitioned event files, each with a watermark, inner-joined with
+an equality key plus an event-time range condition.  The physical operator
+is StreamingSymmetricHashJoin: both sides are buffered in keyed state and
+each arriving row probes the opposite buffer, so a purchase arriving in a
+later micro-batch still finds a view buffered two batches earlier.
+
+Eviction safety argument (documented because the oracle is an exact batch
+join): input files are range-partitioned on ts, so micro-batch k+1 only
+carries rows with ts >= max_ts(batch k).  After batch k the watermark is
+max_ts(batch k) - DELAY; a buffered view is dropped only once the
+watermark passes v_ts + WINDOW.  A future purchase can still need views
+with v_ts >= min_ts(batch k+1) - WINDOW >= max_ts(batch k) - WINDOW, and
+with DELAY > 0 the evicted region max_ts(batch k) - DELAY - WINDOW lies
+strictly below that bound — no in-window pair is ever lost, which the
+DuckDB interval-join oracle verifies end-to-end.
+
+Scale note: state size is bounded by rows-per-watermark-horizon per side,
+hash-partitioned by the join key across executors; the join itself never
+shuffles more than each micro-batch (state co-location is reused).  At
+100 TB/day the DELAY knob directly trades completeness for state size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.tables import load
+
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def split_events_by_ts(
+    spark: SparkSession, sf_dir: str, n_files: int = 3, out_dir: str | None = None
+) -> tuple[str, list[tuple[str, str]]]:
+    """Write the events table as ``n_files`` ts-range-partitioned parquet
+    files whose modification times follow ts order, so the file stream
+    source replays them as ordered micro-batches.  Returns (dir, per-file
+    [min_ts, max_ts] bounds as ISO strings) — the bounds let tests prove
+    cross-batch joins actually happened.
+    """
+    out = out_dir or tempfile.mkdtemp(prefix="ss_join_events_")
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    )
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    bounds = []
+    for p in parts:
+        t = pq.read_table(p, columns=["ts"])
+        lo, hi = min(t["ts"].to_pylist()), max(t["ts"].to_pylist())
+        bounds.append((p, lo.isoformat(), hi.isoformat()))
+    bounds.sort(key=lambda b: b[1])
+    # pin mtimes ascending in ts order: FileStreamSource picks oldest first
+    base = 1_600_000_000
+    for i, (p, _, _) in enumerate(bounds):
+        os.utime(p, (base + i * 10, base + i * 10))
+    return out, [(lo, hi) for _, lo, hi in bounds]
+
+
+def join_streams_over_dir(
+    spark: SparkSession, src: str, window_minutes: int = 60, delay: str = "90 minutes"
+) -> DataFrame:
+    """Run the watermarked stream-stream join over a prepared micro-batch
+    directory and return the raw (v_user, v_ts, v_id, p_ts, p_id) pairs as
+    a batch DataFrame once both streams drain."""
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .where(F.col("event_type") == kind)
+        )
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        ).withWatermark(f"{prefix}_ts", delay)
+
+    views = side("view", "v")
+    purchases = side("purchase", "p")
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + interval {window_minutes} minutes"
+        ),
+        "inner",
+    )
+
+    sink = tempfile.mkdtemp(prefix="ss_join_sink_")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = joined.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+
+
+def run_stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 60, delay: str = "90 minutes"
+) -> DataFrame:
+    """Per-user view->purchase attribution: for every purchase, count the
+    views by the same user in the preceding ``window_minutes``; returns one
+    row per user with pair and attributed-purchase counts.  Both sides are
+    live streams (two independent readers of the same micro-batched file
+    source) joined under watermarks.
+    """
+    src, _ = split_events_by_ts(spark, sf_dir)
+    pairs = join_streams_over_dir(spark, src, window_minutes, delay)
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_attributed_purchases"),
+    )
