@@ -502,3 +502,103 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection (exact-substring dedup a
+    la Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every word position whose k-gram also occurs in >= min_docs
+    distinct documents is duplicated; runs of duplicated positions coalesce
+    into maximal spans per document.
+
+    The suffix-array of the paper becomes a shingle inverted index:
+
+      doc -> positional k-grams (codegen transform + posexplode)
+          -> groupBy gram: distinct-doc count  (shuffle 1, map-side combined)
+          -> re-join occurrences x duplicated grams on the gram key
+          -> per-doc gaps-and-islands interval merge (one doc-key window)
+
+    Returns one row per doc: n_words, n_dup_spans, dup_words, dup_frac.
+
+    Scale notes: unlike pair mining, a gram shared by m docs costs m
+    occurrence rows (linear, never m^2) — there is no posting-explosion
+    skew. The gram string itself is the key here so the DuckDB oracle can
+    replay it engine-agnostically; production swaps the key to
+    xxhash64(gram) (data-only change) to cut shuffle width ~10x. The final
+    window partitions by doc id, whose cardinality bounds task memory.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_words"))
+    occ = (
+        base.where(F.col("n_words") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_words - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(w, i, {k})))"
+                )
+            ).alias("p0", "sh"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    )
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("sh")
+    )
+    marked = occ.join(dup, "sh").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        "e",
+        F.when(
+            F.col("pos")
+            <= F.coalesce(
+                F.max("e").over(w_doc.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(-10),
+            )
+            + 1,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    ).select(
+        "doc_id",
+        "pos",
+        "e",
+        F.sum("brk").over(w_doc.rowsBetween(W.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("en")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("en") - F.col("s") + 1).alias("dup_words"),
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0)).cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

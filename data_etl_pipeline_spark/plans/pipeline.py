@@ -1723,3 +1723,56 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_sources") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring detection (Lee et al. 2022 suffix-array dedup,
+# re-expressed as a shingle inverted index + per-doc interval coalescing).
+# Complements MinHash/SimHash whole-doc near-dup: this finds the duplicated
+# REGIONS inside otherwise-distinct documents — the shape used to cut
+# memorized boilerplate out of 100 TB training corpora.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repeated_substrings",
+    sql="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    occ AS (
+      SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i+7], ' ') AS sh
+      FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 7 AS e FROM occ o JOIN dup USING (sh)),
+    brk AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos <= COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS en
+              FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                       CAST(SUM(en - s + 1) AS BIGINT) AS dup_words
+                FROM spans GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+           ROUND(CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+                 / CAST(len(w.w) AS DOUBLE), 6) AS dup_frac
+    FROM words w LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Exact cross-document repeated-substring spans (8-word grams in >=2 "
+    "docs, coalesced into maximal per-doc intervals) — suffix-array-style "
+    "substring dedup as one inverted-index pass plus a doc-key window.",
+)
+def doc_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.repeated_substring_spans(docs, k=8, min_docs=2)
