@@ -1776,3 +1776,80 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.repeated_substring_spans(docs, k=8, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate: multinomial Naive Bayes trained IN the engine on a
+# hash-held-out split, scored over the test split (the GPT-3/CCNet cheap-
+# classifier recipe, minus the external model service). Training is one
+# (label, token) groupBy; scoring broadcasts the ~vocab-sized weight table.
+# Scores are exact integer micro-LLR sums, so the oracle replays training
+# and inference bit-for-bit (operators/nbayes.py documents the contract).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_nb_classifier",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             list_contains(string_split(text, ' '), 'scan') AS hi,
+             (doc_id % 5 = 0) AS is_test
+      FROM documents
+    ),
+    train_tok AS (SELECT hi, unnest(w) AS word FROM base WHERE NOT is_test),
+    scal AS (
+      SELECT SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS t_hi,
+             SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS t_lo,
+             COUNT(DISTINCT word) AS v
+      FROM train_tok
+    ),
+    priors AS (
+      SELECT SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS n_hi,
+             SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n_lo
+      FROM base WHERE NOT is_test
+    ),
+    cnt AS (
+      SELECT word,
+             SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS c_hi,
+             SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS c_lo
+      FROM train_tok GROUP BY word
+    ),
+    model AS (
+      SELECT word,
+             CAST(ROUND((LN(CAST(c_hi + 1 AS DOUBLE) / CAST(t_hi + v AS DOUBLE))
+                       - LN(CAST(c_lo + 1 AS DOUBLE) / CAST(t_lo + v AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS llr
+      FROM cnt, scal
+    ),
+    consts AS (
+      SELECT CAST(ROUND((LN(CAST(1 AS DOUBLE) / CAST(t_hi + v AS DOUBLE))
+                       - LN(CAST(1 AS DOUBLE) / CAST(t_lo + v AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS oov,
+             CAST(ROUND((LN(CAST(n_hi AS DOUBLE) / CAST(n_hi + n_lo AS DOUBLE))
+                       - LN(CAST(n_lo AS DOUBLE) / CAST(n_hi + n_lo AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS prior
+      FROM scal, priors
+    ),
+    test_tok AS (SELECT doc_id, hi AS actual_hi, unnest(w) AS word
+                 FROM base WHERE is_test),
+    scored AS (
+      SELECT t.doc_id, t.actual_hi,
+             SUM(COALESCE(m.llr, c.oov)) AS tok_sum
+      FROM test_tok t LEFT JOIN model m USING (word), consts c
+      GROUP BY t.doc_id, t.actual_hi
+    )
+    SELECT s.doc_id,
+           CAST(s.tok_sum + c.prior AS BIGINT) AS score_micro,
+           (s.tok_sum + c.prior) > 0 AS predicted_hi,
+           s.actual_hi,
+           ((s.tok_sum + c.prior) > 0) = s.actual_hi AS correct
+    FROM scored s, consts c
+    """,
+    doc="Multinomial NB quality classifier trained on the hash-held-out "
+    "split inside the engine (integer micro-LLR model, broadcast scoring); "
+    "oracle replays training + inference exactly.",
+)
+def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.nbayes import train_score_nb
+
+    docs = load(spark, sf_dir, "documents")
+    return train_score_nb(docs, label_word="scan", test_mod=5)
