@@ -471,12 +471,27 @@ def dedup_clusters(
     (same technique as operators/hierarchy.py's semi-naive closure).
     """
     pairs = lsh_candidate_pairs(df, text_col, id_col, bands=bands, min_est=min_est)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    return min_label_clusters(
+        nodes,
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_iterations=max_iterations,
     )
-    labels = df.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster")).localCheckpoint()
+
+
+def min_label_clusters(
+    nodes: DataFrame, pair_edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Generic connected components by min-label propagation: ``nodes`` is
+    a one-column (doc_id) frame, ``pair_edges`` an undirected (src, dst)
+    pair list; returns (doc_id, cluster) with cluster = the smallest id
+    reachable from each node (singletons label themselves).  The loop
+    shape and the lineage/convergence mechanics are documented on
+    dedup_clusters, which delegates here."""
+    edges = pair_edges.unionByName(
+        pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)

@@ -1853,3 +1853,85 @@ def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return train_score_nb(docs, label_word="scan", test_mod=5)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup END TO END: LSH-bucketed near-dup pair
+# mining over embeddings -> connected components -> keep-longest-document
+# representative per cluster. The corpus re-uses the injected-exact-
+# duplicate construction of embedding_near_dup_pairs (natural cosines top
+# out at 0.48, so at threshold 0.999 sign-LSH recall is exactly 1.0 and
+# the relational all-pairs + recursive-reachability oracle provably equals
+# the engine's inverted-index + min-label-propagation path).
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    sql=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d1 AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 25 = 0),
+    d2 AS (SELECT vec_id + 200000 AS vec_id, v FROM e WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM e UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+    n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM c),
+    pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+              WHERE ROUND({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) >= 0.999),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a AND e2.b <> r.a
+    ),
+    labels AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    sized AS (SELECT l.vec_id, l.cluster, d.n_chars
+              FROM labels l JOIN documents d ON d.doc_id = l.vec_id % 100000),
+    ranked AS (SELECT vec_id, cluster,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                                         ORDER BY n_chars DESC, vec_id ASC) AS rn
+               FROM sized)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(vec_id) FILTER (WHERE rn = 1) AS keep_id,
+           array_to_string(list(vec_id ORDER BY vec_id) FILTER (WHERE rn <> 1), ',') AS dropped_ids
+    FROM ranked GROUP BY cluster HAVING COUNT(*) >= 2
+    """,
+    doc="SemDeDup end-to-end: embedding near-dup pairs (LSH buckets) -> "
+    "connected components (min-label propagation) -> keep the longest "
+    "member per cluster, dropping the rest; oracle replays all three "
+    "stages relationally (all-pairs + recursive reachability).",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    d1 = emb.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    d2 = emb.where(F.pmod(F.col("vec_id"), F.lit(50)) == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(d1).unionByName(d2)
+    pairs = similarity.lsh_near_dup_pairs(corpus, threshold=0.999)
+    labels = dedup.min_label_clusters(
+        corpus.select(F.col("vec_id").alias("doc_id")),
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "n_chars"
+    )
+    sized = labels.select(F.col("doc_id").alias("vec_id"), "cluster").join(
+        F.broadcast(docs), F.pmod(F.col("vec_id"), F.lit(100000)) == F.col("base_id")
+    )
+    per = (
+        sized.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("max_by(vec_id, named_struct('c', n_chars, 'i', -vec_id))").alias("keep_id"),
+            F.array_sort(F.collect_list("vec_id")).alias("ids"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+    return per.select(
+        "cluster",
+        "n_members",
+        "keep_id",
+        F.array_join(F.array_remove(F.col("ids"), F.col("keep_id")), ",").alias("dropped_ids"),
+    )
