@@ -786,3 +786,84 @@ def versioned_bloom_point_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DELETION VECTORS through the versioned layer (Delta/Iceberg v2 merge-on-
+# read deletes): two DV deletes (one stats-pruned to a single file) mark
+# row positions in sidecars without rewriting any data file, then a MERGE
+# exercises the full interplay — carried files keep serving their DVs,
+# rewritten files purge them, and an upsert whose key was DV-deleted
+# re-inserts it (exact MERGE semantics). The oracle replays the logical
+# sequence; the zero-rewrite mechanics are asserted in tests/test_versioned.py.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_dv_delete",
+    sql="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 8000),
+    after_dv AS (
+      SELECT * FROM v0
+      WHERE NOT (o_orderkey % 97 = 0) AND o_orderkey NOT BETWEEN 500 AND 700),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+      FROM v0 WHERE o_orderkey % 11 = 0 AND o_orderkey <= 2000),
+    vf AS (
+      SELECT * FROM after_dv
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd),
+    a0 AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM v0 GROUP BY 1),
+    af AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM vf GROUP BY 1)
+    SELECT COALESCE(a0.status, af.status) AS status,
+           COALESCE(a0.n, 0) AS n_v0,
+           COALESCE(af.n, 0) AS n_now,
+           COALESCE(a0.total, 0.0) AS total_v0,
+           COALESCE(af.total, 0.0) AS total_now
+    FROM a0 FULL OUTER JOIN af ON a0.status = af.status
+    """,
+    doc="Deletion-vector DELETEs (position sidecars, zero data-file "
+    "rewrites) + stats-pruned DV delete + MERGE interplay through the "
+    "versioned table; time travel reads the pre-delete snapshot.",
+)
+def versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable, range_prune
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 8000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="dvtbl_"))
+    t.write(base, cluster_by=["o_orderkey"], n_files=4)
+    t.delete_where_dv(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0)
+    t.delete_where_dv(
+        F.col("o_orderkey").between(500, 700), prune=range_prune("o_orderkey", 500, 700)
+    )
+    upd = (
+        base.where((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") <= 2000))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    t.merge(upd, keys=["o_orderkey"])
+
+    def agg(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    a0 = agg(t.read(version=0), "n_v0", "total_v0")
+    af = agg(t.read(), "n_now", "total_now")
+    return a0.join(af, on="status", how="full_outer").select(
+        "status",
+        F.coalesce("n_v0", F.lit(0)).alias("n_v0"),
+        F.coalesce("n_now", F.lit(0)).alias("n_now"),
+        F.coalesce("total_v0", F.lit(0.0)).alias("total_v0"),
+        F.coalesce("total_now", F.lit(0.0)).alias("total_now"),
+    )

@@ -33,6 +33,15 @@ list per version (simpler to read back, same skipping behavior):
     files (always correct).
   * Time travel = reading an older manifest; snapshots share unchanged
     data files instead of duplicating them.
+  * DELETION VECTORS (``delete_where_dv``, Delta/Iceberg v2 merge-on-read
+    deletes): sparse deletes record (file basename, row position) rows in
+    a small ``dv/`` sidecar referenced by the manifest — no data file is
+    rewritten; reads anti-join the broadcast sidecars away. Any rewrite of
+    a file (merge/compact/zorder/delete) materializes its deletes, and the
+    commit loop prunes sidecar entries to surviving basenames so nothing
+    can resurrect. ``count_rows`` subtracts manifest-resident deleted
+    counts and stays metadata-only; ``change_feed`` reads each side under
+    its own DV state so DV deletes surface as row-level deletes.
 
 Concurrent writers use the optimistic log protocol Delta uses: the commit
 of version N is an EXCLUSIVE create of ``_log/v{N}.json`` (write-temp +
@@ -286,7 +295,8 @@ class VersionedTable:
 
     def _claim_with_files(self, version: int, new_files: list[dict], carry: list[dict],
                           op: str, detail: str, schema_json: str | None,
-                          bloom_cols: list[str] | None = None) -> bool:
+                          bloom_cols: list[str] | None = None,
+                          dv_files: list[dict] | None = None) -> bool:
         files = carry + new_files
         entry = {
             "version": version,
@@ -301,6 +311,11 @@ class VersionedTable:
         }
         if bloom_cols:
             entry["bloom_cols"] = list(bloom_cols)
+        if dv_files:
+            entry["dv_files"] = dv_files
+            entry["num_deleted"] = sum(
+                n for s in dv_files for n in s["counts"].values()
+            )
         # the log entry IS the commit: claimed last, so readers never see
         # half-written data as latest
         return self._try_claim(version, entry)
@@ -320,28 +335,95 @@ class VersionedTable:
         data files are dropped and the change is re-derived against the
         fresh manifest — the retry semantics of Delta's commit protocol,
         which is what makes two interleaved writers both land without
-        lost updates."""
+        lost updates.
+
+        ``build`` may return a fifth element — a dict of extra manifest
+        fields (today: ``dv_files`` for deletion-vector commits).  Whether
+        supplied or inherited from the current manifest, DV sidecar
+        entries are pruned to the basenames that survive in the carried
+        file list: a rewrite (merge/compact/zorder/delete) replaces file
+        basenames, which implicitly purges their deletion vectors — the
+        commit loop enforces that invariant in one place so no operation
+        can resurrect deleted rows or leak stale DV bookkeeping."""
         for _ in range(max_attempts):
             man = self._manifest()
             version = man["version"] + 1
             bloom_cols = man.get("bloom_cols")  # the index config persists
-            new_df, carry, detail, schema_json = build(man)
+            out = build(man)
+            new_df, carry, detail, schema_json = out[:4]
+            extra = out[4] if len(out) > 4 else {}
+            dv_files = extra.get("dv_files", man.get("dv_files", []))
+            surviving = {self._basename(f["path"]) for f in carry}
+            pruned = []
+            for s in dv_files:
+                counts = {bn: n for bn, n in s["counts"].items() if bn in surviving}
+                if counts:
+                    pruned.append({"path": s["path"], "counts": counts})
             new_files = (
                 self._write_files(new_df, version, bloom_cols=bloom_cols)
                 if new_df is not None else []
             )
             if self._claim_with_files(version, new_files, carry, op, detail, schema_json,
-                                      bloom_cols=bloom_cols):
+                                      bloom_cols=bloom_cols, dv_files=pruned):
                 return version
             self._drop_orphans(new_files)
         raise ConcurrentCommitError(
             f"gave up after {max_attempts} contended commit attempts at {self.path}"
         )
 
-    def _read_files(self, files: list[dict], schema_json: str) -> DataFrame:
+    @staticmethod
+    def _basename(path: str) -> str:
+        return path.rsplit("/", 1)[-1]
+
+    def _read_dv(self, dv_files: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.path, s["path"]) for s in dv_files]
+        return self.spark.read.schema("_bn string, _pos long").parquet(*paths)
+
+    def _read_files_with_pos(
+        self, files: list[dict], schema_json: str, dv_files: list[dict] | None
+    ) -> DataFrame:
+        """Rows of ``files`` plus their physical position identity
+        (``_bn`` = file basename, ``_pos`` = row index within the file,
+        from the parquet ``_metadata`` column), with any deletion-vector
+        rows already anti-joined away.  The DV sidecars are tiny relative
+        to the data (they hold only deleted positions), so the anti-join
+        broadcasts — the same plan Delta's DV read path produces."""
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+            return df.withColumn("_bn", F.lit(None).cast("string")).withColumn(
+                "_pos", F.lit(None).cast("long")
+            )
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        cols = df.columns
+        df = df.select(
+            *cols,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_bn"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        bns = {self._basename(f["path"]) for f in files}
+        relevant = [
+            s for s in (dv_files or []) if any(bn in bns for bn in s["counts"])
+        ]
+        if not relevant:
+            return df
+        dv = self._read_dv(relevant)
+        return df.join(F.broadcast(dv), ["_bn", "_pos"], "left_anti")
+
+    def _read_files(
+        self, files: list[dict], schema_json: str, dv_files: list[dict] | None = None
+    ) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
+        bns = {self._basename(f["path"]) for f in files}
+        relevant = [
+            s for s in (dv_files or []) if any(bn in bns for bn in s["counts"])
+        ]
+        if relevant:
+            cols = [f.name for f in schema.fields]
+            return self._read_files_with_pos(files, schema_json, dv_files).select(*cols)
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
@@ -373,7 +455,7 @@ class VersionedTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to an older version."""
         man = self._manifest(version)
-        return self._read_files(man["files"], man["schema"])
+        return self._read_files(man["files"], man["schema"], man.get("dv_files"))
 
     def change_feed(
         self, keys: list[str], from_version: int, to_version: int | None = None
@@ -406,8 +488,25 @@ class VersionedTable:
         from_paths = {f["path"] for f in man_from["files"]}
         removed = [f for f in man_from["files"] if f["path"] not in to_paths]
         added = [f for f in man_to["files"] if f["path"] not in from_paths]
-        old = self._read_files(removed, man_from["schema"])
-        new = self._read_files(added, man_to["schema"])
+        # deletion vectors change a file's LIVE rows without changing its
+        # path: a carried file gaining DV rows in the range must enter the
+        # diff on both sides (read under each side's own DV state) so the
+        # newly-deleted rows surface as deletes and untouched rows cancel.
+        from_dv = man_from.get("dv_files", [])
+        to_dv = man_to.get("dv_files", [])
+        from_dv_paths = {s["path"] for s in from_dv}
+        dv_touched_bns = {
+            bn for s in to_dv if s["path"] not in from_dv_paths for bn in s["counts"]
+        }
+        dv_changed = [
+            f
+            for f in man_to["files"]
+            if f["path"] in from_paths and self._basename(f["path"]) in dv_touched_bns
+        ]
+        removed = removed + dv_changed
+        added = added + dv_changed
+        old = self._read_files(removed, man_from["schema"], from_dv)
+        new = self._read_files(added, man_to["schema"], to_dv)
         to_schema = T.StructType.fromJson(json.loads(man_to["schema"]))
         cols = [f.name for f in to_schema.fields]
         # mergeSchema evolution: the preimage reports NULL for columns that
@@ -575,7 +674,7 @@ class VersionedTable:
                 )
             schema_json = schema.json()
             touched, carried = self._split_by_key_range(man["files"], updates, keys)
-            cur = self._read_files(touched, schema_json)
+            cur = self._read_files(touched, schema_json, man.get("dv_files"))
             kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
             ups = updates
             for f in schema.fields:
@@ -606,11 +705,67 @@ class VersionedTable:
                 touched = [f for f in man["files"] if prune(f["stats"])]
                 carried = [f for f in man["files"] if not prune(f["stats"])]
             keep = ~F.coalesce(cond, F.lit(False))
-            kept = self._read_files(touched, man["schema"]).where(keep)
+            kept = self._read_files(touched, man["schema"], man.get("dv_files")).where(keep)
             detail = f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}"
             return kept, carried, detail, man["schema"]
 
         return self._commit_retry(build, "delete")
+
+    def _write_dv_file(self, hits: DataFrame) -> dict | None:
+        """Persist (_bn, _pos) deletion rows as one DV sidecar parquet;
+        returns its manifest entry {"path", "counts": {basename: n}} or
+        None if nothing matched.  A sidecar abandoned by a lost commit
+        race is an orphan for ``vacuum``, same as a data file."""
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self.path, f"_tmpdv-{token}")
+        hits.select("_bn", "_pos").coalesce(1).write.mode("overwrite").parquet(tmp)
+        back = self.spark.read.schema("_bn string, _pos long").parquet(tmp)
+        counts = {r["_bn"]: r["n"] for r in back.groupBy("_bn").agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not counts:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
+        name = f"dv-{token}.parquet"
+        os.rename(os.path.join(tmp, part), os.path.join(self.path, "dv", name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"path": f"dv/{name}", "counts": counts}
+
+    def delete_where_dv(self, cond: Column | str, prune: StatsPredicate | None = None) -> int:
+        """DELETE WHERE via DELETION VECTORS (Delta/Iceberg v2 merge-on-read
+        deletes): instead of rewriting every touched data file, record the
+        matching rows' physical positions (file basename + row index) in a
+        small sidecar and anti-join them away at read time.  The write cost
+        is proportional to the DELETED rows, not the touched files — the
+        right trade for point/sparse deletes (GDPR erasure, retractions)
+        on a 100 TB table, where ``delete_where`` would rewrite terabytes
+        to drop kilobytes.
+
+        Reads pay the broadcast anti-join until a rewrite materializes the
+        deletes: ``compact()`` / ``optimize_zorder`` / a MERGE touching the
+        file purges its DV rows automatically (the commit loop prunes
+        sidecar entries to surviving basenames).  ``count_rows`` stays
+        metadata-only: manifests track per-sidecar per-file deleted counts.
+        ``prune`` bounds the position scan exactly as it bounds the rewrite
+        in ``delete_where``."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+
+        def build(man: dict):
+            dvs = man.get("dv_files", [])
+            if prune is None:
+                touched = man["files"]
+            else:
+                touched = [f for f in man["files"] if prune(f["stats"])]
+            live = self._read_files_with_pos(touched, man["schema"], dvs)
+            hits = live.where(F.coalesce(cond, F.lit(False)))
+            sidecar = self._write_dv_file(hits)
+            if sidecar is None:
+                return None, man["files"], "dv-noop", man["schema"]
+            n = sum(sidecar["counts"].values())
+            detail = f"dv {cond} rows_deleted={n} files_scanned={len(touched)}"
+            return None, man["files"], detail, man["schema"], {"dv_files": dvs + [sidecar]}
+
+        return self._commit_retry(build, "delete_dv")
 
     def compact(self, target_rows: int = 1_000_000) -> int:
         """OPTIMIZE-style small-file compaction: rewrite groups of small
@@ -626,7 +781,7 @@ class VersionedTable:
             if len(small) <= 1:
                 # nothing to gain: one small file cannot be compacted further
                 return None, man["files"], "noop", man["schema"]
-            merged = self._read_files(small, man["schema"]).coalesce(
+            merged = self._read_files(small, man["schema"], man.get("dv_files")).coalesce(
                 max(1, sum(f["num_rows"] for f in small) // target_rows)
             )
             return (merged, carried,
@@ -694,8 +849,11 @@ class VersionedTable:
         """``COUNT(*)`` answered from the manifest alone — the metadata-only
         scan Iceberg/Delta serve from their stats, with zero data files
         read at any table size. Each commit sums its per-file counts, so
-        the number is exact for every retained version."""
-        return int(self._manifest(version)["num_rows"])
+        the number is exact for every retained version; deletion-vector
+        commits track their per-file deleted counts in the manifest, so
+        the subtraction is metadata-only too."""
+        man = self._manifest(version)
+        return int(man["num_rows"]) - int(man.get("num_deleted", 0))
 
     def expire_versions(self, keep_versions: int = 10) -> list[int]:
         """Log retention (Iceberg ``expire_snapshots``): drop every
@@ -733,22 +891,29 @@ class VersionedTable:
         keep = set(versions[-keep_versions:])
         live: set[str] = set()
         for v in keep:
-            live.update(f["path"] for f in self._manifest(v)["files"])
+            man = self._manifest(v)
+            live.update(f["path"] for f in man["files"])
+            live.update(s["path"] for s in man.get("dv_files", []))
         referenced: set[str] = set()
         removed: list[str] = []
         for v in versions:
-            ref = [f["path"] for f in self._manifest(v)["files"]]
+            man = self._manifest(v)
+            ref = [f["path"] for f in man["files"]] + [
+                s["path"] for s in man.get("dv_files", [])
+            ]
             referenced.update(ref)
             if v in keep:
                 continue
             for path in ref:
                 if path not in live and path not in removed:
                     removed.append(path)
-        if os.path.isdir(self._data_dir):
-            for name in sorted(os.listdir(self._data_dir)):
-                rel = f"data/{name}"
-                if rel not in referenced and rel not in removed:
-                    removed.append(rel)
+        for sub in ("data", "dv"):
+            d = os.path.join(self.path, sub)
+            if os.path.isdir(d):
+                for name in sorted(os.listdir(d)):
+                    rel = f"{sub}/{name}"
+                    if rel not in referenced and rel not in removed:
+                        removed.append(rel)
         for rel in removed:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
@@ -768,7 +933,7 @@ class VersionedTable:
             else:
                 touched = [f for f in man["files"] if prune(f["stats"])]
                 carried = [f for f in man["files"] if not prune(f["stats"])]
-            kept = self._read_files(touched, man["schema"]).where(~F.coalesce(cond, F.lit(False)))
+            kept = self._read_files(touched, man["schema"], man.get("dv_files")).where(~F.coalesce(cond, F.lit(False)))
             detail = f"{cond} files_skipped={len(carried)} files_rewritten={len(touched)}"
             return kept.unionByName(df.where(cond)), carried, detail, man["schema"]
 

@@ -582,3 +582,91 @@ def test_bloom_index_skips_in_range_absent_keys(spark, tmp_path):
     rows = {r["id"]: r["tag"] for r in bloomed.read().collect()}
     assert rows[4] == "UPD" and rows[7] == "NEW"
     assert len(rows) == 62
+
+
+# ---- deletion vectors ------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=40, n_files=4):
+    t = VersionedTable(spark, str(tmp_path / "dvt"))
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+    t.write(df, cluster_by=["id"], n_files=n_files)
+    return t
+
+
+def test_dv_delete_removes_rows_without_rewriting_files(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    files_before = [f["path"] for f in t._manifest()["files"]]
+    v = t.delete_where_dv(F.col("id") % 10 == 3)
+    man = t._manifest()
+    assert [f["path"] for f in man["files"]] == files_before  # zero rewrites
+    assert man["files_written"] == 0
+    assert man["op"] == "delete_dv"
+    ids = {r.id for r in t.read().collect()}
+    assert ids == {i for i in range(40) if i % 10 != 3}
+    # time travel still sees the pre-delete rows
+    assert len(t.read(v - 1).collect()) == 40
+
+
+def test_dv_deletes_accumulate_and_count_rows_is_metadata_only(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id < 5")
+    t.delete_where_dv("id >= 35")
+    assert t.count_rows() == 30  # manifest arithmetic, no data read
+    assert {r.id for r in t.read().collect()} == set(range(5, 35))
+    # second delete of already-deleted rows is a noop commit
+    before = t.latest_version()
+    t.delete_where_dv("id < 5")
+    assert t._manifest()["detail"] == "dv-noop"
+    assert t.count_rows() == 30
+    assert t.latest_version() == before + 1
+
+
+def test_dv_survives_merge_on_other_files_and_purges_on_rewrite(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id = 2")
+    # merge touching only the high-key file: the deleted row must not
+    # resurrect, and the untouched file keeps its DV entry
+    ups = spark.createDataFrame([(39, 99, 0.0)], "id long, grp long, val double")
+    t.merge(ups, keys=["id"])
+    rows = {r.id: r.grp for r in t.read().collect()}
+    assert 2 not in rows
+    assert rows[39] == 99
+    assert t._manifest().get("dv_files"), "carried file should keep its DV"
+    # compact rewrites everything -> DVs are materialized and pruned away
+    t.compact(target_rows=1_000_000)
+    assert not t._manifest().get("dv_files")
+    assert 2 not in {r.id for r in t.read().collect()}
+    assert t.count_rows() == 39
+
+
+def test_dv_delete_with_prune_scans_only_matching_files(spark, tmp_path):
+    from data_etl_pipeline_spark.sources.versioned import range_prune
+
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv(F.col("id").between(0, 4), prune=range_prune("id", 0, 4))
+    detail = t._manifest()["detail"]
+    assert "files_scanned=1" in detail
+    assert {r.id for r in t.read().collect()} == set(range(5, 40))
+
+
+def test_change_feed_surfaces_dv_deletes(spark, tmp_path):
+    t = _dv_table(spark, tmp_path, n=10, n_files=2)
+    v0 = t.latest_version()
+    t.delete_where_dv("id = 7")
+    changes = t.change_feed(keys=["id"], from_version=v0).collect()
+    assert [(r.id, r.change_type) for r in changes] == [(7, "delete")]
+
+
+def test_vacuum_reclaims_stale_dv_sidecars(spark, tmp_path):
+    import os
+
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id = 1")
+    t.compact(target_rows=1_000_000)  # purges the DV from the live manifest
+    removed = t.vacuum(keep_versions=1)
+    assert any(p.startswith("dv/") for p in removed)
+    assert not os.listdir(os.path.join(t.path, "dv"))
+    assert {r.id for r in t.read().collect()} == set(range(40)) - {1}
