@@ -72,3 +72,36 @@ def rebalance_to_uniform(
             ).alias("sample_rate"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as one distributed top-k
+    (Efraimidis-Spirakis A-ES, exponential-key form): each row draws a
+    deterministic pseudo-uniform u from its id hash and sorts by
+
+        sample_key = -ln(u) / weight
+
+    — the k smallest keys are exactly a weight-proportional sample without
+    replacement.  This is how a 100 TB pipeline selects a quality- or
+    length-weighted document subset in ONE pass: the Spark plan is
+    TakeOrderedAndProject (per-partition partial top-k, driver merges
+    k rows per task — never a global sort shuffle).
+
+    Determinism: u = (md5-hash mod 2^40 + 1) / (2^40 + 1) is the portable
+    integer construction both engines share; the key is rounded to 9
+    decimals and tied on id so the oracle selects the identical k rows.
+    """
+    two40 = 1_099_511_627_776
+    u = (F.pmod(md5_int60(f"cast({id_col} as string)"), F.lit(two40)) + 1).cast(
+        "double"
+    ) / F.lit(float(two40 + 1))
+    keyed = df.withColumn(
+        "sample_key",
+        F.round(-F.log(u) / F.col(weight_col).cast("double"), 9),
+    )
+    return keyed.orderBy(F.asc("sample_key"), F.asc(id_col)).limit(k)

@@ -1935,3 +1935,36 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_id",
         F.array_join(F.array_remove(F.col("ids"), F.col("keep_id")), ",").alias("dropped_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality/length-weighted document selection: Efraimidis-Spirakis weighted
+# sampling without replacement as a distributed top-k on a deterministic
+# exponential key. The plan is TakeOrderedAndProject — per-partition
+# partial top-k, no global sort shuffle — the one-pass "select N documents
+# proportional to token mass" shape of training-data curation.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_weighted_sample",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             ROUND(-LN(CAST((hv % 1099511627776) + 1 AS DOUBLE) / 1099511627777.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS sample_key
+      FROM h)
+    SELECT doc_id, source, n_chars, sample_key
+    FROM keyed ORDER BY sample_key ASC, doc_id ASC LIMIT 50
+    """,
+    doc="Weighted sampling without replacement (A-ES exponential keys, "
+    "weight = n_chars) as a deterministic distributed top-k; oracle draws "
+    "the identical 50 documents.",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return mixture.weighted_sample_topk(docs, weight_col="n_chars", k=50)
