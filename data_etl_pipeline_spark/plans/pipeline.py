@@ -1968,3 +1968,38 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
     return mixture.weighted_sample_topk(docs, weight_col="n_chars", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims): the zero-
+# shuffle, zero-UDF pre-pass that shrinks every downstream ANN/clustering
+# cost 4x per vector. The Rademacher sign matrix is derived from md5 so
+# both engines regenerate it bit-for-bit; each component is the same
+# sequential-fold accumulation the cosine kernels use.
+# ---------------------------------------------------------------------------
+def _rp_oracle_sql() -> str:
+    signs = similarity.rp_signs(64, 16, seed=11)
+    comps = []
+    for j in range(16):
+        arr = "[" + ",".join(f"{s}.0" for s in signs[j]) + "]"
+        comps.append(
+            "ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[v[i] * ({arr})[i] FOR i IN range(1, 65)]), (acc, x) -> acc + x) / 4.0, 6)"
+        )
+    return (
+        "SELECT vec_id, [" + ", ".join(comps) + "] AS proj "
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e"
+    )
+
+
+@query(
+    "embedding_random_projection",
+    sql=_rp_oracle_sql(),
+    doc="JL random projection 64->16 via an md5-seeded Rademacher sign "
+    "matrix folded in codegen — pure map, no shuffle/UDF/join; oracle "
+    "replays every component exactly.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(
+        load(spark, sf_dir, "embeddings"), d_out=16, d_in=64, seed=11
+    )

@@ -268,3 +268,39 @@ def test_lsh_near_dup_pairs_finds_exact_dups_without_self_join(spark, sf_dir):
         assert r["cosine_sim"] == 1.0
     plan = pairs._sc._jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "formatted")
     assert "Join" not in plan, "pair mining must not self-join the corpus"
+
+
+def test_random_projection_preserves_distances_on_average(spark, sf_dir):
+    """JL contract: squared distances are preserved in expectation; the
+    mean ratio over many pairs concentrates near 1 even at d_out=16."""
+    import numpy as np
+
+    from data_etl_pipeline_spark.operators.similarity import random_projection
+    from data_etl_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.limit(60).collect()}
+    proj = {
+        r.vec_id: np.array(r.proj, dtype=float)
+        for r in random_projection(emb.limit(60)).collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+        d1 = float(np.sum((proj[a] - proj[b]) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean
+
+
+def test_random_projection_plan_has_no_shuffle(spark, sf_dir):
+    from data_etl_pipeline_spark.operators.similarity import random_projection
+    from data_etl_pipeline_spark.tables import load
+
+    plan = (
+        random_projection(load(spark, sf_dir, "embeddings"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
