@@ -47,24 +47,41 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 33
-# queries whose implementation or results changed (or that are new) this
-# round, (b) the 13 queries whose only green driver row is round 1 — the
-# r3 verdict's rotation debt, now at the front, then (c) 4 of the
-# queries whose latest green row is round 2 (staleness rotation, keeping
-# the pipeline/dedup/ANN/vocab/as-of shapes and deferring 22 simple
-# unchanged shapes — customer_order_distribution,
-# customers_with_urgent_orders, customers_without_orders,
-# distinct_segment_nation, event_type_user_buckets, nation_segment_rollup,
-# newest_open_orders, order_key_lookup, orderkey_set_ops, part_prefix_agg,
-# quantity_band_stats, returnflag_priority_counts, revenue_by_nation,
-# rich_customers_projection, vocab_word_match, approx_distinct_scales,
-# vocab_phrase_regex_match, vocab_match_compiled, vocab_match_aho_corasick,
-# top3_orders_per_customer, supplier_host_etld1, sole_returned_suppliers —
-# to the round-5 rotation,
-# where they MUST go first).
+# in dict order per round, so this list holds EXACTLY 50 names: (a) the 13
+# queries whose only green driver row is round 1 — the r3 verdict's
+# rotation debt, placed FIRST as it instructed; then (b) the 37 queries
+# that are new or materially changed this round. Three r4-changed queries
+# with green r3 rows whose change is a guard/limit only (jsonl_split_chunks
+# bounded collect, sequence_packing pmod sharding, embedding_cosine_pairs
+# max_rows guard) are deferred to round 5 to make room — each is still
+# verified by the local parity sweep and the judge's own pytest run. The
+# round-5 rotation front MUST take: those three, then pricing_summary,
+# events_asof_orders, two_phase_concept_extraction, doc_minhash_lsh_pairs
+# (r2 rows), then the 22 r2-green simple shapes listed in round 3's
+# registry comment (see git history), oldest rows first.
 _VERIFY_FIRST: list[str] = [
-    # (a) changed or new this round
+    # (a) green in round 1 only — the r3 verdict's rotation debt, first
+    "returned_items_revenue",
+    "shipping_priority",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "order_priority_rollup",
+    "returnflag_status_cube",
+    "small_quantity_revenue",
+    "brand_supplier_counts",
+    "idle_rich_customers",
+    "large_order_customers",
+    "min_acctbal_supplier_per_part",
+    "important_nation_stock",
+    "customer_acctbal_quartiles",
+    # (b) new or materially changed this round
+    "stream_stream_attribution",  # NEW: watermarked stream-stream interval join
+    "doc_repeated_substrings",    # NEW: suffix-array-style substring dedup
+    "doc_nb_classifier",          # NEW: in-engine trained NB quality gate
+    "semantic_dedup",             # NEW: SemDeDup pairs->CC->keep-best e2e
+    "versioned_dv_delete",        # NEW: deletion-vector merge-on-read deletes
+    "quality_weighted_sample",    # NEW: A-ES weighted top-k selection
+    "embedding_random_projection",  # NEW: JL 64->16 codegen projection
     "incident_window_event_counts",  # NEW: bucketed interval join, no equi-key
     "event_type_hourly_gap_fill",    # NEW: dense hourly axis + forward fill
     "trigram_heavy_hitters",         # NEW: Misra-Gries nominate + exact recount
@@ -87,10 +104,7 @@ _VERIFY_FIRST: list[str] = [
     "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
     "ann_topk_lsh_persisted",  # NEW: persisted-index probe
     "doc_chunks_bpe",          # corpus-trained merge table composed in
-    "jsonl_split_chunks",      # bounded collect (limit 512, oracle-mirrored)
-    "sequence_packing",        # pmod sharding (oracle-mirrored)
-    "embedding_cosine_pairs",  # max_rows guard on the O(n^2) baseline
-    "versioned_merge_time_travel",  # optimistic-concurrency commit path
+    "versioned_merge_time_travel",  # OCC commit path + DV-aware read plumbing
     "stream_merge_versioned_counts",  # NEW: streaming MERGE INTO the table
     "versioned_zorder_merge",  # NEW: OPTIMIZE ZORDER + skipping merge
     "incremental_minhash_dedup",  # NEW: ingest dedup vs persisted band index
@@ -98,35 +112,7 @@ _VERIFY_FIRST: list[str] = [
     "embedding_near_dup_pairs",  # NEW: LSH-bucketed pair mining, no self-join
     "stream_window_merge_counts",  # NEW: update-mode windowed MERGE sink
     "fuzzy_name_match",        # NEW: lossless q-gram edit-distance join
-    # (b) green in round 1 only — the r3 verdict's rotation debt
-    "returned_items_revenue",
-    "shipping_priority",
-    "nation_market_share",
-    "top_revenue_supplier",
-    "order_priority_rollup",
-    "returnflag_status_cube",
-    "small_quantity_revenue",
-    "brand_supplier_counts",
-    "idle_rich_customers",
-    "large_order_customers",
-    "min_acctbal_supplier_per_part",
-    "important_nation_stock",
-    "customer_acctbal_quartiles",
-    # (c) latest green row is round 2 — re-confirm (staleness rotation)
-    "pricing_summary",
-    "events_asof_orders",
-    "two_phase_concept_extraction",
-    "doc_minhash_lsh_pairs",
 ]
-# doc_chunks_even, doc_chunks_hard_limit, doc_fingerprints, doc_lang_id,
-# running_value_per_user, segment_with_override, address_merge,
-# event_props_json_stats, hourly_event_stats, benchmark_contamination,
-# mixture_rebalance, corpus_curation, embedding_kmeans_centroids,
-# doc_token_counts, doc_repetition_filter, doc_quality_scores,
-# doc_pii_redaction, doc_simhash_pairs, ann_topk_ivf moved to the round-5
-# rotation front (with the 22 deferred shapes above): the brand-new
-# queries of this round have no driver row at all yet, which outranks
-# refreshing an r2-green row.
 
 
 def _ordered() -> list[str]:
