@@ -308,6 +308,9 @@ class VersionedTable:
             "files_carried": len(carry),
             "files_written": len(new_files),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # microsecond-resolution commit instant for TIMESTAMP AS OF
+            # resolution (the ISO field above is second-granular)
+            "committed_at_unix": time.time(),
         }
         if bloom_cols:
             entry["bloom_cols"] = list(bloom_cols)
@@ -456,6 +459,36 @@ class VersionedTable:
         """Latest snapshot, or time-travel to an older version."""
         man = self._manifest(version)
         return self._read_files(man["files"], man["schema"], man.get("dv_files"))
+
+    def version_as_of(self, ts) -> int:
+        """Resolve a TIMESTAMP AS OF instant to a version number: the last
+        commit whose instant is <= ``ts`` (Delta's rule; ties and clock
+        wobble resolve in version order).  ``ts`` is a unix float or an
+        ISO ``YYYY-MM-DDTHH:MM:SSZ`` string; manifests carry a
+        microsecond commit instant (older ones fall back to the
+        second-granular ISO field)."""
+        if isinstance(ts, str):
+            ts = time.mktime(time.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")) - time.timezone
+        best = None
+        for v in self._versions():
+            man = self._manifest(v)
+            t = man.get("committed_at_unix")
+            if t is None:
+                t = (
+                    time.mktime(time.strptime(man["committed_at"], "%Y-%m-%dT%H:%M:%SZ"))
+                    - time.timezone
+                )
+            if t <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {ts!r} at {self.path}"
+            )
+        return best
+
+    def read_as_of(self, ts) -> DataFrame:
+        """TIMESTAMP AS OF time travel (Delta ``SELECT ... TIMESTAMP AS OF``)."""
+        return self.read(self.version_as_of(ts))
 
     def change_feed(
         self, keys: list[str], from_version: int, to_version: int | None = None

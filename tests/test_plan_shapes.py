@@ -195,3 +195,43 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime Bloom-filter join injection (the row-group-pruning
+    runtime filter that matters on fact-fact joins at scale): a selective
+    build side plants a might_contain() filter on the probe side's scan.
+    The application-side threshold defaults to 10 GB — always met by a
+    100 TB fact table, lowered here so the sf-test files qualify; the
+    mechanism itself is what this pins."""
+    from pyspark.sql import functions as F
+
+    from data_etl_pipeline_spark.tables import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        orders = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 500000)
+            .select("o_orderkey")
+        )
+        lineitem = load(spark, sf_dir, "lineitem")
+        j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -670,3 +670,18 @@ def test_vacuum_reclaims_stale_dv_sidecars(spark, tmp_path):
     assert any(p.startswith("dv/") for p in removed)
     assert not os.listdir(os.path.join(t.path, "dv"))
     assert {r.id for r in t.read().collect()} == set(range(40)) - {1}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    t = _dv_table(spark, tmp_path, n=10, n_files=2)
+    t0 = t._manifest()["committed_at_unix"]
+    t.delete_where_dv("id >= 5")
+    t1 = t._manifest()["committed_at_unix"]
+    assert t.version_as_of(t0) == 0
+    assert t.version_as_of(t1) == t.latest_version()
+    assert len(t.read_as_of(t0).collect()) == 10
+    assert len(t.read_as_of(t1).collect()) == 5
+    with pytest.raises(ValueError):
+        t.version_as_of(t0 - 3600)
+    # ISO-string instants resolve too (second granularity rounds down)
+    assert t.version_as_of(t._manifest()["committed_at"]) >= 0
