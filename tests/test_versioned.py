@@ -683,5 +683,14 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert len(t.read_as_of(t1).collect()) == 5
     with pytest.raises(ValueError):
         t.version_as_of(t0 - 3600)
-    # ISO-string instants resolve too (second granularity rounds down)
-    assert t.version_as_of(t._manifest()["committed_at"]) >= 0
+    # ISO-string instants resolve too; truncation to the second means the
+    # instant may precede a same-second first commit, so probe one second
+    # AFTER the latest commit's second, which must see every version
+    import time as _time
+
+    iso = t._manifest()["committed_at"]
+    bumped = _time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ",
+        _time.gmtime(_time.mktime(_time.strptime(iso, "%Y-%m-%dT%H:%M:%SZ")) - _time.timezone + 1),
+    )
+    assert t.version_as_of(bumped) == t.latest_version()
