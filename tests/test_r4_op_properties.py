@@ -1,0 +1,87 @@
+"""Behavioral invariants for the round-4 session operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators.dedup import (
+    min_label_clusters,
+    repeated_substring_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_are_fully_covered_spans(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    out = {
+        r.doc_id: r
+        for r in repeated_substring_spans(
+            _docs(spark, [(1, text), (2, text)]), k=8
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_words == 20
+        assert out[d].dup_frac == 1.0
+
+
+def test_disjoint_vocabularies_have_no_spans(spark):
+    a = " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20))
+    out = repeated_substring_spans(_docs(spark, [(1, a), (2, b)]), k=8).collect()
+    assert all(r.n_dup_spans == 0 and r.dup_words == 0 for r in out)
+
+
+def test_shared_middle_yields_one_exact_span(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    a = " ".join(f"a{i}" for i in range(6)) + " " + shared + " " + " ".join(f"x{i}" for i in range(6))
+    b = " ".join(f"b{i}" for i in range(6)) + " " + shared + " " + " ".join(f"y{i}" for i in range(6))
+    out = {r.doc_id: r for r in repeated_substring_spans(_docs(spark, [(1, a), (2, b)]), k=8).collect()}
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_words == 8  # exactly the shared 8-gram, coalesced
+
+
+def test_short_docs_survive_with_zero_spans(spark):
+    out = repeated_substring_spans(_docs(spark, [(1, "only three words"), (2, "only three words")]), k=8).collect()
+    assert {(r.doc_id, r.n_dup_spans) for r in out} == {(1, 0), (2, 0)}
+
+
+def test_min_label_clusters_propagates_along_chains(spark):
+    """A pure chain (worst-case diameter, no cliques) must still converge
+    to the global minimum label."""
+    n = 9
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = {r.doc_id: r.cluster for r in min_label_clusters(nodes, edges).collect()}
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_min_label_clusters_keeps_singletons_self_labeled(spark):
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = {r.doc_id: r.cluster for r in min_label_clusters(nodes, edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 3}
+
+
+def test_weighted_sample_with_k_over_n_returns_everything(spark):
+    from data_etl_pipeline_spark.operators.mixture import weighted_sample_topk
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "doc_id long, w long")
+    out = weighted_sample_topk(df, weight_col="w", k=100)
+    assert out.count() == 10
+
+
+def test_nb_classifier_is_deterministic_across_runs(spark, sf_dir):
+    from data_etl_pipeline_spark.operators.nbayes import train_score_nb
+    from data_etl_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in train_score_nb(docs).collect())
+    b = sorted(tuple(r) for r in train_score_nb(docs).collect())
+    assert a == b

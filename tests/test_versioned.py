@@ -694,3 +694,19 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         _time.gmtime(_time.mktime(_time.strptime(iso, "%Y-%m-%dT%H:%M:%SZ")) - _time.timezone + 1),
     )
     assert t.version_as_of(bumped) == t.latest_version()
+
+
+def test_dv_row_in_rewritten_file_stays_deleted_and_entry_prunes(spark, tmp_path):
+    """A deletion-vector row whose FILE a later merge rewrites: the rewrite
+    reads DV-applied (so the row cannot resurrect into the new file) and
+    the commit loop prunes the sidecar entry for the vanished basename."""
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id = 38")  # lives in the high-key file
+    ups = spark.createDataFrame([(39, 99, 0.0)], "id long, grp long, val double")
+    t.merge(ups, keys=["id"])  # touches the same high-key file
+    ids = {r.id for r in t.read().collect()}
+    assert 38 not in ids
+    assert 39 in ids
+    # the only DV'd basename was rewritten -> no sidecar entries survive
+    assert not t._manifest().get("dv_files")
+    assert t.count_rows() == 39
