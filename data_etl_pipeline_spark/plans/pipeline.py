@@ -2003,3 +2003,84 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(
         load(spark, sf_dir, "embeddings"), d_out=16, d_in=64, seed=11
     )
+
+
+# ---------------------------------------------------------------------------
+# Training shard writer — the output last-mile: packed context windows are
+# assigned to a fixed number of output shards by a deterministic hash of
+# (source, bin), physically written as shard-partitioned parquet (the
+# training-job input layout), read back, and summarized as a shard
+# manifest. Hash assignment balances token mass across shards by the law
+# of large numbers with ZERO coordination — the driver never sees a bin
+# list, which is what survives a 100 TB corpus (a greedy balanced
+# assignment would serialize every bin through one process).
+# ---------------------------------------------------------------------------
+@query(
+    "training_shard_manifest",
+    sql="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source, ((doc_id % 8) + 8) % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, ((doc_id % 8) + 8) % 8
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM w WHERE rn = 1
+      UNION ALL
+      SELECT w.doc_id, w.source, w.shard, w.n_tokens, w.rn,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN w.n_tokens
+                  ELSE p.fill + w.n_tokens END
+      FROM p JOIN w ON w.source = p.source AND w.shard = p.shard
+                   AND w.rn = p.rn + 1),
+    packed AS (SELECT source, doc_id, n_tokens, bin * 8 + shard AS bin FROM p),
+    keyed AS (
+      SELECT source, doc_id, n_tokens,
+             source || ':' || CAST(bin AS VARCHAR) AS bin_key,
+             ((('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)), 1, 15))::BIGINT % 16) + 16) % 16 AS out_shard
+      FROM packed)
+    SELECT out_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT bin_key) AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (CAST(COUNT(DISTINCT bin_key) AS DOUBLE) * 256.0), 6) AS avg_fill
+    FROM keyed GROUP BY out_shard
+    """,
+    doc="Training shard writer: packed bins hash-assigned to 16 output "
+    "shards, physically written as shard-partitioned parquet and read "
+    "back; manifest reports per-shard docs/bins/tokens/fill. Oracle "
+    "replays packing, shard hashing, and the manifest aggregates.",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.functions.hashing import md5_int60
+
+    packed = packing.pack_sequences(
+        load(spark, sf_dir, "documents"), capacity=256, n_shards=8
+    )
+    keyed = packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(":", F.col("source"), F.col("bin").cast("string")).alias("bin_key"),
+        F.pmod(
+            md5_int60("concat(source, ':', cast(bin as string))"), F.lit(16)
+        ).alias("out_shard"),
+    )
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    keyed.write.mode("overwrite").partitionBy("out_shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("out_shard").cast("bigint").alias("out_shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin_key").alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("bin_key").cast("double") * F.lit(256.0)),
+            6,
+        ).alias("avg_fill"),
+    )

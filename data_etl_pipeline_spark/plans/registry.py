@@ -104,7 +104,11 @@ _VERIFY_FIRST: list[str] = [
     "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
     "ann_topk_lsh_persisted",  # NEW: persisted-index probe
     "doc_chunks_bpe",          # corpus-trained merge table composed in
-    "versioned_merge_time_travel",  # OCC commit path + DV-aware read plumbing
+    "training_shard_manifest",  # NEW: hash-balanced training shard writer
+    # versioned_merge_time_travel deferred to round 5: its r4 changes (OCC
+    # commit, DV-aware reads) are the same code paths versioned_dv_delete,
+    # versioned_zorder_merge, versioned_change_feed, and
+    # stream_merge_versioned_counts exercise with fresh rows below
     "stream_merge_versioned_counts",  # NEW: streaming MERGE INTO the table
     "versioned_zorder_merge",  # NEW: OPTIMIZE ZORDER + skipping merge
     "incremental_minhash_dedup",  # NEW: ingest dedup vs persisted band index

@@ -85,3 +85,17 @@ def test_nb_classifier_is_deterministic_across_runs(spark, sf_dir):
     a = sorted(tuple(r) for r in train_score_nb(docs).collect())
     b = sorted(tuple(r) for r in train_score_nb(docs).collect())
     assert a == b
+
+
+def test_training_shards_are_hash_balanced(spark, sf_dir):
+    """Hash assignment must spread token mass across output shards without
+    coordination: no empty shard, and no shard more than ~2x the mean."""
+    import __spark_entry__ as e
+
+    df = e.queries()["training_shard_manifest"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 16
+    masses = [r.n_tokens for r in rows]
+    mean = sum(masses) / len(masses)
+    assert min(masses) > 0
+    assert max(masses) < 2 * mean, (max(masses), mean)
