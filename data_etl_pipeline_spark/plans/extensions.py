@@ -867,3 +867,79 @@ def versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_v0", F.lit(0.0)).alias("total_v0"),
         F.coalesce("total_now", F.lit(0.0)).alias("total_now"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental distinct-count maintenance via MERGEABLE HLL sketch state
+# (DataSketches): per-day sketches live in the versioned table; a late
+# batch unions its sketches into the persisted ones (register-wise max —
+# associative, order-free) instead of ever rescanning history, and the
+# corpus-wide distinct is one union over the day rows. The 100 TB shape
+# for "distinct users ever" style metrics: state is lgK=12 bytes per day,
+# maintenance cost is one batch scan. Sketch estimates are
+# implementation-specific, so (like approx_distinct_scales) the oracle
+# checks exact values bit-for-bit plus the documented error bound as a
+# boolean it expects TRUE.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_incremental_distinct",
+    sql="""
+    WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+    per_day AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM ev GROUP BY day)
+    SELECT day, exact_distinct, TRUE AS within_5pct FROM per_day
+    UNION ALL
+    SELECT CAST(NULL AS DATE) AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM ev
+    """,
+    doc="Per-day HLL sketches persisted in the versioned table; a late "
+    "batch MERGEs by sketch UNION (no history rescan); per-day and "
+    "corpus-total estimates must sit within the documented error bound "
+    "of the exact counts the oracle computes.",
+)
+def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cutoff = F.lit("2024-01-15").cast("date")
+    early, late = ev.where(F.col("day") < cutoff), ev.where(F.col("day") >= cutoff)
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="hll_state_"))
+    t.write(early.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk")))
+    batch = late.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    old = t.read().select("day", F.col("sk").alias("sk_old"))
+    unioned = (
+        old.join(batch.select("day", F.col("sk").alias("sk_new")), "day", "full_outer")
+        .select(
+            "day",
+            F.when(F.col("sk_old").isNull(), F.col("sk_new"))
+            .when(F.col("sk_new").isNull(), F.col("sk_old"))
+            .otherwise(F.hll_union("sk_old", "sk_new"))
+            .alias("sk"),
+        )
+    )
+    t.merge(unioned, keys=["day"])
+
+    state = t.read()
+    per_day = state.select("day", F.hll_sketch_estimate("sk").alias("est"))
+    total = state.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).select(
+        F.lit(None).cast("date").alias("day"), "est"
+    )
+    exact_day = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+        F.lit(None).cast("date").alias("day"), "exact_distinct"
+    )
+    est = per_day.unionByName(total)
+    exact = exact_day.unionByName(exact_total)
+    j = est.join(exact, est.day.eqNullSafe(exact.day)).select(
+        est.day.alias("day"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+    return j

@@ -97,7 +97,10 @@ _VERIFY_FIRST: list[str] = [
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
     "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
-    "json_roundtrip_agg",      # NEW: JSON-lines source/sink round trip
+    "hll_incremental_distinct",  # NEW: mergeable HLL sketch state via MERGE
+    # json_roundtrip_agg deferred to round 5 — same write-read-aggregate
+    # shape as orc_roundtrip_agg (fresh row above) and csv_roundtrip_agg
+    # (green r3 row)
     "per_source_quality_regression",  # NEW: covariance-aggregate fit
     "event_funnel_stages",     # NEW: ordered first-touch funnel
     "cdc_materialized_view",   # NEW: incremental view maintenance via CDC

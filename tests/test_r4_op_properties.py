@@ -99,3 +99,12 @@ def test_training_shards_are_hash_balanced(spark, sf_dir):
     mean = sum(masses) / len(masses)
     assert min(masses) > 0
     assert max(masses) < 2 * mean, (max(masses), mean)
+
+
+def test_hll_estimates_stay_within_bound(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.queries()["hll_incremental_distinct"](spark, sf_dir).collect()
+    assert len(rows) >= 2  # per-day rows + the corpus-total row
+    assert all(r.within_5pct for r in rows)
+    assert any(r.day is None for r in rows)  # total row present
