@@ -943,3 +943,91 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_5pct"),
     )
     return j
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling + declarative constraint validation (the Deequ /
+# Great Expectations shape; operators/profile.py). One generic long-format
+# pass profiles any column set in a single shuffle; constraints gate an
+# ingest on the resulting stats. Doubles are profiled via exact-decimal
+# columns only (double->string formatting differs across engines — noted
+# in the operator docstring).
+# ---------------------------------------------------------------------------
+_PROFILE_CTE = """
+    long AS (
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'status_nullable', NULLIF(o_orderstatus, 'O') FROM orders),
+    pv AS (SELECT col_name, value, COUNT(*) AS n FROM long GROUP BY 1, 2),
+    ranked AS (SELECT col_name, value, n,
+                      ROW_NUMBER() OVER (PARTITION BY col_name
+                          ORDER BY (value IS NULL) ASC, n DESC, value ASC) AS rn
+               FROM pv),
+    prof AS (
+      SELECT col_name,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN value IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value,
+             MIN(CASE WHEN rn = 1 THEN value END) AS top_value,
+             CAST(MAX(CASE WHEN rn = 1 AND value IS NOT NULL THEN n END) AS BIGINT) AS top_count
+      FROM ranked GROUP BY col_name)
+"""
+
+
+def _profiled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.profile import profile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("nullif(o_orderstatus, 'O')").alias("status_nullable"),
+    )
+    return profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "status_nullable"]
+    )
+
+
+@query(
+    "orders_profile",
+    sql=f"WITH {_PROFILE_CTE} SELECT * FROM prof",
+    doc="Deequ-style table profile (rows/nulls/distinct/min/max/top per "
+    "column) computed in one long-format shuffle for any column set; "
+    "deterministic top-value tie-break.",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profiled_orders(spark, sf_dir)
+
+
+@query(
+    "orders_quality_checks",
+    sql=f"""
+    WITH {_PROFILE_CTE}
+    SELECT col_name, 'unique' AS kind,
+           n_distinct = n_rows - n_null AS passed
+    FROM prof WHERE col_name = 'o_orderkey'
+    UNION ALL
+    SELECT col_name, 'not_null', n_null <= 0.9 * n_rows
+    FROM prof WHERE col_name = 'status_nullable'
+    UNION ALL
+    SELECT col_name, 'min_distinct', n_distinct >= 3
+    FROM prof WHERE col_name = 'o_orderstatus'
+    """,
+    doc="Declarative constraint validation over the profile (key "
+    "uniqueness, null-rate bound, cardinality floor) — the ingest gate a "
+    "pipeline asserts before promoting a batch.",
+)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.profile import check_constraints
+
+    return check_constraints(
+        _profiled_orders(spark, sf_dir),
+        [
+            {"column": "o_orderkey", "kind": "unique"},
+            {"column": "status_nullable", "kind": "not_null", "max_null_rate": 0.9},
+            {"column": "o_orderstatus", "kind": "min_distinct", "at_least": 3},
+        ],
+    )

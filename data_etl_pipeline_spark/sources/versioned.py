@@ -87,6 +87,10 @@ class ConcurrentCommitError(RuntimeError):
     """A commit could not claim a version after repeated contention."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """Incoming rows violate a table CHECK constraint; nothing committed."""
+
+
 def range_prune(col: str, lo, hi) -> StatsPredicate:
     """Might-match test for ``col BETWEEN lo AND hi``-shaped predicates."""
 
@@ -270,14 +274,30 @@ class VersionedTable:
         finally:
             os.remove(tmp)
 
+    def _validate_checks(self, df: DataFrame, checks: list[str]) -> None:
+        """Delta CHECK semantics: a row passes when every constraint is
+        TRUE or NULL; any FALSE aborts the commit before a file is
+        written.  One extra pass over the INCOMING rows only (carried
+        files were validated by the commit that wrote them)."""
+        if not checks or df is None:
+            return
+        for expr in checks:
+            bad = df.where(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint violated by incoming rows: {expr!r}"
+                )
+
     def _commit(self, new_df: DataFrame | None, carry: list[dict], op: str, detail: str,
                 schema_json: str | None = None, max_attempts: int = 10,
-                bloom_cols: list[str] | None = None) -> int:
+                bloom_cols: list[str] | None = None,
+                checks: list[str] | None = None) -> int:
         """Commit a change that does NOT depend on the prior manifest
         (``write``'s full snapshot): the data files are written once and,
         if the version claim is lost to a concurrent writer, re-claimed
         under the next number — no re-derivation needed."""
         schema_json = schema_json or (new_df.schema.json() if new_df is not None else None)
+        self._validate_checks(new_df, checks or [])
         version = (self.latest_version() + 1) if self._versions() else 0
         new_files = (
             self._write_files(new_df, version, bloom_cols=bloom_cols)
@@ -285,7 +305,7 @@ class VersionedTable:
         )
         for _ in range(max_attempts):
             if self._claim_with_files(version, new_files, carry, op, detail, schema_json,
-                                      bloom_cols=bloom_cols):
+                                      bloom_cols=bloom_cols, checks=checks):
                 return version
             version = self.latest_version() + 1
         self._drop_orphans(new_files)
@@ -296,7 +316,8 @@ class VersionedTable:
     def _claim_with_files(self, version: int, new_files: list[dict], carry: list[dict],
                           op: str, detail: str, schema_json: str | None,
                           bloom_cols: list[str] | None = None,
-                          dv_files: list[dict] | None = None) -> bool:
+                          dv_files: list[dict] | None = None,
+                          checks: list[str] | None = None) -> bool:
         files = carry + new_files
         entry = {
             "version": version,
@@ -314,6 +335,8 @@ class VersionedTable:
         }
         if bloom_cols:
             entry["bloom_cols"] = list(bloom_cols)
+        if checks:
+            entry["checks"] = list(checks)
         if dv_files:
             entry["dv_files"] = dv_files
             entry["num_deleted"] = sum(
@@ -355,6 +378,8 @@ class VersionedTable:
             out = build(man)
             new_df, carry, detail, schema_json = out[:4]
             extra = out[4] if len(out) > 4 else {}
+            checks = extra.get("checks", man.get("checks"))
+            self._validate_checks(new_df, checks or [])
             dv_files = extra.get("dv_files", man.get("dv_files", []))
             surviving = {self._basename(f["path"]) for f in carry}
             pruned = []
@@ -367,7 +392,8 @@ class VersionedTable:
                 if new_df is not None else []
             )
             if self._claim_with_files(version, new_files, carry, op, detail, schema_json,
-                                      bloom_cols=bloom_cols, dv_files=pruned):
+                                      bloom_cols=bloom_cols, dv_files=pruned,
+                                      checks=checks):
                 return version
             self._drop_orphans(new_files)
         raise ConcurrentCommitError(
@@ -433,7 +459,8 @@ class VersionedTable:
     # ---- operations ------------------------------------------------------
 
     def write(self, df: DataFrame, cluster_by: list[str] | None = None,
-              n_files: int | None = None, bloom_cols: list[str] | None = None) -> int:
+              n_files: int | None = None, bloom_cols: list[str] | None = None,
+              checks: list[str] | None = None) -> int:
         """Create the table (version 0) or replace it wholesale.
 
         ``cluster_by`` range-partitions the data files on the given keys
@@ -453,7 +480,11 @@ class VersionedTable:
         # ``bloom_cols`` turns on a per-file Bloom index on those columns —
         # persisted in the manifest and rebuilt automatically on every
         # rewrite (merge/delete/compact/zorder) via the commit loop
-        return self._commit(df, [], "write", "full snapshot", bloom_cols=bloom_cols)
+        # ``checks`` are Delta-style CHECK constraints (SQL boolean
+        # expressions): validated against these rows now, persisted in the
+        # log, and enforced on every future merge/replace batch
+        return self._commit(df, [], "write", "full snapshot", bloom_cols=bloom_cols,
+                            checks=checks)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to an older version."""
@@ -489,6 +520,28 @@ class VersionedTable:
     def read_as_of(self, ts) -> DataFrame:
         """TIMESTAMP AS OF time travel (Delta ``SELECT ... TIMESTAMP AS OF``)."""
         return self.read(self.version_as_of(ts))
+
+    def add_check(self, expr: str) -> int:
+        """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK``: validate the
+        constraint against ALL existing rows (Delta's precondition), then
+        commit a metadata-only version carrying it; every future
+        merge/replace batch is validated against it before any file is
+        written.  Raises ConstraintViolationError if current data already
+        violates."""
+
+        def build(man: dict):
+            existing = man.get("checks") or []
+            cur = self._read_files(man["files"], man["schema"], man.get("dv_files"))
+            self._validate_checks(cur, [expr])
+            return (
+                None,
+                man["files"],
+                f"add check {expr}",
+                man["schema"],
+                {"checks": existing + [expr]},
+            )
+
+        return self._commit_retry(build, "add_check")
 
     def change_feed(
         self, keys: list[str], from_version: int, to_version: int | None = None

@@ -710,3 +710,52 @@ def test_dv_row_in_rewritten_file_stays_deleted_and_entry_prunes(spark, tmp_path
     # the only DV'd basename was rewritten -> no sidecar entries survive
     assert not t._manifest().get("dv_files")
     assert t.count_rows() == 39
+
+
+# ---- CHECK constraints -----------------------------------------------------
+
+
+def test_check_constraints_gate_writes_and_merges(spark, tmp_path):
+    from data_etl_pipeline_spark.sources.versioned import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "ck"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, val double")
+    t.write(df, checks=["val >= 0", "id is not null"])
+    assert t._manifest()["checks"] == ["val >= 0", "id is not null"]
+
+    # clean merge passes and the constraint persists through the commit
+    t.merge(spark.createDataFrame([(3, 30.0)], "id long, val double"), keys=["id"])
+    assert t._manifest()["checks"] == ["val >= 0", "id is not null"]
+
+    # violating batch: nothing committed, state unchanged
+    v_before = t.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        t.merge(spark.createDataFrame([(4, -1.0)], "id long, val double"), keys=["id"])
+    assert t.latest_version() == v_before
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_check_rows_with_null_condition_pass(spark, tmp_path):
+    """SQL CHECK semantics: NULL condition is not a violation."""
+    t = VersionedTable(spark, str(tmp_path / "ckn"))
+    t.write(
+        spark.createDataFrame([(1, 10.0)], "id long, val double"), checks=["val >= 0"]
+    )
+    t.merge(spark.createDataFrame([(2, None)], "id long, val double"), keys=["id"])
+    assert t.read().count() == 2
+
+
+def test_add_check_validates_existing_data_first(spark, tmp_path):
+    from data_etl_pipeline_spark.sources.versioned import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "cka"))
+    t.write(spark.createDataFrame([(1, -5.0), (2, 20.0)], "id long, val double"))
+    with pytest.raises(ConstraintViolationError):
+        t.add_check("val >= 0")  # existing row violates -> rejected
+    assert "checks" not in t._manifest()
+
+    t.add_check("id > 0")  # existing data clean -> metadata-only commit
+    assert t._manifest()["checks"] == ["id > 0"]
+    assert t._manifest()["op"] == "add_check"
+    with pytest.raises(ConstraintViolationError):
+        t.merge(spark.createDataFrame([(0, 1.0)], "id long, val double"), keys=["id"])
