@@ -105,3 +105,27 @@ def weighted_sample_topk(
         F.round(-F.log(u) / F.col(weight_col).cast("double"), 9),
     )
     return keyed.orderBy(F.asc("sample_key"), F.asc(id_col)).limit(k)
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``q`` fraction of rows per group by score (the
+    FineWeb-style per-source quality percentile cut): rank-based, so the
+    cut is EXACT and engine-replayable — no quantile-sketch interpolation
+    to disagree over.  Ties break on the id, making membership
+    deterministic.  One window over the group partitioning; at 100 TB the
+    per-group sort is bounded by the largest source, the same partitioning
+    every other per-source stage reuses."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") <= q)
+        .drop("_pr")
+    )

@@ -2084,3 +2084,70 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality gate: keep the top 30% of documents per source by the
+# composite quality score (the FineWeb percentile-cut recipe). Rank-based,
+# not sketch-based, so the cut is exact and the oracle replays membership
+# bit-for-bit; kept-score sums go through exact decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "per_source_quality_gate",
+    sql="""
+    WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, source,
+                 len(w) AS n_words,
+                 len(list_distinct(w)) AS n_distinct_words,
+                 length(text) AS n_chars,
+                 len([x for x in w if x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')]) AS n_stop
+          FROM d),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+                   + 0.3 * LEAST((CAST(n_stop AS DOUBLE) / n_words) * 4.0, 1.0)
+                   + 0.3 * LEAST(n_words / 100.0, 1.0), 6) AS quality_score
+      FROM s),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id ASC) AS pr
+      FROM scored),
+    kept AS (SELECT * FROM ranked WHERE pr <= 0.3)
+    SELECT k.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(MIN(k.quality_score), 6) AS min_kept_score,
+           CAST(SUM(CAST(k.quality_score AS DECIMAL(18,6))) AS DOUBLE) AS kept_score_sum
+    FROM kept k
+    JOIN (SELECT source, COUNT(*) AS n_docs FROM scored GROUP BY source) t
+      USING (source)
+    GROUP BY k.source, t.n_docs
+    """,
+    doc="Per-source top-30% quality cut (rank-based exact percentile gate, "
+    "FineWeb recipe); one window on the source partitioning.",
+)
+def per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    kept = mixture.top_fraction_per_group(
+        scored.select("doc_id", "source", "quality_score"),
+        group_col="source",
+        score_col="quality_score",
+        q=0.3,
+    )
+    totals = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality_score"), 6).alias("min_kept_score"),
+            F.sum(F.col("quality_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("kept_score_sum"),
+        )
+        .join(totals, "source")
+        .select("source", "n_docs", "n_kept", "min_kept_score", "kept_score_sum")
+    )
