@@ -74,3 +74,57 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32) -> DataFrame:
         closure = closure.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return closure
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank in integer micro-units — the importance-propagation shape
+    (rank web-crawl sources, weight corpus domains) made bit-deterministic:
+    ranks are BIGINT micro-rank, contributions use integer division
+    (``rank div out_degree``), and the update is
+
+        rank' = (100 - damping_pct) * 10_000 + damping_pct * sum(contrib) div 100
+
+    Every operation is exact integer arithmetic, so partial-aggregation
+    order cannot wobble a bit and a SQL oracle unrolls the iterations
+    verbatim.  The div-truncation bias is <= 1 micro-unit per edge per
+    iteration (documented, deterministic).  Dangling-node mass is dropped
+    (the simplest standard variant; both engines mirror it).
+
+    Scale shape: per iteration ONE shuffle — contributions group by dst
+    with map-side combine; the rank table joins edges on src (broadcast
+    while ranks are dim-sized, SMJ beyond).  Iterations are driver-side
+    control only; ranks are localCheckpointed so lineage stays flat
+    (same mechanics as transitive_closure above).
+    """
+    edges = edges.select("src", "dst").distinct().persist()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = F.lit((100 - damping_pct) * 10_000).cast("long")
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro")).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank_micro div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            ranks.join(contribs, ranks.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(f"{damping_pct} * coalesce(in_mass, 0L) div 100")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return ranks

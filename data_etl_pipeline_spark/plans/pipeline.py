@@ -2151,3 +2151,51 @@ def per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(totals, "source")
         .select("source", "n_docs", "n_kept", "min_kept_score", "kept_score_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the customer->supplier purchase graph: the
+# importance-propagation shape (domain weighting for crawl corpora) in
+# exact integer micro-rank arithmetic, so the iterative Spark loop and the
+# oracle's unrolled iterations agree bit-for-bit (operators/hierarchy.py
+# documents the div-truncation bound and the one-shuffle-per-iteration
+# scale shape).
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_pagerank",
+    sql="""
+    WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+    c1 AS (SELECT e.dst, SUM(r.rank_micro // d.out_deg) AS m
+           FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n0.node, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM r0 n0 LEFT JOIN c1 ON c1.dst = n0.node),
+    c2 AS (SELECT e.dst, SUM(r.rank_micro // d.out_deg) AS m
+           FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n0.node, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM r1 n0 LEFT JOIN c2 ON c2.dst = n0.node),
+    c3 AS (SELECT e.dst, SUM(r.rank_micro // d.out_deg) AS m
+           FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+    r3 AS (SELECT n0.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM r2 n0 LEFT JOIN c3 ON c3.dst = n0.node)
+    SELECT node, rank_micro FROM r3 ORDER BY rank_micro DESC, node ASC LIMIT 20
+    """,
+    doc="3-iteration PageRank in exact integer micro-rank over the "
+    "customer->supplier graph; iterative loop vs unrolled-CTE oracle, "
+    "one pre-reduced shuffle per iteration.",
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.hierarchy import pagerank_fixed_point
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    return ranks.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)

@@ -108,3 +108,47 @@ def test_hll_estimates_stay_within_bound(spark, sf_dir):
     assert len(rows) >= 2  # per-day rows + the corpus-total row
     assert all(r.within_5pct for r in rows)
     assert any(r.day is None for r in rows)  # total row present
+
+
+def test_profile_handles_all_null_and_mixed_columns(spark):
+    from data_etl_pipeline_spark.operators.profile import check_constraints, profile
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "x"), (3, None, None)],
+        "id long, dead string, tag string",
+    )
+    prof = {r.col_name: r for r in profile(df, ["id", "dead", "tag"]).collect()}
+    assert prof["dead"].n_null == 3
+    assert prof["dead"].n_distinct == 0
+    assert prof["dead"].top_value is None and prof["dead"].top_count is None
+    assert prof["tag"].top_value == "x" and prof["tag"].top_count == 2
+    assert prof["tag"].n_null == 1
+    assert prof["id"].n_distinct == 3 and prof["id"].min_value == "1"
+
+    checks = check_constraints(
+        profile(df, ["id", "dead"]),
+        [
+            {"column": "id", "kind": "unique"},
+            {"column": "dead", "kind": "not_null", "max_null_rate": 0.5},
+        ],
+    ).collect()
+    got = {(r.col_name, r.kind): r.passed for r in checks}
+    assert got[("id", "unique")] is True
+    assert got[("dead", "not_null")] is False
+
+
+def test_pagerank_sink_gains_rank_and_mass_is_conserved_modulo_truncation(spark):
+    from data_etl_pipeline_spark.operators.hierarchy import pagerank_fixed_point
+
+    # star graph: many sources point at one hub -> hub must dominate
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(5)] + [("hub", "out")],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.rank_micro for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    # sources have no in-edges: they decay to the base; hub and its
+    # downstream node accumulate their mass
+    assert ranks["hub"] > ranks["s0"]
+    assert ranks["out"] > ranks["s0"]
+    assert ranks["s0"] == ranks["s4"] == 150_000  # pure-source fixpoint
+    assert all(v >= 150_000 for v in ranks.values())  # base mass floor
