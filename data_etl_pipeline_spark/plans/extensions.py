@@ -1031,3 +1031,108 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"column": "o_orderstatus", "kind": "min_distinct", "at_least": 3},
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake log INTEROP (sources/delta_reader.py): the query materializes
+# a protocol-correct Delta table (parquet data files + hand-written
+# _delta_log JSON commits — v0 full snapshot, v1 remove+add rewriting the
+# low-key file), then reads BOTH versions back through the log reader and
+# aggregates them. Proves a real lakehouse directory written by Delta
+# tooling is readable (snapshots, time travel, schema from metaData)
+# without the delta-spark package.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_read",
+    sql="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 4000),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 1000 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM v0),
+    a0 AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM v0 GROUP BY 1),
+    a1 AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM v1 GROUP BY 1)
+    SELECT COALESCE(a0.status, a1.status) AS status,
+           COALESCE(a0.n, 0) AS n_v0,
+           COALESCE(a1.n, 0) AS n_v1,
+           COALESCE(a0.total, 0.0) AS total_v0,
+           COALESCE(a1.total, 0.0) AS total_v1
+    FROM a0 FULL OUTER JOIN a1 ON a0.status = a1.status
+    """,
+    doc="Reads a protocol-correct Delta table (_delta_log JSON replay: "
+    "metaData/add/remove, snapshots + time travel) without delta-spark; "
+    "oracle recomputes both version states.",
+)
+def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = tempfile.mkdtemp(prefix="delta_interop_")
+
+    def write_file(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
+        shutil.rmtree(tmp)
+
+    low = base.where(F.col("o_orderkey") <= 1000)
+    high = base.where(F.col("o_orderkey") > 1000)
+    write_file(low, "part-low.parquet")
+    write_file(high, "part-high.parquet")
+    write_file(low.withColumn("o_orderstatus", F.lit("R")), "part-low-v1.parquet")
+
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    meta = {
+        "metaData": {
+            "id": "interop",
+            "schemaString": base.schema.json(),
+            "partitionColumns": [],
+            "format": {"provider": "parquet"},
+        }
+    }
+
+    def log(version: int, actions: list) -> None:
+        with open(os.path.join(tbl, "_delta_log", f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def add(p: str) -> dict:
+        return {"add": {"path": p, "partitionValues": {}, "size": 1, "dataChange": True}}
+
+    log(0, [{"protocol": {"minReaderVersion": 1}}, meta, add("part-low.parquet"), add("part-high.parquet")])
+    log(1, [{"remove": {"path": "part-low.parquet", "dataChange": True}}, add("part-low-v1.parquet")])
+
+    r = DeltaLogReader(spark, tbl)
+
+    def agg(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    a0 = agg(r.read(version=0), "n_v0", "total_v0")
+    a1 = agg(r.read(), "n_v1", "total_v1")
+    return a0.join(a1, "status", "full_outer").select(
+        "status",
+        F.coalesce("n_v0", F.lit(0)).alias("n_v0"),
+        F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+        F.coalesce("total_v0", F.lit(0.0)).alias("total_v0"),
+        F.coalesce("total_v1", F.lit(0.0)).alias("total_v1"),
+    )
