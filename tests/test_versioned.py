@@ -759,3 +759,40 @@ def test_add_check_validates_existing_data_first(spark, tmp_path):
     assert t._manifest()["op"] == "add_check"
     with pytest.raises(ConstraintViolationError):
         t.merge(spark.createDataFrame([(0, 1.0)], "id long, val double"), keys=["id"])
+
+
+def test_dv_delete_racing_merge_rederives_positions(spark, tmp_path, monkeypatch):
+    """A deletion-vector commit that loses the optimistic race must
+    re-derive its row POSITIONS against the winner's manifest — positions
+    are physical, so replaying a stale sidecar against rewritten files
+    would delete the wrong rows."""
+    path = str(tmp_path / "dvrace")
+    a = VersionedTable(spark, path)
+    b = VersionedTable(spark, path)
+    base = spark.range(40).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+    a.write(base, cluster_by=["id"], n_files=4)
+
+    interposed = {"done": False}
+    orig = VersionedTable._write_dv_file
+
+    def interpose(self, hits):
+        sidecar = orig(self, hits)
+        if self is a and not interposed["done"]:
+            interposed["done"] = True
+            # B rewrites the file holding id=5 before A claims its version
+            ups = spark.createDataFrame([(7, 99, 0.0)], "id long, grp long, val double")
+            b.merge(ups, keys=["id"])
+        return sidecar
+
+    monkeypatch.setattr(VersionedTable, "_write_dv_file", interpose)
+    a.delete_where_dv("id = 5")
+
+    rows = {r.id: r.grp for r in a.read().collect()}
+    assert 5 not in rows          # the delete landed on the re-derived file
+    assert rows[7] == 99          # the merge was not lost
+    assert len(rows) == 39
+    assert a.count_rows() == 39   # metadata arithmetic consistent
+    ops = [h["op"] for h in a.history()]
+    assert ops == ["write", "merge", "delete_dv"]
