@@ -2199,3 +2199,136 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges, iterations=3)
     return ranks.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition v2 — the full curation pipeline in ONE declarative
+# plan: repeated-substring gate (docs over 60% duplicated regions drop)
+# -> exact-hash dedup (first id wins) -> length-weighted A-ES sample of
+# 100 docs -> greedy (source, shard) sequence packing -> per-source
+# funnel manifest. Every stage is an already-oracle-verified operator;
+# the oracle chains the same four CTE blocks so the WHOLE funnel, not
+# just its pieces, is hash-checked. Scale shape is the sum of its parts
+# (each documented in SCALE.md); no stage adds a join over text.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_curation_v2",
+    sql="""
+    WITH RECURSIVE
+    words AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+    occ AS (
+      SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i+7], ' ') AS sh
+      FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 7 AS e FROM occ o JOIN dup USING (sh)),
+    brk AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos <= COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM marked),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk),
+    spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS en
+              FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, SUM(en - s + 1) AS dup_words FROM spans GROUP BY doc_id),
+    gated AS (
+      SELECT w.doc_id, w.source, w.text, w.w
+      FROM words w LEFT JOIN per_doc p USING (doc_id)
+      WHERE ROUND(CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+                  / CAST(len(w.w) AS DOUBLE), 6) <= 0.6),
+    uniq AS (
+      SELECT doc_id, source, text, w FROM (
+        SELECT g.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated g) t
+      WHERE rn = 1),
+    keyed AS (
+      SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+             ROUND(-LN(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 1099511627776) + 1 AS DOUBLE) / 1099511627777.0)
+                   / CAST(len(w) AS DOUBLE), 9) AS k
+      FROM uniq),
+    samp AS (SELECT doc_id, source, n_tokens FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 100),
+    pw AS (
+      SELECT doc_id, source, ((doc_id % 4) + 4) % 4 AS shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, ((doc_id % 4) + 4) % 4
+                                ORDER BY doc_id) AS rn
+      FROM samp),
+    p AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM pw WHERE rn = 1
+      UNION ALL
+      SELECT w2.doc_id, w2.source, w2.shard, w2.n_tokens, w2.rn,
+             CASE WHEN p.fill + w2.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + w2.n_tokens > 256 THEN w2.n_tokens
+                  ELSE p.fill + w2.n_tokens END
+      FROM p JOIN pw w2 ON w2.source = p.source AND w2.shard = p.shard
+                       AND w2.rn = p.rn + 1),
+    packedq AS (SELECT source, doc_id, n_tokens, bin * 4 + shard AS bin FROM p),
+    f_in AS (SELECT source, COUNT(*) AS n_input FROM words GROUP BY source),
+    f_gate AS (SELECT source, COUNT(*) AS n_gated FROM gated GROUP BY source),
+    f_samp AS (SELECT source, COUNT(*) AS n_sampled FROM samp GROUP BY source),
+    f_pack AS (SELECT source, COUNT(DISTINCT bin) AS n_bins, SUM(n_tokens) AS n_tok
+               FROM packedq GROUP BY source)
+    SELECT i.source,
+           CAST(i.n_input AS BIGINT) AS n_input,
+           CAST(COALESCE(g.n_gated, 0) AS BIGINT) AS n_gated,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(k.n_bins, 0) AS BIGINT) AS n_bins,
+           CAST(COALESCE(k.n_tok, 0) AS BIGINT) AS n_tokens
+    FROM f_in i
+    LEFT JOIN f_gate g USING (source)
+    LEFT JOIN f_samp s USING (source)
+    LEFT JOIN f_pack k USING (source)
+    """,
+    doc="Full curation funnel in one plan: repeated-substring gate -> "
+    "exact dedup -> weighted sample (100 docs) -> sequence packing -> "
+    "per-source manifest; oracle chains the four verified CTE blocks so "
+    "the composition itself is hash-checked.",
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    spans = dedup.repeated_substring_spans(docs, k=8, min_docs=2)
+    gated = docs.join(
+        spans.where(F.col("dup_frac") <= 0.6).select("doc_id"), "doc_id"
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    unique = (
+        gated.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    sized = unique.withColumn(
+        "n_words", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    sampled = mixture.weighted_sample_topk(sized, weight_col="n_words", k=100)
+    packed = packing.pack_sequences(
+        sampled.select("doc_id", "text", "source"), capacity=256, n_shards=4
+    )
+    return (
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+        .join(gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated")), "source", "left")
+        .join(sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled")), "source", "left")
+        .join(
+            packed.groupBy("source").agg(
+                F.countDistinct("bin").alias("n_bins"),
+                F.sum("n_tokens").alias("n_tokens"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_gated", F.lit(0)).alias("n_gated"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("n_bins", F.lit(0)).cast("long").alias("n_bins"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
