@@ -57,8 +57,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # verified by the local parity sweep and the judge's own pytest run. The
 # round-5 rotation front MUST take, in order: the no-row round-4 queries
 # that did not fit (orders_profile, orders_quality_checks,
-# per_source_quality_gate, supplier_pagerank, delta_interop_read,
-# corpus_curation_v2, json_roundtrip_agg), the
+# per_source_quality_gate, supplier_pagerank, supplier_balance_distribution,
+# orc_roundtrip_agg, json_roundtrip_agg), the
 # three guard-only deferrals, then
 # versioned_merge_time_travel, pricing_summary, events_asof_orders,
 # two_phase_concept_extraction, doc_minhash_lsh_pairs (r2/r3 rows), then
@@ -98,11 +98,14 @@ _VERIFY_FIRST: list[str] = [
     "doc_dedup_keep_best",           # NEW: keep-longest cluster canonical
     "cross_source_leakage",          # NEW: multi-source near-dup audit
     "versioned_bloom_point_merge",   # NEW: Bloom-indexed point MERGE
-    "supplier_balance_distribution", # NEW: percent_rank/cume_dist breadth
+    "corpus_curation_v2",      # NEW: composed curation funnel flagship
     "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
     "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
-    "orc_roundtrip_agg",       # NEW: ORC source/sink round trip
+    "delta_interop_read",      # NEW: Delta _delta_log replay interop
     "hll_incremental_distinct",  # NEW: mergeable HLL sketch state via MERGE
+    # supplier_balance_distribution and orc_roundtrip_agg yielded their
+    # slots to the two most novel capabilities (both are simple shapes
+    # heavily covered by pytest; round-5 front takes them)
     # json_roundtrip_agg deferred to round 5 — same write-read-aggregate
     # shape as orc_roundtrip_agg (fresh row above) and csv_roundtrip_agg
     # (green r3 row)
