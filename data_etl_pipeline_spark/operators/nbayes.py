@@ -76,6 +76,12 @@ def train_score_nb(
         )
         .first()
     )
+    if not n_hi or not n_lo:
+        raise ValueError(
+            f"degenerate training split (n_hi={n_hi}, n_lo={n_lo}): both "
+            f"classes need examples — check label_word={label_word!r} and "
+            "that the training split is non-empty"
+        )
     n_train = n_hi + n_lo
     prior_micro = _micro(math.log(n_hi / n_train) - math.log(n_lo / n_train))
     oov_micro = _micro(math.log(1.0 / (t_hi + v)) - math.log(1.0 / (t_lo + v)))

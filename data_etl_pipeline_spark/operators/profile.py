@@ -77,7 +77,19 @@ def check_constraints(profile_df: DataFrame, rules: list[dict]) -> DataFrame:
       * ``min_distinct`` (at_least: int)      — cardinality floor
 
     Returns (col_name, kind, passed) rows — the gate a pipeline asserts on
-    before promoting an ingest batch."""
+    before promoting an ingest batch.
+
+    A rule whose column has NO profile row (misspelled column, or an empty
+    table producing an empty profile) raises instead of vanishing from the
+    output — a gate that silently passes on missing evidence is the
+    failure mode this exists to prevent."""
+    present = {r["col_name"] for r in profile_df.select("col_name").distinct().collect()}
+    missing = [r["column"] for r in rules if r["column"] not in present]
+    if missing:
+        raise ValueError(
+            f"no profile rows for constraint column(s) {missing}; refusing a "
+            "vacuously-passing gate (empty table or wrong column name)"
+        )
     checks = []
     for r in rules:
         base = profile_df.where(F.col("col_name") == r["column"])

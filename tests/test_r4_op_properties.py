@@ -152,3 +152,41 @@ def test_pagerank_sink_gains_rank_and_mass_is_conserved_modulo_truncation(spark)
     assert ranks["out"] > ranks["s0"]
     assert ranks["s0"] == ranks["s4"] == 150_000  # pure-source fixpoint
     assert all(v >= 150_000 for v in ranks.values())  # base mass floor
+
+
+def test_degenerate_inputs_fail_loudly_or_empty_cleanly(spark):
+    """Empty/degenerate inputs: gates must refuse vacuous passes, trainers
+    must name the problem, and pure transforms must return empty."""
+    import pytest
+
+    from data_etl_pipeline_spark.operators.mixture import weighted_sample_topk
+    from data_etl_pipeline_spark.operators.nbayes import train_score_nb
+    from data_etl_pipeline_spark.operators.profile import check_constraints, profile
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    # empty table -> empty profile -> the constraint gate must NOT pass
+    with pytest.raises(ValueError, match="vacuously"):
+        check_constraints(
+            profile(empty_docs, ["doc_id"]), [{"column": "doc_id", "kind": "unique"}]
+        )
+    # wrong column name is the same trap
+    nonempty = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vacuously"):
+        check_constraints(
+            profile(nonempty, ["text"]), [{"column": "txet", "kind": "unique"}]
+        )
+
+    # one-class corpus -> NB must name the degenerate split, not crash in math
+    one_class = spark.createDataFrame(
+        [(i, "scan table row") for i in range(1, 10)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="degenerate training split"):
+        train_score_nb(one_class, label_word="scan")
+
+    # pure transforms: empty in, empty out
+    from data_etl_pipeline_spark.operators.dedup import repeated_substring_spans
+
+    assert repeated_substring_spans(empty_docs).count() == 0
+    e2 = spark.createDataFrame([], "doc_id long, w long")
+    assert weighted_sample_topk(e2, weight_col="w", k=5).count() == 0
