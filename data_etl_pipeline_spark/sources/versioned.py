@@ -498,17 +498,16 @@ class VersionedTable:
         ISO ``YYYY-MM-DDTHH:MM:SSZ`` string; manifests carry a
         microsecond commit instant (older ones fall back to the
         second-granular ISO field)."""
+        import calendar
+
         if isinstance(ts, str):
-            ts = time.mktime(time.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")) - time.timezone
+            ts = calendar.timegm(time.strptime(ts, "%Y-%m-%dT%H:%M:%SZ"))
         best = None
         for v in self._versions():
             man = self._manifest(v)
             t = man.get("committed_at_unix")
             if t is None:
-                t = (
-                    time.mktime(time.strptime(man["committed_at"], "%Y-%m-%dT%H:%M:%SZ"))
-                    - time.timezone
-                )
+                t = calendar.timegm(time.strptime(man["committed_at"], "%Y-%m-%dT%H:%M:%SZ"))
             if t <= ts:
                 best = v
         if best is None:
