@@ -1136,3 +1136,46 @@ def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_v0", F.lit(0.0)).alias("total_v0"),
         F.coalesce("total_v1", F.lit(0.0)).alias("total_v1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Queryable metadata tables (Delta DESCRIBE HISTORY/DETAIL, Iceberg
+# table.files): the commit log and file inventory as DataFrames, served
+# from the manifest with zero data files opened. The query drives a
+# deterministic lifecycle (write 4 clustered files -> DV delete ->
+# compact to 1) and returns the history table; the oracle states the
+# expected accounting from the raw data.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_metadata_tables",
+    sql="""
+    WITH base AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey <= 8000),
+    dv AS (SELECT COUNT(*) AS d FROM orders
+           WHERE o_orderkey <= 8000 AND o_orderkey % 97 = 0)
+    SELECT 0 AS version, 'write' AS op, 4 AS n_files,
+           CAST(n AS BIGINT) AS n_rows, 4 AS files_written, 0 AS files_carried
+    FROM base
+    UNION ALL
+    SELECT 1, 'delete_dv', 4, CAST(n - d AS BIGINT), 0, 4 FROM base, dv
+    UNION ALL
+    SELECT 2, 'compact', 1, CAST(n - d AS BIGINT), 1, 0 FROM base, dv
+    """,
+    doc="Metadata tables: DESCRIBE HISTORY-style commit accounting across "
+    "a write -> DV delete -> compact lifecycle, served from manifests "
+    "with no data files opened; oracle states the expected accounting.",
+)
+def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 8000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="metatbl_"))
+    t.write(base, cluster_by=["o_orderkey"], n_files=4)
+    t.delete_where_dv(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0)
+    t.compact(target_rows=1_000_000)
+    return t.history_df()

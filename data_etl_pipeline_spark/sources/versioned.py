@@ -520,6 +520,50 @@ class VersionedTable:
         """TIMESTAMP AS OF time travel (Delta ``SELECT ... TIMESTAMP AS OF``)."""
         return self.read(self.version_as_of(ts))
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg ``table.files`` / Delta ``DESCRIBE DETAIL`` as a
+        queryable DataFrame: one row per data file in the snapshot with
+        its physical row count and flattened min/max stats (JSON), plus
+        live deletion-vector counts.  Metadata only — no data file is
+        opened."""
+        man = self._manifest(version)
+        dv_counts: dict[str, int] = {}
+        for s in man.get("dv_files", []):
+            for bn, n in s["counts"].items():
+                dv_counts[bn] = dv_counts.get(bn, 0) + n
+        rows = [
+            (
+                f["path"],
+                int(f["num_rows"]),
+                int(dv_counts.get(self._basename(f["path"]), 0)),
+                json.dumps(f["stats"], sort_keys=True),
+            )
+            for f in man["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, num_rows long, num_deleted long, stats_json string"
+        )
+
+    def history_df(self) -> DataFrame:
+        """The commit log as a queryable DataFrame (Delta ``DESCRIBE
+        HISTORY``): version, operation, file/row accounting per commit."""
+        rows = [
+            (
+                int(h["version"]),
+                h["op"],
+                int(len(h["files"])),
+                int(h["num_rows"]) - int(h.get("num_deleted", 0)),
+                int(h["files_written"]),
+                int(h["files_carried"]),
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, op string, n_files long, n_rows long, "
+            "files_written long, files_carried long",
+        )
+
     def add_check(self, expr: str) -> int:
         """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK``: validate the
         constraint against ALL existing rows (Delta's precondition), then

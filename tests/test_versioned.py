@@ -796,3 +796,18 @@ def test_dv_delete_racing_merge_rederives_positions(spark, tmp_path, monkeypatch
     assert a.count_rows() == 39   # metadata arithmetic consistent
     ops = [h["op"] for h in a.history()]
     assert ops == ["write", "merge", "delete_dv"]
+
+
+def test_files_df_reports_dv_counts_without_reading_data(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id < 5")
+    fdf = t.files_df().collect()
+    assert sum(r.num_rows for r in fdf) == 40
+    assert sum(r.num_deleted for r in fdf) == 5
+    # deleted rows attribute to the low-key file only (clustered layout)
+    with_dv = [r for r in fdf if r.num_deleted > 0]
+    assert len(with_dv) == 1
+    import json as _json
+
+    stats = _json.loads(with_dv[0].stats_json)
+    assert stats["id"][0] == 0  # the low-key file
