@@ -58,7 +58,7 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # round-5 rotation front MUST take, in order: the no-row round-4 queries
 # that did not fit (orders_profile, orders_quality_checks,
 # per_source_quality_gate, supplier_pagerank, supplier_balance_distribution,
-# orc_roundtrip_agg, json_roundtrip_agg), the
+# orc_roundtrip_agg, json_roundtrip_agg, versioned_metadata_tables), the
 # three guard-only deferrals, then
 # versioned_merge_time_travel, pricing_summary, events_asof_orders,
 # two_phase_concept_extraction, doc_minhash_lsh_pairs (r2/r3 rows), then

@@ -520,6 +520,56 @@ class VersionedTable:
         """TIMESTAMP AS OF time travel (Delta ``SELECT ... TIMESTAMP AS OF``)."""
         return self.read(self.version_as_of(ts))
 
+    def clone(self, dest: str, deep: bool = True) -> "VersionedTable":
+        """Delta CLONE parity: materialize the latest snapshot as a new
+        independent table at ``dest``.
+
+        ``deep=True`` copies the referenced data/DV files — the clone owns
+        its storage and the source can be vacuumed freely.  ``deep=False``
+        is a SHALLOW clone: the new table's v0 manifest references the
+        source's files by ABSOLUTE path (zero bytes copied; reads resolve
+        through the same ``os.path.join`` the relative form uses).  As
+        with Delta shallow clones, vacuuming the SOURCE can break a
+        shallow clone — the clone's manifest records the dependency in
+        its detail string so the hazard is discoverable."""
+        man = self._manifest()
+        clone = VersionedTable(self.spark, dest)
+        os.makedirs(clone.path, exist_ok=True)
+        files, dvs = [], []
+        if deep:
+            os.makedirs(clone._data_dir, exist_ok=True)
+            for f in man["files"]:
+                shutil.copy2(
+                    os.path.join(self.path, f["path"]),
+                    os.path.join(clone.path, f["path"]),
+                )
+                files.append(f)
+            for s in man.get("dv_files", []):
+                os.makedirs(os.path.join(clone.path, "dv"), exist_ok=True)
+                shutil.copy2(
+                    os.path.join(self.path, s["path"]),
+                    os.path.join(clone.path, s["path"]),
+                )
+                dvs.append(s)
+            detail = f"deep clone of {self.path}@v{man['version']}"
+        else:
+            files = [
+                {**f, "path": os.path.join(self.path, f["path"])} for f in man["files"]
+            ]
+            dvs = [
+                {**s, "path": os.path.join(self.path, s["path"])}
+                for s in man.get("dv_files", [])
+            ]
+            detail = f"SHALLOW clone of {self.path}@v{man['version']} (source vacuum breaks it)"
+        ok = clone._claim_with_files(
+            0, [], files, "clone", detail, man["schema"],
+            bloom_cols=man.get("bloom_cols"), dv_files=dvs,
+            checks=man.get("checks"),
+        )
+        if not ok:
+            raise ValueError(f"destination {dest} already has a version log")
+        return clone
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """Iceberg ``table.files`` / Delta ``DESCRIBE DETAIL`` as a
         queryable DataFrame: one row per data file in the snapshot with

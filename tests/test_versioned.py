@@ -811,3 +811,32 @@ def test_files_df_reports_dv_counts_without_reading_data(spark, tmp_path):
 
     stats = _json.loads(with_dv[0].stats_json)
     assert stats["id"][0] == 0  # the low-key file
+
+
+def test_deep_clone_is_independent_of_source(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id = 3")
+    c = t.clone(str(tmp_path / "deep"), deep=True)
+    assert {r.id for r in c.read().collect()} == set(range(40)) - {3}
+    # source mutates + vacuums; the clone must not notice
+    t.delete_where("id >= 20")
+    t.vacuum(keep_versions=1)
+    assert {r.id for r in c.read().collect()} == set(range(40)) - {3}
+    assert c.count_rows() == 39
+
+
+def test_shallow_clone_shares_files_and_commits_independently(spark, tmp_path):
+    import os
+
+    t = _dv_table(spark, tmp_path)
+    c = t.clone(str(tmp_path / "shallow"), deep=False)
+    assert not os.path.isdir(os.path.join(c.path, "data")) or not os.listdir(
+        os.path.join(c.path, "data")
+    )  # zero bytes copied
+    assert sorted(r.id for r in c.read().collect()) == list(range(40))
+    # a merge on the clone lands in the clone only
+    ups = spark.createDataFrame([(0, 99, 0.0)], "id long, grp long, val double")
+    c.merge(ups, keys=["id"])
+    assert {r.grp for r in c.read().where("id = 0").collect()} == {99}
+    assert {r.grp for r in t.read().where("id = 0").collect()} == {0}
+    assert "SHALLOW clone" in c.history()[0]["detail"]
