@@ -520,6 +520,27 @@ class VersionedTable:
         """TIMESTAMP AS OF time travel (Delta ``SELECT ... TIMESTAMP AS OF``)."""
         return self.read(self.version_as_of(ts))
 
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: commit a NEW
+        version whose content is snapshot ``version`` — a rollback that
+        preserves history (time travel still reaches the undone commits)
+        and carries the old file list by reference, writing nothing.
+        Safe w.r.t. vacuum only while ``version`` is inside the retention
+        horizon, exactly as in Delta."""
+        old = self._manifest(version)
+
+        def build(man: dict):
+            detail = f"restore to v{version}"
+            return (
+                None,
+                old["files"],
+                detail,
+                old["schema"],
+                {"dv_files": old.get("dv_files", [])},
+            )
+
+        return self._commit_retry(build, "restore")
+
     def clone(self, dest: str, deep: bool = True) -> "VersionedTable":
         """Delta CLONE parity: materialize the latest snapshot as a new
         independent table at ``dest``.

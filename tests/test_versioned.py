@@ -840,3 +840,21 @@ def test_shallow_clone_shares_files_and_commits_independently(spark, tmp_path):
     assert {r.grp for r in c.read().where("id = 0").collect()} == {99}
     assert {r.grp for r in t.read().where("id = 0").collect()} == {0}
     assert "SHALLOW clone" in c.history()[0]["detail"]
+
+
+def test_restore_rolls_back_content_but_keeps_history(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id < 10")
+    t.merge(
+        spark.createDataFrame([(50, 1, 0.0)], "id long, grp long, val double"),
+        keys=["id"],
+    )
+    assert t.count_rows() == 31
+    v = t.restore(0)
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+    assert t.count_rows() == 40
+    assert t._manifest()["files_written"] == 0  # carried by reference
+    # the undone commits remain time-travelable
+    assert t.count_rows(version=v - 1) == 31
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["write", "delete_dv", "merge", "restore"]
