@@ -77,7 +77,22 @@ class DeltaLogReader:
                     if not line.strip():
                         continue
                     action = json.loads(line)
-                    if "metaData" in action:
+                    if "protocol" in action:
+                        proto = action["protocol"]
+                        if proto.get("minReaderVersion", 1) > 1 or proto.get(
+                            "readerFeatures"
+                        ):
+                            # reader-version >= 2 implies features (column
+                            # mapping, DVs, ...) that change how data files
+                            # must be interpreted; reading anyway would
+                            # return silently-wrong rows (e.g. all-NULL
+                            # under column mapping) — the protocol REQUIRES
+                            # refusal here
+                            raise DeltaProtocolError(
+                                f"table requires Delta reader protocol {proto}; "
+                                "this minimal reader supports minReaderVersion 1"
+                            )
+                    elif "metaData" in action:
                         meta = action["metaData"]
                     elif "add" in action:
                         add = action["add"]
@@ -105,11 +120,18 @@ class DeltaLogReader:
         # group files by their partition assignment; each group reads with
         # the file schema and re-attaches the partition literals, cast
         # through the table schema (Delta stores them only in the log)
+        from urllib.parse import unquote
+
         groups: dict[tuple, list[str]] = {}
         for add in adds:
             pv = add.get("partitionValues") or {}
             key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(os.path.join(self.path, add["path"]))
+            # the protocol stores add.path RFC 2396 percent-encoded (spaces,
+            # colons in partition dirs); join the DECODED form or valid
+            # tables fail with path-not-found
+            groups.setdefault(key, []).append(
+                os.path.join(self.path, unquote(add["path"]))
+            )
         out = None
         types = {f.name: f.dataType for f in schema.fields}
         for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):

@@ -192,8 +192,9 @@ class VersionedTable:
         return v
 
     @staticmethod
-    def _bloom_pos_expr(col: str, seed: int) -> str:
-        return f"pmod(xxhash64({seed}L, `{col}`), {_BLOOM_BITS})"
+    def _bloom_pos_expr(col_expr: str, seed: int) -> str:
+        # ``col_expr`` is a SQL expression (callers backtick bare names)
+        return f"pmod(xxhash64({seed}L, {col_expr}), {_BLOOM_BITS})"
 
     def _write_files(self, df: DataFrame, version: int,
                      bloom_cols: list[str] | None = None) -> list[dict]:
@@ -218,8 +219,8 @@ class VersionedTable:
         # Bloom build: fold each row's two probe bits into 128 bit_or words
         # per column — same single stats job, all codegen
         for j, c in enumerate(bloom_cols):
-            back = back.withColumn(f"__bp_{j}_0", F.expr(self._bloom_pos_expr(c, _BLOOM_SEEDS[0])))
-            back = back.withColumn(f"__bp_{j}_1", F.expr(self._bloom_pos_expr(c, _BLOOM_SEEDS[1])))
+            back = back.withColumn(f"__bp_{j}_0", F.expr(self._bloom_pos_expr(f"`{c}`", _BLOOM_SEEDS[0])))
+            back = back.withColumn(f"__bp_{j}_1", F.expr(self._bloom_pos_expr(f"`{c}`", _BLOOM_SEEDS[1])))
             for w in range(_BLOOM_WORDS):
                 terms = " | ".join(
                     f"IF(__bp_{j}_{i} div 64 = {w}, "
@@ -281,11 +282,18 @@ class VersionedTable:
         files were validated by the commit that wrote them)."""
         if not checks or df is None:
             return
-        for expr in checks:
-            bad = df.where(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).count()
-            if bad:
+        # ONE aggregation job evaluates every constraint (a per-check
+        # .count() would execute the derived commit plan N times)
+        aggs = [
+            F.count(F.when(F.expr(e).eqNullSafe(F.lit(False)), 1)).alias(f"_c{i}")
+            for i, e in enumerate(checks)
+        ]
+        row = df.agg(*aggs).first()
+        for i, e in enumerate(checks):
+            if row[f"_c{i}"]:
                 raise ConstraintViolationError(
-                    f"CHECK constraint violated by incoming rows: {expr!r}"
+                    f"CHECK constraint violated by {row[f'_c{i}']} incoming "
+                    f"row(s): {e!r}"
                 )
 
     def _commit(self, new_df: DataFrame | None, carry: list[dict], op: str, detail: str,
@@ -530,6 +538,14 @@ class VersionedTable:
         old = self._manifest(version)
 
         def build(man: dict):
+            checks = man.get("checks") or []
+            if checks:
+                # a CHECK added after ``version`` may not hold on the old
+                # snapshot; restoring would advertise a violated invariant
+                cur = self._read_files(
+                    old["files"], old["schema"], old.get("dv_files")
+                )
+                self._validate_checks(cur, checks)
             detail = f"restore to v{version}"
             return (
                 None,
@@ -756,7 +772,8 @@ class VersionedTable:
         )
 
     def _split_by_key_range(self, files: list[dict], updates: DataFrame, keys: list[str],
-                            max_exact: int = 1024):
+                            max_exact: int = 1024,
+                            key_types: dict | None = None):
         """(touched, carried): a file is carried iff NO update row can match
         it — evaluated per file against its min/max stats box in ONE
         aggregation pass over the update batch.
@@ -791,6 +808,14 @@ class VersionedTable:
                 c = F.col(k).between(F.lit(mm[0]), F.lit(mm[1]))
                 bloom = (f.get("bloom") or {}).get(k)
                 if bloom is not None and len(files) <= 256:
+                    # the index bits were built by hashing the TABLE-typed
+                    # column; xxhash64 is type-sensitive (INT and LONG hash
+                    # differently), so a type-widened update batch must be
+                    # cast to the table type before probing or a present
+                    # key could falsely test absent (silent lost update)
+                    probe_col = f"`{k}`"
+                    if key_types and k in key_types:
+                        probe_col = f"cast(`{k}` as {key_types[k]})"
                     # Bloom probe: both hash positions must be set bits.
                     # Catches keys INSIDE the range box but absent from the
                     # file — the point-lookup gap min/max cannot close.
@@ -798,7 +823,7 @@ class VersionedTable:
                     # array literal, which dominates planning past that.
                     arr = "array(" + ",".join(f"{w}L" for w in bloom) + ")"
                     for seed in _BLOOM_SEEDS:
-                        pos = self._bloom_pos_expr(k, seed)
+                        pos = self._bloom_pos_expr(probe_col, seed)
                         c = c & F.expr(
                             f"(shiftright(element_at({arr}, cast(({pos}) div 64 as int) + 1), "
                             f"cast(({pos}) % 64 as int)) & 1) = 1"
@@ -873,7 +898,28 @@ class VersionedTable:
                     + [T.StructField(f.name, f.dataType, True) for f in extra]
                 )
             schema_json = schema.json()
-            touched, carried = self._split_by_key_range(man["files"], updates, keys)
+            # Delta MERGE rejects sources with multiple rows per key --
+            # silently accepting them would insert duplicates into a keyed
+            # table (the anti-join removes ONE old row, the union adds N).
+            # One tiny agg job over the non-null-keyed slice.
+            nn = updates.na.drop(subset=keys)
+            total, distinct = nn.agg(
+                F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"MERGE source has {total - distinct} duplicate row(s) on "
+                    f"keys {keys}; deduplicate the batch first (Delta raises "
+                    "'multiple source rows matched' here for the same reason)"
+                )
+            key_types = {
+                f.name: f.dataType.simpleString()
+                for f in schema.fields
+                if f.name in keys
+            }
+            touched, carried = self._split_by_key_range(
+                man["files"], updates, keys, key_types=key_types
+            )
             cur = self._read_files(touched, schema_json, man.get("dv_files"))
             kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
             ups = updates
@@ -1015,7 +1061,7 @@ class VersionedTable:
             raise ValueError("optimize_zorder needs at least one column")
 
         def build(man: dict):
-            cur = self._read_files(man["files"], man["schema"])
+            cur = self._read_files(man["files"], man["schema"], man.get("dv_files"))
             n = 1 << bits
             probs = [i / n for i in range(1, n)]
             z = cur
@@ -1114,6 +1160,11 @@ class VersionedTable:
                     rel = f"{sub}/{name}"
                     if rel not in referenced and rel not in removed:
                         removed.append(rel)
+        # a shallow clone's manifest references its SOURCE's files by
+        # absolute path; os.path.join would pass those through and vacuum
+        # would delete another table's data — only paths under this
+        # table's root are ours to reclaim
+        removed = [r for r in removed if not os.path.isabs(r)]
         for rel in removed:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):

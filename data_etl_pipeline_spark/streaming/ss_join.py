@@ -64,8 +64,13 @@ def split_events_by_ts(
     bounds = []
     for p in parts:
         t = pq.read_table(p, columns=["ts"])
-        lo, hi = min(t["ts"].to_pylist()), max(t["ts"].to_pylist())
-        bounds.append((p, lo.isoformat(), hi.isoformat()))
+        vals = t["ts"].to_pylist()
+        if not vals:
+            # repartitionByRange can emit an empty partition on tiny/skewed
+            # inputs; an empty part file just means one fewer micro-batch
+            os.remove(p)
+            continue
+        bounds.append((p, min(vals).isoformat(), max(vals).isoformat()))
     bounds.sort(key=lambda b: b[1])
     # pin mtimes ascending in ts order: FileStreamSource picks oldest first
     base = 1_600_000_000

@@ -126,3 +126,20 @@ def test_unsupported_protocol_features_fail_loudly(spark, tmp_path):
     open(os.path.join(tbl2, "_delta_log", "00000000000000000010.checkpoint.parquet"), "w").close()
     with pytest.raises(DeltaProtocolError, match="checkpoint"):
         DeltaLogReader(spark, tbl2).versions()
+
+
+def test_reader_refuses_protocol_v2_and_decodes_paths(spark, tmp_path):
+    # minReaderVersion 2 (e.g. column mapping) must refuse, not read NULLs
+    tbl = str(tmp_path / "dlv2")
+    os.makedirs(tbl)
+    _write_part(spark, tbl, "f.parquet", [(1, "a")])
+    _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, _meta(), _add("f.parquet")])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        DeltaLogReader(spark, tbl).read()
+
+    # add.path is RFC 2396 percent-encoded: a file with a space must resolve
+    tbl2 = str(tmp_path / "dlenc")
+    os.makedirs(tbl2)
+    _write_part(spark, tbl2, "part one.parquet", [(1, "a")])
+    _log(tbl2, 0, [_meta(), _add("part%20one.parquet")])
+    assert [r.id for r in DeltaLogReader(spark, tbl2).read().collect()] == [1]

@@ -858,3 +858,73 @@ def test_restore_rolls_back_content_but_keeps_history(spark, tmp_path):
     assert t.count_rows(version=v - 1) == 31
     ops = [h["op"] for h in t.history()]
     assert ops == ["write", "delete_dv", "merge", "restore"]
+
+
+# ---- round-4 review regression tests ---------------------------------------
+
+
+def test_zorder_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_dv("id = 7")
+    t.optimize_zorder(["id", "grp"], n_files=2)
+    assert 7 not in {r.id for r in t.read().collect()}
+    assert not t._manifest().get("dv_files")  # purged by the rewrite
+    assert t.count_rows() == 39
+
+
+def test_vacuum_on_shallow_clone_never_touches_source_files(spark, tmp_path):
+    import os
+
+    t = _dv_table(spark, tmp_path)
+    c = t.clone(str(tmp_path / "sc"), deep=False)
+    # rewrite everything in the clone so v0's absolute refs become stale
+    ups = spark.createDataFrame(
+        [(i, 0, 0.0) for i in range(40)], "id long, grp long, val double"
+    )
+    c.merge(ups, keys=["id"])
+    removed = c.vacuum(keep_versions=1)
+    assert all(not os.path.isabs(r) for r in removed)
+    # the source table is fully intact
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+
+
+def test_merge_rejects_duplicate_key_source(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(1, 10, 0.0), (1, 20, 0.0)], "id long, grp long, val double"
+    )
+    with pytest.raises(ValueError, match="duplicate row"):
+        t.merge(dup, keys=["id"])
+    # two null-key rows are NOT duplicates (both insert, per MERGE semantics)
+    nulls = spark.createDataFrame(
+        [(None, 1, 0.0), (None, 2, 0.0)], "id long, grp long, val double"
+    )
+    t.merge(nulls, keys=["id"])
+    assert t.read().where("id is null").count() == 2
+
+
+def test_restore_refuses_snapshot_violating_current_checks(spark, tmp_path):
+    from data_etl_pipeline_spark.sources.versioned import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "rck"))
+    t.write(spark.createDataFrame([(1, -5.0), (2, 2.0)], "id long, val double"))
+    t.delete_where("val < 0")
+    t.add_check("val >= 0")  # holds on current state
+    with pytest.raises(ConstraintViolationError):
+        t.restore(0)  # v0 contains val=-5.0, violating the newer CHECK
+
+
+def test_bloom_probe_survives_type_widened_merge_batch(spark, tmp_path):
+    """xxhash64 is type-sensitive: an INT-typed update batch probing a
+    LONG-built Bloom index must be cast to the table type, or a present
+    key falsely tests absent and the old row silently survives."""
+    t = VersionedTable(spark, str(tmp_path / "bw"))
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") * 1.5).alias("val")
+    )
+    t.write(df, cluster_by=["id"], n_files=4, bloom_cols=["id"])
+    ups = spark.createDataFrame([(7, 0.0)], "id int, val double")  # INT key
+    t.merge(ups, keys=["id"])
+    rows = t.read().where("id = 7").collect()
+    assert len(rows) == 1  # no duplicate: the matching file was rewritten
+    assert rows[0].val == 0.0  # and the update actually landed
