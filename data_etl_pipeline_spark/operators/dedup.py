@@ -30,6 +30,7 @@ from data_etl_pipeline_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
     NUM_MINHASH,
+    h32,
 )
 
 
@@ -149,7 +150,7 @@ def minhash_signatures(
     document regardless of corpus size.
     """
     sh = shingles(df, text_col, id_col, n)
-    h = F.expr(f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {MERSENNE_31}")
+    h = F.expr(h32("shingle"))
     rows = sh.select("doc_id", h.alias("h"))
     aggs = [
         F.min(F.expr(f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MERSENNE_31}")).alias(f"m{i}")
@@ -175,6 +176,12 @@ def minhash_band_index(
     incremental dedup (incremental_minhash_dedup) equi-joins a new
     batch's bands against a persisted copy (e.g. through
     sources/versioned.py keyed on (doc_id, band))."""
+    if NUM_MINHASH % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide NUM_MINHASH={NUM_MINHASH}: trailing "
+            "signature positions would silently drop from every band key, "
+            "lowering recall below the b/r LSH bound"
+        )
     rows_per_band = NUM_MINHASH // bands
     sig = minhash_signatures(df, text_col, id_col, n)
     return sig.select(
@@ -309,10 +316,7 @@ def lsh_candidate_pairs(
     # est_similarity is ROUND(CAST(matches AS DOUBLE)/N, 6) in BOTH engines:
     # Spark's int / decimal-literal division would yield DECIMAL while DuckDB's
     # len()/16.0 path differs — the driver's value hash is type-sensitive.
-    est = F.expr(
-        f"round(cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z)) as double)"
-        f" / cast({NUM_MINHASH} as double), 6)"
-    )
+    est = F.expr(_EST_SIM.format(a="sig_a", b="sig_b", n=NUM_MINHASH))
     return (
         cand.withColumn("est_similarity", est)
         .where(F.col("est_similarity") >= min_est)
@@ -331,9 +335,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     bits in one numpy pass is the faster path; this expression form is the
     oracle-checkable single-pass one (one row in, one row out, no shuffle).
     """
+    # FULL 60-bit word hashes: reducing mod 2^31-1 (as the MinHash
+    # permutation math must) would zero bits 31-59, collapsing the upper
+    # bands of simhash_pairs into corpus-wide buckets — the O(n^2)
+    # self-join banding exists to avoid
     words_hashes = (
         f"transform(array_distinct(split({text_col}, ' ')), "
-        f"x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % {MERSENNE_31})"
+        f"x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
     )
     sim = (
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "

@@ -7,8 +7,10 @@ api/routes/knowledge/ontology.py). At 100 TB-class ontologies/lineage
 graphs the closure must be computed distributed: Spark has no recursive
 CTE, so the engine runs the classic iterative semi-naive expansion —
 each round joins the newest frontier to the edge table and unions new
-pairs, doubling the reachable depth roughly every join round; iteration
-stops at fixpoint (empty frontier) or max_depth.
+pairs, extending the reachable depth by one edge per round (the frontier
+joins BASE edges, not the closure — linear rounds, but each round is one
+cheap join instead of a growing self-join); iteration stops at fixpoint
+(empty frontier) or max_depth.
 
 Each round is one broadcast/shuffle join + a distinct; intermediate
 results are cached and the loop is driver-side CONTROL only (O(depth)
@@ -64,6 +66,13 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32) -> DataFrame:
                 "ancestor",
             )
             .select("node", F.col("up").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
+            # dedup within the round FIRST: two equal-length paths to the
+            # same ancestor (any diamond) otherwise both survive the
+            # _seen anti-join and compound through later frontiers — row
+            # count would track path count (exponential in layered DAGs),
+            # not pair count
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
             .join(closure.select("node", "ancestor").withColumn("_seen", F.lit(True)), ["node", "ancestor"], "left")
             .where(F.col("_seen").isNull())
             .drop("_seen")

@@ -100,9 +100,18 @@ def weighted_sample_topk(
     u = (F.pmod(md5_int60(f"cast({id_col} as string)"), F.lit(two40)) + 1).cast(
         "double"
     ) / F.lit(float(two40 + 1))
+    # NULL keys sort FIRST under asc() and negative weights flip the key
+    # sign — either would silently hijack the whole sample, so a bad
+    # weight fails the job instead (codegen branch, no extra pass)
+    safe_w = F.expr(
+        f"IF({weight_col} IS NULL OR {weight_col} <= 0, "
+        f"cast(raise_error(concat('weighted_sample_topk: non-positive or null "
+        f"weight for id ', cast({id_col} as string))) as double), "
+        f"cast({weight_col} as double))"
+    )
     keyed = df.withColumn(
         "sample_key",
-        F.round(-F.log(u) / F.col(weight_col).cast("double"), 9),
+        F.round(-F.log(u) / safe_w, 9),
     )
     return keyed.orderBy(F.asc("sample_key"), F.asc(id_col)).limit(k)
 

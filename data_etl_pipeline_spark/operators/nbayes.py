@@ -59,23 +59,20 @@ def train_score_nb(
         F.array_contains("w", label_word).alias("hi"),
         (F.pmod(F.col("doc_id"), F.lit(test_mod)) == 0).alias("is_test"),
     )
-    train_tok = base.where(~F.col("is_test")).select("hi", F.explode("w").alias("word"))
+    train_tok = base.where(~F.col("is_test")).select(
+        "doc_id", "hi", F.explode("w").alias("word")
+    )
 
     # model-sized scalars (a handful of longs — the same driver surface as
-    # collecting k-means centroids)
-    t_hi, t_lo, v = train_tok.agg(
+    # collecting k-means centroids); doc priors ride the SAME token scan
+    # as distinct doc ids per class, so training needs one scalar job
+    t_hi, t_lo, v, n_hi, n_lo = train_tok.agg(
         F.sum(F.when(F.col("hi"), 1).otherwise(0)),
         F.sum(F.when(~F.col("hi"), 1).otherwise(0)),
         F.countDistinct("word"),
+        F.countDistinct(F.when(F.col("hi"), F.col("doc_id"))),
+        F.countDistinct(F.when(~F.col("hi"), F.col("doc_id"))),
     ).first()
-    n_hi, n_lo = (
-        base.where(~F.col("is_test"))
-        .agg(
-            F.sum(F.when(F.col("hi"), 1).otherwise(0)),
-            F.sum(F.when(~F.col("hi"), 1).otherwise(0)),
-        )
-        .first()
-    )
     if not n_hi or not n_lo:
         raise ValueError(
             f"degenerate training split (n_hi={n_hi}, n_lo={n_lo}): both "
@@ -87,7 +84,7 @@ def train_score_nb(
     oov_micro = _micro(math.log(1.0 / (t_hi + v)) - math.log(1.0 / (t_lo + v)))
 
     model = (
-        train_tok.groupBy("word")
+        train_tok.select("hi", "word").groupBy("word")
         .agg(
             F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("c_hi"),
             F.sum(F.when(~F.col("hi"), 1).otherwise(0)).alias("c_lo"),

@@ -35,6 +35,9 @@ from data_etl_pipeline_spark.tables import load
 # ---------------------------------------------------------------------------
 
 _H32_SQL = f"(('0x' || substr(md5({{x}}), 1, 15))::BIGINT % {MERSENNE_31})"
+# full 60-bit form for SimHash bit votes (the mod-2^31 reduction is only
+# for MinHash permutation overflow safety; SimHash needs all 60 live bits)
+_H60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 _SHINGLES_CTE = """
 docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -186,7 +189,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH d AS (SELECT doc_id,
                       list_transform(list_distinct(string_split(text, ' ')),
-                                     x -> {_H32_SQL.format(x='x')}) AS hs
+                                     x -> {_H60_SQL.format(x='x')}) AS hs
                FROM documents)
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 60)), (acc, j) -> acc +
@@ -216,7 +219,7 @@ _SIMHASH_BAND_MATCH = " OR ".join(
     sql=f"""
     WITH d AS (SELECT doc_id,
                       list_transform(list_distinct(string_split(text, ' ')),
-                                     x -> {_H32_SQL.format(x='x')}) AS hs
+                                     x -> {_H60_SQL.format(x='x')}) AS hs
                FROM documents),
     sig AS (
       SELECT doc_id,

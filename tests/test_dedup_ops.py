@@ -193,3 +193,25 @@ def test_incremental_dedup_index_grows_across_batches(spark, tmp_path):
     got2 = {r["doc_id"]: r["status"] for r in s2.collect()}
     assert got2[20] == "dup_of_index"
     assert got2[21] == "kept"
+
+
+def test_simhash_uses_all_60_bits_and_bands_stay_discriminative(spark, sf_dir):
+    """Regression: word hashes reduced mod 2^31-1 zeroed bits 31-59, which
+    made the upper simhash_pairs bands CONSTANT keys — every document in
+    one bucket, i.e. a hidden corpus self-join."""
+    from data_etl_pipeline_spark.operators.dedup import simhash
+    from data_etl_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    n_docs = sig.count()
+    # some signature must set a bit above 31 (probability ~1 on real data)
+    high = sig.where(F.expr("shiftright(simhash, 31) > 0")).count()
+    assert high > 0, "bits 31-59 are dead"
+    # every 15-bit band must have many distinct keys (no constant band)
+    for b in range(4):
+        distinct = sig.select(
+            F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("k")
+        ).distinct().count()
+        assert distinct > n_docs // 10, (b, distinct, n_docs)

@@ -190,3 +190,19 @@ def test_degenerate_inputs_fail_loudly_or_empty_cleanly(spark):
     assert repeated_substring_spans(empty_docs).count() == 0
     e2 = spark.createDataFrame([], "doc_id long, w long")
     assert weighted_sample_topk(e2, weight_col="w", k=5).count() == 0
+
+
+def test_transitive_closure_dedups_diamond_paths(spark):
+    from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
+
+    # diamond: a->b->d and a->c->d — (a, d) must appear exactly ONCE
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "child string, parent string",
+    )
+    rows = transitive_closure(edges).collect()
+    pairs = [(r.node, r.ancestor) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate closure rows"
+    got = {(r.node, r.ancestor): r.depth for r in rows}
+    assert got[("a", "d")] == 2
+    assert got[("a", "e")] == 3
