@@ -59,7 +59,11 @@ def pack_sequences(
     sized = df.select(
         F.col(group_col).alias("source"),
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        # NULL text -> size() is NULL -> NaN in the Arrow batch -> int()
+        # crash inside pack(); an empty doc packs as 0 tokens instead
+        F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         # pmod, not %: Spark's % is sign-preserving, so a negative doc id
         # would yield a negative shard and break the injectivity of
         # bin = local_bin * n_shards + shard (bins from different shards

@@ -246,6 +246,35 @@ def _probe_masks(n_bits: int, probe_hamming: int) -> list[int]:
     return masks
 
 
+def _lsh_coded(df, vec_col: str, id_col: str, planes, dim: int, n_tables: int):
+    """One (vec_id, v, norm, table_id, code) row per (vector, table): the
+    coded-corpus construction every LSH path shares (candidates, pair
+    mining, persisted index build).  The dim guard raises on a wrong-length
+    embedding instead of letting zip_with NULL-pad and collapse all codes
+    into one bucket."""
+    e = _with_norm(df, vec_col, id_col)
+    dim_guard = (
+        f"IF(size(v) = {dim}, {{code}}, "
+        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
+    )
+    tabs = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
+        .select(
+            "vec_id", "v", "norm",
+            F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"),
+        )
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -282,24 +311,7 @@ def lsh_candidates(
     and all codes would silently collapse into one bucket).
     """
     planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
-    e = _with_norm(df, vec_col, id_col)
-    dim_guard = (
-        f"IF(size(v) = {dim}, {{code}}, "
-        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
-    )
-    tabs = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_id"),
-                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    eb = (
-        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
-        .select("vec_id", "v", "norm", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"))
-    )
+    eb = _lsh_coded(df, vec_col, id_col, planes, dim, n_tables)
     probe_arr = F.array(
         *[F.col("code").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_bits, probe_hamming)]
     )
@@ -386,24 +398,7 @@ def lsh_near_dup_pairs(
     oracle checks the exact pair set.
     """
     planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
-    e = _with_norm(df, vec_col, id_col)
-    dim_guard = (
-        f"IF(size(v) = {dim}, {{code}}, "
-        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
-    )
-    tabs = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_id"),
-                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    eb = (
-        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
-        .select("vec_id", "v", "norm", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"))
-    )
+    eb = _lsh_coded(df, vec_col, id_col, planes, dim, n_tables)
     combos = (
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"
@@ -457,26 +452,12 @@ def build_lsh_index(
     import cycle).
     """
     planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
-    e = _with_norm(df, vec_col, id_col)
-    dim_guard = (
-        f"IF(size(v) = {dim}, {{code}}, "
-        f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
-    )
-    tabs = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_id"),
-                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    index = (
-        e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
-        .select(
-            "vec_id", F.col("tc.table_id").alias("table_id"), F.col("tc.code").alias("code"),
-            "v", "norm",
-        )
+    index = _lsh_coded(df, vec_col, id_col, planes, dim, n_tables).select(
+        "vec_id", "table_id", "code", "v", "norm",
+        # the probe MUST expand codes under the same width the index was
+        # built with; persisting it makes a mismatched probe impossible
+        # instead of a silent recall loss
+        F.lit(n_bits).cast("int").alias("n_bits"),
     )
     return table.write(index, cluster_by=["table_id", "code"])
 
@@ -485,7 +466,7 @@ def lsh_probe_persisted(
     index_df: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    n_bits: int = 12,
+    n_bits: int | None = None,
     probe_hamming: int = 2,
 ) -> DataFrame:
     """Approximate top-k over a PERSISTED LSH index (build_lsh_index): the
@@ -494,7 +475,23 @@ def lsh_probe_persisted(
     equi-joined back against the index on (table_id, code) — no hyperplane
     is ever evaluated on this path; the only dot products are the exact
     rerank inside the probed buckets. Same output contract as
-    ann_topk_lsh: (q_id, neighbor_id, rank, cosine_sim)."""
+    ann_topk_lsh: (q_id, neighbor_id, rank, cosine_sim).
+
+    ``n_bits`` is read from the index itself (persisted by
+    build_lsh_index); passing a different value raises rather than
+    silently probing the wrong mask set."""
+    if "n_bits" in index_df.columns:
+        stored = index_df.select("n_bits").first()
+        stored_bits = int(stored["n_bits"]) if stored is not None else None
+        if stored_bits is not None:
+            if n_bits is not None and n_bits != stored_bits:
+                raise ValueError(
+                    f"probe n_bits={n_bits} != index n_bits={stored_bits}; "
+                    "Hamming masks would skip the index's high code bits"
+                )
+            n_bits = stored_bits
+    if n_bits is None:
+        raise ValueError("index carries no n_bits column; pass n_bits explicitly")
     q = (
         index_df.where(F.col("vec_id") < n_queries)
         .select(
@@ -550,10 +547,16 @@ def build_ivf_index(
     e = _with_norm(df, vec_col, id_col)
     if centroids is not None:
         c = centroids
+        # delta rows are NEVER centroids: the centroid set was fixed by the
+        # original build; a stride-sampled delta id must not masquerade as
+        # one on the merged index (the probe would rank phantom cells with
+        # zero assigned rows and silently wan its nprobe budget on them)
+        is_cent = F.lit(False)
     else:
         c = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
             F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
         )
+        is_cent = F.pmod(F.col("vec_id"), F.lit(stride)) == 0
     dot = _DOT.format(a="v", b="cv")
     csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
     scored = e.join(F.broadcast(c)).select("vec_id", "v", "norm", "c_id", csim.alias("c_sim"))
@@ -561,15 +564,23 @@ def build_ivf_index(
         F.first("v").alias("v"),
         F.first("norm").alias("norm"),
         F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id"),
-    ).select("vec_id", "c_id", "v", "norm")
+    ).select("vec_id", "c_id", "v", "norm", is_cent.alias("is_centroid"))
     return table.write(cells, cluster_by=["c_id"])
 
 
 def ivf_index_centroids(index_df: DataFrame, stride: int = 25) -> DataFrame:
-    """(c_id, cv, cnorm) recovered from a persisted IVF index's stride
-    rows — the centroid set to pass to build_ivf_index for delta batches
-    so incremental assignments stay consistent with the existing index."""
-    return index_df.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+    """(c_id, cv, cnorm) recovered from a persisted IVF index's marked
+    centroid rows — the centroid set to pass to build_ivf_index for delta
+    batches so incremental assignments stay consistent with the existing
+    index.  The ``is_centroid`` flag (written by build_ivf_index) is what
+    keeps this correct on a MERGED index: a stride-sampled DELTA id is not
+    a centroid and must not surface as one (older flag-less indexes fall
+    back to the stride rule, which is only sound pre-merge)."""
+    if "is_centroid" in index_df.columns:
+        base = index_df.where(F.col("is_centroid"))
+    else:
+        base = index_df.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    return base.select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
 
@@ -664,6 +675,8 @@ def kmeans_centroids(
     Returns (cluster, pos, centroid_val) rows for the final iteration,
     pos 0-based, values rounded to 6 decimals.
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = _with_norm(df, vec_col, id_col)
     cents = e.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
@@ -733,6 +746,13 @@ def random_projection(
     """
     signs = rp_signs(d_in, d_out, seed)
     scale = float(d_out) ** 0.5
+    # same loud dim contract as the LSH paths: a wrong-length embedding
+    # would NULL-pad zip_with and every component would silently go NULL
+    guard = (
+        f"IF(size({vec_col}) = {d_in}, {{fold}}, "
+        f"cast(raise_error(concat('random_projection dim mismatch: expected "
+        f"{d_in}, got ', size({vec_col}))) as double))"
+    )
     comps = []
     for j in range(d_out):
         arr = "array(" + ",".join(f"{s}.0d" for s in signs[j]) + ")"
@@ -740,5 +760,5 @@ def random_projection(
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y), "
             f"cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        comps.append(F.round(F.expr(fold) / F.lit(scale), 6))
+        comps.append(F.round(F.expr(guard.format(fold=fold)) / F.lit(scale), 6))
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))

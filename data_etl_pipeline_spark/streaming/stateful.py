@@ -53,6 +53,10 @@ def _dedup_first_seen(key, pdf_iter, state: GroupState):
         if joined:
             seen = set(joined.split(_SEP))
     batch = pd.concat(list(pdf_iter), ignore_index=True)
+    # a NULL event_type would put None in the seen set and crash
+    # sorted()/join() — dedup it under an unambiguous sentinel instead
+    # (\x1e cannot appear in a real type; \x1f is the set separator)
+    batch["event_type"] = batch["event_type"].fillna("\x1enull")
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     fresh = batch[~batch["event_type"].isin(seen)]
     first = fresh.drop_duplicates(subset=["event_type"], keep="first")

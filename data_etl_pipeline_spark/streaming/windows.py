@@ -143,6 +143,12 @@ def run_stream_enriched_counts(
     enriched = _events_stream(spark, sf_dir).join(F.broadcast(customer), "user_id", "inner")
 
     sink = sink_dir or tempfile.mkdtemp(prefix="enriched_sink_")
+    # epoch-keyed overwrite is idempotent for SAME-RUN redelivery only; a
+    # reused sink dir from an earlier run could hold higher epochs the new
+    # run never rewrites, silently inflating the final sum — start clean
+    import shutil as _shutil
+
+    _shutil.rmtree(sink, ignore_errors=True)
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         (

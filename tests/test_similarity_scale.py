@@ -304,3 +304,49 @@ def test_random_projection_plan_has_no_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merged_ivf_index_keeps_original_centroid_set(spark, sf_dir):
+    """Regression: on an incrementally-grown index, stride-sampled DELTA
+    ids must NOT surface as centroids — the probe would rank phantom
+    cells with zero assigned rows and burn nprobe on them."""
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_centroids,
+        ivf_probe_persisted,
+    )
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+    from data_etl_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    part = emb.where(F.col("vec_id") < 400)
+    delta = emb.where(F.col("vec_id") >= 400)  # contains ids 400, 425, 450, 475
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="ivf_inc_"))
+    build_ivf_index(part, t, stride=25)
+    cents0 = {r.c_id for r in ivf_index_centroids(t.read()).collect()}
+    build_ivf_index(delta, t, centroids=ivf_index_centroids(t.read()))
+    # grow via merge
+    # (build_ivf_index with centroids= writes a full snapshot; emulate the
+    # documented delta flow by merging its rows into the original table)
+    merged_cents = {r.c_id for r in ivf_index_centroids(t.read()).collect()}
+    assert merged_cents == set(), "delta-only snapshot has no centroid rows"
+    # full flow: original + delta rows merged
+    t2 = VersionedTable(spark, tempfile.mkdtemp(prefix="ivf_inc2_"))
+    build_ivf_index(part, t2, stride=25)
+    from data_etl_pipeline_spark.operators.similarity import _with_norm  # noqa: F401
+
+    # assign delta against the ORIGINAL centroids and merge
+    delta_cells_t = VersionedTable(spark, tempfile.mkdtemp(prefix="ivf_delta_"))
+    build_ivf_index(delta, delta_cells_t, centroids=ivf_index_centroids(t2.read()))
+    t2.merge(delta_cells_t.read(), keys=["vec_id"])
+
+    cents = {r.c_id for r in ivf_index_centroids(t2.read()).collect()}
+    assert cents == cents0  # no phantom centroids from delta ids 400..475
+    assert all(c < 400 for c in cents)
+    # probing the merged index works and never probes an empty phantom cell
+    out = ivf_probe_persisted(t2.read(), n_queries=5, k=3)
+    assert out.count() > 0
