@@ -38,15 +38,22 @@ from pyspark.sql import functions as F
 
 def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
     """Pass 1: per-partition Misra-Gries with ``k`` counters; returns the
-    distinct surviving items (superset of all items with global
-    frequency > 1/(k+1))."""
+    surviving items (superset of all items with global frequency
+    > 1/(k+1)) plus one NULL-item row per partition whose ``_prows``
+    carries the partition's non-null row count — letting the caller
+    compute the exact total WITHOUT a second scan of the input.  NULL
+    input values are not items and are excluded from counts and totals
+    (the semi-join of pass 2 could never match them anyway)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
-            for item in pdf[item_col]:
+            vals = pdf[item_col].dropna()  # NULL is not an item (documented)
+            n_rows += len(vals)
+            for item in vals:
                 if item in counters:
                     counters[item] += 1
                 elif len(counters) < k:
@@ -55,15 +62,19 @@ def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame
                     # decrement-all; drop zeros. Amortized O(1) per item
                     # via dict rebuild only when a decrement happens.
                     counters = {i: c - 1 for i, c in counters.items() if c > 1}
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        # candidates ride with one NULL-item row carrying the partition's
+        # row count, so the caller's total needs NO extra table scan
+        yield pd.DataFrame(
+            {item_col: list(counters.keys()) + [None], "_prows": [None] * len(counters) + [n_rows]}
+        )
+
+    from pyspark.sql import types as T
 
     narrow = items.select(item_col)
-    return (
-        # schema derived from the input, so non-string item domains
-        # (hashes, ids) work unchanged
-        narrow.mapInPandas(summarize, schema=narrow.schema)
-        .distinct()
+    out_schema = T.StructType(
+        list(narrow.schema.fields) + [T.StructField("_prows", T.LongType())]
     )
+    return narrow.mapInPandas(summarize, schema=out_schema)
 
 
 def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
@@ -75,17 +86,26 @@ def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1), got {support}")
     k = max(1, math.ceil(1.0 / support))
-    candidates = misra_gries_candidates(items, item_col, k)
-    total = items.select(F.count(F.lit(1)).alias("total"))
-    return (
+    summary = misra_gries_candidates(items, item_col, k).cache()
+    candidates = summary.where(F.col(item_col).isNotNull()).select(item_col).distinct()
+    total = summary.agg(F.sum("_prows").alias("total"))
+    # exact threshold: cnt >= support * total decided in INTEGER
+    # arithmetic — ceil() over a double product excludes exact-boundary
+    # items when the product lands an ulp above the true value
+    # (e.g. 0.0002 * 5e6 -> 1000.0000000000001 -> ceil 1001)
+    from fractions import Fraction
+
+    frac = Fraction(support).limit_denominator(10**9)
+    out = (
         items.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(F.broadcast(total))
-        .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("total")))
+        .where(F.col("cnt") * F.lit(frac.denominator) >= F.lit(frac.numerator) * F.col("total"))
         .select(
             item_col,
             "cnt",
             F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
         )
     )
+    return out

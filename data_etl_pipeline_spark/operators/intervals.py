@@ -52,6 +52,11 @@ def interval_join(
     ``"both"`` = start <= ts <= end. Column sets of the two inputs must be
     disjoint; the result carries all columns of both.
     """
+    if bucket_width_s < 1:
+        raise ValueError(
+            f"bucket_width_s must be >= 1, got {bucket_width_s} (div 0 would "
+            "NULL every bucket and the join would silently return nothing)"
+        )
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
     overlap = set(points.columns) & set(intervals.columns)

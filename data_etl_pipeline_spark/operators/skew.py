@@ -26,6 +26,11 @@ def salted_set_rollup(
     The salt derives from the VALUE hash so identical values of a key
     land on the same salt partition and partial sets already dedup them.
     """
+    if n_salt < 1:
+        raise ValueError(
+            f"n_salt must be >= 1, got {n_salt} (pmod by 0 is NULL, which "
+            "would silently funnel every key through one salt group again)"
+        )
     partial = (
         df.withColumn("_salt", F.pmod(F.hash(F.col(value)), F.lit(n_salt)))
         .groupBy(key, "_salt")

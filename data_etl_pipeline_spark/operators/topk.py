@@ -34,15 +34,24 @@ def grouped_topk(
     """Exact top-``k`` rows per ``key_cols`` group by ``order_col``
     (descending by default), with ``rank`` (1-based). Ties resolve by
     ``tiebreak`` ascending (required for a deterministic result when
-    ``order_col`` has duplicates within a group).
+    ``order_col`` has duplicates within a group; must be non-null — NULL
+    tiebreaks under pandas' single na_position could divert the local
+    pre-reduce from the window order on exact order-value ties).
 
     Scale shape: mapInPandas local top-k per group (state: k rows per
     group per task) -> single window over the pre-reduced rows.
+
+    NULL handling matches the window form exactly: asc = NULLS FIRST,
+    desc = NULLS LAST (Spark defaults), and NULL KEY groups are ranked
+    like any other group (pandas groupby keeps them via dropna=False).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
     sort_asc = [ascending] + ([True] if tiebreak else [])
+    # mirror Spark's null ordering so the local head keeps exactly the
+    # rows the global window would rank: asc -> nulls first, desc -> last
+    na_pos = "first" if ascending else "last"
 
     out_cols = list(df.columns)
 
@@ -51,8 +60,12 @@ def grouped_topk(
         for pdf in batches:
             both = pdf if held is None else pd.concat([held, pdf], ignore_index=True)
             held = (
-                both.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-                .groupby(key_cols, sort=False)
+                both.sort_values(
+                    sort_cols, ascending=sort_asc, kind="mergesort", na_position=na_pos
+                )
+                # dropna=False: a NULL key is a group like any other — the
+                # default silently deletes those rows from the result
+                .groupby(key_cols, sort=False, dropna=False)
                 .head(k)
             )
         yield held if held is not None else pd.DataFrame(columns=out_cols)
@@ -61,8 +74,4 @@ def grouped_topk(
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     by = [order] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = W.partitionBy(*key_cols).orderBy(*by)
-    return (
-        reduced.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return reduced.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
