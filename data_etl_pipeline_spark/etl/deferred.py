@@ -104,17 +104,37 @@ def harvest(state: DataFrame, responses: DataFrame) -> DataFrame:
 
 def unpair_missing(state: DataFrame, batch_results: DataFrame) -> DataFrame:
     """ST5: requests paired to a batch whose result file lacks their
-    custom_id are unpaired (batch_id nulled) for automatic retry."""
+    custom_id are unpaired (batch_id nulled) for automatic retry.
+
+    Scope: when ``batch_results`` carries a ``batch_id`` column, ONLY
+    requests paired to one of those batches are candidates — results for
+    batch b1 must not unpair b2's still-in-flight requests (which would
+    re-ship b2's whole workload and double-spend tokens).  Without the
+    column the results are treated as covering every in-flight batch
+    (the historical all-batches contract, which in-repo callers use by
+    passing the union)."""
     present = batch_results.select("custom_id").distinct().withColumn("_seen", F.lit(True))
+    if "batch_id" in batch_results.columns:
+        covered = (
+            batch_results.select("batch_id").where(F.col("batch_id").isNotNull())
+            .distinct()
+            .withColumn("_covered", F.lit(True))
+        )
+        state = state.join(covered, "batch_id", "left")
+    else:
+        state = state.withColumn("_covered", F.lit(True))
     return (
         state.join(present, "custom_id", "left")
         .withColumn(
             "batch_id",
-            F.when(F.col("batch_id").isNotNull() & F.col("_seen").isNull(), F.lit(None)).otherwise(
-                F.col("batch_id")
-            ),
+            F.when(
+                F.col("batch_id").isNotNull()
+                & F.col("_covered").eqNullSafe(F.lit(True))
+                & F.col("_seen").isNull(),
+                F.lit(None),
+            ).otherwise(F.col("batch_id")),
         )
-        .drop("_seen")
+        .drop("_seen", "_covered")
     )
 
 
@@ -123,18 +143,24 @@ def unpair_missing(state: DataFrame, batch_results: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Fence repair shared by reconcile() and dead_letters(): the two MUST agree
+# on what is parseable or the error ledger and the rollup diverge. (This is
+# the oracle-mirrored inline form; functions/json_repair.py holds the fuller
+# Arrow-batched repair used by the pandas-UDF queries.)
+_FENCE_REPAIR = (
+    "IF(startswith(response, '```'), "
+    "regexp_replace(regexp_replace(response, '^```json\\n', ''), '\\n```$', ''), response)"
+)
+
+
 def reconcile(completed: DataFrame) -> DataFrame:
     """Parse responses (with JSON repair for fenced payloads), explode the
     found strings, and roll up per (entity, field) as a sorted distinct
     array (A1 set-union semantics)."""
-    repaired = (
-        "IF(startswith(response, '```'), "
-        "regexp_replace(regexp_replace(response, '^```json\\n', ''), '\\n```$', ''), response)"
-    )
     parsed = completed.select(
         "entity",
         "field",
-        F.from_json(F.expr(repaired), "array<string>").alias("found"),
+        F.from_json(F.expr(_FENCE_REPAIR), "array<string>").alias("found"),
     )
     return (
         parsed.select("entity", "field", F.explode_outer("found").alias("item"))
@@ -149,12 +175,8 @@ def dead_letters(completed: DataFrame) -> DataFrame:
     ExtractionError rows and resets the request,
     new_extract_queue_bot.py:228-236 / batch_file_station.py:239-251).
     Keyed by custom_id so the retry job can unpair exactly these."""
-    repaired = (
-        "IF(startswith(response, '```'), "
-        "regexp_replace(regexp_replace(response, '^```json\\n', ''), '\\n```$', ''), response)"
-    )
     return (
-        completed.withColumn("_parsed", F.from_json(F.expr(repaired), "array<string>"))
+        completed.withColumn("_parsed", F.from_json(F.expr(_FENCE_REPAIR), "array<string>"))
         .where(F.col("response").isNotNull() & F.col("_parsed").isNull())
         .select(
             "custom_id",

@@ -83,6 +83,8 @@ def check_constraints(profile_df: DataFrame, rules: list[dict]) -> DataFrame:
     table producing an empty profile) raises instead of vanishing from the
     output — a gate that silently passes on missing evidence is the
     failure mode this exists to prevent."""
+    if not rules:
+        raise ValueError("check_constraints needs at least one rule")
     present = {r["col_name"] for r in profile_df.select("col_name").distinct().collect()}
     missing = [r["column"] for r in rules if r["column"] not in present]
     if missing:

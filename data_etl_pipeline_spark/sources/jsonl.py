@@ -14,7 +14,6 @@ scales linearly. The file id becomes "{partition:05d}-{seq:05d}".
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator
 
@@ -38,7 +37,20 @@ def assign_files(
     request that alone exceeds a cap still gets its own file (the
     reference's per-item atomicity attempt). Returns (custom_id, file_id).
     """
-    df = requests.select("custom_id", "num_tokens", F.length("custom_id").alias("_key_bytes"), F.col("context"))
+    df = requests.select(
+        "custom_id",
+        "num_tokens",
+        # byte cap must be charged against the EXACT line the sink writes
+        # (same to_json serialization + the newline), not a python-side
+        # re-serialization with different spacing/nesting — otherwise a
+        # file packed to the cap can exceed it on disk
+        (
+            F.length(
+                F.to_json(F.struct("custom_id", F.struct("context").alias("body")))
+            )
+            + 1
+        ).alias("_line_bytes"),
+    )
     if n_partitions:
         df = df.repartition(n_partitions, "custom_id")
 
@@ -56,14 +68,19 @@ def assign_files(
                 # itself is not exposed to applyInPandas)
                 part_tag = hashlib.md5(str(pdf["custom_id"].iloc[0]).encode()).hexdigest()[:8]
             pdf = pdf.sort_values("custom_id")
-            for cid, ntok, ctx in zip(pdf["custom_id"], pdf["num_tokens"], pdf["context"]):
-                nbytes = len(json.dumps({"custom_id": cid, "body": ctx}).encode())
+            for cid, ntok, nbytes in zip(pdf["custom_id"], pdf["num_tokens"], pdf["_line_bytes"]):
+                if pd.isna(ntok):
+                    raise ValueError(
+                        f"null num_tokens for custom_id={cid!r}: the token cap "
+                        "cannot be enforced on unknown sizes (NaN comparisons "
+                        "would silently pass it)"
+                    )
                 if n > 0 and (n + 1 > max_requests or tok + ntok > max_tokens or byt + nbytes > max_bytes):
                     seq += 1
                     n = tok = byt = 0
                 n += 1
                 tok += int(ntok)
-                byt += nbytes
+                byt += int(nbytes)
                 out_ids.append(cid)
                 out_files.append(f"{part_tag}-{seq:05d}")
         yield pd.DataFrame({"custom_id": out_ids, "file_id": out_files})
@@ -78,7 +95,13 @@ def write_request_files(
 ) -> DataFrame:
     """S9: materialize the packed request blobs as JSONL files, one file
     per file_id (partitionBy on write keeps each file's rows together)."""
-    packed = requests.join(assign_files(requests, **caps), "custom_id")
+    # pin the assignment: the greedy packer is order-sensitive within its
+    # Arrow batches, so a lazily-recomputed plan could write one assignment
+    # and return another — the caller's state table would then reference
+    # file_ids that never hit disk
+    packed = requests.join(assign_files(requests, **caps), "custom_id").localCheckpoint(
+        eager=True
+    )
     blobs = packed.select(
         "file_id",
         F.to_json(F.struct("custom_id", F.struct("context").alias("body"))).alias("line"),
@@ -104,6 +127,8 @@ def split_bytes_on_lines(data: bytes, max_chunk: int, backscan: int = 10_240) ->
     """S11: byte-exact splitter — cut near max_chunk at the last newline
     within ``backscan`` bytes (chunk_util.py:12-69 semantics). Driver-side
     utility for exchange files, not a distributed op."""
+    if max_chunk < 1:
+        raise ValueError(f"max_chunk must be >= 1, got {max_chunk}")
     chunks: list[bytes] = []
     pos = 0
     n = len(data)
