@@ -18,12 +18,20 @@ from pyspark.sql import types as T
 
 
 def strip_markdown_fences(s: str) -> str:
-    """Remove ``` fences and an optional leading 'json' language tag."""
+    """Remove ``` fences and an optional language tag on the fence line.
+
+    The tag is stripped only when it is the WHOLE first line (optionally
+    padded) — content that merely STARTS with the letters 'json'
+    ('jsonify ...') must survive intact, and longer tags like 'jsonl'
+    are removed whole rather than having 4 characters sliced off."""
+    import re as _re
+
     t = s.strip()
     if t.startswith("```"):
         t = t[3:]
-        if t.lstrip().lower().startswith("json"):
-            t = t.lstrip()[4:]
+        m = _re.match(r"[ \t]*json[a-z0-9]*[ \t]*(\n|$)", t, _re.IGNORECASE)
+        if m:
+            t = t[m.end():]
         if t.rstrip().endswith("```"):
             t = t.rstrip()[:-3]
     return t.strip()

@@ -102,9 +102,18 @@ EXC_RULES: tuple[str, ...] = tuple(r[1:] for r in PSL_RULES if r.startswith("!")
 # --- pure Python ----------------------------------------------------------
 
 def _host_of(host_or_url: str) -> str:
+    """Hostname of a URL or bare host.  Scheme-less forms still need the
+    path/query/fragment stripped (``bbc.co.uk/news`` is NOT a host), and
+    ``http:host`` (colon, no slashes) means scheme-then-host, not
+    host-then-port — both previously leaked garbage into the eTLD+1."""
+    import re as _re
+
     h = host_or_url.strip().lower()
-    if "//" in h or h.startswith(("http:", "https:")):
-        h = urlsplit(h if "//" in h else "//" + h).hostname or ""
+    if "//" in h:
+        return (urlsplit(h).hostname or "").strip(".")
+    if h.startswith(("http:", "https:")):
+        h = h.split(":", 1)[1]
+    h = _re.split(r"[/?#]", h, 1)[0]
     return h.split("@")[-1].split(":")[0].strip(".")
 
 

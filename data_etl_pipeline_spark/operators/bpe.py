@@ -309,6 +309,17 @@ def load_merges(lines=None) -> dict[tuple[str, str], int]:
 _RANKS = load_merges()
 
 
+def set_merges(ranks: dict) -> None:
+    """Install a different merge table (e.g. the full 50k GPT-2 table via
+    ``load_merges`` over its file) — the data-only swap the module
+    contract advertises.  Clears the memoized pretoken counts, which were
+    computed under the previous table and would otherwise be served
+    stale."""
+    global _RANKS
+    _RANKS = dict(ranks)
+    _count_pretoken.cache_clear()
+
+
 @lru_cache(maxsize=65536)
 def _count_pretoken(pretoken: str) -> int:
     # GPT-2 byte-encoder spells a leading space as 'Ġ' glued to nothing —

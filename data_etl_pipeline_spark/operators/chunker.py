@@ -41,6 +41,12 @@ def chunk_even_chars(
     One row in, ceil((len-overlap)/stride) rows out — UDTF-shaped explode
     that stays in codegen (no Python). Offsets are 0-based, end exclusive.
     """
+    if overlap >= size:
+        raise ValueError(
+            f"overlap={overlap} must be < size={size}: stride 0 divides by "
+            "zero mid-job and a negative stride silently truncates every "
+            "document to its first chunk"
+        )
     stride = size - overlap
     n = f"greatest(1, cast(ceil((length({text_col}) - {overlap}) / {stride}.0) as int))"
     chunks = (
@@ -90,6 +96,36 @@ def bpe_ish_tokens(s: str) -> int:
     return sum(1 for _ in _BPE_PIECE.finditer(s))
 
 
+def _run_chunker(df: DataFrame, id_col: str, text_col: str, chunk_fn) -> DataFrame:
+    """Shared mapInPandas driver for the soft and hard chunkers: one Arrow
+    batch in, chunk rows out.  NULL texts are skipped — ``str(None)`` would
+    otherwise fabricate a literal 'None' training chunk."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                for rec in chunk_fn(str(text)):
+                    rec["doc_id"] = doc_id
+                    out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "chunk_no",
+                    "chunk_start",
+                    "chunk_end",
+                    "chunk_bounds",
+                    "chunk_text",
+                    "num_tokens",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, CHUNK_SCHEMA)
+
+
 def chunk_by_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -112,27 +148,15 @@ def chunk_by_tokens(
     up/downstream stays declarative. Arrow-batched, no per-row Python UDF.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                for rec in _chunk_one(str(text), soft_limit_tokens, overlap_ratio, max_chunks, token_counter):
-                    rec["doc_id"] = doc_id
-                    out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "chunk_no",
-                    "chunk_start",
-                    "chunk_end",
-                    "chunk_bounds",
-                    "chunk_text",
-                    "num_tokens",
-                ],
-            )
-
-    return df.select(id_col, text_col).mapInPandas(run, CHUNK_SCHEMA)
+    if not 0.0 <= overlap_ratio < 0.9:
+        raise ValueError(
+            f"overlap_ratio={overlap_ratio} must be in [0, 0.9): at >= 1.0 the "
+            "chunk start never advances and output grows O(max_chunks * doc)"
+        )
+    return _run_chunker(
+        df, id_col, text_col,
+        lambda text: _chunk_one(text, soft_limit_tokens, overlap_ratio, max_chunks, token_counter),
+    )
 
 
 def _chunk_one(
@@ -204,29 +228,10 @@ def chunk_by_tokens_hard(
     if overlap_ratio >= 0.9:
         raise ValueError(f"overlap_ratio={overlap_ratio} is greater than or equal to 0.9")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                for rec in _chunk_one_hard(
-                    str(text), hard_limit_tokens, overlap_ratio, max_chunks, token_counter
-                ):
-                    rec["doc_id"] = doc_id
-                    out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "chunk_no",
-                    "chunk_start",
-                    "chunk_end",
-                    "chunk_bounds",
-                    "chunk_text",
-                    "num_tokens",
-                ],
-            )
-
-    return df.select(id_col, text_col).mapInPandas(run, CHUNK_SCHEMA)
+    return _run_chunker(
+        df, id_col, text_col,
+        lambda text: _chunk_one_hard(text, hard_limit_tokens, overlap_ratio, max_chunks, token_counter),
+    )
 
 
 def _chunk_one_hard(
@@ -252,9 +257,15 @@ def _chunk_one_hard(
             cur_tok += seg_tok[i]
             i += 1
             continue
-        chunks.append(_emit(text, segs[cur[0]][0], segs[cur[-1]][1], len(chunks) + 1, tokens))
+        # suppress pure-subset emissions: with a large overlap_ratio the
+        # carried segments alone can exceed the limit, which would emit a
+        # chunk containing zero content the previous chunk lacks
+        end = segs[cur[-1]][1]
+        if not chunks or end > chunks[-1]["chunk_end"]:
+            chunks.append(_emit(text, segs[cur[0]][0], end, len(chunks) + 1, tokens))
         # backtrack: carry trailing segments until the overlap requirement is
-        # met; j > 0 guarantees forward progress (>= 1 new segment per chunk)
+        # met; j > 0 guarantees cur shrinks each round (the subset guard
+        # above is what guarantees emitted chunks always add content)
         j = len(cur) - 1
         carried = 0
         while j > 0 and carried < required_overlap:
@@ -263,7 +274,9 @@ def _chunk_one_hard(
         cur = cur[j + 1 :]  # carried overlap (possibly best-effort short); [] when required_overlap == 0
         cur_tok = sum(seg_tok[k] for k in cur)
     if cur and len(chunks) < max_chunks:
-        chunks.append(_emit(text, segs[cur[0]][0], segs[cur[-1]][1], len(chunks) + 1, tokens))
+        end = segs[cur[-1]][1]
+        if not chunks or end > chunks[-1]["chunk_end"]:
+            chunks.append(_emit(text, segs[cur[0]][0], end, len(chunks) + 1, tokens))
     return chunks
 
 

@@ -51,6 +51,32 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def _quality_exprs(text_col: str) -> dict[str, str]:
+    """The quality feature/score SQL fragments, built once so the join form
+    (quality_score) and the in-place form (with_quality) can never drift on
+    weights or thresholds."""
+    w = f"split({text_col}, ' ')"
+    n_words = f"size({w})"
+    n_distinct = f"size(array_distinct({w}))"
+    n_chars = f"length({text_col})"
+    n_stop = _count_in(w, STOPWORDS)
+    stop_ratio = f"(cast({n_stop} as double) / {n_words})"
+    diversity = f"(cast({n_distinct} as double) / {n_words})"
+    return {
+        "n_words": n_words,
+        "n_distinct": n_distinct,
+        "n_chars": n_chars,
+        "n_stop": n_stop,
+        "avg_word_len": f"(cast({n_chars} as double) / {n_words})",
+        "stop_ratio": stop_ratio,
+        "diversity": diversity,
+        "score": (
+            f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) "
+            f"+ 0.3 * least({n_words} / 100.0, 1.0), 6)"
+        ),
+    }
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / stopword-ratio / lexical-diversity quality features + score.
 
@@ -58,22 +84,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     (token band filters, new_extract_queue_bot.py:81-82; scrape validity,
     url_scraper_service.py:96-102) generalized to a scored filter.
     """
-    w = f"split({text_col}, ' ')"
-    n_words = f"size({w})"
-    n_distinct = f"size(array_distinct({w}))"
-    n_chars = f"length({text_col})"
-    n_stop = _count_in(w, STOPWORDS)
-    avg_word_len = f"(cast({n_chars} as double) / {n_words})"
-    stop_ratio = f"(cast({n_stop} as double) / {n_words})"
-    diversity = f"(cast({n_distinct} as double) / {n_words})"
-    score = f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) + 0.3 * least({n_words} / 100.0, 1.0), 6)"
+    e = _quality_exprs(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(n_words).alias("n_words"),
-        F.expr(n_distinct).alias("n_distinct_words"),
-        F.expr(f"round({avg_word_len}, 6)").alias("avg_word_len"),
-        F.expr(f"round({stop_ratio}, 6)").alias("stopword_ratio"),
-        F.expr(score).alias("quality_score"),
+        F.expr(e["n_words"]).alias("n_words"),
+        F.expr(e["n_distinct"]).alias("n_distinct_words"),
+        F.expr(f"round({e['avg_word_len']}, 6)").alias("avg_word_len"),
+        F.expr(f"round({e['stop_ratio']}, 6)").alias("stopword_ratio"),
+        F.expr(e["score"]).alias("quality_score"),
     )
 
 
@@ -112,14 +130,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the quality feature columns IN PLACE (no join): the composing
     form of ``quality_score`` — adding expressions to an existing plan keeps
     curation pipelines at one corpus scan."""
-    w = f"split({text_col}, ' ')"
-    n_words = f"size({w})"
-    n_distinct = f"size(array_distinct({w}))"
-    n_stop = _count_in(w, STOPWORDS)
-    stop_ratio = f"(cast({n_stop} as double) / {n_words})"
-    diversity = f"(cast({n_distinct} as double) / {n_words})"
-    score = f"round(0.4 * {diversity} + 0.3 * least({stop_ratio} * 4.0, 1.0) + 0.3 * least({n_words} / 100.0, 1.0), 6)"
-    return df.withColumn("n_words", F.expr(n_words)).withColumn("quality_score", F.expr(score))
+    e = _quality_exprs(text_col)
+    return df.withColumn("n_words", F.expr(e["n_words"])).withColumn(
+        "quality_score", F.expr(e["score"])
+    )
 
 
 # --- PII redaction (training-corpus scrubbing) ----------------------------
