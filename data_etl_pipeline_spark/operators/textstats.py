@@ -175,6 +175,14 @@ def repetition_stats(
 
     All array expressions (split -> aggregate over the distinct set), so
     the operator is a zero-shuffle corpus scan.
+
+    Cost note: the top-frequency expressions are O(distinct x n) per
+    document — fine at chunk/page sizes (the intended gate point), but
+    quadratic on book-length docs.  The O(n log n) form is a longest-
+    equal-run fold over array_sort(w); it is not adopted here because the
+    struct-accumulator lambda has no portable DuckDB mirror, and the
+    repo's contract is that every declared expression replays in both
+    engines.  Gate AFTER chunking (as corpus_curation does) at scale.
     """
     w = f"split({text_col}, ' ')"
     top_word = (
