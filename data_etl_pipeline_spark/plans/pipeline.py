@@ -1989,9 +1989,15 @@ def _rp_oracle_sql() -> str:
             "ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"[v[i] * ({arr})[i] FOR i IN range(1, 65)]), (acc, x) -> acc + x) / 4.0, 6)"
         )
+    # The declared output is SCALAR rows (vec_id, pos, val) — the driver's
+    # canonicalizer pandas-sorts result columns and cannot hash list cells,
+    # so the array form is unnested here exactly as
+    # embedding_kmeans_centroids emits (cluster, pos, centroid_val).
     return (
-        "SELECT vec_id, [" + ", ".join(comps) + "] AS proj "
-        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e"
+        "SELECT vec_id, CAST(g.pos - 1 AS INT) AS pos, proj[g.pos] AS val "
+        "FROM (SELECT vec_id, [" + ", ".join(comps) + "] AS proj "
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e) p, "
+        "generate_series(1, 16) AS g(pos)"
     )
 
 
@@ -2000,12 +2006,13 @@ def _rp_oracle_sql() -> str:
     sql=_rp_oracle_sql(),
     doc="JL random projection 64->16 via an md5-seeded Rademacher sign "
     "matrix folded in codegen — pure map, no shuffle/UDF/join; oracle "
-    "replays every component exactly.",
+    "replays every component exactly. Output is unnested to scalar "
+    "(vec_id, pos, val) rows so any harness can hash it.",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(
         load(spark, sf_dir, "embeddings"), d_out=16, d_in=64, seed=11
-    )
+    ).select("vec_id", F.posexplode("proj").alias("pos", "val"))
 
 
 # ---------------------------------------------------------------------------
