@@ -87,8 +87,26 @@ def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
         raise ValueError(f"support must be in (0, 1), got {support}")
     k = max(1, math.ceil(1.0 / support))
     summary = misra_gries_candidates(items, item_col, k).cache()
-    candidates = summary.where(F.col(item_col).isNotNull()).select(item_col).distinct()
-    total = summary.agg(F.sum("_prows").alias("total"))
+    # Materialize BOTH the candidate set and the total in ONE driver job
+    # served from the cache, then unpersist immediately — the summary
+    # would otherwise stay pinned in block storage for the session's
+    # lifetime (and a lazy `candidates` referencing it post-unpersist
+    # would silently rescan the input a third time). The driver result is
+    # bounded by construction: <= k candidates per partition plus one
+    # total row — the same bound that makes the broadcast legal.
+    agg = summary.agg(
+        F.sum("_prows").alias("total"),
+        F.collect_set(F.col(item_col)).alias("cands"),  # NULL sentinels excluded
+    ).first()
+    summary.unpersist()
+    total_val = int(agg["total"] or 0)
+    from pyspark.sql import types as T
+
+    item_field = items.select(item_col).schema.fields[0]
+    spark = items.sparkSession
+    candidates = spark.createDataFrame(
+        [(c,) for c in agg["cands"]], schema=T.StructType([item_field])
+    )
     # exact threshold: cnt >= support * total decided in INTEGER
     # arithmetic — ceil() over a double product excludes exact-boundary
     # items when the product lands an ulp above the true value
@@ -96,16 +114,23 @@ def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
     from fractions import Fraction
 
     frac = Fraction(support).limit_denominator(10**9)
+    if total_val == 0:
+        # empty (or all-NULL) input: no item can meet any support level,
+        # and cnt * den >= num * 0 would otherwise pass every candidate
+        return (
+            items.select(item_col)
+            .where(F.lit(False))
+            .select(item_col, F.lit(0).cast("bigint").alias("cnt"), F.lit(0.0).alias("share"))
+        )
     out = (
         items.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(total))
-        .where(F.col("cnt") * F.lit(frac.denominator) >= F.lit(frac.numerator) * F.col("total"))
+        .where(F.col("cnt") * F.lit(frac.denominator) >= F.lit(frac.numerator * total_val))
         .select(
             item_col,
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt").cast("double") / F.lit(float(total_val)), 6).alias("share"),
         )
     )
     return out

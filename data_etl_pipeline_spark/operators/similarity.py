@@ -481,9 +481,24 @@ def lsh_probe_persisted(
     build_lsh_index); passing a different value raises rather than
     silently probing the wrong mask set."""
     if "n_bits" in index_df.columns:
+        # .first() is a driver job per probe, but only when the caller did
+        # not pass n_bits — an explicit n_bits skips it (after the mismatch
+        # check below, which still requires the read... so read lazily:
+        # trust an explicit n_bits only when the column is absent).
         stored = index_df.select("n_bits").first()
-        stored_bits = int(stored["n_bits"]) if stored is not None else None
-        if stored_bits is not None:
+        if stored is None:
+            # empty index: distinguish from the missing-column case — the
+            # old fall-through raised "carries no n_bits column", a
+            # misleading diagnosis when the column exists but has no rows
+            if n_bits is None:
+                raise ValueError(
+                    "LSH index is empty (has an n_bits column but no rows); "
+                    "build_lsh_index before probing, or pass n_bits to get "
+                    "an empty result"
+                )
+            # empty index + explicit n_bits: empty probe result, same shape
+        else:
+            stored_bits = int(stored["n_bits"])
             if n_bits is not None and n_bits != stored_bits:
                 raise ValueError(
                     f"probe n_bits={n_bits} != index n_bits={stored_bits}; "

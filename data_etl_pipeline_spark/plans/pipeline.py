@@ -1432,7 +1432,10 @@ def per_source_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame
            ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.total), 6) AS share
     FROM tri, tot
     GROUP BY trigram
-    HAVING COUNT(*) >= CEIL(0.0002 * ANY_VALUE(tot.total))
+    -- integer rational threshold (support 0.0002 = 1/5000), mirroring the
+    -- engine's exact comparison: double CEIL can land an ulp high at an
+    -- exact-boundary count and drop an item the engine keeps
+    HAVING COUNT(*) * 5000 >= ANY_VALUE(tot.total)
     """,
     doc="Exact >=0.02%% word trigrams via per-partition Misra-Gries "
     "nomination + exact candidate re-count (two scans, bounded state).",

@@ -43,9 +43,11 @@ def assign_files(
         # byte cap must be charged against the EXACT line the sink writes
         # (same to_json serialization + the newline), not a python-side
         # re-serialization with different spacing/nesting — otherwise a
-        # file packed to the cap can exceed it on disk
+        # file packed to the cap can exceed it on disk. octet_length, not
+        # length: the cap is in BYTES and multi-byte UTF-8 content would
+        # be under-charged up to ~4x by a character count.
         (
-            F.length(
+            F.octet_length(
                 F.to_json(F.struct("custom_id", F.struct("context").alias("body")))
             )
             + 1

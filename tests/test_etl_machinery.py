@@ -127,6 +127,35 @@ class TestJsonlPacking:
         res = spark.createDataFrame([("a",), ("c",)], "custom_id string")
         assert [r["custom_id"] for r in jsonl.missing_ids(req, res).collect()] == ["b"]
 
+    def test_byte_cap_charged_in_bytes_not_chars(self, spark, tmp_path):
+        # multibyte UTF-8 content: a char-counted cap would under-charge
+        # ~3x for CJK text and let a file packed "to the cap" exceed it on
+        # disk; the cap must be charged via octet_length of the exact line
+        rows = [(f"id{i:03d}", 5, "東京都" * 30) for i in range(40)]
+        reqs = spark.createDataFrame(rows, "custom_id string, num_tokens int, context string")
+        cap = 2000
+        packed = jsonl.assign_files(
+            reqs, max_requests=10**9, max_tokens=10**9, max_bytes=cap, n_partitions=1
+        )
+        out = str(tmp_path / "jl")
+        jsonl.write_request_files(
+            reqs, out, max_requests=10**9, max_tokens=10**9, max_bytes=cap, n_partitions=1
+        )
+        import glob
+        import os as _os
+
+        per_file = {}
+        for p in glob.glob(f"{out}/file_id=*/part-*"):
+            fid = p.split("file_id=")[1].split("/")[0]
+            per_file[fid] = per_file.get(fid, 0) + _os.path.getsize(p)
+        assert per_file  # wrote something
+        n_per_file = {r["file_id"]: r["n"] for r in
+                      packed.groupBy("file_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for fid, size in per_file.items():
+            # on-disk bytes respect the cap unless the file is a single
+            # oversized request (per-item atomicity)
+            assert size <= cap or n_per_file.get(fid, 0) == 1, (fid, size)
+
     def test_byte_splitter_line_exact(self):
         data = b"".join(f"line{i}\n".encode() for i in range(100))
         chunks = jsonl.split_bytes_on_lines(data, max_chunk=64)

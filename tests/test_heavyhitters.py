@@ -54,15 +54,25 @@ class TestHeavyHitters:
         random.Random(3).shuffle(stream)
         df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(4)
         k = 10  # guarantees count > N/(k+1) = 4000/11 ~ 364 survives
-        cand = {r["item"] for r in misra_gries_candidates(df, "item", k).collect()}
+        # filter the NULL _prows sentinel rows — they are totals, not items
+        cand = {
+            r["item"]
+            for r in misra_gries_candidates(df, "item", k).collect()
+            if r["item"] is not None
+        }
         assert "hot" in cand
 
     def test_candidate_count_bounded_by_k_per_partition(self, spark):
         stream = [f"u{i}" for i in range(10_000)]  # all distinct: worst case
         df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(5)
         k = 7
-        n_cand = misra_gries_candidates(df, "item", k).count()
+        summary = misra_gries_candidates(df, "item", k)
+        # the k-per-partition bound applies to REAL candidates only; each
+        # partition also emits one NULL-item sentinel row carrying _prows
+        n_cand = summary.where("item IS NOT NULL").count()
         assert n_cand <= k * 5
+        n_sentinel = summary.where("item IS NULL").count()
+        assert 1 <= n_sentinel <= 5
 
     def test_parameter_validation(self, spark):
         df = spark.createDataFrame([("x",)], "item string")
