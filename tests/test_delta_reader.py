@@ -120,11 +120,18 @@ def test_unsupported_protocol_features_fail_loudly(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="deletion vectors"):
         DeltaLogReader(spark, tbl).read()
 
-    # checkpoint present -> refuse rather than replay an incomplete log
+    # V2 UUID-named checkpoints -> refuse (readerFeature v2Checkpoint)
     tbl2 = str(tmp_path / "dlck")
     os.makedirs(os.path.join(tbl2, "_delta_log"))
-    open(os.path.join(tbl2, "_delta_log", "00000000000000000010.checkpoint.parquet"), "w").close()
-    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+    open(
+        os.path.join(
+            tbl2,
+            "_delta_log",
+            "00000000000000000010.checkpoint.3a0ba1c1-0000-4000-8000-000000000000.parquet",
+        ),
+        "w",
+    ).close()
+    with pytest.raises(DeltaProtocolError, match="V2 checkpoint"):
         DeltaLogReader(spark, tbl2).versions()
 
 
@@ -143,3 +150,260 @@ def test_reader_refuses_protocol_v2_and_decodes_paths(spark, tmp_path):
     _write_part(spark, tbl2, "part one.parquet", [(1, "a")])
     _log(tbl2, 0, [_meta(), _add("part%20one.parquet")])
     assert [r.id for r in DeltaLogReader(spark, tbl2).read().collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint replay: a log with >10 commits, a classic checkpoint parquet
+# at v10, and the pre-checkpoint JSON commits deleted (vacuumed) for the
+# versions the checkpoint covers — the shape every real Delta table grows
+# into at the default 10-commit checkpoint interval.
+# ---------------------------------------------------------------------------
+def _write_checkpoint(spark, tbl, version, meta_action, add_paths):
+    """Classic single-file checkpoint: one parquet of the same actions,
+    columnar (protocol/metaData/add struct columns, one action per row)."""
+    import shutil
+
+    rows = [
+        ({"minReaderVersion": 1}, None, None),
+        (None, meta_action["metaData"], None),
+    ] + [
+        (None, None, {"path": p, "partitionValues": {}, "dataChange": True})
+        for p in add_paths
+    ]
+    schema = T.StructType(
+        [
+            T.StructField(
+                "protocol",
+                T.StructType([T.StructField("minReaderVersion", T.IntegerType())]),
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField(
+                            "partitionValues", T.MapType(T.StringType(), T.StringType())
+                        ),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                p,
+                {k: m[k] for k in ("id", "schemaString", "partitionColumns")} if m else None,
+                a,
+            )
+            for p, m, a in rows
+        ],
+        schema,
+    )
+    tmp = os.path.join(tbl, "_cptmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(tmp, part),
+        os.path.join(tbl, "_delta_log", f"{version:020d}.checkpoint.parquet"),
+    )
+    shutil.rmtree(tmp)
+    with open(os.path.join(tbl, "_delta_log", "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": version, "size": len(rows)}))
+
+
+@pytest.fixture()
+def checkpointed_table(spark, tmp_path):
+    tbl = str(tmp_path / "dlcp")
+    os.makedirs(tbl)
+    # v0..v11: each commit adds one single-row file f<v>.parquet
+    for v in range(12):
+        _write_part(spark, tbl, f"f{v}.parquet", [(v, f"v{v}")])
+        actions = [_add(f"f{v}.parquet")]
+        if v == 0:
+            actions = [{"protocol": {"minReaderVersion": 1}}, _meta()] + actions
+        _log(tbl, v, actions)
+    # classic checkpoint at v10 covering f0..f10
+    _write_checkpoint(
+        spark, tbl, 10, _meta(), [f"f{v}.parquet" for v in range(11)]
+    )
+    return tbl
+
+
+class TestCheckpointReplay:
+    def test_head_read_uses_checkpoint_after_vacuum(self, spark, checkpointed_table):
+        tbl = checkpointed_table
+        # vacuum the JSON commits the checkpoint covers — real logs do
+        for v in range(10):
+            os.remove(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+        r = DeltaLogReader(spark, tbl)
+        assert set(r.versions()) >= {10, 11}
+        ids = sorted(x.id for x in r.read().collect())
+        assert ids == list(range(12))  # checkpoint f0..f10 + JSON v11 add
+
+    def test_time_travel_across_checkpoint_boundary(self, spark, checkpointed_table):
+        r = DeltaLogReader(spark, checkpointed_table)
+        # pre-checkpoint version still replayable from the surviving JSONs
+        assert sorted(x.id for x in r.read(4).collect()) == [0, 1, 2, 3, 4]
+        # at the checkpoint version both paths agree
+        assert sorted(x.id for x in r.read(10).collect()) == list(range(11))
+
+    def test_vacuumed_pre_checkpoint_version_fails_loudly(self, spark, checkpointed_table):
+        tbl = checkpointed_table
+        # a HOLE in the chain (v2 vacuumed, v4 still listed): replay to v4
+        # would silently miss v2's actions -> loud refusal
+        os.remove(os.path.join(tbl, "_delta_log", f"{2:020d}.json"))
+        with pytest.raises(DeltaProtocolError, match="vacuumed"):
+            DeltaLogReader(spark, tbl).read(4)
+        # fully vacuumed below the checkpoint: the version is simply gone
+        for v in range(10):
+            p = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        with pytest.raises(ValueError, match="no Delta version"):
+            DeltaLogReader(spark, tbl).read(4)
+
+
+# ---------------------------------------------------------------------------
+# Inline deletion vectors: Z85 + RoaringBitmapArray decode against
+# hand-derived spec bytes, then an end-to-end masked read.
+# ---------------------------------------------------------------------------
+from data_etl_pipeline_spark.sources.delta_reader import (  # noqa: E402
+    decode_inline_dv,
+    decode_rba,
+    encode_inline_dv,
+    encode_rba,
+    z85_decode,
+    z85_encode,
+)
+
+
+class TestDeletionVectorCodec:
+    def test_z85_rfc_vector(self):
+        # the ZeroMQ Z85 RFC's own test vector
+        assert z85_encode(bytes.fromhex("864fd26fb559f75b")) == "HelloWorld"
+        assert z85_decode("HelloWorld") == bytes.fromhex("864fd26fb559f75b")
+
+    def test_roaring_bytes_hand_derived(self):
+        # indexes {0, 9}: magic 1681511377 LE | count=1 | cookie 12346 LE |
+        # size=1 | key=0,card-1=1 | offset=16 | values 0,9 — every field
+        # below is written out from the public RoaringFormatSpec + Delta
+        # PROTOCOL.md, independently of the encoder under test
+        expected = bytes.fromhex(
+            "d1d33964" "0100000000000000" "3a300000" "01000000"
+            "0000" "0100" "10000000" "0000" "0900"
+        )
+        assert encode_rba([0, 9]) == expected
+        assert decode_rba(expected) == [0, 9]
+
+    def test_rba_roundtrip_multi_container_and_high_bits(self):
+        idxs = [0, 9, 4096, 70000, (1 << 32) + 5]
+        dv = encode_inline_dv(idxs)
+        assert dv["storageType"] == "i"
+        assert dv["cardinality"] == 5
+        assert decode_inline_dv(dv["pathOrInlineDv"]) == sorted(idxs)
+
+    def test_decoder_handles_run_and_bitmap_containers(self):
+        # run container: hand-built cookie-12347 bitmap with one run [5,8]
+        run = (
+            (12347 | (0 << 16)).to_bytes(4, "little")  # size-1=0 in high bits
+            + b"\x01"  # run flag bitset: container 0 is a run
+            + (0).to_bytes(2, "little") + (3).to_bytes(2, "little")  # key, card-1
+            # size<4 with runs -> no offset header
+            + (1).to_bytes(2, "little")  # n_runs
+            + (5).to_bytes(2, "little") + (3).to_bytes(2, "little")  # start,len
+        )
+        data = (1681511377).to_bytes(4, "little") + (1).to_bytes(8, "little") + run
+        assert decode_rba(data) == [5, 6, 7, 8]
+        # bitmap container: >4096 values in one 16-bit key space
+        vals = list(range(0, 9000))
+        import struct as _s
+        words = bytearray(8192)
+        for v in vals:
+            words[v // 8] |= 1 << (v % 8)
+        bm = (
+            (12346).to_bytes(4, "little") + (1).to_bytes(4, "little")
+            + (0).to_bytes(2, "little") + (9000 - 1).to_bytes(2, "little")
+            + (16).to_bytes(4, "little") + bytes(words)
+        )
+        data2 = (1681511377).to_bytes(4, "little") + (1).to_bytes(8, "little") + bm
+        assert decode_rba(data2) == vals
+
+
+class TestDeletionVectorRead:
+    def test_inline_dv_masks_rows(self, spark, tmp_path):
+        tbl = str(tmp_path / "dldvi")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f0.parquet", [(i, f"v{i}") for i in range(6)])
+        _write_part(spark, tbl, "f1.parquet", [(10 + i, f"w{i}") for i in range(4)])
+        dv = encode_inline_dv([1, 3])  # mask rows 1 and 3 OF f0 ONLY
+        _log(
+            tbl,
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                },
+                _meta(),
+                _add("f0.parquet"),
+                _add("f1.parquet"),
+            ],
+        )
+        _log(
+            tbl,
+            1,
+            [
+                {"remove": {"path": "f0.parquet", "dataChange": True}},
+                {
+                    "add": {
+                        "path": "f0.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                        "deletionVector": dv,
+                    }
+                },
+            ],
+        )
+        r = DeltaLogReader(spark, tbl)
+        # v0: nothing masked
+        assert sorted(x.id for x in r.read(0).collect()) == [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]
+        # v1: f0 rows at positions 1,3 dead; f1 untouched
+        assert sorted(x.id for x in r.read().collect()) == [0, 2, 4, 5, 10, 11, 12, 13]
+
+    def test_dv_cardinality_mismatch_fails_loudly(self, spark, tmp_path):
+        tbl = str(tmp_path / "dldvm")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f0.parquet", [(1, "a"), (2, "b")])
+        dv = encode_inline_dv([0])
+        dv["cardinality"] = 7  # corrupt
+        _log(
+            tbl,
+            0,
+            [
+                _meta(),
+                {
+                    "add": {
+                        "path": "f0.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                        "deletionVector": dv,
+                    }
+                },
+            ],
+        )
+        with pytest.raises(DeltaProtocolError, match="cardinality"):
+            DeltaLogReader(spark, tbl).read()
