@@ -1179,3 +1179,251 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where_dv(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0)
     t.compact(target_rows=1_000_000)
     return t.history_df()
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, CHECKPOINTED log: 12 single-slice commits, a classic
+# checkpoint parquet at v10, and the JSON commits it covers VACUUMED —
+# the shape every real Delta table reaches at the default 10-commit
+# checkpoint interval. The reader must reconstruct head (checkpoint +
+# v11 JSON) and the checkpoint version itself with zero pre-checkpoint
+# JSON available. Oracle recomputes both snapshots from raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_checkpoint_read",
+    sql="""
+    WITH head AS (SELECT * FROM orders WHERE o_orderkey < 4800),
+    v10 AS (SELECT * FROM orders WHERE o_orderkey < 4400)
+    SELECT
+      (SELECT COUNT(*) FROM v10) AS n_v10,
+      (SELECT COUNT(*) FROM head) AS n_head,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v10) AS total_v10,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM head) AS total_head
+    """,
+    doc="Replays a checkpointed, vacuumed Delta log (classic checkpoint "
+    "parquet + post-checkpoint JSON commits) without delta-spark; "
+    "cites reference behavior: lakehouse interop read path.",
+)
+def delta_interop_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 4800)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tbl = tempfile.mkdtemp(prefix="delta_cp_")
+    log_dir = os.path.join(tbl, "_delta_log")
+    os.makedirs(log_dir)
+
+    def write_file(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
+        shutil.rmtree(tmp)
+
+    meta = {
+        "id": "interop-cp",
+        "schemaString": base.schema.json(),
+        "partitionColumns": [],
+        "format": {"provider": "parquet"},
+    }
+
+    def log(version: int, actions: list) -> None:
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    # 12 commits, each adding one half-open 400-key slice [lo, hi)
+    for v in range(12):
+        lo, hi = v * 400, (v + 1) * 400
+        write_file(
+            base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)),
+            f"s{v}.parquet",
+        )
+        actions = [
+            {"add": {"path": f"s{v}.parquet", "partitionValues": {}, "size": 1, "dataChange": True}}
+        ]
+        if v == 0:
+            actions = [{"protocol": {"minReaderVersion": 1}}, {"metaData": meta}] + actions
+        log(v, actions)
+
+    # classic checkpoint at v10: one parquet of the same actions, columnar
+    cp_schema = T.StructType(
+        [
+            T.StructField(
+                "protocol", T.StructType([T.StructField("minReaderVersion", T.IntegerType())])
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    cp_rows = [({"minReaderVersion": 1}, None, None), (None, (meta["id"], meta["schemaString"], []), None)] + [
+        (None, None, (f"s{v}.parquet", {}, True)) for v in range(11)
+    ]
+    tmp = os.path.join(tbl, "_cptmp")
+    spark.createDataFrame(cp_rows, cp_schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"))
+    shutil.rmtree(tmp)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 10, "size": len(cp_rows)}))
+    # vacuum: delete every JSON the checkpoint covers — replay MUST come
+    # from the checkpoint now
+    for v in range(10):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    r = DeltaLogReader(spark, tbl)
+
+    def tot(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    return (
+        tot(r.read(version=10), "n_v10", "total_v10")
+        .crossJoin(tot(r.read(), "n_head", "total_head"))
+        .select("n_v10", "n_head", "total_v10", "total_head")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, INLINE DELETION VECTORS: v0 adds two files, v1 re-adds
+# the low file with a deletion vector (Z85-encoded RoaringBitmapArray of
+# row positions) masking its 50 lowest-key rows. Reading head must keep
+# deleted rows dead without rewriting data; reading v0 must still see
+# them. Oracle recomputes both states from raw orders by key rank.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_dv_read",
+    sql="""
+    WITH low AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey <= 2000),
+    high AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey > 2000 AND o_orderkey <= 4000),
+    v0 AS (SELECT o_orderkey, o_totalprice FROM low
+           UNION ALL SELECT * FROM high),
+    v1 AS (SELECT o_orderkey, o_totalprice FROM low WHERE pos >= 50
+           UNION ALL SELECT * FROM high)
+    SELECT
+      (SELECT COUNT(*) FROM v0) AS n_v0,
+      (SELECT COUNT(*) FROM v1) AS n_v1,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v0) AS total_v0,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v1) AS total_v1
+    """,
+    doc="Reads a Delta table whose head carries an inline deletion vector "
+    "(storageType 'i', Z85 + RoaringBitmapArray row positions) — "
+    "merge-on-read deletes honored without delta-spark.",
+)
+def delta_interop_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import (
+        DeltaLogReader,
+        encode_inline_dv,
+    )
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tbl = tempfile.mkdtemp(prefix="delta_dv_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+
+    def write_file(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
+        shutil.rmtree(tmp)
+
+    # the DV masks row POSITIONS, so the low file's on-disk order must be
+    # deterministic: single partition sorted by key — position == key rank
+    low = (
+        base.where(F.col("o_orderkey") <= 2000)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    high = base.where((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000))
+    write_file(low, "low.parquet")
+    write_file(high, "high.parquet")
+
+    def log(version: int, actions: list) -> None:
+        with open(os.path.join(tbl, "_delta_log", f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    meta = {
+        "metaData": {
+            "id": "interop-dv",
+            "schemaString": base.schema.json(),
+            "partitionColumns": [],
+            "format": {"provider": "parquet"},
+        }
+    }
+
+    def add(p: str, dv: dict | None = None) -> dict:
+        a = {"path": p, "partitionValues": {}, "size": 1, "dataChange": True}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    log(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},
+            meta,
+            add("low.parquet"),
+            add("high.parquet"),
+        ],
+    )
+    log(
+        1,
+        [
+            {"remove": {"path": "low.parquet", "dataChange": True}},
+            add("low.parquet", dv=encode_inline_dv(list(range(50)))),
+        ],
+    )
+
+    r = DeltaLogReader(spark, tbl)
+
+    def tot(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    return (
+        tot(r.read(version=0), "n_v0", "total_v0")
+        .crossJoin(tot(r.read(), "n_v1", "total_v1"))
+        .select("n_v0", "n_v1", "total_v0", "total_v1")
+    )
