@@ -32,6 +32,11 @@ processes. Swapping in the full 50k-entry public GPT-2 table (when
 tiktoken's data is available) is a DATA change only — load_merges()
 accepts any iterable of pairs — which is precisely the seam contract:
 chunk decisions respond to a real subword vocabulary, not whitespace.
+The genuine artifact cannot be vendored from this build environment (no
+network; verified), and the synthetic corpus saturates BPE training at
+~100 merges, so tests/test_bpe_scale.py instead proves the seam at the
+real table's SCALE: a deterministic 50,000-merge cascade table installs
+via set_merges()/load_merges() and counts at interactive speed.
 
 Pure Python on purpose: it runs inside the chunker's Arrow-batched
 mapInPandas, never as a row-at-a-time Spark UDF, and ``functools.lru_cache``
