@@ -350,3 +350,44 @@ def test_merged_ivf_index_keeps_original_centroid_set(spark, sf_dir):
     # probing the merged index works and never probes an empty phantom cell
     out = ivf_probe_persisted(t2.read(), n_queries=5, k=3)
     assert out.count() > 0
+
+
+def test_lsh_multiprobe_knob_sweep_tradeoff_table(spark, sf_dir, capsys):
+    """The documented operating-point table for the 12-bit LSH index:
+    (n_tables, probe_hamming) -> (recall@3, scanned fraction). A user
+    picks a point off this table instead of re-deriving it; the
+    assertions pin the qualitative shape (recall and fraction both grow
+    with tables/probes) and the floor at the recommended point."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    exact = _topk_sets(similarity.ann_topk_bruteforce(emb, n_queries=10, k=3))
+    total = sum(len(v) for v in exact.values())
+
+    grid = [(4, 1), (4, 2), (8, 1), (8, 2)]
+    table = {}
+    for n_tables, ph in grid:
+        cands = similarity.lsh_candidates(
+            emb, n_queries=10, n_tables=n_tables, probe_hamming=ph
+        )
+        per_q = cands.groupBy("q_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        frac = (sum(r["n"] for r in per_q) / max(len(per_q), 1)) / n_corpus
+        approx = _topk_sets(
+            similarity.ann_topk_lsh(emb, n_queries=10, k=3, n_tables=n_tables, probe_hamming=ph)
+        )
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        table[(n_tables, ph)] = (hits / total, frac)
+
+    print("\nLSH operating points (12-bit codes, recall@3 / scanned fraction):")
+    for (t, ph), (rec, frac) in sorted(table.items()):
+        print(f"  tables={t} hamming<={ph}: recall={rec:.2f} scanned={frac:.1%}")
+
+    # more tables at fixed probes never hurts recall (candidate superset)
+    assert table[(8, 1)][0] >= table[(4, 1)][0]
+    assert table[(8, 2)][0] >= table[(4, 2)][0]
+    # and costs proportionally more scan; the fraction ordering must hold
+    assert table[(8, 2)][1] >= table[(8, 1)][1] >= table[(4, 1)][1]
+    # recommended operating point (the ann_topk_lsh defaults): recall>=0.7
+    # while scanning <=25% of the corpus per query on this fixture
+    rec, frac = table[(8, 2)]
+    assert rec >= 0.7, f"default operating point recall degraded: {rec:.2f}"
+    assert frac <= 0.25, f"default operating point scans too much: {frac:.1%}"
