@@ -1427,3 +1427,101 @@ def delta_interop_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tot(r.read(), "n_v1", "total_v1"))
         .select("n_v0", "n_v1", "total_v0", "total_v1")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed ingest gate (the Deequ-style pipeline shape): profile the
+# incoming batch -> evaluate declarative constraints -> REFUSE the MERGE
+# when any check fails, merge when clean — plus a table-level CHECK
+# constraint validated inside the MERGE itself. The dirty batch (NULLed
+# keys) must leave the table version untouched; the clean batch commits.
+# Oracle recomputes every emitted counter from raw orders, including the
+# refusal logic (a batch with no generated NULLs would have merged).
+# ---------------------------------------------------------------------------
+@query(
+    "quality_gated_merge",
+    sql="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey < 800),
+    incoming AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200),
+    nulled AS (SELECT COUNT(*) AS n_null FROM incoming WHERE o_orderkey % 40 = 0),
+    gate AS (SELECT CASE WHEN n_null > 0 THEN 1 ELSE 0 END AS dirty_failed FROM nulled)
+    SELECT
+      (SELECT dirty_failed FROM gate) AS dirty_failed_checks,
+      (SELECT 1 - dirty_failed FROM gate) AS versions_after_dirty,
+      0 AS clean_failed_checks,
+      (SELECT 2 - dirty_failed FROM gate) AS versions_after_clean,
+      (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM incoming) AS rows_final,
+      CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM base)
+         + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM incoming)
+         AS DOUBLE) AS total_final
+    """,
+    doc="Profile -> declarative checks -> gated MERGE composition: a "
+    "dirty batch is refused before any write (version unchanged), the "
+    "clean batch merges under the table's CHECK constraint.",
+)
+def quality_gated_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.profile import check_constraints, profile
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") < 800)
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="qgate_"))
+    t.write(base)
+    # table-level CHECK validated inside every subsequent commit
+    t.add_check("o_totalprice >= 0")
+    v0 = t.latest_version()
+
+    def gate_and_merge(batch: DataFrame) -> int:
+        """The pipeline gate: one profile pass, rule evaluation, merge
+        only when every rule holds. The collect is one row PER RULE —
+        bounded by the rule list, never by data."""
+        prof = profile(batch, ["o_orderkey", "o_orderstatus"])
+        res = check_constraints(
+            prof,
+            [
+                {"column": "o_orderkey", "kind": "unique"},
+                {"column": "o_orderkey", "kind": "not_null", "max_null_rate": 0.0},
+                {"column": "o_orderstatus", "kind": "min_distinct", "at_least": 2},
+            ],
+        ).collect()
+        n_failed = sum(0 if r["passed"] else 1 for r in res)
+        if n_failed == 0:
+            t.merge(batch, keys=["o_orderkey"])
+        return n_failed
+
+    incoming = orders.where(
+        (F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1200)
+    )
+    dirty = incoming.withColumn(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(40)) == 0, F.lit(None).cast("long")).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    failed_dirty = gate_and_merge(dirty)
+    v_after_dirty = t.latest_version() - v0
+    failed_clean = gate_and_merge(incoming)
+    v_after_clean = t.latest_version() - v0
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("rows_final"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_final"),
+        )
+        .select(
+            F.lit(failed_dirty).alias("dirty_failed_checks"),
+            F.lit(v_after_dirty).cast("int").alias("versions_after_dirty"),
+            F.lit(failed_clean).alias("clean_failed_checks"),
+            F.lit(v_after_clean).cast("int").alias("versions_after_clean"),
+            "rows_final",
+            "total_final",
+        )
+    )
