@@ -27,22 +27,24 @@ def main() -> None:
     spark = get_spark("bench")
     headline = [s for s in QUERIES.values() if s.headline]
 
-    # warm the JVM + parquet footers so per-query numbers measure the plans
-    for spec in headline[:1]:
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # best-of-N per query: a shared local[32] sandbox adds seconds of noise
-    # to any single run (the r2 bench file recorded a phantom 1.73x
-    # "regression" that a quiet re-run erased), and the minimum is the
-    # standard noise-robust estimator for wall-clock benchmarks
+    # Two totals per round (r4 verdict item 7): COLD = each query's first
+    # execution (the earliest queries absorb JVM/codegen/parquet-footer
+    # warmup — a true cold session), STEADY = best-of-N. The steady
+    # minimum is the noise-robust estimator (the r2 bench file recorded a
+    # phantom 1.73x "regression" that a quiet re-run erased); the cold
+    # total anchors against judge single-run numbers so future rounds can
+    # tell sandbox noise from a plan regression without a re-run.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for spec in headline:
         best = None
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            if i == 0:
+                timings_cold[spec.name] = round(dt, 3)
             best = dt if best is None or dt < best else best
         timings[spec.name] = round(best, 3)
 
@@ -53,7 +55,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "cold_value": round(sum(timings_cold.values()), 3),
                 "queries": timings,
+                "queries_cold": timings_cold,
                 "sf": sf,
             }
         )
