@@ -47,86 +47,80 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names: (a) the 13
-# queries whose only green driver row is round 1 — the r3 verdict's
-# rotation debt, placed FIRST as it instructed; then (b) the 37 queries
-# that are new or materially changed this round. Three r4-changed queries
-# with green r3 rows whose change is a guard/limit only (jsonl_split_chunks
-# bounded collect, sequence_packing pmod sharding, embedding_cosine_pairs
-# max_rows guard) are deferred to round 5 to make room — each is still
-# verified by the local parity sweep and the judge's own pytest run. The
-# round-5 rotation front MUST take, in order: the no-row round-4 queries
-# that did not fit (orders_profile, orders_quality_checks,
-# per_source_quality_gate, supplier_pagerank, supplier_balance_distribution,
-# orc_roundtrip_agg, json_roundtrip_agg, versioned_metadata_tables), the
-# three guard-only deferrals, then
-# versioned_merge_time_travel, pricing_summary, events_asof_orders,
-# two_phase_concept_extraction, doc_minhash_lsh_pairs (r2/r3 rows), then
-# the 22 r2-green simple shapes listed in round 3's registry comment (see
-# git history), oldest rows first.
+# in dict order per round, so this list holds EXACTLY 50 names. Round-5
+# front, exactly as the r4 verdict instructed: (a) the 8 queries that have
+# NEVER had a driver row (all added in r4); (b) the three r4 guard-only
+# deferrals; (c) queries changed or added THIS round —
+# embedding_random_projection (output reshaped to scalar rows, the one
+# red r4 row), trigram_heavy_hitters (rational oracle threshold + MG
+# summary materialization), jsonl_roundtrip_agg (byte-accurate
+# octet_length cap), the two new Delta interop queries and the composed
+# quality gate; (d) versioned_merge_time_travel (deferred from r4); then
+# (e) the oldest r2-only rows — the five the verdict named, the vocab
+# trio, and the head of the remaining r2 list in alphabetical order. The
+# round-6 front MUST take the 14 r2-only rows that did not fit:
+# newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
+# returnflag_priority_counts, revenue_by_nation,
+# rich_customers_projection, running_value_per_user,
+# segment_with_override, sole_returned_suppliers, supplier_host_etld1,
+# top3_orders_per_customer, plus any round-5 additions without rows,
+# then the oldest r3 rows (48 of them, ann_topk_bruteforce first).
 _VERIFY_FIRST: list[str] = [
-    # (a) green in round 1 only — the r3 verdict's rotation debt, first
-    "returned_items_revenue",
-    "shipping_priority",
-    "nation_market_share",
-    "top_revenue_supplier",
-    "order_priority_rollup",
-    "returnflag_status_cube",
-    "small_quantity_revenue",
-    "brand_supplier_counts",
-    "idle_rich_customers",
-    "large_order_customers",
-    "min_acctbal_supplier_per_part",
-    "important_nation_stock",
-    "customer_acctbal_quartiles",
-    # (b) new or materially changed this round
-    "stream_stream_attribution",  # NEW: watermarked stream-stream interval join
-    "doc_repeated_substrings",    # NEW: suffix-array-style substring dedup
-    "doc_nb_classifier",          # NEW: in-engine trained NB quality gate
-    "semantic_dedup",             # NEW: SemDeDup pairs->CC->keep-best e2e
-    "versioned_dv_delete",        # NEW: deletion-vector merge-on-read deletes
-    "quality_weighted_sample",    # NEW: A-ES weighted top-k selection
-    "embedding_random_projection",  # NEW: JL 64->16 codegen projection
-    "incident_window_event_counts",  # NEW: bucketed interval join, no equi-key
-    "event_type_hourly_gap_fill",    # NEW: dense hourly axis + forward fill
-    "trigram_heavy_hitters",         # NEW: Misra-Gries nominate + exact recount
-    "user_event_types_salted",       # NEW: skew-proof two-phase set rollup
-    "doc_lm_nll",                    # NEW: bigram-LM quality scoring
-    "versioned_scd2_dimension",      # NEW: SCD2 intervals from the change feed
-    "source_token_kl",               # NEW: per-source distribution drift (KL)
-    "top3_orders_per_customer_bounded",  # NEW: bounded-shuffle grouped top-k
-    "doc_dedup_keep_best",           # NEW: keep-longest cluster canonical
-    "cross_source_leakage",          # NEW: multi-source near-dup audit
-    "versioned_bloom_point_merge",   # NEW: Bloom-indexed point MERGE
-    "corpus_curation_v2",      # NEW: composed curation funnel flagship
-    "versioned_change_feed",   # NEW: CDC snapshot-diff through the table log
-    "stream_dedup_event_counts",  # NEW: cross-batch streaming exact dedup
-    "delta_interop_read",      # NEW: Delta _delta_log replay interop
-    "hll_incremental_distinct",  # NEW: mergeable HLL sketch state via MERGE
-    # supplier_balance_distribution and orc_roundtrip_agg yielded their
-    # slots to the two most novel capabilities (both are simple shapes
-    # heavily covered by pytest; round-5 front takes them)
-    # json_roundtrip_agg deferred to round 5 — same write-read-aggregate
-    # shape as orc_roundtrip_agg (fresh row above) and csv_roundtrip_agg
-    # (green r3 row)
-    "per_source_quality_regression",  # NEW: covariance-aggregate fit
-    "event_funnel_stages",     # NEW: ordered first-touch funnel
-    "cdc_materialized_view",   # NEW: incremental view maintenance via CDC
-    "ann_topk_lsh",            # Hamming<=2 multiprobe, 12-bit tables
-    "ann_topk_lsh_persisted",  # NEW: persisted-index probe
-    "doc_chunks_bpe",          # corpus-trained merge table composed in
-    "training_shard_manifest",  # NEW: hash-balanced training shard writer
-    # versioned_merge_time_travel deferred to round 5: its r4 changes (OCC
-    # commit, DV-aware reads) are the same code paths versioned_dv_delete,
-    # versioned_zorder_merge, versioned_change_feed, and
-    # stream_merge_versioned_counts exercise with fresh rows below
-    "stream_merge_versioned_counts",  # NEW: streaming MERGE INTO the table
-    "versioned_zorder_merge",  # NEW: OPTIMIZE ZORDER + skipping merge
-    "incremental_minhash_dedup",  # NEW: ingest dedup vs persisted band index
-    "ann_topk_ivf_persisted",  # NEW: persisted IVF cell assignment
-    "embedding_near_dup_pairs",  # NEW: LSH-bucketed pair mining, no self-join
-    "stream_window_merge_counts",  # NEW: update-mode windowed MERGE sink
-    "fuzzy_name_match",        # NEW: lossless q-gram edit-distance join
+    # (a) never driver-tested (added r4)
+    "orders_profile",
+    "orders_quality_checks",
+    "per_source_quality_gate",
+    "supplier_pagerank",
+    "supplier_balance_distribution",
+    "orc_roundtrip_agg",
+    "json_roundtrip_agg",
+    "versioned_metadata_tables",
+    # (b) r4 guard-only deferrals
+    "jsonl_split_chunks",
+    "sequence_packing",
+    "embedding_cosine_pairs",
+    # (c) changed or added this round
+    "embedding_random_projection",  # reshaped to scalar (vec_id, pos, val)
+    "trigram_heavy_hitters",        # rational threshold mirrored in oracle
+    "jsonl_roundtrip_agg",          # octet_length byte cap
+    "delta_interop_checkpoint_read",  # NEW: checkpointed+vacuumed log replay
+    "delta_interop_dv_read",          # NEW: inline deletion-vector read
+    "quality_gated_merge",            # NEW: profile->checks->gated MERGE
+    # (d) deferred from r4
+    "versioned_merge_time_travel",
+    # (e) oldest r2-only rows
+    "pricing_summary",
+    "events_asof_orders",
+    "two_phase_concept_extraction",
+    "doc_minhash_lsh_pairs",
+    "vocab_word_match",
+    "vocab_match_compiled",
+    "vocab_match_aho_corasick",
+    "vocab_phrase_regex_match",
+    "address_merge",
+    "ann_topk_ivf",
+    "approx_distinct_scales",
+    "benchmark_contamination",
+    "corpus_curation",
+    "customer_order_distribution",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "distinct_segment_nation",
+    "doc_chunks_even",
+    "doc_chunks_hard_limit",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_pii_redaction",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_simhash_pairs",
+    "doc_token_counts",
+    "embedding_kmeans_centroids",
+    "event_props_json_stats",
+    "event_type_user_buckets",
+    "hourly_event_stats",
+    "mixture_rebalance",
+    "nation_segment_rollup",
 ]
 
 
