@@ -1525,3 +1525,71 @@ def quality_gated_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_final",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental quantile state (operators/qsketch.py): three ingest batches
+# fold into a persisted, MERGE-maintained bucket-count sketch — O(new
+# rows) per batch, O(sketch) per quantile read, never a rescan of
+# history. Deterministic decimal binning (digit-count + leading-two-
+# digits, pure integer math) means the oracle replays the identical
+# sketch from the raw rows and the estimates hash-match exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_sketch_incremental",
+    sql="""
+    WITH cents AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (
+      SELECT CASE WHEN c <= 0 THEN 0
+                  WHEN c < 10 THEN c
+                  ELSE CAST(substring(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
+                       * CAST(pow(10, length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
+             END AS lo,
+             CASE WHEN c <= 0 THEN 1
+                  WHEN c < 10 THEN 1
+                  ELSE CAST(pow(10, length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
+             END AS width
+      FROM cents),
+    sk AS (SELECT lo, width, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (SELECT lo, width, SUM(cnt) OVER (ORDER BY lo) AS cum,
+                   SUM(cnt) OVER () AS total
+            FROM sk),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95), (0.99)) AS t(q))
+    SELECT q, ROUND((lo + (width - 1) / 2.0) / 100.0, 6) AS est
+    FROM (SELECT q, lo, width,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY lo) AS rn
+          FROM cum, qs
+          WHERE cum * 100 >= CAST(ROUND(q * 100, 0) AS BIGINT) * total)
+    WHERE rn = 1
+    """,
+    doc="Mergeable deterministic quantile sketch kept as MERGE-maintained "
+    "table state across three ingest batches; p50/p95/p99 read off the "
+    "persisted histogram. Oracle rebuilds the sketch from raw rows.",
+)
+def quantile_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.qsketch import (
+        merge_sketches,
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="qsketch_"))
+    for i in range(3):
+        batch = li.where(F.pmod("l_orderkey", F.lit(3)) == i)
+        sk = quantile_sketch(batch, "l_extendedprice")
+        if t.latest_version() is None:
+            t.write(sk)
+        else:
+            # state update = bucket-count addition over the PERSISTED
+            # sketch (bounded rows), never a rescan of earlier batches
+            t.merge(
+                merge_sketches(t.read(), sk),
+                keys=["digits", "lead2", "lo", "width"],
+            )
+    return quantiles_from_sketch(t.read(), [0.5, 0.95, 0.99])
