@@ -1593,3 +1593,54 @@ def quantile_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys=["digits", "lead2", "lo", "width"],
             )
     return quantiles_from_sketch(t.read(), [0.5, 0.95, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse HANDOFF roundtrip: the engine's VersionedTable (after a
+# merge-on-read DV delete) exports its live snapshot as a brand-new
+# protocol-correct Delta table (sources/delta_export.py, partitioned
+# layout, partition values in the log), which the independent log reader
+# then replays. Deleted rows must stay dead through the export; the
+# partition columns must reattach from the log, not the data files.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_roundtrip",
+    sql="""
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 1500 AND o_orderkey % 7 <> 0)
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM live GROUP BY 1
+    """,
+    doc="VersionedTable snapshot (post DV-delete) -> Delta-format export "
+    "(partitioned, single-commit log) -> independent log-reader replay; "
+    "oracle recomputes the surviving rows from raw orders.",
+)
+def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import export_delta
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="exp_src_"))
+    t.write(base)
+    # merge-on-read delete: multiples of 7 die via a deletion-vector
+    # sidecar, no data file rewritten
+    t.delete_where_dv(F.pmod("o_orderkey", F.lit(7)) == 0)
+
+    dest = tempfile.mkdtemp(prefix="exp_dst_") + "/table"
+    export_delta(t.read(), dest, partition_by=["o_orderstatus"])
+
+    back = DeltaLogReader(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -1,0 +1,72 @@
+"""Delta snapshot export: protocol shape, partition layout, refusal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.sources.delta_export import DeltaExportError, export_delta
+from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+
+def test_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "x y"), (3, "c", "z")],
+        "id long, val string, day string",
+    )
+    dest = str(tmp_path / "t")
+    acct = export_delta(df, dest, partition_by=["day"])
+    assert acct["n_files"] >= 2  # one file per partition minimum
+    back = DeltaLogReader(spark, dest).read()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # partition dirs exist; data files do NOT carry the partition column
+    part_dirs = [d for d in os.listdir(dest) if d.startswith("day=")]
+    assert len(part_dirs) == 2
+    sample = next(
+        os.path.join(dest, part_dirs[0], f)
+        for f in os.listdir(os.path.join(dest, part_dirs[0]))
+        if f.endswith(".parquet")
+    )
+    assert "day" not in spark.read.parquet(sample).columns
+
+
+def test_log_shape_is_protocol_correct(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    dest = str(tmp_path / "t2")
+    export_delta(df, dest)
+    commit = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(commit)]
+    assert "protocol" in actions[0] and actions[0]["protocol"]["minReaderVersion"] == 1
+    assert "metaData" in actions[1]
+    meta = actions[1]["metaData"]
+    assert meta["partitionColumns"] == []
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    adds = [a["add"] for a in actions[2:]]
+    assert adds
+    for a in adds:
+        full = os.path.join(dest, a["path"])
+        assert os.path.getsize(full) == a["size"]  # real sizes, not stubs
+
+
+def test_refuses_existing_delta_table(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    dest = str(tmp_path / "t3")
+    export_delta(df, dest)
+    with pytest.raises(DeltaExportError, match="existing Delta table"):
+        export_delta(df, dest)
+
+
+def test_encoded_partition_values_roundtrip(spark, tmp_path):
+    # a partition value with a space must percent-encode in add.path and
+    # decode back to the same literal
+    df = spark.createDataFrame([(1, "two words"), (2, "plain")], "id long, p string")
+    dest = str(tmp_path / "t4")
+    export_delta(df, dest, partition_by=["p"])
+    back = DeltaLogReader(spark, dest).read()
+    assert {r["p"] for r in back.collect()} == {"two words", "plain"}
+    commit = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    raw = open(commit).read()
+    assert "two%20words" in raw
