@@ -58,8 +58,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # quality gate; (d) versioned_merge_time_travel (deferred from r4); then
 # (e) the oldest r2-only rows — the five the verdict named, the vocab
 # trio, and the head of the remaining r2 list in alphabetical order. The
-# round-6 front MUST take the 14 r2-only rows that did not fit:
-# newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
+# round-6 front MUST take the 16 r2-only rows that did not fit:
+# mixture_rebalance, nation_segment_rollup, newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
 # returnflag_priority_counts, revenue_by_nation,
 # rich_customers_projection, running_value_per_user,
 # segment_with_override, sole_returned_suppliers, supplier_host_etld1,
@@ -86,6 +86,8 @@ _VERIFY_FIRST: list[str] = [
     "delta_interop_checkpoint_read",  # NEW: checkpointed+vacuumed log replay
     "delta_interop_dv_read",          # NEW: inline deletion-vector read
     "quality_gated_merge",            # NEW: profile->checks->gated MERGE
+    "quantile_sketch_incremental",    # NEW: MERGE-persisted quantile state
+    "delta_export_roundtrip",         # NEW: Delta-format snapshot export
     # (d) deferred from r4
     "versioned_merge_time_travel",
     # (e) oldest r2-only rows
@@ -119,8 +121,6 @@ _VERIFY_FIRST: list[str] = [
     "event_props_json_stats",
     "event_type_user_buckets",
     "hourly_event_stats",
-    "mixture_rebalance",
-    "nation_segment_rollup",
 ]
 
 
