@@ -2345,3 +2345,47 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed TOTAL ORDER (operators/globalsort.py): rank the whole
+# corpus by quality WITHOUT the single-reducer global window — range
+# exchange + local sort + bounded per-partition offsets, the TeraSort
+# shape. The oracle states the semantics directly as ROW_NUMBER() over
+# the total key; boundary placement cannot change the result because the
+# doc_id tiebreak makes the order total.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_global_quality_rank",
+    sql="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 len(list_distinct(w)) AS n_distinct_words,
+                 length(text) AS n_chars,
+                 len([x for x in w if x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')]) AS n_stop
+          FROM d),
+    q AS (SELECT doc_id,
+                 ROUND(0.4 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+                       + 0.3 * LEAST((CAST(n_stop AS DOUBLE) / n_words) * 4.0, 1.0)
+                       + 0.3 * LEAST(n_words / 100.0, 1.0), 6) AS quality_score
+          FROM s)
+    SELECT doc_id, quality_score,
+           ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS global_rank
+    FROM q
+    """,
+    doc="Corpus-wide quality ranking as a two-phase distributed sort "
+    "(range partition + local rank + offsets) — no global window, no "
+    "single-reducer stage; oracle is the plain ROW_NUMBER semantics.",
+)
+def doc_global_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.globalsort import global_rank
+
+    scored = textstats.quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    ranked = global_rank(
+        scored.withColumn("_neg_q", -F.col("quality_score")),
+        order_by=["_neg_q", "doc_id"],
+    )
+    return ranked.select("doc_id", "quality_score", "global_rank")
