@@ -1,0 +1,115 @@
+"""Keyword search over the corpus: inverted postings + BM25 ranking.
+
+The curation loop constantly asks "show me the documents about X" —
+at 100 TB that is not a regex scan, it is an INVERTED INDEX: one
+tokenize-explode-groupBy pass builds (term, doc_id, tf) postings keyed by
+term (the classic one-shuffle index build), and a query is a broadcast
+join of its handful of terms against the postings — the corpus is never
+rescanned per query. Ranking is BM25 (Robertson/Spärck Jones; the k1/b
+form every search engine ships), computed entirely in codegen arithmetic,
+and top-k is TakeOrderedAndProject — no global sort, no single-reducer
+window.
+
+Like the LSH/IVF indexes (operators/similarity.py), the postings table
+is a plain DataFrame keyed on (term, doc_id): persisting it through the
+VersionedTable and MERGEing per ingest batch is the same
+state-not-recompute pattern proven there — queries over a persisted index
+recompute nothing but their own scores.
+
+Determinism: tf/df/dl are integers; the only floats are the BM25 idf/tf
+terms, computed with the same IEEE ln/division in any engine and rounded
+to 6 decimals, the float contract the whole oracle suite uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), x -> length(x) >= 2)"
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """One corpus scan -> (postings, doc_stats).
+
+    postings: (term, doc_id, tf) — the inverted index, shuffled once on
+    its natural key. doc_stats: (doc_id, dl) token lengths.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    doc_stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.expr(_TOKENIZE.format(col=text_col))).alias("dl"),
+    )
+    return postings, doc_stats
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-``topk`` documents for a bag-of-terms query, BM25-ranked:
+    (doc_id, score, rank). Ties break on doc_id so the ranking is total.
+    """
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    spark = docs.sparkSession
+    postings, doc_stats = build_postings(docs, text_col, id_col)
+    corpus = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qdf = spark.createDataFrame([(t.lower(),) for t in terms], "term string").distinct()
+    # df per query term only — the broadcast join prunes the postings
+    # aggregation to the query's terms before any wide work
+    q_postings = postings.join(F.broadcast(qdf), "term")
+    df_counts = q_postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # (term, doc_id, tf, df) joined to per-doc lengths: an equi-join on
+    # doc_id between the query-pruned postings and doc_stats — both sides
+    # scale with the corpus, so this is a proper shuffle join (AQE
+    # broadcasts the pruned side when it is small); df_counts and the
+    # 1-row corpus stats ARE bounded and broadcast explicitly
+    scored = (
+        q_postings.join(F.broadcast(df_counts), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (1 - b + b * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    # rank over <= topk rows: the window runs on a bounded input, not the
+    # corpus (the limit collapses to TakeOrderedAndProject first)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rank"
+    )

@@ -2389,3 +2389,49 @@ def doc_global_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["_neg_q", "doc_id"],
     )
     return ranked.select("doc_id", "quality_score", "global_rank")
+
+
+# ---------------------------------------------------------------------------
+# Corpus keyword search (operators/search.py): inverted postings built in
+# one tokenize-explode-groupBy scan, query terms broadcast against them,
+# BM25 ranking in codegen arithmetic, top-k via TakeOrderedAndProject.
+# Float contract as source_token_kl: identical double ratios + ln in both
+# engines, per-doc sum rounded to 6.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bm25_search",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) >= 2) AS arr
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+    dl AS (SELECT doc_id, len(arr) AS dl FROM tok),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    q AS (SELECT unnest(['data', 'model', 'quality']) AS term),
+    post AS (SELECT t.term, t.doc_id, COUNT(*) AS tf
+             FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    s AS (SELECT p.doc_id,
+                 LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * (1.2 + 1))
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                        / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) AS w
+          FROM post p JOIN dfc d USING (term) JOIN dl l USING (doc_id), corpus c),
+    agg AS (SELECT doc_id, ROUND(SUM(w), 6) AS score FROM s GROUP BY 1)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM agg
+    QUALIFY rank <= 20
+    """,
+    doc="BM25 keyword search over an inverted postings index (one corpus "
+    "scan to build, broadcast query join to answer, TakeOrdered top-k); "
+    "oracle replays tf/df/dl and the scoring formula exactly.",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.search import bm25_search
+
+    return bm25_search(
+        load(spark, sf_dir, "documents"), ["data", "model", "quality"], topk=20
+    )

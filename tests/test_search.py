@@ -1,0 +1,66 @@
+"""BM25 search: relevance ordering, index shape, top-k plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_etl_pipeline_spark.operators.search import bm25_search, build_postings
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "dogs chase the cat and the cat runs"),
+        (3, "completely unrelated text about spark engines"),
+        (4, "cat cat cat cat"),  # high tf, short doc
+        (5, "a very long document about many things including one cat "
+            + "filler " * 50),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_relevance_ordering(corpus):
+    got = bm25_search(corpus, ["cat"], topk=5).collect()
+    ids = [r["doc_id"] for r in got]
+    # docs without the term never appear
+    assert 3 not in ids
+    # tf-dense short doc outranks the one-mention long doc (length norm)
+    assert ids.index(4) < ids.index(5)
+    # ranks dense from 1
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_multi_term_sums_evidence(corpus):
+    one = {r["doc_id"]: r["score"] for r in bm25_search(corpus, ["cat"], topk=5).collect()}
+    two = {r["doc_id"]: r["score"] for r in bm25_search(corpus, ["cat", "dogs"], topk=5).collect()}
+    # doc 2 has both terms: adding a matching term can only raise its score
+    assert two[2] > one[2]
+    # a doc without the extra term keeps its single-term score
+    assert two[4] == one[4]
+
+
+def test_postings_shape(corpus):
+    postings, doc_stats = build_postings(corpus)
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in postings.collect()}
+    assert p[("cat", 4)] == 4
+    assert p[("cat", 1)] == 1
+    dl = {r["doc_id"]: r["dl"] for r in doc_stats.collect()}
+    assert dl[4] == 4
+    # single-character tokens are dropped by the tokenizer
+    assert ("a", 5) not in p
+
+
+def test_topk_plan_takeordered(corpus):
+    out = bm25_search(corpus, ["cat"], topk=3)
+    plan = corpus.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the corpus-wide ordering must collapse to TakeOrderedAndProject —
+    # never a full global sort feeding the bounded rank window
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_empty_query_refused(corpus):
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_search(corpus, [])
