@@ -58,8 +58,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # quality gate; (d) versioned_merge_time_travel (deferred from r4); then
 # (e) the oldest r2-only rows — the five the verdict named, the vocab
 # trio, and the head of the remaining r2 list in alphabetical order. The
-# round-6 front MUST take the 16 r2-only rows that did not fit:
-# mixture_rebalance, nation_segment_rollup, newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
+# round-6 front MUST take the 18 r2-only rows that did not fit:
+# event_type_user_buckets, hourly_event_stats, mixture_rebalance, nation_segment_rollup, newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
 # returnflag_priority_counts, revenue_by_nation,
 # rich_customers_projection, running_value_per_user,
 # segment_with_override, sole_returned_suppliers, supplier_host_etld1,
@@ -88,6 +88,8 @@ _VERIFY_FIRST: list[str] = [
     "quality_gated_merge",            # NEW: profile->checks->gated MERGE
     "quantile_sketch_incremental",    # NEW: MERGE-persisted quantile state
     "delta_export_roundtrip",         # NEW: Delta-format snapshot export
+    "doc_global_quality_rank",        # NEW: two-phase distributed total order
+    "doc_bm25_search",                # NEW: inverted-index BM25 search
     # (d) deferred from r4
     "versioned_merge_time_travel",
     # (e) oldest r2-only rows
@@ -119,8 +121,6 @@ _VERIFY_FIRST: list[str] = [
     "doc_token_counts",
     "embedding_kmeans_centroids",
     "event_props_json_stats",
-    "event_type_user_buckets",
-    "hourly_event_stats",
 ]
 
 
