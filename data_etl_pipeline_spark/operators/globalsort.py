@@ -75,6 +75,11 @@ def global_rank(
         r["_pid"]: r["n"]
         for r in numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not sizes:
+        # empty input: create_map() with zero entries types as
+        # map<void,void> and fails analysis — return the (empty) frame
+        # with the declared schema instead
+        return numbered.select(*cols, F.lit(0).cast("long").alias(rank_col))
     offsets = {}
     acc = 0
     for pid in sorted(sizes):

@@ -86,19 +86,18 @@ def heavy_hitters(items: DataFrame, item_col: str, support: float) -> DataFrame:
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1), got {support}")
     k = max(1, math.ceil(1.0 / support))
-    summary = misra_gries_candidates(items, item_col, k).cache()
-    # Materialize BOTH the candidate set and the total in ONE driver job
-    # served from the cache, then unpersist immediately — the summary
-    # would otherwise stay pinned in block storage for the session's
-    # lifetime (and a lazy `candidates` referencing it post-unpersist
-    # would silently rescan the input a third time). The driver result is
-    # bounded by construction: <= k candidates per partition plus one
-    # total row — the same bound that makes the broadcast legal.
+    summary = misra_gries_candidates(items, item_col, k)
+    # Materialize BOTH the candidate set and the total in ONE driver job —
+    # the summary is consumed by exactly this action (no cache needed; a
+    # cached summary would be written and immediately orphaned), and
+    # recreating the candidate frame from the collected rows keeps pass 2
+    # from ever re-running the sketch. The driver result is bounded by
+    # construction: <= k candidates per partition plus one total row —
+    # the same bound that makes the broadcast legal.
     agg = summary.agg(
         F.sum("_prows").alias("total"),
         F.collect_set(F.col(item_col)).alias("cands"),  # NULL sentinels excluded
     ).first()
-    summary.unpersist()
     total_val = int(agg["total"] or 0)
     from pyspark.sql import types as T
 

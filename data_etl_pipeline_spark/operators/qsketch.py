@@ -32,16 +32,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (digits, lead2) -> [lo, lo+width) in cents, all integer arithmetic
+# (digits, lead2) -> [lo, lo+width) in cents. lo/width are built by
+# STRING concatenation (leading pair + zeros), not pow(): a libm pow
+# returning 10^n an ulp low would truncate to 99...9 under Spark's
+# double->bigint cast while a rounding engine lands on 10^n — precisely
+# the transcendental-boundary divergence this binning exists to exclude.
 _BUCKET_EXPR = """
 CASE WHEN _cents <= 0 THEN struct(0 AS digits, 0 AS lead2, CAST(0 AS BIGINT) AS lo, CAST(1 AS BIGINT) AS width)
      WHEN _cents < 10 THEN struct(1 AS digits, CAST(_cents AS INT) AS lead2, _cents AS lo, CAST(1 AS BIGINT) AS width)
      ELSE struct(
        length(CAST(_cents AS STRING)) AS digits,
        CAST(substring(CAST(_cents AS STRING), 1, 2) AS INT) AS lead2,
-       CAST(substring(CAST(_cents AS STRING), 1, 2) AS BIGINT)
-         * CAST(pow(10, length(CAST(_cents AS STRING)) - 2) AS BIGINT) AS lo,
-       CAST(pow(10, length(CAST(_cents AS STRING)) - 2) AS BIGINT) AS width)
+       CAST(concat(substring(CAST(_cents AS STRING), 1, 2),
+                   repeat('0', length(CAST(_cents AS STRING)) - 2)) AS BIGINT) AS lo,
+       CAST(concat('1', repeat('0', length(CAST(_cents AS STRING)) - 2)) AS BIGINT) AS width)
 END
 """
 

@@ -31,22 +31,25 @@ _TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), x -> length(x) >= 2)"
 
 def build_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """One corpus scan -> (postings, doc_stats).
-
-    postings: (term, doc_id, tf) — the inverted index, shuffled once on
-    its natural key. doc_stats: (doc_id, dl) token lengths.
-    """
+) -> DataFrame:
+    """ONE corpus tokenize scan -> the inverted index (term, doc_id, tf),
+    shuffled once on its natural key. Everything else BM25 needs derives
+    from the postings themselves: dl = SUM(tf) per doc (the tokenizer and
+    the index share the same filter by construction), so no second
+    tokenize pass ever runs."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("term"),
     )
-    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    doc_stats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.expr(_TOKENIZE.format(col=text_col))).alias("dl"),
-    )
-    return postings, doc_stats
+    return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl) from the index — docs whose every token was filtered
+    out carry no postings and therefore no dl row; they cannot match any
+    query term, and the corpus-level doc count is taken from the source
+    table, so their absence only removes zero terms from sum_dl."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
 
 def bm25_search(
@@ -57,16 +60,28 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 20,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``topk`` documents for a bag-of-terms query, BM25-ranked:
     (doc_id, score, rank). Ties break on doc_id so the ranking is total.
+
+    Pass ``postings`` (from ``build_postings``, e.g. read back from a
+    VersionedTable) to query a PERSISTED index — then no corpus tokenize
+    runs at all. Without it, the one-shot path builds the index and pins
+    it with an eager localCheckpoint so the dl/df/score branches all read
+    ONE materialization instead of re-tokenizing the corpus per branch.
     """
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
     spark = docs.sparkSession
-    postings, doc_stats = build_postings(docs, text_col, id_col)
-    corpus = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    if postings is None:
+        postings = build_postings(docs, text_col, id_col).localCheckpoint(eager=True)
+    doc_stats = doc_lengths(postings)
+    # n_docs from the source table (a countable narrow scan, no tokenize);
+    # sum_dl from the index — zero-token docs contribute 0 either way
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    corpus = doc_stats.agg(F.sum("dl").alias("sum_dl")).crossJoin(
+        F.broadcast(n_docs_df)
     )
     qdf = spark.createDataFrame([(t.lower(),) for t in terms], "term string").distinct()
     # df per query term only — the broadcast join prunes the postings

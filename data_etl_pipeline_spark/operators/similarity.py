@@ -481,10 +481,12 @@ def lsh_probe_persisted(
     build_lsh_index); passing a different value raises rather than
     silently probing the wrong mask set."""
     if "n_bits" in index_df.columns:
-        # .first() is a driver job per probe, but only when the caller did
-        # not pass n_bits — an explicit n_bits skips it (after the mismatch
-        # check below, which still requires the read... so read lazily:
-        # trust an explicit n_bits only when the column is absent).
+        # one .first() driver job per probe whenever the column exists —
+        # DELIBERATE, even when the caller passes n_bits, because the
+        # stored-vs-passed mismatch check is the whole point of persisting
+        # n_bits (a silently mis-masked probe loses recall with no error);
+        # callers amortizing probes should pass the index DataFrame of a
+        # cached/read snapshot so the read is a manifest-cheap scan
         stored = index_df.select("n_bits").first()
         if stored is None:
             # empty index: distinguish from the missing-column case — the

@@ -1542,14 +1542,16 @@ def quality_gated_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
       FROM lineitem WHERE l_extendedprice IS NOT NULL),
     b AS (
+      -- lo/width via string concatenation, mirroring _BUCKET_EXPR's
+      -- no-transcendental contract (pow() could land an ulp off 10^n)
       SELECT CASE WHEN c <= 0 THEN 0
                   WHEN c < 10 THEN c
-                  ELSE CAST(substring(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
-                       * CAST(pow(10, length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
+                  ELSE CAST(substring(CAST(c AS VARCHAR), 1, 2)
+                            || repeat('0', length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
              END AS lo,
              CASE WHEN c <= 0 THEN 1
                   WHEN c < 10 THEN 1
-                  ELSE CAST(pow(10, length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
+                  ELSE CAST('1' || repeat('0', length(CAST(c AS VARCHAR)) - 2) AS BIGINT)
              END AS width
       FROM cents),
     sk AS (SELECT lo, width, COUNT(*) AS cnt FROM b GROUP BY 1, 2),

@@ -58,8 +58,11 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # quality gate; (d) versioned_merge_time_travel (deferred from r4); then
 # (e) the oldest r2-only rows — the five the verdict named, the vocab
 # trio, and the head of the remaining r2 list in alphabetical order. The
-# round-6 front MUST take the 18 r2-only rows that did not fit:
-# event_type_user_buckets, hourly_event_stats, mixture_rebalance, nation_segment_rollup, newest_open_orders, orderkey_set_ops, part_prefix_agg, quantity_band_stats,
+# round-6 front MUST take the 17 r2-only rows that did not fit
+# (recomputed from CORRECTNESS_r0*.json against this list — exactly):
+# event_type_user_buckets, hourly_event_stats, mixture_rebalance,
+# nation_segment_rollup, newest_open_orders, order_key_lookup,
+# orderkey_set_ops, part_prefix_agg, quantity_band_stats,
 # returnflag_priority_counts, revenue_by_nation,
 # rich_customers_projection, running_value_per_user,
 # segment_with_override, sole_returned_suppliers, supplier_host_etld1,

@@ -208,8 +208,16 @@ class DeltaLogReader:
         # through the table schema (Delta stores them only in the log)
         from urllib.parse import unquote
 
-        groups: dict[tuple, list[str]] = {}
-        deleted: list[tuple[str, int]] = []  # (file URI, deleted row index)
+        # DV-bearing files are read INDIVIDUALLY with an anti-join on
+        # row_index alone — never by matching reconstructed paths against
+        # _metadata.file_path, whose URI encoding (percent-escapes for
+        # spaces/colons) differs from the decoded on-disk path and would
+        # silently resurrect deleted rows on any table with encodable
+        # characters in its paths. One plan branch per DV file is bounded
+        # by the snapshot's DV-carrying file count (a minority by
+        # construction: rewrites purge DVs).
+        groups: dict[tuple, list[str]] = {}  # plain files, batched per partition
+        dv_reads: list[tuple[tuple, str, list[int]]] = []  # (key, path, indexes)
         for add in adds:
             pv = add.get("partitionValues") or {}
             key = tuple(pv.get(c) for c in part_cols)
@@ -217,52 +225,45 @@ class DeltaLogReader:
             # colons in partition dirs); join the DECODED form or valid
             # tables fail with path-not-found
             full = os.path.join(self.path, unquote(add["path"]))
-            groups.setdefault(key, []).append(full)
             dv = add.get("deletionVector")
-            if dv:
-                if dv.get("storageType") != "i":
-                    raise DeltaProtocolError(
-                        "file-based deletion vectors (storageType "
-                        f"{dv.get('storageType')!r}) are not supported; this "
-                        "reader applies inline ('i') deletion vectors only — "
-                        "reading without applying them would resurrect "
-                        "deleted rows"
-                    )
-                uri = os.path.abspath(full)
-                idxs = decode_inline_dv(dv["pathOrInlineDv"])
-                card = dv.get("cardinality")
-                if card is not None and int(card) != len(idxs):
-                    raise DeltaProtocolError(
-                        f"deletion vector cardinality mismatch on "
-                        f"{add['path']}: declared {card}, decoded {len(idxs)}"
-                    )
-                deleted.extend((uri, i) for i in idxs)
+            if not dv:
+                groups.setdefault(key, []).append(full)
+                continue
+            if dv.get("storageType") != "i":
+                raise DeltaProtocolError(
+                    "file-based deletion vectors (storageType "
+                    f"{dv.get('storageType')!r}) are not supported; this "
+                    "reader applies inline ('i') deletion vectors only — "
+                    "reading without applying them would resurrect "
+                    "deleted rows"
+                )
+            idxs = decode_inline_dv(dv["pathOrInlineDv"])
+            card = dv.get("cardinality")
+            if card is not None and int(card) != len(idxs):
+                raise DeltaProtocolError(
+                    f"deletion vector cardinality mismatch on "
+                    f"{add['path']}: declared {card}, decoded {len(idxs)}"
+                )
+            dv_reads.append((key, full, idxs))
         out = None
         types = {f.name: f.dataType for f in schema.fields}
-        for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-            df = self.spark.read.schema(file_schema).parquet(*paths)
-            if deleted:
-                # per-file row positions: Spark's parquet _metadata column
-                # exposes row_index; the anti-join keys on (file, index) so
-                # a DV only masks rows of ITS file. file_path comes back as
-                # a URI ("file:/abs/path") — normalize to the plain absolute
-                # path the DV list was keyed with
-                df = df.select(
-                    "*",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ).alias("__fp"),
-                    F.col("_metadata.row_index").alias("__ri"),
-                )
-                dv_df = self.spark.createDataFrame(
-                    deleted, "__fp string, __ri bigint"
-                )
-                df = df.join(F.broadcast(dv_df), ["__fp", "__ri"], "left_anti").drop(
-                    "__fp", "__ri"
-                )
+
+        def attach(df: DataFrame, key: tuple) -> DataFrame:
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
-            df = df.select(*[f.name for f in schema.fields])
+            return df.select(*[f.name for f in schema.fields])
+
+        for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            df = attach(self.spark.read.schema(file_schema).parquet(*paths), key)
+            out = df if out is None else out.unionByName(df)
+        for key, path, idxs in sorted(dv_reads, key=lambda kv: kv[1]):
+            df = self.spark.read.schema(file_schema).parquet(path).select(
+                "*", F.col("_metadata.row_index").alias("__ri")
+            )
+            dv_df = self.spark.createDataFrame([(i,) for i in idxs], "__ri bigint")
+            df = attach(
+                df.join(F.broadcast(dv_df), "__ri", "left_anti").drop("__ri"), key
+            )
             out = df if out is None else out.unionByName(df)
         return out
 

@@ -407,3 +407,27 @@ class TestDeletionVectorRead:
         )
         with pytest.raises(DeltaProtocolError, match="cardinality"):
             DeltaLogReader(spark, tbl).read()
+
+    def test_dv_on_percent_encoded_path(self, spark, tmp_path):
+        # the silent-resurrection regression: a DV on a file whose
+        # add.path needs percent-decoding (space) must still mask rows
+        tbl = str(tmp_path / "dldvenc")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "part one.parquet", [(i, f"v{i}") for i in range(4)])
+        _log(
+            tbl,
+            0,
+            [
+                _meta(),
+                {
+                    "add": {
+                        "path": "part%20one.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                        "deletionVector": encode_inline_dv([1, 3]),
+                    }
+                },
+            ],
+        )
+        got = sorted(x.id for x in DeltaLogReader(spark, tbl).read().collect())
+        assert got == [0, 2]

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from data_etl_pipeline_spark.operators.search import bm25_search, build_postings
+from data_etl_pipeline_spark.operators.search import (
+    bm25_search,
+    build_postings,
+    doc_lengths,
+)
 
 
 @pytest.fixture()
@@ -41,14 +45,25 @@ def test_multi_term_sums_evidence(corpus):
 
 
 def test_postings_shape(corpus):
-    postings, doc_stats = build_postings(corpus)
+    postings = build_postings(corpus)
     p = {(r["term"], r["doc_id"]): r["tf"] for r in postings.collect()}
     assert p[("cat", 4)] == 4
     assert p[("cat", 1)] == 1
-    dl = {r["doc_id"]: r["dl"] for r in doc_stats.collect()}
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(postings).collect()}
     assert dl[4] == 4
     # single-character tokens are dropped by the tokenizer
     assert ("a", 5) not in p
+
+
+def test_persisted_postings_skip_tokenize(corpus):
+    # querying a supplied index must produce identical results to the
+    # one-shot path (the persisted-index seam)
+    postings = build_postings(corpus).localCheckpoint(eager=True)
+    via_index = {(r["doc_id"], r["score"]) for r in
+                 bm25_search(corpus, ["cat"], postings=postings).collect()}
+    one_shot = {(r["doc_id"], r["score"]) for r in
+                bm25_search(corpus, ["cat"]).collect()}
+    assert via_index == one_shot
 
 
 def test_topk_plan_takeordered(corpus):
