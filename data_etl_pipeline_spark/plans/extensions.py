@@ -1646,3 +1646,92 @@ def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, COLUMN MAPPING (mode 'name'): the fixture table stores
+# PHYSICAL column names (col-1/col-2) in its parquet files and partition
+# values — the on-disk shape any Delta table acquires after a column
+# rename — while logical names live only in the schemaString metadata.
+# The reader must rename on scan and key partition values physically.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_column_mapping_read",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY 1
+    """,
+    doc="Reads a column-mapped (mode 'name') Delta table: physical "
+    "column names in files and partitionValues, logical names from "
+    "schema metadata — the post-rename table shape.",
+)
+def delta_interop_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = tempfile.mkdtemp(prefix="delta_cm_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+
+    # data files carry the PHYSICAL names; 'o_orderstatus' is a partition
+    # column so it stays out of the files entirely
+    phys = {"o_orderkey": "col-1", "o_orderstatus": "col-2", "o_totalprice": "col-3"}
+    statuses = [r["o_orderstatus"] for r in base.select("o_orderstatus").distinct().collect()]
+    adds = []
+    for i, st in enumerate(sorted(statuses)):
+        part = (
+            base.where(F.col("o_orderstatus") == st)
+            .select(
+                F.col("o_orderkey").alias("col-1"),
+                F.col("o_totalprice").alias("col-3"),
+            )
+        )
+        tmp = os.path.join(tbl, "_tmp")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        name = f"p{i}.parquet"
+        os.rename(os.path.join(tmp, pf), os.path.join(tbl, name))
+        shutil.rmtree(tmp)
+        adds.append(
+            {"add": {"path": name, "partitionValues": {"col-2": st}, "size": 1,
+                     "dataChange": True}}
+        )
+
+    fields = []
+    for i, (logical, typ) in enumerate(
+        [("o_orderkey", "long"), ("o_orderstatus", "string"), ("o_totalprice", "double")]
+    ):
+        fields.append(
+            {"name": logical, "type": typ, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": phys[logical]}}
+        )
+    meta = {
+        "metaData": {
+            "id": "interop-cm",
+            "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["o_orderstatus"],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }
+    }
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [{"protocol": {"minReaderVersion": 2}}, meta] + adds:
+            fh.write(_json.dumps(a) + "\n")
+
+    back = DeltaLogReader(spark, tbl).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -113,16 +113,20 @@ class DeltaLogReader:
         feats = set(proto.get("readerFeatures") or [])
         if mrv == 1 and not feats:
             return
-        if mrv == 3 and feats <= {"deletionVectors"}:
-            return  # DVs are honored by this reader (inline) or refused per-file
-        # minReaderVersion 2 implies column mapping capability; unknown
-        # features change how data files must be interpreted — reading
-        # anyway would return silently-wrong rows (e.g. all-NULL under
-        # column mapping), so the protocol REQUIRES refusal here
+        if mrv == 2 and not feats:
+            # column-mapping capability: honored for mode 'name'/'none';
+            # mode 'id' refuses at metaData handling with a precise message
+            return
+        if mrv == 3 and feats <= {"deletionVectors", "columnMapping"}:
+            return  # both features are honored (or refused per-file/mode)
+        # unknown features change how data files must be interpreted —
+        # reading anyway would return silently-wrong rows, so the protocol
+        # REQUIRES refusal here
         raise DeltaProtocolError(
             f"table requires Delta reader protocol {proto}; this reader "
-            "supports minReaderVersion 1, or 3 with readerFeatures "
-            "[deletionVectors]"
+            "supports minReaderVersion 1, 2 (column mapping mode "
+            "'name'/'none'), or 3 with readerFeatures [deletionVectors, "
+            "columnMapping]"
         )
 
     def _load_checkpoint(self, paths: list[str]) -> tuple[dict | None, dict[str, dict]]:
@@ -198,9 +202,37 @@ class DeltaLogReader:
         meta, adds = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
+        # COLUMN MAPPING (mode 'name'): data files and partitionValues use
+        # PHYSICAL column names (schema-field metadata
+        # delta.columnMapping.physicalName); the reader scans under the
+        # physical schema and renames back to logical. Mode 'id' (parquet
+        # field-id matching) refuses with a precise message rather than
+        # returning all-NULL columns.
+        config = meta.get("configuration") or {}
+        cm_mode = config.get("delta.columnMapping.mode", "none")
+        if cm_mode not in ("none", "name"):
+            raise DeltaProtocolError(
+                f"column mapping mode {cm_mode!r} is not supported; this "
+                "reader handles 'name' and 'none' (field-id matching needs "
+                "a parquet-level id-aware scan)"
+            )
+        if cm_mode == "name":
+            phys = {}
+            for f in schema.fields:
+                pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+                if not pn:
+                    raise DeltaProtocolError(
+                        "column mapping mode 'name' but field "
+                        f"{f.name!r} carries no physicalName metadata"
+                    )
+                phys[f.name] = pn
+        else:
+            phys = {f.name: f.name for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
         file_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
         )
+        rename = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
         if not adds:
             return self.spark.createDataFrame([], schema)
         # group files by their partition assignment; each group reads with
@@ -220,7 +252,9 @@ class DeltaLogReader:
         dv_reads: list[tuple[tuple, str, list[int]]] = []  # (key, path, indexes)
         for add in adds:
             pv = add.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            # partitionValues are keyed by PHYSICAL names under column
+            # mapping (identical to logical without it)
+            key = tuple(pv.get(phys[c]) for c in part_cols)
             # the protocol stores add.path RFC 2396 percent-encoded (spaces,
             # colons in partition dirs); join the DECODED form or valid
             # tables fail with path-not-found
@@ -254,16 +288,20 @@ class DeltaLogReader:
             return df.select(*[f.name for f in schema.fields])
 
         for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-            df = attach(self.spark.read.schema(file_schema).parquet(*paths), key)
+            df = self.spark.read.schema(file_schema).parquet(*paths).select(*rename)
+            df = attach(df, key)
             out = df if out is None else out.unionByName(df)
         for key, path, idxs in sorted(dv_reads, key=lambda kv: kv[1]):
             df = self.spark.read.schema(file_schema).parquet(path).select(
                 "*", F.col("_metadata.row_index").alias("__ri")
             )
             dv_df = self.spark.createDataFrame([(i,) for i in idxs], "__ri bigint")
-            df = attach(
-                df.join(F.broadcast(dv_df), "__ri", "left_anti").drop("__ri"), key
+            df = (
+                df.join(F.broadcast(dv_df), "__ri", "left_anti")
+                .drop("__ri")
+                .select(*rename)
             )
+            df = attach(df, key)
             out = df if out is None else out.unionByName(df)
         return out
 

@@ -135,14 +135,29 @@ def test_unsupported_protocol_features_fail_loudly(spark, tmp_path):
         DeltaLogReader(spark, tbl2).versions()
 
 
-def test_reader_refuses_protocol_v2_and_decodes_paths(spark, tmp_path):
-    # minReaderVersion 2 (e.g. column mapping) must refuse, not read NULLs
+def test_reader_protocol_v2_and_decodes_paths(spark, tmp_path):
+    # minReaderVersion 2 with no actual column mapping reads fine now
     tbl = str(tmp_path / "dlv2")
     os.makedirs(tbl)
     _write_part(spark, tbl, "f.parquet", [(1, "a")])
     _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, _meta(), _add("f.parquet")])
+    assert [r.id for r in DeltaLogReader(spark, tbl).read().collect()] == [1]
+
+    # unknown reader features still refuse
+    tbl3 = str(tmp_path / "dlv3")
+    os.makedirs(tbl3)
+    _write_part(spark, tbl3, "f.parquet", [(1, "a")])
+    _log(
+        tbl3,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "readerFeatures": ["timestampNtz", "v2Checkpoint"]}},
+            _meta(),
+            _add("f.parquet"),
+        ],
+    )
     with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
-        DeltaLogReader(spark, tbl).read()
+        DeltaLogReader(spark, tbl3).read()
 
     # add.path is RFC 2396 percent-encoded: a file with a space must resolve
     tbl2 = str(tmp_path / "dlenc")
@@ -150,6 +165,122 @@ def test_reader_refuses_protocol_v2_and_decodes_paths(spark, tmp_path):
     _write_part(spark, tbl2, "part one.parquet", [(1, "a")])
     _log(tbl2, 0, [_meta(), _add("part%20one.parquet")])
     assert [r.id for r in DeltaLogReader(spark, tbl2).read().collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Column mapping, mode 'name': data files and partitionValues carry
+# PHYSICAL column names; logical names live only in the schemaString's
+# field metadata. The shape every Delta table acquires after a column
+# rename.
+# ---------------------------------------------------------------------------
+def _cm_meta(phys_id, phys_val, part_cols=(), phys_day=None):
+    fields = [
+        {
+            "name": "id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": phys_id},
+        },
+        {
+            "name": "val",
+            "type": "string",
+            "nullable": True,
+            "metadata": {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": phys_val},
+        },
+    ]
+    if phys_day:
+        fields.append(
+            {
+                "name": "day",
+                "type": "string",
+                "nullable": True,
+                "metadata": {"delta.columnMapping.id": 3,
+                             "delta.columnMapping.physicalName": phys_day},
+            }
+        )
+    return {
+        "metaData": {
+            "id": "cm-table",
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": list(part_cols),
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }
+    }
+
+
+class TestColumnMapping:
+    def test_name_mode_renames_and_reads(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlcm")
+        os.makedirs(tbl)
+        # physical column names on disk
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "`col-11` long, `col-22` string"
+        )
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
+        import shutil
+
+        shutil.rmtree(tmp)
+        _log(
+            tbl,
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2}},
+                _cm_meta("col-11", "col-22"),
+                _add("f.parquet"),
+            ],
+        )
+        got = {r.id: r.val for r in DeltaLogReader(spark, tbl).read().collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_name_mode_partition_values_use_physical_keys(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlcmp")
+        os.makedirs(tbl)
+        df = spark.createDataFrame([(1, "a")], "`col-11` long, `col-22` string")
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, "p.parquet"))
+        import shutil
+
+        shutil.rmtree(tmp)
+        _log(
+            tbl,
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2}},
+                _cm_meta("col-11", "col-22", part_cols=["day"], phys_day="col-33"),
+                _add("p.parquet", {"col-33": "2024-06-01"}),
+            ],
+        )
+        rows = DeltaLogReader(spark, tbl).read().collect()
+        assert rows[0]["day"] == "2024-06-01" and rows[0]["id"] == 1
+
+    def test_id_mode_refuses(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlcmid")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        meta = _cm_meta("col-11", "col-22")
+        meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, meta, _add("f.parquet")])
+        with pytest.raises(DeltaProtocolError, match="column mapping mode"):
+            DeltaLogReader(spark, tbl).read()
+
+    def test_name_mode_missing_physical_name_refuses(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlcmmiss")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        meta = _meta()  # plain schema, no physicalName metadata
+        meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, meta, _add("f.parquet")])
+        with pytest.raises(DeltaProtocolError, match="physicalName"):
+            DeltaLogReader(spark, tbl).read()
 
 
 # ---------------------------------------------------------------------------
