@@ -1735,3 +1735,117 @@ def delta_interop_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once TABLE-TO-TABLE incremental pipeline (the Delta "streaming
+# from a table" shape): a consumer follows the source table's change feed
+# across three commits (initial load, MERGE with updates+inserts, DV
+# delete), folding per-range deltas into a downstream aggregate keyed by
+# (_v = source version consumed, user) — so the consumed offset RIDES THE
+# DATA in one atomic commit and a redelivered tick REPLACES its own rows
+# instead of double-applying (proven in-query by replaying the final
+# tick). O(changes) per tick, never a source rescan; the oracle
+# aggregates the final source state directly.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_table_to_table_cdf",
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id < 100 THEN value + 10.0 ELSE value END AS value
+      FROM events WHERE event_id < 300),
+    extra AS (SELECT event_id, user_id, value FROM events
+              WHERE event_id >= 300 AND event_id < 450),
+    final AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+      WHERE event_id % 7 <> 0)
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+    doc="Change-feed consumer maintaining a downstream aggregate across "
+    "three source commits with the offset embedded in each destination "
+    "commit (exactly-once; final tick replayed to prove idempotence).",
+)
+def stream_table_to_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = VersionedTable(spark, tempfile.mkdtemp(prefix="cdf_src_"))
+    dst = VersionedTable(spark, tempfile.mkdtemp(prefix="cdf_dst_"))
+
+    sign = (
+        F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
+    )
+
+    def tick() -> None:
+        """One consumer step: offset = MAX(_v) already in dst (rides the
+        data — crash-safe), delta = CDF(last, cur) folded per user, one
+        MERGE keyed (_v, user_id) so redelivery replaces itself."""
+        cur = src.latest_version()
+        if dst.latest_version() is None:
+            last = None
+        else:
+            last = dst.read().agg(F.max("_v")).first()[0]
+        if last is None:
+            changes = src.read(0).withColumn("change_type", F.lit("insert"))
+            cur = 0
+        else:
+            if cur == last:
+                return
+            changes = src.change_feed(["event_id"], last, cur)
+        delta = (
+            changes.groupBy("user_id")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(
+                    sign.cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")
+                ).alias("dval"),
+            )
+            .select(F.lit(cur).cast("long").alias("_v"), "user_id", "dn", "dval")
+        )
+        if dst.latest_version() is None:
+            dst.write(delta)
+        else:
+            dst.merge(delta, keys=["_v", "user_id"])
+
+    # commit 1: initial load
+    src.write(ev.where(F.col("event_id") < 300))
+    tick()
+    # commit 2: MERGE = update (value+10 for id<100) + insert [300,450)
+    updates = ev.where(F.col("event_id") < 100).withColumn(
+        "value", F.col("value") + F.lit(10.0)
+    ).unionByName(ev.where((F.col("event_id") >= 300) & (F.col("event_id") < 450)))
+    src.merge(updates, keys=["event_id"])
+    tick()
+    # commit 3: merge-on-read delete
+    src.delete_where_dv(F.pmod("event_id", F.lit(7)) == 0)
+    tick()
+    # redelivered tick: MUST be a no-op (same _v rows replace themselves)
+    last_before = dst.latest_version()
+    delta_replay = (
+        src.change_feed(["event_id"], dst.read().where("_v < " + str(src.latest_version())).agg(F.max("_v")).first()[0], src.latest_version())
+        .groupBy("user_id")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(
+                sign.cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")
+            ).alias("dval"),
+        )
+        .select(F.lit(src.latest_version()).cast("long").alias("_v"), "user_id", "dn", "dval")
+    )
+    dst.merge(delta_replay, keys=["_v", "user_id"])
+    assert dst.latest_version() == last_before + 1  # a commit happened...
+    return (
+        dst.read()
+        .groupBy("user_id")
+        .agg(
+            F.sum("dn").cast("long").alias("n"),
+            F.sum("dval").cast("double").alias("total"),
+        )
+        .where(F.col("n") > 0)  # ...but the state is unchanged (idempotent)
+    )
