@@ -131,3 +131,107 @@ def payloads_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL header parsing — no codec required. PNG/GIF/BMP/JPEG dimensions
+# live in fixed, publicly-specified header fields (PNG IHDR big-endian at
+# 16/20; GIF logical-screen little-endian at 6/8; BMP BITMAPINFOHEADER
+# little-endian at 18/22; JPEG SOFn height/width after the marker), so
+# width/height extraction is pure byte arithmetic. This moves the most
+# common multimodal question — "what are the dimensions?" — OUT of the
+# decode_payload stub into working code; only pixel access remains behind
+# the codec seam.
+# ---------------------------------------------------------------------------
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) parsed from the container header, or None
+    for unrecognized/truncated payloads (callers surface NULLs, never
+    exceptions — a corrupt blob must not kill a 100 TB scan)."""
+    p = bytes(payload)
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        return ("png", int.from_bytes(p[16:20], "big"), int.from_bytes(p[20:24], "big"))
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(p[6:8], "little"), int.from_bytes(p[8:10], "little"))
+    if len(p) >= 26 and p[:2] == b"BM":
+        # height may be negative (top-down rows); dimension is |height|
+        return (
+            "bmp",
+            int.from_bytes(p[18:22], "little", signed=True),
+            abs(int.from_bytes(p[22:26], "little", signed=True)),
+        )
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > len(p):
+                    return None
+                h = int.from_bytes(p[i + 5 : i + 7], "big")
+                w = int.from_bytes(p[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
+
+
+HEADER_SCHEMA = "item_id long, format string, width int, height int"
+
+
+def image_header_features(df: DataFrame, id_col: str = "item_id", payload_col: str = "payload") -> DataFrame:
+    """One Arrow-batched scan -> (item_id, format, width, height); NULL
+    columns for payloads no header matcher recognizes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [image_header_dims(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype("int64"),
+                    "format": [t[0] if t else None for t in parsed],
+                    "width": pd.array([t[1] if t else None for t in parsed], dtype="Int32"),
+                    "height": pd.array([t[2] if t else None for t in parsed], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, HEADER_SCHEMA)
+
+
+def synth_image_payload(fmt: str, w: int, h: int) -> bytes:
+    """Minimal spec-correct header bytes for fixtures: a real parser (this
+    module's or any external tool reading only the header) sees exactly
+    (w, h)."""
+    if fmt == "png":
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+        )
+    if fmt == "gif":
+        return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+    if fmt == "bmp":
+        # BITMAPINFOHEADER (size 40): 32-bit signed dims at offsets 18/22
+        return (
+            b"BM" + (54).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+        )
+    if fmt == "jpeg":
+        sof = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+        return b"\xff\xd8" + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9 + sof
+    raise ValueError(f"unknown fixture format {fmt!r}")

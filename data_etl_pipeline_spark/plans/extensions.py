@@ -1849,3 +1849,53 @@ def stream_table_to_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") > 0)  # ...but the state is unchanged (idempotent)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal header decode (operators/multimodal.py
+# image_header_dims): dimensions parsed from PNG/GIF/BMP/JPEG header
+# bytes — no codec — over a fixture whose geometry is a pure function of
+# doc_id, so the oracle states the expected values without ever touching
+# bytes. A parsing bug of even one field breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "image_header_dims",
+    sql="""
+    SELECT doc_id AS item_id,
+           ['png', 'gif', 'bmp', 'jpeg'][(doc_id % 4) + 1] AS format,
+           CAST(100 + doc_id % 500 AS INT) AS width,
+           CAST(50 + doc_id % 300 AS INT) AS height
+    FROM documents
+    """,
+    doc="Parses image dimensions from real container headers (PNG IHDR, "
+    "GIF screen descriptor, BMP info header, JPEG SOFn) in one Arrow "
+    "scan; fixture geometry is a closed-form function of doc_id.",
+)
+def image_header_dims_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.multimodal import (
+        image_header_features,
+        synth_image_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    fmts = ["png", "gif", "bmp", "jpeg"]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "payload": [
+                        synth_image_payload(
+                            fmts[int(i) % 4], 100 + int(i) % 500, 50 + int(i) % 300
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(build, "item_id long, payload binary")
+    return image_header_features(payloads)
