@@ -2435,3 +2435,89 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         load(spark, sf_dir, "documents"), ["data", "model", "quality"], topk=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel v3 — the round-5 primitives composed into one pipeline:
+# (1) quality scores; (2) an APPROXIMATE p25 quality floor read off the
+# deterministic quantile sketch (O(sketch) — no exact global percentile
+# pass over history); (3) exact dedup, first-wins by doc_id; (4) corpus-
+# wide ranking via the two-phase distributed total order; (5) top-100
+# manifest. The oracle chains the identical formulas, so the COMPOSITION
+# (gate -> dedup -> rank interplay) is hash-checked, not just the parts.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_curation_v3",
+    sql="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, text,
+                 len(w) AS n_words,
+                 len(list_distinct(w)) AS n_distinct_words,
+                 len([x for x in w if x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')]) AS n_stop
+          FROM d),
+    q AS (SELECT doc_id, text,
+                 ROUND(0.4 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+                       + 0.3 * LEAST((CAST(n_stop AS DOUBLE) / n_words) * 4.0, 1.0)
+                       + 0.3 * LEAST(n_words / 100.0, 1.0), 6) AS quality_score
+          FROM s),
+    -- the sketch cut: decimal-DDSketch binning of score cents, p25 bucket
+    cents AS (SELECT CAST(ROUND(quality_score * 100, 0) AS BIGINT) AS c FROM q),
+    b AS (SELECT CASE WHEN c <= 0 THEN 0 WHEN c < 10 THEN c
+                      ELSE CAST(substring(CAST(c AS VARCHAR), 1, 2)
+                           || repeat('0', length(CAST(c AS VARCHAR)) - 2) AS BIGINT) END AS lo,
+                 CASE WHEN c <= 0 THEN 1 WHEN c < 10 THEN 1
+                      ELSE CAST('1' || repeat('0', length(CAST(c AS VARCHAR)) - 2) AS BIGINT) END AS width
+          FROM cents),
+    sk AS (SELECT lo, width, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (SELECT lo, width, SUM(cnt) OVER (ORDER BY lo) AS cum, SUM(cnt) OVER () AS total FROM sk),
+    cut AS (SELECT ROUND((lo + (width - 1) / 2.0) / 100.0, 6) AS v
+            FROM (SELECT lo, width, ROW_NUMBER() OVER (ORDER BY lo) AS rn
+                  FROM cum WHERE cum * 100 >= 25 * total)
+            WHERE rn = 1),
+    gated AS (SELECT doc_id, text, quality_score FROM q, cut WHERE quality_score >= cut.v),
+    -- exact dedup, first (lowest doc_id) wins per content hash
+    deduped AS (SELECT doc_id, quality_score
+                FROM (SELECT doc_id, quality_score,
+                             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                      FROM gated)
+                WHERE rn = 1)
+    SELECT doc_id, quality_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS global_rank
+    FROM deduped
+    QUALIFY global_rank <= 100
+    """,
+    doc="Composed funnel: sketch-derived p25 quality floor -> exact "
+    "first-wins dedup -> two-phase distributed global rank -> top-100 "
+    "manifest; the composition itself is oracle-checked.",
+)
+def corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from data_etl_pipeline_spark.operators.globalsort import global_rank
+    from data_etl_pipeline_spark.operators.qsketch import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    # O(sketch) percentile floor: one bounded-key shuffle + a 1-row read
+    sk = quantile_sketch(scored, "quality_score")
+    cut = quantiles_from_sketch(sk, [0.25]).first()["est"]
+    gated = scored.where(F.col("quality_score") >= F.lit(cut))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "quality_score")
+    )
+    ranked = global_rank(
+        deduped.withColumn("_neg_q", -F.col("quality_score")),
+        order_by=["_neg_q", "doc_id"],
+    )
+    return (
+        ranked.where(F.col("global_rank") <= 100)
+        .select("doc_id", "quality_score", "global_rank")
+    )
