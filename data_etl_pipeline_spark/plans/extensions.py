@@ -1899,3 +1899,72 @@ def image_header_dims_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(build, "item_id long, payload binary")
     return image_header_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# POINT-IN-TIME dimension join (the feature-store correctness pattern):
+# each event must see the dimension attribute that was valid AT ITS OWN
+# TIMESTAMP — joining the current snapshot instead silently leaks future
+# state into training data. The dimension is an SCD2-interval table (3
+# validity windows per user, derived deterministically so the oracle can
+# restate them); the join is an equi-join on the user plus interval
+# containment — per-user version counts are small by construction, so
+# the fan-in is bounded and there is no range-join explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "events_pit_dimension_join",
+    sql="""
+    WITH span AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+    dim AS (
+      SELECT user_id, tier,
+             t0 + INTERVAL (n * 240) HOUR AS valid_from,
+             CASE WHEN n < 2 THEN t0 + INTERVAL ((n + 1) * 240) HOUR
+                  ELSE TIMESTAMP '9999-12-31' END AS valid_to
+      FROM span, (SELECT * FROM (VALUES (0, 'bronze'), (1, 'silver'), (2, 'gold')) AS t(n, tier))),
+    joined AS (
+      SELECT e.user_id, d.tier
+      FROM events e JOIN dim d
+        ON e.user_id = d.user_id
+       AND e.ts >= d.valid_from AND e.ts < d.valid_to)
+    SELECT user_id, tier, COUNT(*) AS n_events
+    FROM joined GROUP BY 1, 2
+    """,
+    doc="SCD2 point-in-time join: events pick the dimension row valid at "
+    "their own timestamp (no future-state leakage); per-user interval "
+    "counts bound the join fan-in.",
+)
+def events_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "n int, tier string"
+    )
+    dim = (
+        span.crossJoin(F.broadcast(tiers))
+        .select(
+            "user_id",
+            "tier",
+            F.expr("t0 + make_interval(0, 0, 0, 0, n * 240, 0, 0)").alias("valid_from"),
+            F.when(
+                F.col("n") < 2,
+                F.expr("t0 + make_interval(0, 0, 0, 0, (n + 1) * 240, 0, 0)"),
+            )
+            .otherwise(F.lit("9999-12-31").cast("timestamp"))
+            .alias("valid_to"),
+        )
+    )
+    # dim derives from ev (self-join lineage): disambiguate via aliases
+    e = ev.alias("e")
+    d = dim.select(
+        F.col("user_id").alias("d_user_id"), "tier", "valid_from", "valid_to"
+    ).alias("d")
+    joined = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.d_user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("e.ts") < F.col("d.valid_to")),
+    )
+    return joined.groupBy(F.col("e.user_id").alias("user_id"), "tier").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
