@@ -562,3 +562,36 @@ class TestDeletionVectorRead:
         )
         got = sorted(x.id for x in DeltaLogReader(spark, tbl).read().collect())
         assert got == [0, 2]
+
+
+class TestLogCorruption:
+    def test_truncated_checkpoint_fails_loudly(self, spark, tmp_path):
+        # a 0-byte/garbage checkpoint parquet must raise, not silently
+        # yield an empty snapshot
+        tbl = str(tmp_path / "dlbadcp")
+        os.makedirs(os.path.join(tbl, "_delta_log"))
+        with open(
+            os.path.join(tbl, "_delta_log", f"{0:020d}.checkpoint.parquet"), "wb"
+        ) as fh:
+            fh.write(b"not parquet at all")
+        with pytest.raises(Exception):  # spark parquet footer error surfaces
+            DeltaLogReader(spark, tbl).read()
+
+    def test_garbage_json_line_fails_loudly(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlbadjson")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        _log(tbl, 0, [_meta(), _add("f.parquet")])
+        with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
+            fh.write('{"add": {"path": "f2.parquet"\n')  # truncated JSON
+        import json as _json
+
+        with pytest.raises(_json.JSONDecodeError):
+            DeltaLogReader(spark, tbl).read()
+
+    def test_checkpoint_with_remove_tombstones_ignores_them(self, spark, checkpointed_table):
+        # vacuum tombstones in a checkpoint must not resurrect or delete
+        # anything: state = add rows only. Reuse the fixture checkpoint and
+        # verify the replayed file set matches the adds exactly.
+        r = DeltaLogReader(spark, checkpointed_table)
+        assert sorted(x.id for x in r.read(10).collect()) == list(range(11))
