@@ -42,15 +42,28 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tiebreak: str,
+    tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` on the equi-key ``on``. Right rows that tie on
-    the timestamp resolve to the greatest ``tiebreak`` value. Left rows
-    with no preceding right row keep nulls (left-outer as-of semantics).
+    """For each left row, attach the nearest right row on the equi-key
+    ``on`` — ``direction='backward'`` (default): latest with
+    ``right_ts <= left_ts``; ``direction='forward'``: earliest with
+    ``right_ts >= left_ts``. Right rows that tie on the timestamp resolve
+    to the greatest ``tiebreak`` value. Left rows with no qualifying right
+    row keep nulls (left-outer as-of semantics).
+
+    ``tolerance_seconds`` bounds the match distance (pandas merge_asof
+    tolerance): a match farther than the bound reverts to nulls. The
+    bound is applied as a post-filter on the SAME single-shuffle plan —
+    no extra exchange, no range join.
 
     Returns the left columns plus ``payload_cols`` (prefixed as given).
     """
-    payload = F.struct(*[F.col(c) for c in payload_cols])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # the matched right timestamp rides inside the payload struct so the
+    # tolerance test needs no second lookup
+    payload = F.struct(F.col(right_ts).alias("_mt"), *[F.col(c) for c in payload_cols])
     tb_type = dict(right.dtypes)[tiebreak]
     r = right.select(
         F.col(on).alias("_k"),
@@ -68,14 +81,25 @@ def asof_join(
         F.lit(1).alias("_side"),
         *left.columns,
     )
+    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
     w = (
         W.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_side"), F.asc("_tb"))
+        .orderBy(t_order, F.asc("_side"), F.asc("_tb"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    out = (
         r.unionByName(l)
         .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
-        .select(*left.columns, *[F.col(f"_match.{c}").alias(c) for c in payload_cols])
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_match._mt").cast("double")
+        )
+        out = out.withColumn(
+            "_match",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_match")),
+        )
+    return out.select(
+        *left.columns, *[F.col(f"_match.{c}").alias(c) for c in payload_cols]
     )

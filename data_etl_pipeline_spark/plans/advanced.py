@@ -1248,3 +1248,49 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.ss_join import run_stream_stream_attribution
 
     return run_stream_stream_attribution(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Bounded as-of join (pandas merge_asof tolerance parity): same
+# single-shuffle union+window plan, but a match farther back than 7 days
+# reverts to "no order" — the staleness guard a feature pipeline applies
+# so a year-old dimension row cannot silently label a fresh event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_orders_bounded",
+    sql="""
+    SELECT event_id, user_id, ts, asof_orderkey FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS asof_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 7 DAY
+    ) t WHERE rn = 1
+    """,
+    doc="Tolerance-bounded as-of join (merge_asof tolerance): matches "
+    "farther than 7 days revert to null; same one-shuffle plan, the "
+    "bound is a post-filter.",
+)
+def events_asof_orders_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ots"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+    joined = asof_join(
+        events.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_ots",
+        payload_cols=["asof_orderkey"],
+        tiebreak="asof_orderkey",
+        tolerance_seconds=7 * 24 * 3600,
+    )
+    return joined.where(F.col("asof_orderkey").isNotNull()).select(
+        "event_id", F.col("o_custkey").alias("user_id"), "ts", "asof_orderkey"
+    )

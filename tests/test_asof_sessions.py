@@ -127,3 +127,49 @@ class TestSessionGapBoundary:
             (_ts("2024-01-01 00:00:00"), 1),
             (_ts("2024-01-01 00:05:00"), 1),
         ]
+
+
+class TestAsofVariants:
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0), (2, 50.0), (3, 100.0)], "lid long, t double"
+        )
+        right = spark.createDataFrame(
+            [(1, 20.0, "a"), (1, 60.0, "b"), (3, 90.0, "c")],
+            "lid long, t double, v string",
+        )
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        out = {r["lid"]: r["v"] for r in asof_join(
+            left.withColumnRenamed("lid", "k"),
+            right.withColumnRenamed("lid", "k"),
+            on="k", left_ts="t", right_ts="t",
+            payload_cols=["v"], tiebreak="v", direction="forward",
+        ).withColumnRenamed("k", "lid").collect()}
+        assert out[1] == "a"   # earliest right at/after t=10 is t=20
+        assert out[2] is None  # key 2: no right rows at all
+        assert out[3] is None  # key 3: right at 90 < 100, none forward
+
+    def test_tolerance_reverts_stale_match(self, spark):
+        left = spark.createDataFrame([(1, 100.0), (1, 200.0)], "k long, t double")
+        right = spark.createDataFrame([(1, 95.0, "r")], "k long, t double, v string")
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        out = sorted(
+            (r["t"], r["v"])
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                payload_cols=["v"], tiebreak="v", tolerance_seconds=10,
+            ).collect()
+        )
+        assert out == [(100.0, "r"), (200.0, None)]  # 105s back > 10s bound
+
+    def test_direction_validation(self, spark):
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, t double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, on="k", left_ts="t", right_ts="t",
+                      payload_cols=["t"], tiebreak="t", direction="nearest")
