@@ -148,9 +148,22 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0
 
 def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) parsed from the container header, or None
-    for unrecognized/truncated payloads (callers surface NULLs, never
-    exceptions — a corrupt blob must not kill a 100 TB scan)."""
-    p = bytes(payload)
+    for unrecognized/truncated/NULL payloads (callers surface NULLs, never
+    exceptions — a corrupt blob must not kill a 100 TB scan). Parsed
+    dimensions outside int32 range mark the header corrupt -> None, so
+    the Arrow Int32 column build can never overflow either."""
+    if payload is None:
+        return None
+    out = _image_header_dims_raw(bytes(payload))
+    if out is None:
+        return None
+    _fmt, w, h = out
+    if not (0 <= w <= 2**31 - 1 and 0 <= h <= 2**31 - 1):
+        return None
+    return out
+
+
+def _image_header_dims_raw(p: bytes) -> tuple[str, int, int] | None:
     if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
         return ("png", int.from_bytes(p[16:20], "big"), int.from_bytes(p[20:24], "big"))
     if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
@@ -197,7 +210,7 @@ def image_header_features(df: DataFrame, id_col: str = "item_id", payload_col: s
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [image_header_dims(bytes(p)) for p in pdf[payload_col]]
+            parsed = [image_header_dims(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf[id_col].astype("int64"),

@@ -12,6 +12,21 @@ from data_etl_pipeline_spark.operators import multimodal
 from data_etl_pipeline_spark.plans.registry import query
 from data_etl_pipeline_spark.tables import load
 
+
+def _write_single_parquet(df: DataFrame, table_dir: str, name: str) -> None:
+    """Write ``df`` as ONE parquet file at ``table_dir/name`` (Delta
+    fixture builder): coalesce(1) into a temp dir, move the part file,
+    drop the temp — shared by every interop fixture below so the
+    rename/cleanup dance exists once."""
+    import os
+    import shutil
+
+    tmp = os.path.join(table_dir, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), os.path.join(table_dir, name))
+    shutil.rmtree(tmp)
+
 _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 _H60_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
@@ -1086,11 +1101,7 @@ def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = tempfile.mkdtemp(prefix="delta_interop_")
 
     def write_file(df: DataFrame, name: str) -> None:
-        tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
-        shutil.rmtree(tmp)
+        _write_single_parquet(df, tbl, name)
 
     low = base.where(F.col("o_orderkey") <= 1000)
     high = base.where(F.col("o_orderkey") > 1000)
@@ -1224,11 +1235,7 @@ def delta_interop_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(log_dir)
 
     def write_file(df: DataFrame, name: str) -> None:
-        tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
-        shutil.rmtree(tmp)
+        _write_single_parquet(df, tbl, name)
 
     meta = {
         "id": "interop-cp",
@@ -1360,11 +1367,7 @@ def delta_interop_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(tbl, "_delta_log"))
 
     def write_file(df: DataFrame, name: str) -> None:
-        tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
-        shutil.rmtree(tmp)
+        _write_single_parquet(df, tbl, name)
 
     # the DV masks row POSITIONS, so the low file's on-disk order must be
     # deterministic: single partition sorted by key — position == key rank
@@ -1696,12 +1699,8 @@ def delta_interop_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataF
                 F.col("o_totalprice").alias("col-3"),
             )
         )
-        tmp = os.path.join(tbl, "_tmp")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         name = f"p{i}.parquet"
-        os.rename(os.path.join(tmp, pf), os.path.join(tbl, name))
-        shutil.rmtree(tmp)
+        _write_single_parquet(part, tbl, name)
         adds.append(
             {"add": {"path": name, "partitionValues": {"col-2": st}, "size": 1,
                      "dataChange": True}}
@@ -1782,6 +1781,21 @@ def stream_table_to_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
     )
 
+    def delta_of(changes: DataFrame, consumed_v: int) -> DataFrame:
+        """The SINGLE delta formula both the live ticks and the replay
+        use — sharing it is what makes the replay a real idempotence
+        proof (a formula edited in one place cannot silently diverge)."""
+        return (
+            changes.groupBy("user_id")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(
+                    sign.cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")
+                ).alias("dval"),
+            )
+            .select(F.lit(consumed_v).cast("long").alias("_v"), "user_id", "dn", "dval")
+        )
+
     def tick() -> None:
         """One consumer step: offset = MAX(_v) already in dst (rides the
         data — crash-safe), delta = CDF(last, cur) folded per user, one
@@ -1798,16 +1812,7 @@ def stream_table_to_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cur == last:
                 return
             changes = src.change_feed(["event_id"], last, cur)
-        delta = (
-            changes.groupBy("user_id")
-            .agg(
-                F.sum(sign).alias("dn"),
-                F.sum(
-                    sign.cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")
-                ).alias("dval"),
-            )
-            .select(F.lit(cur).cast("long").alias("_v"), "user_id", "dn", "dval")
-        )
+        delta = delta_of(changes, cur)
         if dst.latest_version() is None:
             dst.write(delta)
         else:
@@ -1827,19 +1832,17 @@ def stream_table_to_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tick()
     # redelivered tick: MUST be a no-op (same _v rows replace themselves)
     last_before = dst.latest_version()
-    delta_replay = (
-        src.change_feed(["event_id"], dst.read().where("_v < " + str(src.latest_version())).agg(F.max("_v")).first()[0], src.latest_version())
-        .groupBy("user_id")
-        .agg(
-            F.sum(sign).alias("dn"),
-            F.sum(
-                sign.cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")
-            ).alias("dval"),
-        )
-        .select(F.lit(src.latest_version()).cast("long").alias("_v"), "user_id", "dn", "dval")
+    cur_v = src.latest_version()
+    prev_offset = (
+        dst.read().where(F.col("_v") < cur_v).agg(F.max("_v")).first()[0]
     )
-    dst.merge(delta_replay, keys=["_v", "user_id"])
-    assert dst.latest_version() == last_before + 1  # a commit happened...
+    dst.merge(
+        delta_of(src.change_feed(["event_id"], prev_offset, cur_v), cur_v),
+        keys=["_v", "user_id"],
+    )
+    if dst.latest_version() != last_before + 1:
+        # not an assert: the proof must hold under python -O too
+        raise RuntimeError("replay did not commit; idempotence unproven")
     return (
         dst.read()
         .groupBy("user_id")

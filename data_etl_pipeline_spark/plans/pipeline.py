@@ -2500,13 +2500,19 @@ def corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    scored = textstats.quality_score(docs).select("doc_id", "quality_score").join(
-        docs.select("doc_id", "text"), "doc_id"
-    )
+    # in-place quality expressions (textstats.with_quality) — no join, the
+    # text column stays on the same scan for the dedup hash below
+    scored = textstats.with_quality(docs).select("doc_id", "text", "quality_score")
     # O(sketch) percentile floor: one bounded-key shuffle + a 1-row read
     sk = quantile_sketch(scored, "quality_score")
-    cut = quantiles_from_sketch(sk, [0.25]).first()["est"]
-    gated = scored.where(F.col("quality_score") >= F.lit(cut))
+    cut_row = quantiles_from_sketch(sk, [0.25]).first()
+    if cut_row is None:
+        # empty/all-null corpus: the oracle's cut CTE goes empty and the
+        # query returns zero rows — mirror that, never crash
+        return scored.where(F.lit(False)).select(
+            "doc_id", "quality_score", F.lit(0).cast("long").alias("global_rank")
+        )
+    gated = scored.where(F.col("quality_score") >= F.lit(cut_row["est"]))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w))
