@@ -2527,3 +2527,66 @@ def corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where(F.col("global_rank") <= 100)
         .select("doc_id", "quality_score", "global_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED BM25 index, built incrementally: three ingest batches each
+# tokenize ONLY their own documents and MERGE their postings into the
+# term-clustered versioned table (the LSH/IVF state pattern) — the corpus
+# is never re-tokenized, and the search runs entirely against the stored
+# index (bm25_search(postings=...) path: zero tokenize on query). Oracle
+# is the same full-corpus BM25 formula, so index-maintenance drift fails
+# the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_persisted_index_search",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) >= 2) AS arr
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+    dl AS (SELECT doc_id, SUM(1) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                      (SELECT SUM(dl) FROM dl) AS sum_dl),
+    q AS (SELECT unnest(['data', 'model', 'quality']) AS term),
+    post AS (SELECT t.term, t.doc_id, COUNT(*) AS tf
+             FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    s AS (SELECT p.doc_id,
+                 LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * (1.2 + 1))
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                        / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) AS w
+          FROM post p JOIN dfc d USING (term) JOIN dl l USING (doc_id), corpus c),
+    agg AS (SELECT doc_id, ROUND(SUM(w), 6) AS score FROM s GROUP BY 1)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM agg
+    QUALIFY rank <= 20
+    """,
+    doc="BM25 over a MERGE-maintained persisted postings index: three "
+    "ingest batches tokenize only themselves; the query reads stored "
+    "postings and tokenizes nothing.",
+)
+def bm25_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.search import bm25_search, build_postings
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="bm25_idx_"))
+    for b in range(3):
+        batch = docs.where(F.pmod("doc_id", F.lit(3)) == b)
+        postings = build_postings(batch)
+        if t.latest_version() is None:
+            t.write(postings, cluster_by=["term"])
+        else:
+            # disjoint doc slices -> MERGE is pure insert; re-ingesting a
+            # batch would REPLACE its (term, doc_id) rows (idempotent)
+            t.merge(postings, keys=["term", "doc_id"])
+    return bm25_search(
+        docs, ["data", "model", "quality"], topk=20, postings=t.read()
+    )

@@ -79,3 +79,23 @@ def test_topk_plan_takeordered(corpus):
 def test_empty_query_refused(corpus):
     with pytest.raises(ValueError, match="at least one"):
         bm25_search(corpus, [])
+
+
+def test_persisted_index_probe_plan_has_no_tokenize(spark, corpus, tmp_path):
+    # the stored-index search must not re-tokenize the corpus: no regexp
+    # split expression anywhere in the probe plan (the n_docs count scans
+    # docs, but only as a narrow count)
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "bm25idx"))
+    t.write(build_postings(corpus), cluster_by=["term"])
+    out = bm25_search(corpus, ["cat"], topk=3, postings=t.read())
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "split(lower(" not in plan
+    got = {r["doc_id"] for r in out.collect()}
+    want = {r["doc_id"] for r in bm25_search(corpus, ["cat"], topk=3).collect()}
+    assert got == want
