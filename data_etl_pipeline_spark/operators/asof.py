@@ -61,9 +61,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    # the matched right timestamp rides inside the payload struct so the
-    # tolerance test needs no second lookup
-    payload = F.struct(F.col(right_ts).alias("_mt"), *[F.col(c) for c in payload_cols])
+    # with a tolerance, the matched right timestamp rides inside the
+    # payload struct so the bound test needs no second lookup; without
+    # one, don't widen the shuffle by an unused column
+    fields = [F.col(c) for c in payload_cols]
+    if tolerance_seconds is not None:
+        fields = [F.col(right_ts).alias("_mt"), *fields]
+    payload = F.struct(*fields)
     tb_type = dict(right.dtypes)[tiebreak]
     r = right.select(
         F.col(on).alias("_k"),

@@ -184,7 +184,7 @@ def _image_header_dims_raw(p: bytes) -> tuple[str, int, int] | None:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2
                 continue
             seg_len = int.from_bytes(p[i + 2 : i + 4], "big")

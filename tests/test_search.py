@@ -85,8 +85,6 @@ def test_persisted_index_probe_plan_has_no_tokenize(spark, corpus, tmp_path):
     # the stored-index search must not re-tokenize the corpus: no regexp
     # split expression anywhere in the probe plan (the n_docs count scans
     # docs, but only as a narrow count)
-    import tempfile
-
     from data_etl_pipeline_spark.sources.versioned import VersionedTable
 
     t = VersionedTable(spark, str(tmp_path / "bm25idx"))
