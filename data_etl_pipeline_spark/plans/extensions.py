@@ -1971,3 +1971,73 @@ def events_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("e.user_id").alias("user_id"), "tier").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed TABLE MAINTENANCE lifecycle under the oracle gate: write 8
+# clustered files -> MERGE an update batch -> DV delete -> OPTIMIZE
+# compaction (purges DVs, 1 file) -> VACUUM keep_versions=1 (drops every
+# data file only old versions reference). The invariants the oracle
+# states: logical content survives every maintenance op byte-for-byte
+# (rows/total recomputed AFTER vacuum), the table ends at exactly one
+# file, and vacuum reclaimed at least the 8 original files.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_lifecycle_maintenance",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders WHERE o_orderkey < 1400),
+    live AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0)
+    SELECT
+      (SELECT COUNT(*) FROM live) AS rows_final,
+      (SELECT CAST(SUM(price) AS DOUBLE) FROM live) AS total_final,
+      1 AS n_files_final,
+      1 AS vacuumed_ge_8
+    """,
+    doc="OPTIMIZE + VACUUM lifecycle: content invariant through merge/DV "
+    "delete/compaction/retention cleanup; ends at one file with the "
+    "original files reclaimed.",
+)
+def versioned_lifecycle_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1400)
+        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lifecycle_"))
+    t.write(base, cluster_by=["o_orderkey"], n_files=8)
+    # update every 5th key (+1), MERGE rewrites only intersecting files
+    t.merge(
+        base.where(F.pmod("o_orderkey", F.lit(5)) == 0).withColumn(
+            # +1 would silently widen decimal(18,2) -> (19,2); keep the
+            # update batch at the table's exact type
+            "price", (F.col("price") + 1).cast("decimal(18,2)")
+        ),
+        keys=["o_orderkey"],
+    )
+    # merge-on-read delete of every 11th key
+    t.delete_where_dv(F.pmod("o_orderkey", F.lit(11)) == 0)
+    # OPTIMIZE: everything packs into one file; DVs purge on rewrite
+    t.compact(target_rows=10_000_000)
+    removed = t.vacuum(keep_versions=1)
+    n_files = t.files_df().count()
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("rows_final"),
+            F.sum("price").cast("double").alias("total_final"),
+        )
+        .select(
+            "rows_final",
+            "total_final",
+            F.lit(int(n_files)).cast("int").alias("n_files_final"),
+            F.lit(1 if len(removed) >= 8 else 0).cast("int").alias("vacuumed_ge_8"),
+        )
+    )

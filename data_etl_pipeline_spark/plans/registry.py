@@ -58,9 +58,9 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # quality gate; (d) versioned_merge_time_travel (deferred from r4); then
 # (e) the oldest r2-only rows — the five the verdict named, the vocab
 # trio, and the head of the remaining r2 list in alphabetical order. The
-# round-6 front MUST take the 23 r2-only rows that did not fit
+# round-6 front MUST take the 24 r2-only rows that did not fit
 # (recomputed from CORRECTNESS_r0*.json against this list — exactly):
-# doc_quality_scores, doc_repetition_filter, doc_simhash_pairs, doc_token_counts, embedding_kmeans_centroids, event_props_json_stats, event_type_user_buckets, hourly_event_stats, mixture_rebalance,
+# doc_pii_redaction, doc_quality_scores, doc_repetition_filter, doc_simhash_pairs, doc_token_counts, embedding_kmeans_centroids, event_props_json_stats, event_type_user_buckets, hourly_event_stats, mixture_rebalance,
 # nation_segment_rollup, newest_open_orders, order_key_lookup,
 # orderkey_set_ops, part_prefix_agg, quantity_band_stats,
 # returnflag_priority_counts, revenue_by_nation,
@@ -99,6 +99,7 @@ _VERIFY_FIRST: list[str] = [
     "corpus_curation_v3",             # NEW: composed round-5 funnel
     "events_pit_dimension_join",      # NEW: SCD2 point-in-time join
     "bm25_persisted_index_search",    # NEW: MERGE-maintained postings index
+    "versioned_lifecycle_maintenance",  # NEW: OPTIMIZE+VACUUM under the gate
     # (d) deferred from r4
     "versioned_merge_time_travel",
     # (e) oldest r2-only rows
@@ -123,7 +124,6 @@ _VERIFY_FIRST: list[str] = [
     "doc_chunks_hard_limit",
     "doc_fingerprints",
     "doc_lang_id",
-    "doc_pii_redaction",
 ]
 
 

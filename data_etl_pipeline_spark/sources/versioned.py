@@ -83,6 +83,35 @@ _BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_SEEDS = (0x9E3779B1, 0x85EBCA77)
 
 
+_INT_WIDTH = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+
+
+def _lossless_upcast(src: "T.DataType", dst: "T.DataType") -> bool:
+    """True when casting ``src`` to ``dst`` is the standard SQL widening
+    Spark's own union coercion would apply while KEEPING the table type —
+    the only mismatches MERGE may repair with a silent cast. The case
+    that must refuse is a drift that would widen the COMMON type past the
+    table schema (decimal(19,2) into a decimal(18,2) column), because the
+    written files would then disagree with the manifest schema."""
+    ss, ds = src.simpleString(), dst.simpleString()
+    if ss in _INT_WIDTH and ds in _INT_WIDTH:
+        return _INT_WIDTH[ss] <= _INT_WIDTH[ds]
+    if ds == "double" and (
+        ss in _INT_WIDTH or ss == "float" or isinstance(src, T.DecimalType)
+    ):
+        # numeric -> double is SQL type precedence; union coercion always
+        # resolved this to double before enforcement existed
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        # integer digits AND scale must both be non-shrinking
+        return (dst.precision - dst.scale) >= (src.precision - src.scale) and (
+            dst.scale >= src.scale
+        )
+    if ss in _INT_WIDTH and isinstance(dst, T.DecimalType):
+        return dst.precision - dst.scale >= {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}[ss]
+    return False
+
+
 class ConcurrentCommitError(RuntimeError):
     """A commit could not claim a version after repeated contention."""
 
@@ -926,6 +955,33 @@ class VersionedTable:
             for f in schema.fields:
                 if f.name not in ups.columns:
                     ups = ups.withColumn(f.name, F.lit(None).cast(f.dataType))
+            # schema ENFORCEMENT (Delta semantics): an update column whose
+            # type drifted from the table schema would write parquet files
+            # whose physical type disagrees with it — every later read of
+            # those files fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+            # Provably-lossless upcasts (int batch into a long table) are
+            # cast silently, matching the Bloom-probe key handling; a
+            # LOSSY drift (decimal(18,2)+1 widening to (19,2) is the
+            # classic) refuses loudly because casting it back could null
+            # overflowing values instead — the caller must cast explicitly.
+            up_types = {f.name: f.dataType for f in ups.schema.fields}
+            mismatched = []
+            for f in schema.fields:
+                ut = up_types.get(f.name)
+                if ut is None or ut == f.dataType:
+                    continue
+                if _lossless_upcast(ut, f.dataType):
+                    ups = ups.withColumn(f.name, F.col(f.name).cast(f.dataType))
+                else:
+                    mismatched.append(
+                        (f.name, ut.simpleString(), f.dataType.simpleString())
+                    )
+            if mismatched:
+                raise ValueError(
+                    "MERGE source column type(s) do not losslessly match the "
+                    f"table schema: {mismatched}; cast the update batch "
+                    "explicitly (Delta schema enforcement refuses the same way)"
+                )
             merged = kept.unionByName(ups.select(*[f.name for f in schema.fields]))
             if len(touched) > 1:
                 # re-cluster the rewritten slice on the merge keys so its new

@@ -928,3 +928,21 @@ def test_bloom_probe_survives_type_widened_merge_batch(spark, tmp_path):
     rows = t.read().where("id = 7").collect()
     assert len(rows) == 1  # no duplicate: the matching file was rewritten
     assert rows[0].val == 0.0  # and the update actually landed
+
+
+def test_merge_refuses_type_drifted_update_batch(spark, tmp_path):
+    # decimal(18,2)+1 widens to (19,2); writing it would poison the table
+    # with parquet files whose physical type disagrees with the schema
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tdrift"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("9.99").cast("decimal(18,2)").alias("price")
+    )
+    t.write(base)
+    drifted = base.withColumn("price", F.col("price") + 1)  # decimal(19,2)
+    with pytest.raises(ValueError, match="type"):
+        t.merge(drifted, keys=["k"])
+    # explicit cast back -> accepted, and the table stays readable
+    t.merge(drifted.withColumn("price", F.col("price").cast("decimal(18,2)")), keys=["k"])
+    assert t.read().count() == 10
