@@ -70,3 +70,32 @@ def test_encoded_partition_values_roundtrip(spark, tmp_path):
     commit = os.path.join(dest, "_delta_log", f"{0:020d}.json")
     raw = open(commit).read()
     assert "two%20words" in raw
+
+
+def test_empty_snapshot_exports_readable_empty_table(spark, tmp_path):
+    # an empty DataFrame must still produce a protocol-valid table (log
+    # with protocol+metaData, zero adds) that reads back as zero rows
+    # with the declared schema
+    df = spark.createDataFrame([], "id long, val string")
+    dest = str(tmp_path / "tempty")
+    acct = export_delta(df, dest)
+    assert acct["n_files"] >= 0
+    back = DeltaLogReader(spark, dest).read()
+    assert back.count() == 0
+    assert back.columns == ["id", "val"]
+
+
+def test_export_then_reexport_roundtrip_preserves_values(spark, tmp_path):
+    # export -> read -> export again -> read: double roundtrip keeps
+    # values and schema bit-stable (no accumulation of partition/URI
+    # artifacts)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, v double"
+    )
+    d1 = str(tmp_path / "t1")
+    d2 = str(tmp_path / "t2")
+    export_delta(df, d1)
+    mid = DeltaLogReader(spark, d1).read()
+    export_delta(mid, d2)
+    final = DeltaLogReader(spark, d2).read()
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in df.collect()}
