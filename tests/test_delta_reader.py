@@ -595,3 +595,74 @@ class TestLogCorruption:
         # verify the replayed file set matches the adds exactly.
         r = DeltaLogReader(spark, checkpointed_table)
         assert sorted(x.id for x in r.read(10).collect()) == list(range(11))
+
+
+def test_multipart_checkpoint_reads_all_parts(spark, tmp_path):
+    # classic MULTI-part checkpoint (%020d.checkpoint.%010d.%010d.parquet):
+    # the snapshot is the union of all parts' add rows
+    tbl = str(tmp_path / "dlmp")
+    os.makedirs(tbl)
+    for v in range(2):
+        _write_part(spark, tbl, f"f{v}.parquet", [(v, f"v{v}")])
+    os.makedirs(os.path.join(tbl, "_delta_log"), exist_ok=True)
+
+    def cp_part(part_no, total, rows):
+        import shutil
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "protocol",
+                    T.StructType([T.StructField("minReaderVersion", T.IntegerType())]),
+                ),
+                T.StructField(
+                    "metaData",
+                    T.StructType(
+                        [
+                            T.StructField("id", T.StringType()),
+                            T.StructField("schemaString", T.StringType()),
+                            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "add",
+                    T.StructType(
+                        [
+                            T.StructField("path", T.StringType()),
+                            T.StructField(
+                                "partitionValues", T.MapType(T.StringType(), T.StringType())
+                            ),
+                            T.StructField("dataChange", T.BooleanType()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(tbl, "_cptmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(
+                tbl,
+                "_delta_log",
+                f"{0:020d}.checkpoint.{part_no:010d}.{total:010d}.parquet",
+            ),
+        )
+        shutil.rmtree(tmp)
+
+    meta = _meta()["metaData"]
+    cp_part(
+        1,
+        2,
+        [
+            ({"minReaderVersion": 1}, None, None),
+            (None, (meta["id"], meta["schemaString"], []), None),
+            (None, None, ("f0.parquet", {}, True)),
+        ],
+    )
+    cp_part(2, 2, [(None, None, ("f1.parquet", {}, True))])
+    r = DeltaLogReader(spark, tbl)
+    assert sorted(x.id for x in r.read(0).collect()) == [0, 1]

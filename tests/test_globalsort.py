@@ -55,3 +55,21 @@ def test_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan
     # and no Window node at all — ranks came from the streaming numbering
     assert "Window" not in plan
+
+
+def test_string_sort_keys(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"name-{(i * 37) % 100:02d}") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "id long, name string").repartition(7)
+    got = {
+        (r["id"]): r["global_rank"]
+        for r in global_rank(df, order_by=["name", "id"], n_partitions=6).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("name", "id")).cast("long")
+        ).collect()
+    }
+    assert got == want
