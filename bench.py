@@ -37,16 +37,21 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for spec in headline:
-        best = None
+        runs: list[float] = []
         for i in range(repeats):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i == 0:
-                timings_cold[spec.name] = round(dt, 3)
-            best = dt if best is None or dt < best else best
-        timings[spec.name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings_cold[spec.name] = round(runs[0], 3)
+        timings[spec.name] = round(min(runs), 3)
+        # per-query spread (max-min across the warm repeats, i.e. runs
+        # after the cold first one when there are >= 3): the r5->r6 trend
+        # question "sandbox noise or plan regression?" needs the
+        # within-run variance recorded next to the point estimate
+        warm = runs[1:] if len(runs) >= 3 else runs
+        spread[spec.name] = round(max(warm) - min(warm), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -58,6 +63,8 @@ def main() -> None:
                 "cold_value": round(sum(timings_cold.values()), 3),
                 "queries": timings,
                 "queries_cold": timings_cold,
+                "queries_spread": spread,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

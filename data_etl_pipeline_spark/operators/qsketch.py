@@ -90,11 +90,21 @@ def quantiles_from_sketch(sketch: DataFrame, qs: list[float]) -> DataFrame:
     cum = sketch.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(total)
     )
+    # q is carried as an exact micro-quantile integer: a q whose 1e6
+    # multiple is not integral (beyond p99.9999 precision) must error, not
+    # silently snap to a neighboring percentile
+    for q in qs:
+        if abs(q * 1_000_000 - round(q * 1_000_000)) > 1e-6:
+            raise ValueError(
+                f"quantile {q!r} has more than 6 decimal places; it would "
+                "silently snap to a different percentile"
+            )
     qdf = sketch.sparkSession.createDataFrame([(q,) for q in qs], "q double")
     # rank = ceil(q * total) in integer-safe form: smallest k with
-    # 100*k >= q100*total (q given with <= 2 decimals)
+    # 1e6*k >= q1e6*total (q validated to <= 6 decimals above)
     joined = cum.crossJoin(F.broadcast(qdf)).where(
-        F.col("cum") * 100 >= F.round(F.col("q") * 100).cast("bigint") * F.col("total")
+        F.col("cum") * 1_000_000
+        >= F.round(F.col("q") * 1_000_000).cast("bigint") * F.col("total")
     )
     est = F.round((F.col("lo") + (F.col("width") - 1) / 2.0) / 100.0, 6)
     return (

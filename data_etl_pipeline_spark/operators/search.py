@@ -128,3 +128,44 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
+
+
+def refresh_postings(
+    index,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_changed_docs: int = 100_000,
+) -> None:
+    """Incrementally maintain a persisted postings index against its
+    corpus's change feed (``VersionedTable.change_feed``): postings of
+    deleted/updated docs are GC'd, postings of inserted/updated docs are
+    (re)built from ONLY those docs and MERGEd in. Without this, a DV
+    delete or MERGE delete on the corpus leaves stale postings behind and
+    search silently diverges from a fresh rebuild.
+
+    The changed-doc id set is collected driver-side to drive the
+    tombstone delete — bounded by the BATCH of changes being applied, not
+    the corpus. Past ``max_changed_docs`` this refuses loudly: at that
+    churn a from-scratch ``build_postings`` rebuild is cheaper than a
+    giant literal predicate, and refusing beats quietly planning one.
+    """
+    stale = (
+        changes.where(F.col("change_type").isin("delete", "update_preimage"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    ids = [r[0] for r in stale.limit(max_changed_docs + 1).collect()]
+    if len(ids) > max_changed_docs:
+        raise ValueError(
+            f"more than {max_changed_docs} changed docs in one refresh; "
+            "rebuild the postings index from scratch instead"
+        )
+    if ids:
+        index.delete_where(F.col("doc_id").isin(ids))
+    fresh = changes.where(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select(id_col, text_col)
+    if fresh.take(1):
+        # the stale rows are already gone, so the MERGE is a pure insert
+        index.merge(build_postings(fresh, text_col, id_col), keys=["term", "doc_id"])

@@ -779,3 +779,51 @@ def random_projection(
         )
         comps.append(F.round(F.expr(guard.format(fold=fold)) / F.lit(scale), 6))
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def refresh_lsh_index(
+    table,
+    changes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    max_changed: int = 100_000,
+) -> None:
+    """Keep a persisted LSH code index (build_lsh_index) consistent with
+    its corpus's change feed: code rows of deleted/updated vectors are
+    GC'd, codes of inserted/updated vectors are recomputed from ONLY
+    those vectors (same seeded hyperplanes) and MERGEd in. Without this,
+    a DV/MERGE delete on the corpus leaves ghost codes and probes return
+    dead neighbors — the same stale-state hazard as BM25 postings
+    (operators/search.py refresh_postings), fixed the same way.
+
+    The changed-id set is collected driver-side for the tombstone delete
+    — bounded by the change batch, not the corpus; past ``max_changed``
+    this refuses in favor of a from-scratch rebuild.
+    """
+    stale = (
+        changes.where(F.col("change_type").isin("delete", "update_preimage"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    ids = [r[0] for r in stale.limit(max_changed + 1).collect()]
+    if len(ids) > max_changed:
+        raise ValueError(
+            f"more than {max_changed} changed vectors in one refresh; "
+            "rebuild the LSH index from scratch instead"
+        )
+    if ids:
+        table.delete_where(F.col("vec_id").isin(ids))
+    fresh = changes.where(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    if fresh.take(1):
+        planes = lsh_hyperplanes(dim, n_bits, n_tables, seed)
+        index = _lsh_coded(fresh, vec_col, id_col, planes, dim, n_tables).select(
+            "vec_id", "table_id", "code", "v", "norm",
+            F.lit(n_bits).cast("int").alias("n_bits"),
+        )
+        table.merge(index, keys=["vec_id", "table_id"])

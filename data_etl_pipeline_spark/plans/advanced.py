@@ -917,6 +917,128 @@ def concept_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Published-graph QA: the reference validates its RDF graph before serving
+# it — URI syntax per subject, duplicate labels across the concept tree,
+# and the tree walk itself dies on cycles
+# (rdf_validation_service.py:37-79 + rdf_to_graph_util.build_concept_tree).
+# This is that validation as ONE distributed audit over a (subject,
+# predicate, object) triples table: a fixture graph derived from `part`
+# with three injected defect classes — non-http subjects, colliding
+# labels, and a subClassOf back-edge forming a cycle. Oracle recomputes
+# all three with a recursive CTE.
+# ---------------------------------------------------------------------------
+@query(
+    "triples_integrity_audit",
+    sql="""
+    WITH RECURSIVE nodes AS (
+      SELECT p_partkey AS k,
+             CASE WHEN p_partkey % 10 = 0 THEN 'concept:' || p_partkey
+                  ELSE 'http://example.org/c/' || p_partkey END AS uri,
+             lower(substring(p_name, 1, 8)) AS label
+      FROM part WHERE p_partkey BETWEEN 2 AND 126),
+    edges AS (
+      SELECT c.uri AS child, p.uri AS parent
+      FROM nodes c JOIN nodes p ON p.k = c.k // 2 WHERE c.k >= 4
+      UNION ALL
+      SELECT c.uri, p.uri FROM nodes c, nodes p WHERE c.k = 3 AND p.k = 12),
+    anc AS (
+      SELECT child AS node, parent AS ancestor FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child),
+    cyc AS (SELECT DISTINCT node FROM anc WHERE node = ancestor),
+    dup AS (SELECT label FROM nodes GROUP BY label HAVING COUNT(DISTINCT uri) > 1)
+    SELECT 'invalid_uri' AS issue_type, uri AS subject
+    FROM nodes WHERE NOT regexp_matches(uri, '^https?://[^/]+/.+')
+    UNION ALL
+    SELECT 'duplicate_label', n.uri FROM nodes n JOIN dup USING (label)
+    UNION ALL
+    SELECT 'cycle', node FROM cyc
+    """,
+    doc="RDF triples integrity audit (URI validity + duplicate labels + "
+    "subClassOf cycle detection) — the reference's pre-publication graph "
+    "validation as one distributed job over the triples table.",
+)
+def triples_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.hierarchy import detect_cycles
+
+    base = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey").between(2, 126))
+        .select(
+            F.col("p_partkey").alias("k"),
+            F.when(
+                F.pmod("p_partkey", F.lit(10)) == 0,
+                F.concat(F.lit("concept:"), F.col("p_partkey").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://example.org/c/"), F.col("p_partkey").cast("string")
+                )
+            )
+            .alias("uri"),
+            F.lower(F.substring("p_name", 1, 8)).alias("label"),
+        )
+    )
+    # materialize the graph AS TRIPLES — the audit below consumes only the
+    # (subject, predicate, object) rows, exactly like the reference's
+    # validator consumes a parsed graph
+    parents = base.select(F.col("k").alias("pk"), F.col("uri").alias("puri"))
+    label_t = base.select(
+        F.col("uri").alias("subject"),
+        F.lit("rdfs:label").alias("predicate"),
+        F.col("label").alias("object"),
+    )
+    edge_t = (
+        base.where(F.col("k") >= 4)
+        .join(F.broadcast(parents), F.expr("k div 2") == F.col("pk"))
+        .select(
+            F.col("uri").alias("subject"),
+            F.lit("rdfs:subClassOf").alias("predicate"),
+            F.col("puri").alias("object"),
+        )
+    )
+    back_edge = (
+        base.where(F.col("k") == 3)
+        .crossJoin(F.broadcast(parents.where(F.col("pk") == 12)))
+        .select(
+            F.col("uri").alias("subject"),
+            F.lit("rdfs:subClassOf").alias("predicate"),
+            F.col("puri").alias("object"),
+        )
+    )
+    triples = label_t.unionByName(edge_t).unionByName(back_edge)
+    labels = triples.where(F.col("predicate") == "rdfs:label").select(
+        F.col("subject").alias("concept"), F.col("object").alias("label")
+    )
+    edges = triples.where(F.col("predicate") == "rdfs:subClassOf").select(
+        F.col("subject").alias("child"), F.col("object").alias("parent")
+    )
+    invalid = (
+        triples.select("subject")
+        .distinct()
+        .where(~F.col("subject").rlike("^https?://[^/]+/.+"))
+        .select(F.lit("invalid_uri").alias("issue_type"), "subject")
+    )
+    dup_labels = (
+        labels.groupBy("label")
+        .agg(F.countDistinct("concept").alias("n"))
+        .where(F.col("n") > 1)
+        .select("label")
+    )
+    dups = labels.join(F.broadcast(dup_labels), "label").select(
+        F.lit("duplicate_label").alias("issue_type"),
+        F.col("concept").alias("subject"),
+    )
+    cycles = (
+        detect_cycles(edges.select("child", "parent"))
+        .select(F.col("node").alias("subject"))
+        .distinct()
+        .select(F.lit("cycle").alias("issue_type"), "subject")
+    )
+    return invalid.unionByName(dups).unionByName(cycles)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q15 shape: scalar-subquery max — supplier(s) with the maximum
 # revenue. Spark: aggregate once, broadcast the 1-row max, equi-filter on
 # the exact decimal (no double ties).

@@ -1433,6 +1433,359 @@ def delta_interop_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Delta interop, FILE-BASED DELETION VECTORS: what real writers emit for
+# any non-tiny delete — the log's deletionVector descriptor names a
+# sidecar deletion_vector_<uuid>.bin (storageType 'u': Z85-encoded UUID,
+# optional directory prefix) whose CRC-framed bytes hold the
+# RoaringBitmapArray. TWO files carry DVs so the read exercises the
+# combined single-branch plan (one scan of all DV files, one anti-join).
+# Oracle recomputes the surviving rows from raw orders by key rank.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_dv_file_read",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey <= 1000),
+    b AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000),
+    c AS (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey > 2000 AND o_orderkey <= 3000),
+    live AS (
+      SELECT o_orderkey, o_totalprice FROM a WHERE pos % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM b WHERE pos >= 40
+      UNION ALL SELECT * FROM c)
+    SELECT COUNT(*) AS n_live,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_live
+    FROM live
+    """,
+    doc="Reads a Delta table whose head carries FILE-based deletion "
+    "vectors (storageType 'u' sidecar .bin files, CRC-verified framing, "
+    "one with a directory prefix) across two files — applied in one "
+    "combined plan branch.",
+)
+def delta_interop_dv_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from data_etl_pipeline_spark.sources.delta_reader import (
+        DeltaLogReader,
+        write_dv_file,
+    )
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tbl = tempfile.mkdtemp(prefix="delta_dvf_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+
+    def sorted_slice(lo: int, hi: int) -> DataFrame:
+        return (
+            base.where((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .coalesce(1)
+            .sortWithinPartitions("o_orderkey")
+        )
+
+    a = sorted_slice(-1, 1000)
+    b = sorted_slice(1000, 2000)
+    c = base.where((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 3000))
+    _write_single_parquet(a, tbl, "a.parquet")
+    _write_single_parquet(b, tbl, "b.parquet")
+    _write_single_parquet(c, tbl, "c.parquet")
+    n_a = a.count()
+    # deterministic UUIDs keep the fixture reproducible run-to-run
+    dv_a = write_dv_file(
+        tbl, list(range(0, n_a, 3)), dv_uuid=_uuid.UUID(int=0xA), prefix="ab"
+    )
+    dv_b = write_dv_file(tbl, list(range(40)), dv_uuid=_uuid.UUID(int=0xB))
+
+    def add(p: str, dv: dict | None = None) -> dict:
+        x = {"path": p, "partitionValues": {}, "size": 1, "dataChange": True}
+        if dv:
+            x["deletionVector"] = dv
+        return {"add": x}
+
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in [
+            {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},
+            {
+                "metaData": {
+                    "id": "interop-dvf",
+                    "schemaString": base.schema.json(),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                }
+            },
+            add("a.parquet", dv_a),
+            add("b.parquet", dv_b),
+            add("c.parquet"),
+        ]:
+            fh.write(_json.dumps(act) + "\n")
+
+    return DeltaLogReader(spark, tbl).read().agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_live"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, COLUMN MAPPING MODE 'id': files written with parquet
+# FIELD IDS under physical names that share nothing with the logical
+# schema — only field-id matching can resolve them (name matching would
+# return all-NULL columns and a silently-wrong result). Oracle recomputes
+# from raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_column_mapping_id_read",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    doc="Reads a Delta table in column-mapping mode 'id' (parquet "
+    "field-id matching via fieldId.read; physical parquet names are "
+    "opaque) without delta-spark.",
+)
+def delta_interop_column_mapping_id_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tbl = tempfile.mkdtemp(prefix="delta_cmid_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    phys = base.select(
+        F.col("o_orderkey").alias("col-9f2a", metadata={"parquet.field.id": 1}),
+        F.col("o_totalprice").alias("col-77b1", metadata={"parquet.field.id": 2}),
+    )
+    _write_single_parquet(phys, tbl, "f.parquet")
+    schema_fields = [
+        {
+            "name": "o_orderkey",
+            "type": base.schema["o_orderkey"].dataType.typeName(),
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-9f2a",
+            },
+        },
+        {
+            "name": "o_totalprice",
+            "type": base.schema["o_totalprice"].dataType.typeName(),
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-77b1",
+            },
+        },
+    ]
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in [
+            {"protocol": {"minReaderVersion": 2}},
+            {
+                "metaData": {
+                    "id": "interop-cmid",
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": schema_fields}
+                    ),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            },
+            {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1, "dataChange": True}},
+        ]:
+            fh.write(_json.dumps(act) + "\n")
+
+    return DeltaLogReader(spark, tbl).read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, V2 (UUID-named) CHECKPOINT: the modern checkpoint layout
+# delta-spark 3.x writes — a manifest %020d.checkpoint.<uuid>.parquet
+# carrying protocol/metaData plus `sidecar` actions naming parquet files
+# under _delta_log/_sidecars/ that hold the add actions (one add also
+# rides inline in the manifest, which the spec allows). The JSON commits
+# the checkpoint covers are vacuumed; a post-checkpoint JSON commit tops
+# it. Oracle recomputes both snapshots from raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_v2_checkpoint_read",
+    sql="""
+    WITH v2 AS (SELECT * FROM orders WHERE o_orderkey < 1200),
+    head AS (SELECT * FROM orders WHERE o_orderkey < 1600)
+    SELECT
+      (SELECT COUNT(*) FROM v2) AS n_v2,
+      (SELECT COUNT(*) FROM head) AS n_head,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v2) AS total_v2,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM head) AS total_head
+    """,
+    doc="Replays a V2 UUID-named checkpoint (manifest + _sidecars parquet "
+    "files, readerFeature v2Checkpoint) with its covered JSON commits "
+    "vacuumed, without delta-spark.",
+)
+def delta_interop_v2_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1600)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tbl = tempfile.mkdtemp(prefix="delta_v2cp_")
+    log_dir = os.path.join(tbl, "_delta_log")
+    os.makedirs(os.path.join(log_dir, "_sidecars"))
+
+    meta = {
+        "id": "interop-v2cp",
+        "schemaString": base.schema.json(),
+        "partitionColumns": [],
+        "format": {"provider": "parquet"},
+    }
+
+    def log(version: int, actions: list) -> None:
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    # v0..v2: three 400-key slices; v3 adds a fourth after the checkpoint
+    for v in range(4):
+        lo, hi = v * 400, (v + 1) * 400
+        _write_single_parquet(
+            base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)),
+            tbl,
+            f"s{v}.parquet",
+        )
+        actions = [
+            {"add": {"path": f"s{v}.parquet", "partitionValues": {}, "size": 1, "dataChange": True}}
+        ]
+        if v == 0:
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                },
+                {"metaData": meta},
+            ] + actions
+        log(v, actions)
+
+    add_struct = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+
+    def one_parquet(rows, schema, dest: str) -> None:
+        tmp = os.path.join(tbl, "_v2tmp")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+
+    # sidecar with the s1/s2 adds; s0's add rides inline in the manifest
+    one_parquet(
+        [((f"s{v}.parquet", {}, True),) for v in (1, 2)],
+        T.StructType([T.StructField("add", add_struct)]),
+        os.path.join(log_dir, "_sidecars", "sc-1.parquet"),
+    )
+    manifest_schema = T.StructType(
+        [
+            T.StructField(
+                "protocol",
+                T.StructType(
+                    [
+                        T.StructField("minReaderVersion", T.IntegerType()),
+                        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField("add", add_struct),
+            T.StructField(
+                "sidecar",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("sizeInBytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    manifest_rows = [
+        ((3, ["v2Checkpoint"]), None, None, None),
+        (None, (meta["id"], meta["schemaString"], []), None, None),
+        (None, None, ("s0.parquet", {}, True), None),
+        (None, None, None, ("sc-1.parquet", 1)),
+    ]
+    one_parquet(
+        manifest_rows,
+        manifest_schema,
+        os.path.join(
+            log_dir,
+            "00000000000000000002.checkpoint.7e100000-0000-4000-8000-000000000002.parquet",
+        ),
+    )
+    # vacuum the JSON commits the checkpoint covers
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    r = DeltaLogReader(spark, tbl)
+
+    def tot(df: DataFrame, n_col: str, t_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(t_col),
+        )
+
+    return (
+        tot(r.read(version=2), "n_v2", "total_v2")
+        .crossJoin(tot(r.read(), "n_head", "total_head"))
+        .select("n_v2", "n_head", "total_v2", "total_head")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed ingest gate (the Deequ-style pipeline shape): profile the
 # incoming batch -> evaluate declarative constraints -> REFUSE the MERGE
 # when any check fails, merge when clean — plus a table-level CHECK

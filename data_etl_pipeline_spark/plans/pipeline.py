@@ -416,6 +416,7 @@ def _lsh_oracle_sql(
     seed: int = 7,
     dim: int = 64,
     probe_hamming: int = 2,
+    where: str = "",
 ) -> str:
     """DuckDB replay of the multi-table multiprobe LSH index: the SAME
     seeded hyperplane literals as the Spark plan (similarity.lsh_hyperplanes),
@@ -440,8 +441,9 @@ def _lsh_oracle_sql(
         probes = ", ".join(f"xor(qc{t}, {m})" if m else f"qc{t}" for m in masks)
         conds.append(f"n.c{t} IN ({probes})")
     cond = "\n                  OR ".join(conds)
+    src_where = f" WHERE {where}" if where else ""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{src_where}),
     n AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm,
           {code_cols}
           FROM e),
@@ -492,6 +494,32 @@ def ann_topk_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = VersionedTable(spark, tempfile.mkdtemp(prefix="lsh-index-"))
     similarity.build_lsh_index(load(spark, sf_dir, "embeddings"), idx)
+    return similarity.lsh_probe_persisted(idx.read(), n_queries=10, k=5)
+
+
+@query(
+    "ann_lsh_gc_topk",
+    sql=_lsh_oracle_sql(k=5, where="vec_id % 9 <> 4"),
+    doc="Persisted LSH index kept consistent through a corpus DV delete: "
+    "the change feed drives a code-row GC (delete stale vec_ids, re-merge "
+    "fresh), and the oracle is a from-scratch index over the survivors — "
+    "a probe returning any deleted neighbor fails the hash. Same "
+    "index-vs-corpus consistency contract as bm25_postings_gc_search.",
+)
+def ann_lsh_gc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    corpus = VersionedTable(spark, tempfile.mkdtemp(prefix="lsh-corpus-"))
+    corpus.write(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    idx = VersionedTable(spark, tempfile.mkdtemp(prefix="lsh-gc-index-"))
+    similarity.build_lsh_index(corpus.read(), idx)
+    v0 = corpus.latest_version()
+    corpus.delete_where_dv(F.pmod("vec_id", F.lit(9)) == 4)
+    similarity.refresh_lsh_index(
+        idx, corpus.change_feed(keys=["vec_id"], from_version=v0)
+    )
     return similarity.lsh_probe_persisted(idx.read(), n_queries=10, k=5)
 
 
@@ -2589,4 +2617,71 @@ def bm25_persisted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.merge(postings, keys=["term", "doc_id"])
     return bm25_search(
         docs, ["data", "model", "quality"], topk=20, postings=t.read()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Postings GC (operators/search.py refresh_postings): documents deleted
+# from the corpus (here a DV delete) must also leave the persisted index,
+# or search silently diverges from a fresh rebuild — the stale-postings
+# hole the r5 verdict flagged. The oracle IS the from-scratch rebuild:
+# plain BM25 over the surviving documents, so any leftover posting or
+# stale df/dl shifts a score and fails the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_postings_gc_search",
+    sql="""
+    WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) >= 2) AS arr
+      FROM live),
+    toks AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+    dl AS (SELECT doc_id, SUM(1) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT (SELECT COUNT(*) FROM live) AS n_docs,
+                      (SELECT SUM(dl) FROM dl) AS sum_dl),
+    q AS (SELECT unnest(['data', 'model', 'quality']) AS term),
+    post AS (SELECT t.term, t.doc_id, COUNT(*) AS tf
+             FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    s AS (SELECT p.doc_id,
+                 LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * (1.2 + 1))
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                        / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) AS w
+          FROM post p JOIN dfc d USING (term) JOIN dl l USING (doc_id), corpus c),
+    agg AS (SELECT doc_id, ROUND(SUM(w), 6) AS score FROM s GROUP BY 1)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM agg
+    QUALIFY rank <= 20
+    """,
+    doc="Persisted BM25 index kept consistent through a corpus DV delete: "
+    "the change feed drives a postings GC (delete stale, re-merge fresh), "
+    "and the oracle is a from-scratch rebuild over the survivors.",
+)
+def bm25_postings_gc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.search import (
+        bm25_search,
+        build_postings,
+        refresh_postings,
+    )
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = VersionedTable(spark, tempfile.mkdtemp(prefix="bm25_corpus_"))
+    corpus.write(docs)
+    index = VersionedTable(spark, tempfile.mkdtemp(prefix="bm25_gc_idx_"))
+    index.write(build_postings(corpus.read()), cluster_by=["term"])
+    # a DV delete on the corpus: files keep their paths, deleted rows die
+    # via the deletion-vector sidecar — the exact case that leaves stale
+    # postings if nothing GCs them
+    v0 = corpus.latest_version()
+    corpus.delete_where_dv(F.pmod("doc_id", F.lit(7)) == 3)
+    refresh_postings(index, corpus.change_feed(keys=["doc_id"], from_version=v0))
+    return bm25_search(
+        corpus.read(), ["data", "model", "quality"], topk=20, postings=index.read()
     )

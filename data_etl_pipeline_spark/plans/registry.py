@@ -47,83 +47,85 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names. Round-5
-# front, exactly as the r4 verdict instructed: (a) the 8 queries that have
-# NEVER had a driver row (all added in r4); (b) the three r4 guard-only
-# deferrals; (c) queries changed or added THIS round —
-# embedding_random_projection (output reshaped to scalar rows, the one
-# red r4 row), trigram_heavy_hitters (rational oracle threshold + MG
-# summary materialization), jsonl_roundtrip_agg (byte-accurate
-# octet_length cap), the two new Delta interop queries and the composed
-# quality gate; (d) versioned_merge_time_travel (deferred from r4); then
-# (e) the oldest r2-only rows — the five the verdict named, the vocab
-# trio, and the head of the remaining r2 list in alphabetical order. The
-# round-6 front MUST take the 24 r2-only rows that did not fit
-# (recomputed from CORRECTNESS_r0*.json against this list — exactly):
-# doc_pii_redaction, doc_quality_scores, doc_repetition_filter, doc_simhash_pairs, doc_token_counts, embedding_kmeans_centroids, event_props_json_stats, event_type_user_buckets, hourly_event_stats, mixture_rebalance,
-# nation_segment_rollup, newest_open_orders, order_key_lookup,
-# orderkey_set_ops, part_prefix_agg, quantity_band_stats,
-# returnflag_priority_counts, revenue_by_nation,
-# rich_customers_projection, running_value_per_user,
-# segment_with_override, sole_returned_suppliers, supplier_host_etld1,
-# top3_orders_per_customer, plus any round-5 additions without rows,
-# then the oldest r3 rows (48 of them, ann_topk_bruteforce first).
+# in dict order per round, so this list holds EXACTLY 50 names. Round-6
+# front, exactly as the r5 verdict instructed: (a) the one query never
+# driver-tested (events_asof_orders_bounded, added late in r5); (b) the
+# five queries added THIS round (file-based DV + mode-'id' + V2-checkpoint
+# interop, BM25 postings GC, triples integrity audit); (c) queries whose
+# implementation changed this round and need re-proof —
+# doc_global_quality_rank and corpus_curation_v3 (global_rank rewritten
+# to literal-boundary range partitioning, no localCheckpoint retention)
+# and quantile_sketch_incremental (micro-quantile integer rank); (d) ALL
+# 24 r2-only rows (verbatim from the r5 verdict/registry comment); (e)
+# the oldest r3 rows, alphabetical, as many as fit (16:
+# ann_topk_bruteforce .. doc_exact_dedup). The round-7 front MUST
+# take the remaining 27 r3 rows (doc_minhash_signatures, doc_ngram_jaccard_capped,
+# doc_ngram_jaccard_pairs, doc_simhash, doc_tfidf_topk,
+# events_followup_counts, first_ship_per_flag, forecast_revenue_change,
+# mapping_validation, multimodal_features, multimodal_frame_sample,
+# order_price_analytics, order_status_rollup, price_percentiles,
+# returnflag_pivot, segment_correction_fold, stratified_split,
+# stream_dedup_first_seen, stream_deferred_extraction,
+# stream_enriched_counts, stream_hourly_event_counts,
+# stream_user_sessions, supplier_wkt_points, token_budget_guard,
+# user_session_counts, user_sessions_gap, version_drift_entities), plus
+# any round-6 additions without rows, then the oldest r4 rows.
 _VERIFY_FIRST: list[str] = [
-    # (a) never driver-tested (added r4)
-    "orders_profile",
-    "orders_quality_checks",
-    "per_source_quality_gate",
-    "supplier_pagerank",
-    "supplier_balance_distribution",
-    "orc_roundtrip_agg",
-    "json_roundtrip_agg",
-    "versioned_metadata_tables",
-    # (b) r4 guard-only deferrals
-    "jsonl_split_chunks",
-    "sequence_packing",
-    "embedding_cosine_pairs",
-    # (c) changed or added this round
-    "embedding_random_projection",  # reshaped to scalar (vec_id, pos, val)
-    "trigram_heavy_hitters",        # rational threshold mirrored in oracle
-    "jsonl_roundtrip_agg",          # octet_length byte cap
-    "delta_interop_checkpoint_read",  # NEW: checkpointed+vacuumed log replay
-    "delta_interop_dv_read",          # NEW: inline deletion-vector read
-    "delta_interop_column_mapping_read",  # NEW: mode-'name' renamed-table read
-    "quality_gated_merge",            # NEW: profile->checks->gated MERGE
-    "quantile_sketch_incremental",    # NEW: MERGE-persisted quantile state
-    "delta_export_roundtrip",         # NEW: Delta-format snapshot export
-    "doc_global_quality_rank",        # NEW: two-phase distributed total order
-    "doc_bm25_search",                # NEW: inverted-index BM25 search
-    "stream_table_to_table_cdf",      # NEW: exactly-once CDF consumer
-    "image_header_dims",              # NEW: codec-free header decode
-    "corpus_curation_v3",             # NEW: composed round-5 funnel
-    "events_pit_dimension_join",      # NEW: SCD2 point-in-time join
-    "bm25_persisted_index_search",    # NEW: MERGE-maintained postings index
-    "versioned_lifecycle_maintenance",  # NEW: OPTIMIZE+VACUUM under the gate
-    # (d) deferred from r4
-    "versioned_merge_time_travel",
-    # (e) oldest r2-only rows
-    "pricing_summary",
-    "events_asof_orders",
-    "two_phase_concept_extraction",
-    "doc_minhash_lsh_pairs",
-    "vocab_word_match",
-    "vocab_match_compiled",
-    "vocab_match_aho_corasick",
-    "vocab_phrase_regex_match",
-    "address_merge",
-    "ann_topk_ivf",
-    "approx_distinct_scales",
-    "benchmark_contamination",
-    "corpus_curation",
-    "customer_order_distribution",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "distinct_segment_nation",
-    "doc_chunks_even",
-    "doc_chunks_hard_limit",
-    "doc_fingerprints",
-    "doc_lang_id",
+    # (a) never driver-tested
+    "events_asof_orders_bounded",
+    # (b) added this round
+    "delta_interop_dv_file_read",           # NEW: sidecar 'u' DVs, one-branch plan
+    "delta_interop_column_mapping_id_read",  # NEW: parquet field-id matching
+    "delta_interop_v2_checkpoint_read",      # NEW: UUID manifest + _sidecars
+    "bm25_postings_gc_search",               # NEW: CDF-driven postings GC
+    "triples_integrity_audit",               # NEW: URI/dup-label/cycle audit
+    "ann_lsh_gc_topk",                       # NEW: LSH index GC after DV delete
+    # (c) implementation changed this round
+    "doc_global_quality_rank",       # global_rank: literal-boundary rewrite
+    "corpus_curation_v3",            # composes the rewritten global_rank
+    "quantile_sketch_incremental",   # micro-quantile integer rank
+    # (d) the 24 r2-only rows
+    "doc_pii_redaction",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_simhash_pairs",
+    "doc_token_counts",
+    "embedding_kmeans_centroids",
+    "event_props_json_stats",
+    "event_type_user_buckets",
+    "hourly_event_stats",
+    "mixture_rebalance",
+    "nation_segment_rollup",
+    "newest_open_orders",
+    "order_key_lookup",
+    "orderkey_set_ops",
+    "part_prefix_agg",
+    "quantity_band_stats",
+    "returnflag_priority_counts",
+    "revenue_by_nation",
+    "rich_customers_projection",
+    "running_value_per_user",
+    "segment_with_override",
+    "sole_returned_suppliers",
+    "supplier_host_etld1",
+    "top3_orders_per_customer",
+    # (e) oldest r3 rows, alphabetical
+    "ann_topk_bruteforce",
+    "batch_schedule_plan",
+    "batch_schedule_two_ticks",
+    "blocks_dedup_first_wins",
+    "blocks_header_depth",
+    "concept_ancestor_closure",
+    "csv_roundtrip_agg",
+    "customer_emails",
+    "customer_hash_sample",
+    "customer_order_gaps",
+    "customer_triples",
+    "deferred_extraction_results",
+    "deferred_retry_state",
+    "doc_chunks_token_aware",
+    "doc_dedup_clusters",
+    "doc_exact_dedup",
 ]
 
 

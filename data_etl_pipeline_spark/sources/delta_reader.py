@@ -17,23 +17,29 @@ real Delta writers WITHOUT the delta-spark package — the interop seam for
     and the log, not the parquet files);
   * CHECKPOINTS: real tables checkpoint every ~10 commits and may vacuum
     the JSON commits the checkpoint covers. ``_replay`` starts from the
-    newest classic checkpoint parquet at or below the target version
-    (single-file ``%020d.checkpoint.parquet`` or multi-part
-    ``%020d.checkpoint.%010d.%010d.parquet`` — the checkpoint is a
-    parquet of the SAME actions, columnar) and replays only the JSON
-    commits after it; time travel to a pre-checkpoint version falls back
-    to pure-JSON replay when those commits still exist. UUID-named V2
-    checkpoints (readerFeature ``v2Checkpoint``) fail loudly.
-  * DELETION VECTORS, inline: an ``add.deletionVector`` with storageType
-    ``"i"`` carries a Z85-encoded serialized RoaringBitmapArray of
-    deleted row indexes; the reader decodes it and anti-joins the file's
-    rows on ``_metadata.row_index`` so deleted rows stay dead. File-based
-    DVs (storageType ``"u"``/``"p"`` — the large ones) fail loudly rather
-    than resurrect rows. Inline DVs are small by protocol design, so
-    materializing the (file, row_index) pairs driver-side for the
-    broadcast anti-join is bounded.
-  * remaining unsupported features keep failing loudly: column mapping /
-    minReaderVersion 2, reader features beyond deletionVectors.
+    newest checkpoint at or below the target version — classic
+    single-file ``%020d.checkpoint.parquet``, multi-part
+    ``%020d.checkpoint.%010d.%010d.parquet`` (validated complete: parts
+    exactly 1..total, no single/multi mix at one version), or a
+    UUID-named V2 checkpoint (readerFeature ``v2Checkpoint``; manifest
+    parquet or json plus ``_sidecars/`` parquet files holding the add
+    actions) — and replays only the JSON commits after it; time travel
+    to a pre-checkpoint version falls back to pure-JSON replay when
+    those commits still exist. Checkpoint loading is column-pruned and
+    streamed (``toLocalIterator``) so driver memory tracks the retained
+    add set, not the checkpoint row count.
+  * DELETION VECTORS: inline (storageType ``"i"``, a Z85-encoded
+    serialized RoaringBitmapArray in the log) AND file-based
+    (``"u"``/``"p"`` — the sidecar ``deletion_vector_<uuid>.bin`` files
+    real writers emit for non-tiny deletes; CRC-verified framing). All
+    DV-bearing files are read in ONE plan branch: a single scan
+    anti-joined on a canonical (decoded file path, ``_metadata.
+    row_index``) key with URI percent-encoding normalized on both sides.
+  * COLUMN MAPPING: mode ``name`` (scan under physical names, rename to
+    logical) and mode ``id`` (parquet field-id matching via
+    ``spark.sql.parquet.fieldId.read.enabled`` with ``parquet.field.id``
+    metadata carried into the scan schema); unknown modes fail loudly.
+  * remaining unsupported reader features keep failing loudly.
 
 Write support intentionally does not exist here: the engine's own
 VersionedTable covers the write path; writing a foreign table's log
@@ -78,19 +84,46 @@ class DeltaLogReader:
             raise ValueError(f"no _delta_log at {self.path}")
         commits: list[int] = []
         cps: dict[int, list[tuple[int, str]]] = {}
+        declared_total: dict[int, int] = {}  # multi-part: filename group 3
+        singles: set[int] = set()
         for f in os.listdir(self._log_dir):
             full = os.path.join(self._log_dir, f)
             if m := _COMMIT.match(f):
                 commits.append(int(m.group(1)))
             elif m := _CP_SINGLE.match(f):
-                cps.setdefault(int(m.group(1)), []).append((0, full))
+                v = int(m.group(1))
+                singles.add(v)
+                cps.setdefault(v, []).append((0, full))
             elif m := _CP_MULTI.match(f):
                 v, part, total = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                if declared_total.setdefault(v, total) != total:
+                    raise DeltaProtocolError(
+                        f"checkpoint {v}: part files disagree on the total "
+                        f"part count ({declared_total[v]} vs {total})"
+                    )
                 cps.setdefault(v, []).append((part, full))
-            elif _CP_V2.match(f):
+            elif m := _CP_V2.match(f):
+                v = int(m.group(1))
+                cps.setdefault(v, []).append((0, full))
+                singles.add(v)  # a V2 manifest is one file at its version
+        # COMPLETENESS: a multi-part checkpoint missing any of parts
+        # 1..total (a partial sync) would silently drop add actions and
+        # return an incomplete snapshot — the silent row loss this reader
+        # otherwise refuses loudly. Mixing a single-file and a multi-part
+        # checkpoint at one version is equally ambiguous.
+        for v, total in declared_total.items():
+            if v in singles:
                 raise DeltaProtocolError(
-                    "UUID-named V2 checkpoint found; this reader supports "
-                    "classic checkpoints only (readerFeature v2Checkpoint)"
+                    f"checkpoint {v}: both a single-file and multi-part "
+                    "checkpoint exist at the same version"
+                )
+            parts = sorted(p for p, _ in cps[v])
+            if parts != list(range(1, total + 1)):
+                raise DeltaProtocolError(
+                    f"checkpoint {v}: incomplete multi-part checkpoint — "
+                    f"declared {total} parts, found part numbers {parts} "
+                    "(missing/partially-synced parts would silently drop "
+                    "add actions)"
                 )
         return sorted(commits), {
             v: [p for _, p in sorted(parts)] for v, parts in cps.items()
@@ -117,35 +150,105 @@ class DeltaLogReader:
             # column-mapping capability: honored for mode 'name'/'none';
             # mode 'id' refuses at metaData handling with a precise message
             return
-        if mrv == 3 and feats <= {"deletionVectors", "columnMapping"}:
-            return  # both features are honored (or refused per-file/mode)
+        if mrv == 3 and feats <= {"deletionVectors", "columnMapping", "v2Checkpoint"}:
+            return  # all three features are honored (or refused per-file/mode)
         # unknown features change how data files must be interpreted —
         # reading anyway would return silently-wrong rows, so the protocol
         # REQUIRES refusal here
         raise DeltaProtocolError(
             f"table requires Delta reader protocol {proto}; this reader "
             "supports minReaderVersion 1, 2 (column mapping mode "
-            "'name'/'none'), or 3 with readerFeatures [deletionVectors, "
-            "columnMapping]"
+            "'name'/'id'/'none'), or 3 with readerFeatures [deletionVectors, "
+            "columnMapping, v2Checkpoint]"
         )
 
+    def _iter_action_rows(self, paths: list[str], wanted: list[str]):
+        """Stream (column -> struct dict) rows from checkpoint-shaped
+        parquet, PRUNED to the action columns that exist and filtered to
+        rows carrying one of them — driver memory stays proportional to
+        the add set actually retained, not the full checkpoint (real
+        checkpointed tables carry millions of add rows; ``collect`` on
+        all columns is a driver OOM)."""
+        cp = self.spark.read.parquet(*paths)
+        cols = [c for c in wanted if c in cp.columns]
+        if not cols:
+            return
+        pruned = cp.select(*cols).where(
+            " OR ".join(f"{c} IS NOT NULL" for c in cols)
+        )
+        for row in pruned.toLocalIterator():
+            yield row.asDict(recursive=True)
+
     def _load_checkpoint(self, paths: list[str]) -> tuple[dict | None, dict[str, dict]]:
-        """State from a classic checkpoint parquet: protocol check, last
-        metaData, and the complete add-file set (remove rows are vacuum
-        tombstones — checkpoint state already excludes their files)."""
+        """State from a checkpoint: protocol check, last metaData, and the
+        complete add-file set (remove rows are vacuum tombstones —
+        checkpoint state already excludes their files). Handles classic
+        single/multi-part parquet checkpoints and UUID-named V2
+        checkpoints (manifest parquet or json + ``_sidecars/`` parquet
+        files holding the file actions)."""
+        if len(paths) == 1 and _CP_V2.match(os.path.basename(paths[0])):
+            return self._load_checkpoint_v2(paths[0])
         meta = None
         files: dict[str, dict] = {}
-        cp = self.spark.read.parquet(*paths)
-        cols = set(cp.columns)
-        for row in cp.collect():
-            d = row.asDict(recursive=True)
-            if "protocol" in cols and d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
-                self._check_protocol({k: v for k, v in d["protocol"].items() if v is not None})
-            if "metaData" in cols and d.get("metaData") and d["metaData"].get("schemaString"):
+        for d in self._iter_action_rows(paths, ["protocol", "metaData", "add"]):
+            if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+                self._check_protocol(
+                    {k: v for k, v in d["protocol"].items() if v is not None}
+                )
+            if d.get("metaData") and d["metaData"].get("schemaString"):
                 meta = d["metaData"]
-            if "add" in cols and d.get("add") and d["add"].get("path"):
-                add = d["add"]
-                files[add["path"]] = add
+            if d.get("add") and d["add"].get("path"):
+                files[d["add"]["path"]] = d["add"]
+        return meta, files
+
+    def _load_checkpoint_v2(self, manifest: str) -> tuple[dict | None, dict[str, dict]]:
+        """V2 checkpoint (readerFeature ``v2Checkpoint``): the UUID-named
+        manifest carries protocol/metaData plus ``sidecar`` actions naming
+        parquet files under ``_delta_log/_sidecars/`` that hold the add
+        actions (the manifest MAY also carry file actions inline).
+        Removes anywhere in the checkpoint are vacuum tombstones, exactly
+        as in classic checkpoints."""
+        meta = None
+        files: dict[str, dict] = {}
+        sidecars: list[str] = []
+
+        def take(d: dict) -> None:
+            nonlocal meta
+            if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+                self._check_protocol(
+                    {k: v for k, v in d["protocol"].items() if v is not None}
+                )
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                meta = d["metaData"]
+            if d.get("add") and d["add"].get("path"):
+                files[d["add"]["path"]] = d["add"]
+            if d.get("sidecar") and d["sidecar"].get("path"):
+                sidecars.append(d["sidecar"]["path"])
+
+        if manifest.endswith(".json"):
+            with open(manifest) as fh:
+                for line in fh:
+                    if line.strip():
+                        take(json.loads(line))
+        else:
+            for d in self._iter_action_rows(
+                [manifest], ["protocol", "metaData", "add", "sidecar"]
+            ):
+                take(d)
+        for sc in sidecars:
+            full = os.path.join(self._log_dir, "_sidecars", sc)
+            if not os.path.isfile(full):
+                raise DeltaProtocolError(
+                    f"V2 checkpoint names sidecar {sc!r} but "
+                    f"{full} does not exist (partial sync?)"
+                )
+            for d in self._iter_action_rows([full], ["add"]):
+                if d.get("add") and d["add"].get("path"):
+                    files[d["add"]["path"]] = d["add"]
+        if meta is None:
+            raise DeltaProtocolError(
+                "V2 checkpoint manifest carries no metaData action"
+            )
         return meta, files
 
     def _replay(self, version: int | None):
@@ -197,42 +300,99 @@ class DeltaLogReader:
             raise DeltaProtocolError("log contains no metaData action")
         return meta, list(files.values())
 
+    # -- deletion-vector materialization ------------------------------------
+    def _dv_indexes(self, add: dict) -> list[int]:
+        """Deleted row indexes for an add's deletionVector descriptor —
+        inline ('i'), UUID-relative sidecar file ('u'), or absolute-path
+        sidecar file ('p'). Cardinality is cross-checked against the
+        descriptor in every case."""
+        dv = add["deletionVector"]
+        st = dv.get("storageType")
+        if st == "i":
+            idxs = decode_inline_dv(dv["pathOrInlineDv"])
+        elif st in ("u", "p"):
+            idxs = decode_rba(
+                read_dv_file_bytes(
+                    dv_sidecar_path(self.path, dv),
+                    int(dv["offset"]) if dv.get("offset") is not None else 1,
+                    int(dv["sizeInBytes"]),
+                )
+            )
+        else:
+            raise DeltaProtocolError(
+                f"unknown deletion-vector storageType {st!r} on "
+                f"{add['path']} — reading without applying it would "
+                "resurrect deleted rows"
+            )
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(idxs):
+            raise DeltaProtocolError(
+                f"deletion vector cardinality mismatch on "
+                f"{add['path']}: declared {card}, decoded {len(idxs)}"
+            )
+        return idxs
+
     # -- snapshot read ------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         meta, adds = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
-        # COLUMN MAPPING (mode 'name'): data files and partitionValues use
-        # PHYSICAL column names (schema-field metadata
-        # delta.columnMapping.physicalName); the reader scans under the
-        # physical schema and renames back to logical. Mode 'id' (parquet
-        # field-id matching) refuses with a precise message rather than
-        # returning all-NULL columns.
+        # COLUMN MAPPING: data files and partitionValues use PHYSICAL
+        # column names (schema-field metadata
+        # delta.columnMapping.physicalName). Mode 'name' scans under the
+        # physical schema and renames back to logical; mode 'id' matches
+        # parquet columns by FIELD ID (schema-field metadata
+        # delta.columnMapping.id carried into the scan as
+        # ``parquet.field.id`` with fieldId.read enabled), which survives
+        # physical renames the way the protocol requires.
         config = meta.get("configuration") or {}
         cm_mode = config.get("delta.columnMapping.mode", "none")
-        if cm_mode not in ("none", "name"):
+        if cm_mode not in ("none", "name", "id"):
             raise DeltaProtocolError(
                 f"column mapping mode {cm_mode!r} is not supported; this "
-                "reader handles 'name' and 'none' (field-id matching needs "
-                "a parquet-level id-aware scan)"
+                "reader handles 'none', 'name' and 'id'"
             )
-        if cm_mode == "name":
-            phys = {}
-            for f in schema.fields:
-                pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
-                if not pn:
+        phys = {}
+        field_ids = {}
+        for f in schema.fields:
+            md = f.metadata or {}
+            if cm_mode in ("name", "id"):
+                pn = md.get("delta.columnMapping.physicalName")
+                fid = md.get("delta.columnMapping.id")
+                if not pn or (cm_mode == "id" and fid is None):
                     raise DeltaProtocolError(
-                        "column mapping mode 'name' but field "
-                        f"{f.name!r} carries no physicalName metadata"
+                        f"column mapping mode {cm_mode!r} but field "
+                        f"{f.name!r} lacks physicalName/id metadata"
                     )
                 phys[f.name] = pn
-        else:
-            phys = {f.name: f.name for f in schema.fields}
+                field_ids[f.name] = fid
+            else:
+                phys[f.name] = f.name
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        file_schema = T.StructType(
-            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
-        )
-        rename = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        if cm_mode == "id":
+            # field-id matching: scan under the LOGICAL names, each field
+            # tagged with its parquet field id — Spark's vectorized reader
+            # resolves columns by id, so physical parquet names are
+            # irrelevant (and files that predate a rename still resolve)
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            file_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, f.nullable,
+                        {"parquet.field.id": int(field_ids[f.name])},
+                    )
+                    for f in data_fields
+                ]
+            )
+            rename = [F.col(f.name) for f in data_fields]
+        else:
+            file_schema = T.StructType(
+                [
+                    T.StructField(phys[f.name], f.dataType, f.nullable)
+                    for f in data_fields
+                ]
+            )
+            rename = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
         if not adds:
             return self.spark.createDataFrame([], schema)
         # group files by their partition assignment; each group reads with
@@ -240,14 +400,6 @@ class DeltaLogReader:
         # through the table schema (Delta stores them only in the log)
         from urllib.parse import unquote
 
-        # DV-bearing files are read INDIVIDUALLY with an anti-join on
-        # row_index alone — never by matching reconstructed paths against
-        # _metadata.file_path, whose URI encoding (percent-escapes for
-        # spaces/colons) differs from the decoded on-disk path and would
-        # silently resurrect deleted rows on any table with encodable
-        # characters in its paths. One plan branch per DV file is bounded
-        # by the snapshot's DV-carrying file count (a minority by
-        # construction: rewrites purge DVs).
         groups: dict[tuple, list[str]] = {}  # plain files, batched per partition
         dv_reads: list[tuple[tuple, str, list[int]]] = []  # (key, path, indexes)
         for add in adds:
@@ -259,26 +411,10 @@ class DeltaLogReader:
             # colons in partition dirs); join the DECODED form or valid
             # tables fail with path-not-found
             full = os.path.join(self.path, unquote(add["path"]))
-            dv = add.get("deletionVector")
-            if not dv:
+            if not add.get("deletionVector"):
                 groups.setdefault(key, []).append(full)
-                continue
-            if dv.get("storageType") != "i":
-                raise DeltaProtocolError(
-                    "file-based deletion vectors (storageType "
-                    f"{dv.get('storageType')!r}) are not supported; this "
-                    "reader applies inline ('i') deletion vectors only — "
-                    "reading without applying them would resurrect "
-                    "deleted rows"
-                )
-            idxs = decode_inline_dv(dv["pathOrInlineDv"])
-            card = dv.get("cardinality")
-            if card is not None and int(card) != len(idxs):
-                raise DeltaProtocolError(
-                    f"deletion vector cardinality mismatch on "
-                    f"{add['path']}: declared {card}, decoded {len(idxs)}"
-                )
-            dv_reads.append((key, full, idxs))
+            else:
+                dv_reads.append((key, full, self._dv_indexes(add)))
         out = None
         types = {f.name: f.dataType for f in schema.fields}
 
@@ -291,19 +427,84 @@ class DeltaLogReader:
             df = self.spark.read.schema(file_schema).parquet(*paths).select(*rename)
             df = attach(df, key)
             out = df if out is None else out.unionByName(df)
-        for key, path, idxs in sorted(dv_reads, key=lambda kv: kv[1]):
-            df = self.spark.read.schema(file_schema).parquet(path).select(
-                "*", F.col("_metadata.row_index").alias("__ri")
+        if dv_reads:
+            dv_df = self._read_dv_files(
+                sorted(dv_reads, key=lambda kv: kv[1]),
+                file_schema,
+                rename,
+                part_cols,
+                types,
+                [f.name for f in schema.fields],
             )
-            dv_df = self.spark.createDataFrame([(i,) for i in idxs], "__ri bigint")
-            df = (
-                df.join(F.broadcast(dv_df), "__ri", "left_anti")
-                .drop("__ri")
-                .select(*rename)
-            )
-            df = attach(df, key)
-            out = df if out is None else out.unionByName(df)
+            out = dv_df if out is None else out.unionByName(dv_df)
         return out
+
+    def _read_dv_files(
+        self,
+        dv_reads: list[tuple[tuple, str, list[int]]],
+        file_schema: T.StructType,
+        rename: list,
+        part_cols: list[str],
+        types: dict,
+        final_cols: list[str],
+    ) -> DataFrame:
+        """ONE plan branch for ALL deletion-vector-bearing files: a single
+        scan of every DV file, one combined anti-join on a canonical
+        (file id, row index) key, one join to re-attach per-file partition
+        literals. The per-file-branch alternative blows up driver-side
+        planning on foreign tables with thousands of small DV files.
+
+        The canonical file id is the DECODED absolute filesystem path,
+        normalized on BOTH sides: ``_metadata.file_path`` is a URI whose
+        percent-escapes (spaces, colons) differ from the on-disk path, so
+        raw string matching silently resurrects deleted rows on any table
+        with encodable characters in its paths. The Spark side strips the
+        ``file:`` scheme and percent-decodes (protecting literal ``+``,
+        which url_decode would otherwise turn into a space); the driver
+        side is already decoded (add.path is unquoted at join time).
+        """
+        spark = self.spark
+        canon = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__fp"), "^file:/*", "/"), r"\+", "%2B"
+            )
+        )
+        df = (
+            spark.read.schema(file_schema)
+            .parquet(*[p for _, p, _ in dv_reads])
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            .withColumn("__cf", canon)
+            .drop("__fp")
+        )
+        del_rows = [
+            (os.path.abspath(p), int(i)) for _, p, idxs in dv_reads for i in idxs
+        ]
+        dv_del = spark.createDataFrame(del_rows, "__cf string, __ri bigint")
+        # the combined key set is bounded by the snapshot's total DV
+        # cardinality; hint broadcast only while it is clearly small and
+        # let AQE pick the strategy beyond that
+        if len(del_rows) <= 1_000_000:
+            dv_del = F.broadcast(dv_del)
+        df = df.join(dv_del, ["__cf", "__ri"], "left_anti")
+        if part_cols:
+            pv_rows = [(os.path.abspath(p), *key) for key, p, _ in dv_reads]
+            pv_schema = T.StructType(
+                [T.StructField("__cf", T.StringType())]
+                + [T.StructField(c, T.StringType()) for c in part_cols]
+            )
+            dv_pv = spark.createDataFrame(pv_rows, pv_schema)
+            df = df.join(F.broadcast(dv_pv), "__cf", "inner")
+            df = df.select(
+                *rename,
+                *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
+            )
+        else:
+            df = df.select(*rename)
+        return df.select(*final_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -415,6 +616,105 @@ def decode_rba(data: bytes) -> list[int]:
 def decode_inline_dv(encoded: str) -> list[int]:
     """Z85-decode + RBA-decode an add.deletionVector.pathOrInlineDv."""
     return decode_rba(z85_decode(encoded))
+
+
+# ---------------------------------------------------------------------------
+# File-based deletion vectors (storageType 'u'/'p' — what real writers emit
+# for any non-tiny delete; inline is the small-DV path). Public protocol:
+#   * 'u': pathOrInlineDv = <optional random prefix><20-char Z85 UUID>;
+#     the sidecar lives at <tableRoot>/<prefix>/deletion_vector_<uuid>.bin
+#   * 'p': pathOrInlineDv is an absolute path (possibly a file: URI)
+#   * sidecar format, version 1: byte 0 is the format version; at the
+#     descriptor's `offset`: <dataSize: int32 BE><dataSize bytes of
+#     serialized RoaringBitmapArray><CRC-32 of those bytes: int32 BE>
+# ---------------------------------------------------------------------------
+
+
+def dv_sidecar_path(table_path: str, dv: dict) -> str:
+    """Absolute path of a file-based deletion vector's sidecar file."""
+    import uuid as _uuid
+    from urllib.parse import unquote
+
+    st = dv["storageType"]
+    p = dv["pathOrInlineDv"]
+    if st == "p":
+        if p.startswith("file:"):
+            p = unquote(re.sub("^file:/*", "/", p))
+        return p
+    if len(p) < 20:
+        raise DeltaProtocolError(
+            f"storageType 'u' pathOrInlineDv too short for a Z85 UUID: {p!r}"
+        )
+    prefix, enc = p[:-20], p[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+        table_path, name
+    )
+
+
+def read_dv_file_bytes(path: str, offset: int, size_in_bytes: int) -> bytes:
+    """Read one DV's bitmap bytes out of its sidecar file, verifying the
+    format version, the in-file size framing, and the CRC-32 trailer —
+    a truncated or corrupted sidecar must fail loudly, not resurrect or
+    over-delete rows."""
+    import zlib
+
+    if not os.path.isfile(path):
+        raise DeltaProtocolError(f"deletion-vector sidecar {path} does not exist")
+    with open(path, "rb") as fh:
+        version = fh.read(1)
+        if version != b"\x01":
+            raise DeltaProtocolError(
+                f"deletion-vector sidecar {path}: unsupported format "
+                f"version {version!r}"
+            )
+        fh.seek(offset)
+        size = int.from_bytes(fh.read(4), "big")
+        if size != size_in_bytes:
+            raise DeltaProtocolError(
+                f"deletion-vector sidecar {path}: framed size {size} != "
+                f"descriptor sizeInBytes {size_in_bytes}"
+            )
+        data = fh.read(size)
+        if len(data) != size:
+            raise DeltaProtocolError(
+                f"deletion-vector sidecar {path}: truncated (wanted {size} "
+                f"bytes at offset {offset + 4}, got {len(data)})"
+            )
+        crc = int.from_bytes(fh.read(4), "big")
+        if crc != zlib.crc32(data):
+            raise DeltaProtocolError(
+                f"deletion-vector sidecar {path}: CRC-32 mismatch"
+            )
+    return data
+
+
+def write_dv_file(
+    table_path: str, indexes: list[int], dv_uuid=None, prefix: str = ""
+) -> dict:
+    """Write a protocol-correct 'u'-style deletion-vector sidecar under
+    ``table_path`` and return its add.deletionVector descriptor
+    (fixture/test helper, the file-based symmetry check for
+    ``read_dv_file_bytes`` — same role encode_inline_dv plays for the
+    inline decoder)."""
+    import uuid as _uuid
+    import zlib
+
+    u = dv_uuid or _uuid.uuid4()
+    data = encode_rba(sorted(set(indexes)))
+    body = b"\x01" + len(data).to_bytes(4, "big") + data + zlib.crc32(data).to_bytes(4, "big")
+    target_dir = os.path.join(table_path, prefix) if prefix else table_path
+    os.makedirs(target_dir, exist_ok=True)
+    with open(os.path.join(target_dir, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(body)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
 
 
 def _roaring32_encode(vals: list[int]) -> bytes:

@@ -97,10 +97,16 @@ def _lossless_upcast(src: "T.DataType", dst: "T.DataType") -> bool:
     if ss in _INT_WIDTH and ds in _INT_WIDTH:
         return _INT_WIDTH[ss] <= _INT_WIDTH[ds]
     if ds == "double" and (
-        ss in _INT_WIDTH or ss == "float" or isinstance(src, T.DecimalType)
+        ss in _INT_WIDTH
+        or ss == "float"
+        or (isinstance(src, T.DecimalType) and src.precision <= 15)
     ):
         # numeric -> double is SQL type precedence; union coercion always
-        # resolved this to double before enforcement existed
+        # resolved this to double before enforcement existed. Decimals
+        # wider than 15 digits exceed double's 53-bit mantissa, so the
+        # cast would silently ALTER large values — that is lossy drift
+        # and refuses like the other lossy cases (bigint stays castable:
+        # SQL precedence has always accepted its documented rounding).
         return True
     if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
         # integer digits AND scale must both be non-shrinking

@@ -112,27 +112,31 @@ def test_unsupported_protocol_features_fail_loudly(spark, tmp_path):
                     "path": "f.parquet",
                     "partitionValues": {},
                     "dataChange": True,
+                    "deletionVector": {"storageType": "z", "pathOrInlineDv": "x"},
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletion-vector storageType"):
+        DeltaLogReader(spark, tbl).read()
+
+    # malformed 'u' descriptor (too short to carry a Z85 UUID) -> refuse
+    _log(
+        tbl,
+        1,
+        [
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
                     "deletionVector": {"storageType": "u", "pathOrInlineDv": "x"},
                 }
             },
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+    with pytest.raises(DeltaProtocolError, match="too short"):
         DeltaLogReader(spark, tbl).read()
-
-    # V2 UUID-named checkpoints -> refuse (readerFeature v2Checkpoint)
-    tbl2 = str(tmp_path / "dlck")
-    os.makedirs(os.path.join(tbl2, "_delta_log"))
-    open(
-        os.path.join(
-            tbl2,
-            "_delta_log",
-            "00000000000000000010.checkpoint.3a0ba1c1-0000-4000-8000-000000000000.parquet",
-        ),
-        "w",
-    ).close()
-    with pytest.raises(DeltaProtocolError, match="V2 checkpoint"):
-        DeltaLogReader(spark, tbl2).versions()
 
 
 def test_reader_protocol_v2_and_decodes_paths(spark, tmp_path):
@@ -262,14 +266,45 @@ class TestColumnMapping:
         rows = DeltaLogReader(spark, tbl).read().collect()
         assert rows[0]["day"] == "2024-06-01" and rows[0]["id"] == 1
 
-    def test_id_mode_refuses(self, spark, tmp_path):
+    def test_id_mode_reads_by_field_id(self, spark, tmp_path):
+        # file columns carry parquet field ids under PHYSICAL names that
+        # share nothing with the logical names — only id-matching can
+        # resolve them (name matching would return all-NULL columns)
         tbl = str(tmp_path / "dlcmid")
         os.makedirs(tbl)
-        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        file_schema = T.StructType(
+            [
+                T.StructField("col-11", T.LongType(), True, {"parquet.field.id": 1}),
+                T.StructField("col-22", T.StringType(), True, {"parquet.field.id": 2}),
+            ]
+        )
+        df = spark.createDataFrame([(1, "a"), (2, "b")], file_schema)
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
+        import shutil
+
+        shutil.rmtree(tmp)
         meta = _cm_meta("col-11", "col-22")
         meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, meta, _add("f.parquet")])
-        with pytest.raises(DeltaProtocolError, match="column mapping mode"):
+        got = {r.id: r.val for r in DeltaLogReader(spark, tbl).read().collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_id_mode_without_id_metadata_refuses(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlcmid2")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        meta = _cm_meta("col-11", "col-22")
+        # strip the columnMapping.id metadata the mode requires
+        ss = json.loads(meta["metaData"]["schemaString"])
+        for f in ss["fields"]:
+            f["metadata"].pop("delta.columnMapping.id")
+        meta["metaData"]["schemaString"] = json.dumps(ss)
+        meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, meta, _add("f.parquet")])
+        with pytest.raises(DeltaProtocolError, match="lacks physicalName/id"):
             DeltaLogReader(spark, tbl).read()
 
     def test_name_mode_missing_physical_name_refuses(self, spark, tmp_path):
@@ -666,3 +701,206 @@ def test_multipart_checkpoint_reads_all_parts(spark, tmp_path):
     cp_part(2, 2, [(None, None, ("f1.parquet", {}, True))])
     r = DeltaLogReader(spark, tbl)
     assert sorted(x.id for x in r.read(0).collect()) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# File-based deletion vectors (storageType 'u'/'p') + the combined
+# single-branch DV plan.
+# ---------------------------------------------------------------------------
+from data_etl_pipeline_spark.sources.delta_reader import (  # noqa: E402
+    dv_sidecar_path,
+    read_dv_file_bytes,
+    write_dv_file,
+)
+
+
+class TestFileBasedDeletionVectors:
+    def test_sidecar_roundtrip_with_prefix(self, tmp_path):
+        import uuid
+
+        tbl = str(tmp_path / "dvtbl")
+        os.makedirs(tbl)
+        desc = write_dv_file(tbl, [1, 5, 70000], dv_uuid=uuid.UUID(int=7), prefix="ab")
+        path = dv_sidecar_path(tbl, desc)
+        assert path == os.path.join(tbl, "ab", f"deletion_vector_{uuid.UUID(int=7)}.bin")
+        data = read_dv_file_bytes(path, desc["offset"], desc["sizeInBytes"])
+        assert decode_rba(data) == [1, 5, 70000]
+
+    def test_crc_corruption_fails_loudly(self, tmp_path):
+        import uuid
+
+        tbl = str(tmp_path / "dvcrc")
+        os.makedirs(tbl)
+        desc = write_dv_file(tbl, [3, 4], dv_uuid=uuid.UUID(int=9))
+        path = dv_sidecar_path(tbl, desc)
+        raw = bytearray(open(path, "rb").read())
+        raw[-6] ^= 0xFF  # flip a bitmap byte; CRC now mismatches
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(DeltaProtocolError, match="CRC"):
+            read_dv_file_bytes(path, desc["offset"], desc["sizeInBytes"])
+
+    def test_missing_sidecar_fails_loudly(self, tmp_path):
+        with pytest.raises(DeltaProtocolError, match="does not exist"):
+            read_dv_file_bytes(str(tmp_path / "nope.bin"), 1, 4)
+
+    def test_file_dv_masks_rows_end_to_end(self, spark, tmp_path):
+        import uuid
+
+        tbl = str(tmp_path / "dldvf")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f0.parquet", [(i, f"v{i}") for i in range(6)])
+        desc = write_dv_file(tbl, [0, 2], dv_uuid=uuid.UUID(int=3), prefix="zz")
+        _log(
+            tbl,
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                },
+                _meta(),
+                {
+                    "add": {
+                        "path": "f0.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                },
+            ],
+        )
+        assert sorted(x.id for x in DeltaLogReader(spark, tbl).read().collect()) == [
+            1, 3, 4, 5,
+        ]
+
+    def test_many_dv_files_build_one_plan_branch(self, spark, tmp_path):
+        # 22 DV-bearing files must NOT become 22 scan+anti-join+union
+        # branches (driver-side planning blowup on foreign tables with
+        # thousands of small DVs): ONE scan, ONE anti-join, ONE
+        # partition-attach join
+        tbl = str(tmp_path / "dldvmany")
+        os.makedirs(tbl)
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta(),
+        ]
+        for i in range(22):
+            _write_part(spark, tbl, f"f{i}.parquet", [(i * 10 + j, "x") for j in range(4)])
+            actions.append(
+                {
+                    "add": {
+                        "path": f"f{i}.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                        "deletionVector": encode_inline_dv([0]),
+                    }
+                }
+            )
+        _log(tbl, 0, actions)
+        df = DeltaLogReader(spark, tbl).read()
+        assert df.count() == 22 * 3  # row 0 dead in every file
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # one parquet scan of the DV files, one anti-join — not 22
+        # (formatted explain prints each node in the tree AND a detail
+        # block, so count the per-operator detail lines)
+        assert plan.count("Join type: LeftAnti") == 1
+        assert plan.count("Scan parquet") <= 2
+
+    def test_dv_files_across_partitions_reattach_literals(self, spark, tmp_path):
+        import uuid
+
+        tbl = str(tmp_path / "dldvpart")
+        os.makedirs(tbl)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+        for day in ("2024-01-01", "2024-01-02"):
+            _write_part(spark, tbl, f"{day}.parquet", [(1, "a"), (2, "b")])
+        d1 = write_dv_file(tbl, [0], dv_uuid=uuid.UUID(int=21))
+        d2 = write_dv_file(tbl, [1], dv_uuid=uuid.UUID(int=22))
+        _log(
+            tbl,
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                },
+                _meta(part_cols=["day"]),
+                {
+                    "add": {
+                        "path": "2024-01-01.parquet",
+                        "partitionValues": {"day": "2024-01-01"},
+                        "dataChange": True,
+                        "deletionVector": d1,
+                    }
+                },
+                {
+                    "add": {
+                        "path": "2024-01-02.parquet",
+                        "partitionValues": {"day": "2024-01-02"},
+                        "dataChange": True,
+                        "deletionVector": d2,
+                    }
+                },
+            ],
+        )
+        got = {(r.id, r.day) for r in DeltaLogReader(spark, tbl).read().collect()}
+        assert got == {(2, "2024-01-01"), (1, "2024-01-02")}
+
+
+class TestCheckpointCompleteness:
+    def test_missing_multipart_part_fails_loudly(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlmiss")
+        os.makedirs(os.path.join(tbl, "_delta_log"))
+        # declare 3 parts, provide only 1 and 3
+        for part_no in (1, 3):
+            open(
+                os.path.join(
+                    tbl,
+                    "_delta_log",
+                    f"{0:020d}.checkpoint.{part_no:010d}.{3:010d}.parquet",
+                ),
+                "w",
+            ).close()
+        with pytest.raises(DeltaProtocolError, match="incomplete multi-part"):
+            DeltaLogReader(spark, tbl).versions()
+
+    def test_disagreeing_totals_fail_loudly(self, spark, tmp_path):
+        tbl = str(tmp_path / "dltot")
+        os.makedirs(os.path.join(tbl, "_delta_log"))
+        for part_no, total in ((1, 2), (2, 3)):
+            open(
+                os.path.join(
+                    tbl,
+                    "_delta_log",
+                    f"{0:020d}.checkpoint.{part_no:010d}.{total:010d}.parquet",
+                ),
+                "w",
+            ).close()
+        with pytest.raises(DeltaProtocolError, match="disagree on the total"):
+            DeltaLogReader(spark, tbl).versions()
+
+    def test_single_and_multi_mix_fails_loudly(self, spark, tmp_path):
+        tbl = str(tmp_path / "dlmix")
+        os.makedirs(os.path.join(tbl, "_delta_log"))
+        open(
+            os.path.join(tbl, "_delta_log", f"{0:020d}.checkpoint.parquet"), "w"
+        ).close()
+        open(
+            os.path.join(
+                tbl, "_delta_log", f"{0:020d}.checkpoint.{1:010d}.{1:010d}.parquet"
+            ),
+            "w",
+        ).close()
+        with pytest.raises(DeltaProtocolError, match="both a single-file and multi-part"):
+            DeltaLogReader(spark, tbl).versions()

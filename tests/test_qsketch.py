@@ -61,3 +61,18 @@ def test_sketch_plan_is_single_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange (") == 1  # one groupBy on < 900 keys
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fine_quantiles_exact_not_snapped(spark):
+    # p99.9 must NOT silently snap to p100 (the round(q*100) trap): on
+    # 1..1000 every value is its own bucket below 10 and bucketed above,
+    # so p99.9 and p100 land in different buckets
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "v double")
+    sk = quantile_sketch(df, "v")
+    est = {r["q"]: r["est"] for r in quantiles_from_sketch(sk, [0.999, 1.0]).collect()}
+    assert est[0.999] < est[1.0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="6 decimal"):
+        quantiles_from_sketch(sk, [0.1234567])
