@@ -1535,6 +1535,71 @@ def delta_interop_dv_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Delta interop, TIMESTAMP_NTZ columns (readerFeature timestampNtz): the
+# schemaString's timestamp_ntz type must map onto Spark's TimestampNTZType
+# and the files' isAdjustedToUTC=false parquet timestamps — naive wall-
+# clock values survive the roundtrip bit-for-bit (the same NTZ semantics
+# DuckDB's naive TIMESTAMP has, so the oracle compares formatted strings
+# with no zone conversion anywhere). Oracle recomputes from raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_timestamp_ntz_read",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Reads a Delta table with a TIMESTAMP_NTZ column (readerFeature "
+    "timestampNtz) without delta-spark; naive wall-clock values are "
+    "preserved with no zone shift.",
+)
+def delta_interop_timestamp_ntz_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    assert dict(base.dtypes)["o_orderdate"] == "timestamp_ntz"
+    tbl = tempfile.mkdtemp(prefix="delta_ntz_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    _write_single_parquet(base, tbl, "f.parquet")
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "readerFeatures": ["timestampNtz"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "interop-ntz",
+                    "schemaString": base.schema.json(),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                }
+            },
+            {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1, "dataChange": True}},
+        ]:
+            fh.write(_json.dumps(act) + "\n")
+
+    got = DeltaLogReader(spark, tbl).read()
+    assert dict(got.dtypes)["o_orderdate"] == "timestamp_ntz"
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Delta interop, COLUMN MAPPING MODE 'id': files written with parquet
 # FIELD IDS under physical names that share nothing with the logical
 # schema — only field-id matching can resolve them (name matching would
@@ -1997,6 +2062,63 @@ def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = tempfile.mkdtemp(prefix="exp_dst_") + "/table"
     export_delta(t.read(), dest, partition_by=["o_orderstatus"])
 
+    back = DeltaLogReader(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental Delta export: three snapshot slices APPENDED as successive
+# commits to one exported table, then a classic checkpoint written at the
+# head and the covered JSON commits trimmed — the long-lived publication
+# channel shape ("promote each engine snapshot to the lakehouse") where
+# the log must not grow unboundedly. The read replays checkpoint-first,
+# so a stale add surviving the trim or a checkpoint missing a file fails
+# the hash. Oracle recomputes from raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_incremental",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1400
+    GROUP BY 1
+    """,
+    doc="Export + two appended commits + classic checkpoint + log trim; "
+    "an independent log replay (checkpoint-first) reproduces the full "
+    "table. Also proves append refuses schema drift in-query.",
+)
+def delta_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        DeltaExportError,
+        checkpoint_export,
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="exp_inc_") + "/table"
+    export_delta(sl(0, 600), dest, partition_by=["o_orderstatus"])
+    export_delta_append(sl(600, 1000), dest)
+    export_delta_append(sl(1000, 1400), dest)
+    # schema drift must refuse BEFORE any file lands
+    try:
+        export_delta_append(sl(0, 1).withColumn("extra", F.lit(1)), dest)
+        raise AssertionError("drifted append must refuse")
+    except DeltaExportError:
+        pass
+    checkpoint_export(spark, dest, trim=True)
     back = DeltaLogReader(spark, dest).read()
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -110,3 +110,223 @@ def export_delta(
             fh.write(json.dumps(a) + "\n")
     os.rename(tmp, commit)
     return {"n_files": len(adds), "bytes": total}
+
+
+# ---------------------------------------------------------------------------
+# Incremental publication: APPEND commits and CLASSIC CHECKPOINTS for
+# tables THIS exporter created. The foreign-table refusal above stands —
+# append/checkpoint first verify the log is one of ours (protocol exactly
+# {minReaderVersion 1, minWriterVersion 2}, metaData id 'export-…', no
+# unrecognized actions), because honoring someone else's writer features
+# is a full Delta writer's job. Within that boundary, "promote each
+# engine snapshot to the lakehouse" becomes a sequence of commits rather
+# than a new table per snapshot, and a checkpoint + log trim keeps the
+# log bounded for long-lived exports (any Delta reader, including
+# sources/delta_reader.py, replays from the checkpoint).
+# ---------------------------------------------------------------------------
+
+
+def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
+    """(metaData, sorted versions, {path -> add}) for a table this module
+    exported; raises DeltaExportError on any sign of a foreign writer."""
+    log_dir = os.path.join(dest, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise DeltaExportError(f"{dest} has no _delta_log")
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(log_dir) if f.endswith(".json") and f[:20].isdigit()
+    )
+    cps = sorted(
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+    )
+    if not versions and not cps:
+        raise DeltaExportError(f"{dest} has an empty _delta_log")
+    meta = None
+    files: dict[str, dict] = {}
+    start = 0
+    if cps:
+        # checkpointed export: earlier JSONs may be trimmed; appends only
+        # need the live file set, which the newest checkpoint carries —
+        # but loading parquet needs a SparkSession, so appends after a
+        # trim go through checkpoint_export's own replay instead
+        covered = cps[-1]
+        if not all(v in set(versions) for v in range(covered + 1, (versions[-1] if versions else covered) + 1)):
+            raise DeltaExportError(f"{dest}: log has holes above its checkpoint")
+        raise DeltaExportError(
+            f"{dest} is checkpointed; use DeltaLogReader for reads — "
+            "append after a checkpoint requires replaying parquet state "
+            "and is not supported by this text-log path"
+        )
+    if versions != list(range(len(versions))):
+        raise DeltaExportError(f"{dest}: non-contiguous log {versions}")
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    if a["protocol"] != {"minReaderVersion": 1, "minWriterVersion": 2}:
+                        raise DeltaExportError(
+                            f"{dest} uses protocol {a['protocol']}; refusing to "
+                            "append to a table this exporter did not create"
+                        )
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "add" in a:
+                    files[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    files.pop(a["remove"]["path"], None)
+                elif set(a) & {"commitInfo", "txn"}:
+                    pass  # informational actions are harmless
+                else:
+                    raise DeltaExportError(
+                        f"{dest}: unrecognized action {sorted(a)} — foreign writer?"
+                    )
+    if meta is None or not str(meta.get("id", "")).startswith("export-"):
+        raise DeltaExportError(
+            f"{dest} was not created by this exporter (metaData id "
+            f"{meta.get('id') if meta else None!r}); refusing to append"
+        )
+    return meta, versions, files
+
+
+def export_delta_append(df: DataFrame, dest: str) -> dict:
+    """Append ``df`` as the next commit of a table ``export_delta``
+    created. The schema must match the table's EXACTLY (this exporter
+    does no evolution — a drifted snapshot is a different table).
+    Returns {"version": ..., "n_files": ..., "bytes": ...}."""
+    dest = dest.rstrip("/")
+    meta, versions, existing = _read_own_log(dest)
+    if df.schema.json() != meta["schemaString"]:
+        raise DeltaExportError(
+            "append schema differs from the exported table's schema; "
+            "export a new table instead of evolving this one"
+        )
+    partition_by = list(meta.get("partitionColumns") or [])
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest)
+    known = {unquote(p) for p in existing}
+    adds = []
+    total = 0
+    for root, _dirs, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, dest)
+            if rel.replace(os.sep, "/") in known:
+                continue
+            pv = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            st = os.stat(full)
+            total += st.st_size
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel.replace(os.sep, "/")),
+                        "partitionValues": pv,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    adds.sort(key=lambda a: a["add"]["path"])
+    version = versions[-1] + 1
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in adds:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+    return {"version": version, "n_files": len(adds), "bytes": total}
+
+
+def checkpoint_export(spark, dest: str, trim: bool = False) -> int:
+    """Write a CLASSIC single-file checkpoint parquet at the head version
+    of a table this module exported, plus the ``_last_checkpoint``
+    pointer — the layout every Delta reader's log replay starts from.
+    With ``trim=True`` the JSON commits the checkpoint covers are deleted
+    afterwards (the log-side half of VACUUM), which bounds log replay
+    cost for long-lived incremental exports. Returns the checkpoint
+    version."""
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files = _read_own_log(dest)
+    head = versions[-1]
+    add_struct = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    cp_schema = T.StructType(
+        [
+            T.StructField(
+                "protocol",
+                T.StructType(
+                    [
+                        T.StructField("minReaderVersion", T.IntegerType()),
+                        T.StructField("minWriterVersion", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("format", T.StructType([T.StructField("provider", T.StringType())])),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                        T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField("add", add_struct),
+        ]
+    )
+    rows = [((1, 2), None, None),
+            (None,
+             (meta["id"], ((meta.get("format") or {}).get("provider", "parquet"),),
+              meta["schemaString"], list(meta.get("partitionColumns") or []),
+              dict(meta.get("configuration") or {})),
+             None)]
+    for p in sorted(files):
+        a = files[p]
+        rows.append(
+            (None, None,
+             (a["path"], dict(a.get("partitionValues") or {}),
+              int(a.get("size") or 0), int(a.get("modificationTime") or 0),
+              bool(a.get("dataChange", True))))
+        )
+    log_dir = os.path.join(dest, "_delta_log")
+    tmp = os.path.join(dest, "_cptmp")
+    spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), os.path.join(log_dir, f"{head:020d}.checkpoint.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    lc_tmp = lc + ".tmp"
+    with open(lc_tmp, "w") as fh:
+        fh.write(json.dumps({"version": head, "size": len(rows)}))
+    os.rename(lc_tmp, lc)
+    if trim:
+        for v in versions[:-1]:
+            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    return head

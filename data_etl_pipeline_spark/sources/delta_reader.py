@@ -150,8 +150,17 @@ class DeltaLogReader:
             # column-mapping capability: honored for mode 'name'/'none';
             # mode 'id' refuses at metaData handling with a precise message
             return
-        if mrv == 3 and feats <= {"deletionVectors", "columnMapping", "v2Checkpoint"}:
-            return  # all three features are honored (or refused per-file/mode)
+        if mrv == 3 and feats <= {
+            "deletionVectors",
+            "columnMapping",
+            "v2Checkpoint",
+            # TIMESTAMP_NTZ columns: the schemaString's timestamp_ntz type
+            # maps straight onto Spark's TimestampNTZType and the data
+            # files' isAdjustedToUTC=false parquet timestamps — a type
+            # passthrough, no interpretation change
+            "timestampNtz",
+        }:
+            return  # these features are honored (or refused per-file/mode)
         # unknown features change how data files must be interpreted —
         # reading anyway would return silently-wrong rows, so the protocol
         # REQUIRES refusal here
@@ -159,7 +168,7 @@ class DeltaLogReader:
             f"table requires Delta reader protocol {proto}; this reader "
             "supports minReaderVersion 1, 2 (column mapping mode "
             "'name'/'id'/'none'), or 3 with readerFeatures [deletionVectors, "
-            "columnMapping, v2Checkpoint]"
+            "columnMapping, v2Checkpoint, timestampNtz]"
         )
 
     def _iter_action_rows(self, paths: list[str], wanted: list[str]):

@@ -99,3 +99,83 @@ def test_export_then_reexport_roundtrip_preserves_values(spark, tmp_path):
     export_delta(mid, d2)
     final = DeltaLogReader(spark, d2).read()
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in df.collect()}
+
+
+class TestIncrementalExport:
+    def _mk(self, spark, tmp_path, name="inc"):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+        dest = str(tmp_path / name)
+        export_delta(df, dest)
+        return dest
+
+    def test_append_and_checkpoint_trim_roundtrip(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export,
+            export_delta_append,
+        )
+
+        dest = self._mk(spark, tmp_path)
+        export_delta_append(
+            spark.createDataFrame([(3, "c")], "id long, val string"), dest
+        )
+        export_delta_append(
+            spark.createDataFrame([(4, "d")], "id long, val string"), dest
+        )
+        v = checkpoint_export(spark, dest, trim=True)
+        assert v == 2
+        log = os.listdir(os.path.join(dest, "_delta_log"))
+        assert f"{2:020d}.checkpoint.parquet" in log
+        assert "_last_checkpoint" in log
+        assert f"{0:020d}.json" not in log and f"{1:020d}.json" not in log
+        lc = json.load(open(os.path.join(dest, "_delta_log", "_last_checkpoint")))
+        assert lc["version"] == 2
+        back = DeltaLogReader(spark, dest).read()
+        assert sorted(r.id for r in back.collect()) == [1, 2, 3, 4]
+
+    def test_append_refuses_foreign_table(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._mk(spark, tmp_path, "foreign")
+        # rewrite the log to look like another writer's table
+        commit = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(ln) for ln in open(commit)]
+        for a in lines:
+            if "metaData" in a:
+                a["metaData"]["id"] = "some-other-writer"
+        with open(commit, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(DeltaExportError, match="not created by this exporter"):
+            export_delta_append(
+                spark.createDataFrame([(9, "z")], "id long, val string"), dest
+            )
+
+    def test_append_refuses_foreign_protocol(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._mk(spark, tmp_path, "fproto")
+        commit = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(ln) for ln in open(commit)]
+        for a in lines:
+            if "protocol" in a:
+                a["protocol"] = {"minReaderVersion": 3, "minWriterVersion": 7}
+        with open(commit, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(DeltaExportError, match="protocol"):
+            export_delta_append(
+                spark.createDataFrame([(9, "z")], "id long, val string"), dest
+            )
+
+    def test_append_after_checkpoint_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export,
+            export_delta_append,
+        )
+
+        dest = self._mk(spark, tmp_path, "postcp")
+        checkpoint_export(spark, dest, trim=False)
+        with pytest.raises(DeltaExportError, match="checkpointed"):
+            export_delta_append(
+                spark.createDataFrame([(9, "z")], "id long, val string"), dest
+            )

@@ -155,7 +155,7 @@ def test_reader_protocol_v2_and_decodes_paths(spark, tmp_path):
         tbl3,
         0,
         [
-            {"protocol": {"minReaderVersion": 3, "readerFeatures": ["timestampNtz", "v2Checkpoint"]}},
+            {"protocol": {"minReaderVersion": 3, "readerFeatures": ["typeWidening", "v2Checkpoint"]}},
             _meta(),
             _add("f.parquet"),
         ],

@@ -97,3 +97,48 @@ def test_persisted_index_probe_plan_has_no_tokenize(spark, corpus, tmp_path):
     got = {r["doc_id"] for r in out.collect()}
     want = {r["doc_id"] for r in bm25_search(corpus, ["cat"], topk=3).collect()}
     assert got == want
+
+
+def test_refresh_postings_handles_updates_and_refuses_big_batches(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_etl_pipeline_spark.operators.search import (
+        build_postings,
+        refresh_postings,
+    )
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    idx = VersionedTable(spark, str(tmp_path / "pidx"))
+    idx.write(build_postings(docs))
+    # an UPDATE: doc 2's text changes entirely -> its old postings must
+    # die and the new ones appear
+    changes = spark.createDataFrame(
+        [
+            (2, "beta gamma", "update_preimage"),
+            (2, "epsilon zeta", "update_postimage"),
+            (3, "gamma delta", "delete"),
+        ],
+        "doc_id long, text string, change_type string",
+    )
+    refresh_postings(idx, changes)
+    want = build_postings(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "epsilon zeta")], "doc_id long, text string"
+        )
+    )
+    got = {(r.term, r.doc_id, r.tf) for r in idx.read().collect()}
+    assert got == {(r.term, r.doc_id, r.tf) for r in want.collect()}
+
+    # past the changed-doc bound: refuse, recommend a rebuild
+    big = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit("delete").alias("change_type"),
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        refresh_postings(idx, big, max_changed_docs=3)

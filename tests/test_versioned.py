@@ -946,3 +946,28 @@ def test_merge_refuses_type_drifted_update_batch(spark, tmp_path):
     # explicit cast back -> accepted, and the table stays readable
     t.merge(drifted.withColumn("price", F.col("price").cast("decimal(18,2)")), keys=["k"])
     assert t.read().count() == 10
+
+
+def test_merge_wide_decimal_to_double_refuses(spark, tmp_path):
+    # decimal precision > 15 exceeds double's 53-bit mantissa: casting
+    # would silently ALTER large values, so the drift refuses like any
+    # other lossy mismatch; precision <= 15 stays a silent SQL-precedence
+    # upcast
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tdec2dbl"))
+    base = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1.5).cast("double").alias("v")
+    )
+    t.write(base)
+    wide = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit("12345678901234567.89").cast("decimal(19,2)").alias("v"),
+    )
+    with pytest.raises(ValueError, match="type"):
+        t.merge(wide, keys=["k"])
+    narrow = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("7.25").cast("decimal(15,2)").alias("v")
+    )
+    t.merge(narrow, keys=["k"])  # provably lossless -> accepted
+    assert t.read().where(F.col("v") == 7.25).count() == 5
