@@ -1039,6 +1039,199 @@ def triples_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+# non-equi term (the lineitem shipped after the order was placed). The
+# testdata carries no l_commitdate/l_receiptdate, so "late line" is
+# l_shipdate > o_orderdate — same EXISTS-with-correlated-inequality
+# shape, different predicate.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_exists",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="Priority counts for orders with at least one late-shipped line "
+    "(TPC-H Q4 shape: correlated EXISTS as a semi-join with an "
+    "inequality term).",
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: nation-pair trade volume — a 6-table join where the two
+# nation dims enter TWICE (supplier side and customer side) under a
+# symmetric pair predicate, grouped by the pair and the shipment year.
+# Both nation joins broadcast (25 rows); the fact-side joins shuffle on
+# their natural keys.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_pair_trade_volume",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+       OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+    GROUP BY 1, 2, 3
+    """,
+    doc="Bilateral trade volume by year between two nations (TPC-H Q7 "
+    "shape: the nation dim joins twice under a symmetric pair filter).",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-share aggregate — promo revenue as a
+# percentage of total, both sums accumulated EXACTLY in decimal and the
+# ratio taken once in double (rounded to 6, the float contract).
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    sql="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                       ELSE CAST(0.0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share_pct
+    FROM j
+    """,
+    doc="Promo revenue share for one month (TPC-H Q14 shape: conditional "
+    "decimal sums, one double division at the end).",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit("0.0").cast("decimal(12,2)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate across the
+# part/lineitem join — the classic OR-of-ANDs that an engine must keep
+# pushing down (partial pushdown of the shared conjuncts) instead of
+# materializing the whole join. The testdata has no p_container, so the
+# disjuncts pair brand/size bands with quantity bands.
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_band_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="Revenue under an OR-of-ANDs brand/size/quantity predicate "
+    "(TPC-H Q19 shape: disjunctive pushdown across a join).",
+)
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q15 shape: scalar-subquery max — supplier(s) with the maximum
 # revenue. Spark: aggregate once, broadcast the 1-row max, equi-filter on
 # the exact decimal (no double ties).

@@ -50,17 +50,20 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # in dict order per round, so this list holds EXACTLY 50 names. Round-6
 # front, exactly as the r5 verdict instructed: (a) the one query never
 # driver-tested (events_asof_orders_bounded, added late in r5); (b) the
-# eight queries added THIS round (file-based DV + mode-'id' +
+# twelve queries added THIS round (file-based DV + mode-'id' +
 # V2-checkpoint + timestampNtz interop, BM25 postings GC, LSH index GC,
-# triples integrity audit, incremental export); (c) queries whose
+# triples integrity audit, incremental export, TPC-H Q4/Q7/Q14/Q19
+# shapes); (c) queries whose
 # implementation changed this round and need re-proof —
 # doc_global_quality_rank and corpus_curation_v3 (global_rank rewritten
 # to literal-boundary range partitioning, no localCheckpoint retention)
 # and quantile_sketch_incremental (micro-quantile integer rank); (d) ALL
 # 24 r2-only rows (verbatim from the r5 verdict/registry comment); (e)
-# the oldest r3 rows, alphabetical, as many as fit (14:
-# ann_topk_bruteforce .. doc_chunks_token_aware). The round-7 front MUST
-# take the remaining 29 r3 rows (doc_dedup_clusters, doc_exact_dedup,
+# the oldest r3 rows, alphabetical, as many as fit (10:
+# ann_topk_bruteforce .. customer_order_gaps). The round-7 front MUST
+# take the remaining 33 r3 rows (customer_triples,
+# deferred_extraction_results, deferred_retry_state,
+# doc_chunks_token_aware, doc_dedup_clusters, doc_exact_dedup,
 # doc_minhash_signatures, doc_ngram_jaccard_capped,
 # doc_ngram_jaccard_pairs, doc_simhash, doc_tfidf_topk,
 # events_followup_counts, first_ship_per_flag, forecast_revenue_change,
@@ -84,6 +87,10 @@ _VERIFY_FIRST: list[str] = [
     "ann_lsh_gc_topk",                       # NEW: LSH index GC after DV delete
     "delta_interop_timestamp_ntz_read",      # NEW: timestampNtz reader feature
     "delta_export_incremental",              # NEW: append + checkpoint + trim
+    "order_priority_exists",                 # NEW: TPC-H Q4 shape
+    "nation_pair_trade_volume",              # NEW: TPC-H Q7 shape
+    "promo_revenue_share",                   # NEW: TPC-H Q14 shape
+    "disjunctive_band_revenue",              # NEW: TPC-H Q19 shape
     # (c) implementation changed this round
     "doc_global_quality_rank",       # global_rank: literal-boundary rewrite
     "corpus_curation_v3",            # composes the rewritten global_rank
@@ -124,10 +131,6 @@ _VERIFY_FIRST: list[str] = [
     "customer_emails",
     "customer_hash_sample",
     "customer_order_gaps",
-    "customer_triples",
-    "deferred_extraction_results",
-    "deferred_retry_state",
-    "doc_chunks_token_aware",
 ]
 
 
