@@ -827,3 +827,73 @@ def refresh_lsh_index(
             F.lit(n_bits).cast("int").alias("n_bits"),
         )
         table.merge(index, keys=["vec_id", "table_id"])
+
+
+def refresh_ivf_index(
+    table,
+    changes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stride: int = 25,
+    max_changed: int = 100_000,
+) -> None:
+    """Keep a persisted IVF index (build_ivf_index) consistent with its
+    corpus's change feed: assignment rows of deleted/updated vectors are
+    GC'd, fresh vectors are assigned against the INDEX'S OWN centroid set
+    (ivf_index_centroids) and MERGEd in — the same index-vs-corpus
+    consistency contract as refresh_lsh_index / refresh_postings.
+
+    Deleting a CENTROID vector refuses: the centroid set is the index's
+    geometry, and silently dropping one re-shapes every probe — at that
+    point a from-scratch rebuild is the only honest maintenance. The
+    changed-id collect is bounded by the change batch (max_changed),
+    never the corpus.
+    """
+    stale = (
+        changes.where(F.col("change_type").isin("delete", "update_preimage"))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    ids = [r[0] for r in stale.limit(max_changed + 1).collect()]
+    if len(ids) > max_changed:
+        raise ValueError(
+            f"more than {max_changed} changed vectors in one refresh; "
+            "rebuild the IVF index from scratch instead"
+        )
+    if ids:
+        cents = {
+            r["c_id"]
+            for r in ivf_index_centroids(table.read(), stride)
+            .select("c_id")
+            .collect()
+        }
+        hit = sorted(set(ids) & cents)
+        if hit:
+            raise ValueError(
+                f"deleted vectors {hit[:5]} are IVF centroids; the index "
+                "geometry changed — rebuild from scratch"
+            )
+        table.delete_where(F.col("vec_id").isin(ids))
+    fresh = changes.where(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    if fresh.take(1):
+        centroids = ivf_index_centroids(table.read(), stride)
+        e = _with_norm(fresh, vec_col, id_col)
+        dot = _DOT.format(a="v", b="cv")
+        csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+        scored = e.join(F.broadcast(centroids)).select(
+            "vec_id", "v", "norm", "c_id", csim.alias("c_sim")
+        )
+        cells = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.first("norm").alias("norm"),
+                F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id"),
+            )
+            .select(
+                "vec_id", "c_id", "v", "norm", F.lit(False).alias("is_centroid")
+            )
+        )
+        table.merge(cells, keys=["vec_id"])

@@ -1120,7 +1120,11 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # nation (25 rows) broadcasts explicitly; supplier/customer/part
+        # SCALE with SF (1B supplier rows at the 100 TB point) so their
+        # join strategy is left to AQE — broadcast under the threshold
+        # locally, sort-merge at scale
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -1172,7 +1176,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales with SF: no explicit broadcast, AQE picks the strategy
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             F.lit(100.0)
@@ -1215,7 +1220,8 @@ def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales with SF: no explicit broadcast, AQE picks the strategy
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))

@@ -391,3 +391,74 @@ def test_lsh_multiprobe_knob_sweep_tradeoff_table(spark, sf_dir, capsys):
     rec, frac = table[(8, 2)]
     assert rec >= 0.7, f"default operating point recall degraded: {rec:.2f}"
     assert frac <= 0.25, f"default operating point scans too much: {frac:.1%}"
+
+
+class TestIndexGC:
+    def test_ivf_refresh_matches_same_centroid_rebuild(self, spark, sf_dir):
+        import tempfile
+
+        from data_etl_pipeline_spark.operators import similarity
+        from data_etl_pipeline_spark.sources.versioned import VersionedTable
+        from data_etl_pipeline_spark.tables import load
+
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        corpus = VersionedTable(spark, tempfile.mkdtemp(prefix="ivfgc_c_"))
+        corpus.write(emb)
+        idx = VersionedTable(spark, tempfile.mkdtemp(prefix="ivfgc_i_"))
+        similarity.build_ivf_index(corpus.read(), idx)
+        v0 = corpus.latest_version()
+        # delete NON-centroid ids only (centroids are stride multiples)
+        from pyspark.sql import functions as F
+
+        corpus.delete_where_dv(
+            (F.pmod("vec_id", F.lit(11)) == 3) & (F.pmod("vec_id", F.lit(25)) != 0)
+        )
+        similarity.refresh_ivf_index(
+            idx, corpus.change_feed(keys=["vec_id"], from_version=v0)
+        )
+        got = {
+            tuple(r)
+            for r in similarity.ivf_probe_persisted(idx.read(), n_queries=6, k=3).collect()
+        }
+        # no ghost neighbors: every deleted id must be gone from the probe
+        deleted = {
+            r["vec_id"]
+            for r in emb.where(
+                (F.pmod("vec_id", F.lit(11)) == 3) & (F.pmod("vec_id", F.lit(25)) != 0)
+            ).collect()
+        }
+        assert not {g[1] for g in got} & deleted
+        # from-scratch rebuild over the survivors picks the SAME stride
+        # centroids (only non-centroid ids were deleted), so the refreshed
+        # probe must equal the rebuilt probe exactly
+        idx2 = VersionedTable(spark, tempfile.mkdtemp(prefix="ivfgc_r_"))
+        similarity.build_ivf_index(corpus.read(), idx2)
+        want = {
+            tuple(r)
+            for r in similarity.ivf_probe_persisted(
+                idx2.read(), n_queries=6, k=3
+            ).collect()
+        }
+        assert got == want
+
+    def test_ivf_refresh_refuses_centroid_delete(self, spark, sf_dir):
+        import tempfile
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from data_etl_pipeline_spark.operators import similarity
+        from data_etl_pipeline_spark.sources.versioned import VersionedTable
+        from data_etl_pipeline_spark.tables import load
+
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        corpus = VersionedTable(spark, tempfile.mkdtemp(prefix="ivfgc2_c_"))
+        corpus.write(emb)
+        idx = VersionedTable(spark, tempfile.mkdtemp(prefix="ivfgc2_i_"))
+        similarity.build_ivf_index(corpus.read(), idx)
+        v0 = corpus.latest_version()
+        corpus.delete_where_dv(F.col("vec_id") == 50)  # a stride centroid
+        with pytest.raises(ValueError, match="centroid"):
+            similarity.refresh_ivf_index(
+                idx, corpus.change_feed(keys=["vec_id"], from_version=v0)
+            )
