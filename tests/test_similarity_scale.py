@@ -462,3 +462,73 @@ class TestIndexGC:
             similarity.refresh_ivf_index(
                 idx, corpus.change_feed(keys=["vec_id"], from_version=v0)
             )
+
+
+class TestPQ:
+    """Product-quantization ANN: compression, recall, plan shape."""
+
+    def _exact_l2_topk(self, spark, sf_dir, n_queries=10, k=5):
+        from pyspark.sql import Window as W
+
+        e = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = e.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        dist = F.expr(
+            "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        )
+        scored = e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), F.round(dist, 6).alias("l2_dist")
+        )
+        w = W.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    def test_rerank_recall_and_exact_distances(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        exact = self._exact_l2_topk(spark, sf_dir)
+        ex = _topk_sets(exact)
+        got = similarity.ann_topk_pq_rerank(emb, n_queries=10, k=5, candidates=50)
+        ap = _topk_sets(got)
+        hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+        recall = hits / sum(len(v) for v in ex.values())
+        # measured 0.90 on this deterministic corpus; floor leaves headroom
+        # for codebook-construction changes while catching regressions
+        assert recall >= 0.8, f"PQ+rerank recall@5 degraded: {recall:.2f}"
+        # every distance the rerank returns must be the TRUE squared L2 —
+        # join against the exhaustive scored set and compare
+        truth = {
+            (r["q_id"], r["neighbor_id"]): r["l2_dist"]
+            for r in self._exact_l2_topk(spark, sf_dir, k=10**9).collect()
+        }
+        for r in got.collect():
+            assert truth[(r["q_id"], r["neighbor_id"])] == r["l2_dist"]
+
+    def test_codes_are_compressed_and_deterministic(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        n = emb.count()
+        m, stride = 16, 10
+        cb = similarity.pq_codebook(emb, m=m, ds=4, stride=stride)
+        codes = similarity.pq_encode(emb, cb, m=m, ds=4)
+        rows = codes.collect()
+        # one code per (vector, subspace); codebook ids bounded by the sample
+        assert len(rows) == n * m
+        n_cents = cb.where(F.col("j") == 0).count()
+        assert n_cents == len([i for i in range(n) if i % stride == 0])
+        assert all(r["code"] % stride == 0 for r in rows)
+        # deterministic end-to-end (no RNG anywhere in the construction)
+        again = {(r["vec_id"], r["j"]): r["code"] for r in similarity.pq_encode(emb, cb, m=m, ds=4).collect()}
+        assert all(again[(r["vec_id"], r["j"])] == r["code"] for r in rows)
+
+    def test_pq_plan_broadcasts_and_never_materializes_a_cross_join(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        df = similarity.ann_topk_pq_rerank(emb, n_queries=10, k=5, candidates=50)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan
+        # codebook, distance-table, candidate and query joins are all
+        # broadcast — a shuffled join on this shape means the corpus is
+        # being exchanged on a non-key
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
