@@ -2126,6 +2126,110 @@ def delta_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_export_cow_delete",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 5 <> 2
+    GROUP BY 1
+    """,
+    doc="Copy-on-write DELETE on an exported Delta table: only files "
+    "containing matches are rewritten (remove+add commit), untouched "
+    "files stay; NULL-predicate rows are kept and a no-match delete "
+    "commits nothing (asserted in-query). An independent log replay "
+    "reproduces the filtered table.",
+)
+def delta_export_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_delete,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dest = tempfile.mkdtemp(prefix="exp_cow_") + "/table"
+    export_delta(
+        base.where(F.col("o_orderkey") < 1000), dest, partition_by=["o_orderstatus"]
+    )
+    res = export_delta_delete(spark, dest, "o_orderkey % 5 = 2")
+    assert res["version"] == 1 and res["removed_files"] > 0
+    # matching nothing must commit nothing — the log head stays at 1
+    noop = export_delta_delete(spark, dest, "o_orderkey = -1")
+    assert noop["version"] is None and noop["removed_files"] == 0
+    back = DeltaLogReader(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "delta_interop_tail_read",
+    sql="""
+    SELECT 1 AS commit_version, o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1000 GROUP BY 2
+    UNION ALL
+    SELECT 2, o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1400 GROUP BY 2
+    """,
+    doc="Incremental TAIL of a foreign Delta log: rows added by commits "
+    "(from_version, latest], tagged _commit_version, in ONE scan branch "
+    "regardless of commit count (file->version via a canonical-path "
+    "broadcast). A copy-on-write delete then makes the head a CHANGE "
+    "commit: tailing refuses by default (emitting rewritten survivors as "
+    "inserts would re-deliver rows) and skip_change_commits skips it "
+    "wholesale — both proven in-query; the aggregate hashes only the "
+    "append commits.",
+)
+def delta_interop_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import (
+        DeltaLogReader,
+        DeltaProtocolError,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="tail_") + "/table"
+    export_delta(sl(0, 600), dest, partition_by=["o_orderstatus"])
+    export_delta_append(sl(600, 1000), dest)
+    export_delta_append(sl(1000, 1400), dest)
+    reader = DeltaLogReader(spark, dest)
+    # the head becomes a non-append commit — the refusal/skip contract
+    export_delta_delete(spark, dest, "o_orderkey % 7 = 3")
+    try:
+        reader.tail(0)
+        raise AssertionError("tailing across a change commit must refuse")
+    except DeltaProtocolError:
+        pass
+    inc = reader.tail(0, skip_change_commits=True)
+    return inc.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Delta interop, COLUMN MAPPING (mode 'name'): the fixture table stores
 # PHYSICAL column names (col-1/col-2) in its parquet files and partition

@@ -74,7 +74,9 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # stream_enriched_counts, stream_hourly_event_counts,
 # stream_user_sessions, supplier_wkt_points, token_budget_guard,
 # user_session_counts, user_sessions_gap, version_drift_entities), plus
-# any round-6 additions without rows, then the oldest r4 rows.
+# the round-6 LATE additions without rows (ann_topk_pq,
+# ann_topk_pq_rerank, delta_export_cow_delete, delta_interop_tail_read,
+# and any added after them this round), then the oldest r4 rows.
 _VERIFY_FIRST: list[str] = [
     # (a) never driver-tested
     "events_asof_orders_bounded",

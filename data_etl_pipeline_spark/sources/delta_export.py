@@ -330,3 +330,146 @@ def checkpoint_export(spark, dest: str, trim: bool = False) -> int:
         for v in versions[:-1]:
             os.remove(os.path.join(log_dir, f"{v:020d}.json"))
     return head
+
+
+def export_delta_delete(spark, dest: str, predicate: str) -> dict:
+    """COPY-ON-WRITE DELETE on a table this module exported: rows matching
+    ``predicate`` (a SQL boolean over the table's columns, partition
+    columns included) are removed by rewriting ONLY the data files that
+    contain at least one match — untouched files stay in place, the
+    commit is ``remove`` actions for the rewritten files plus ``add``
+    actions for their survivor files. This is the classic Delta writer
+    delete (deletion vectors are the MERGE-heavy alternative the reader
+    side already understands); together with ``export_delta_append`` it
+    makes the exporter a real incremental publisher.
+
+    SQL DELETE semantics: rows where the predicate evaluates NULL are
+    KEPT. A predicate matching nothing commits nothing and returns
+    ``version None``. Checkpointed/foreign logs refuse via
+    ``_read_own_log``.
+
+    Scale shape: discovery is one pruned scan per partition group with
+    ``_metadata.file_path`` (the collect is bounded by FILE count, never
+    rows); the rewrite reads only affected files and writes survivors
+    back into the same Hive partition directory.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files = _read_own_log(dest)
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    types_map = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    file_schema = T.StructType(data_fields)
+    pred = F.expr(predicate)
+
+    def canon_fs_path(file_uri: str) -> str:
+        # same normalization as the reader's DV anti-join: strip the
+        # file: scheme, protect literal '+', percent-decode
+        return unquote(_re.sub("^file:/*", "/", file_uri).replace("+", "%2B"))
+
+    groups: dict[tuple, list[str]] = {}
+    for p, a in files.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(unquote(p))
+
+    def scan_group(key: tuple, rels: list[str]):
+        df = spark.read.schema(file_schema).parquet(
+            *[os.path.join(dest, r) for r in rels]
+        ).select("*", F.col("_metadata.file_path").alias("__fp"))
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(types_map[c]))
+        return df
+
+    # 1) discovery: which live files hold at least one matching row
+    affected: dict[tuple, list[str]] = {}
+    n_affected = 0
+    for key, rels in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        hit = (
+            scan_group(key, rels)
+            .where(pred)
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        if not hit:
+            continue
+        by_abs = {os.path.abspath(os.path.join(dest, r)): r for r in rels}
+        aff = sorted(by_abs[canon_fs_path(r["__fp"])] for r in hit)
+        affected[key] = aff
+        n_affected += len(aff)
+    if not affected:
+        return {"version": None, "removed_files": 0, "added_files": 0}
+
+    # 2) rewrite survivors per partition group, into the group's own dir
+    known = {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    keep = ~F.coalesce(pred, F.lit(False))
+    for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
+        surv = scan_group(key, aff).where(keep).select(*[f.name for f in data_fields])
+        out_dir = os.path.join(dest, os.path.dirname(aff[0]))
+        surv.write.mode("append").parquet(out_dir)
+
+    # 3) commit: remove rewritten files, add their survivor files
+    now_ms = int(__import__("time").time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": quote(rel.replace(os.sep, "/")),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for aff in affected.values()
+        for rel in sorted(aff)
+    ]
+    adds = []
+    for root, _d, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, dest).replace(os.sep, "/")
+            if rel in known:
+                continue
+            pv = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            st = os.stat(full)
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": pv,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    adds.sort(key=lambda a: a["add"]["path"])
+    version = versions[-1] + 1
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in [*actions, *adds]:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+    return {
+        "version": version,
+        "removed_files": n_affected,
+        "added_files": len(adds),
+    }

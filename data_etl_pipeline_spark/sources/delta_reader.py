@@ -341,19 +341,23 @@ class DeltaLogReader:
             )
         return idxs
 
-    # -- snapshot read ------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        meta, adds = self._replay(version)
+    # -- schema interpretation ----------------------------------------------
+    def _schema_plan(self, meta: dict):
+        """Interpret a metaData action into everything a file scan needs:
+        (table schema, partition columns, logical->physical name map,
+        file scan schema, rename projection, column type map).
+
+        COLUMN MAPPING: data files and partitionValues use PHYSICAL
+        column names (schema-field metadata
+        delta.columnMapping.physicalName). Mode 'name' scans under the
+        physical schema and renames back to logical; mode 'id' matches
+        parquet columns by FIELD ID (schema-field metadata
+        delta.columnMapping.id carried into the scan as
+        ``parquet.field.id`` with fieldId.read enabled), which survives
+        physical renames the way the protocol requires.
+        """
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
-        # COLUMN MAPPING: data files and partitionValues use PHYSICAL
-        # column names (schema-field metadata
-        # delta.columnMapping.physicalName). Mode 'name' scans under the
-        # physical schema and renames back to logical; mode 'id' matches
-        # parquet columns by FIELD ID (schema-field metadata
-        # delta.columnMapping.id carried into the scan as
-        # ``parquet.field.id`` with fieldId.read enabled), which survives
-        # physical renames the way the protocol requires.
         config = meta.get("configuration") or {}
         cm_mode = config.get("delta.columnMapping.mode", "none")
         if cm_mode not in ("none", "name", "id"):
@@ -402,6 +406,13 @@ class DeltaLogReader:
                 ]
             )
             rename = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        return schema, part_cols, phys, file_schema, rename, types
+
+    # -- snapshot read ------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        meta, adds = self._replay(version)
+        schema, part_cols, phys, file_schema, rename, types = self._schema_plan(meta)
         if not adds:
             return self.spark.createDataFrame([], schema)
         # group files by their partition assignment; each group reads with
@@ -425,7 +436,6 @@ class DeltaLogReader:
             else:
                 dv_reads.append((key, full, self._dv_indexes(add)))
         out = None
-        types = {f.name: f.dataType for f in schema.fields}
 
         def attach(df: DataFrame, key: tuple) -> DataFrame:
             for c, raw in zip(part_cols, key):
@@ -447,6 +457,132 @@ class DeltaLogReader:
             )
             out = dv_df if out is None else out.unionByName(dv_df)
         return out
+
+    # -- incremental tail ---------------------------------------------------
+    def tail(self, from_version: int, skip_change_commits: bool = False) -> DataFrame:
+        """Micro-batch incremental read of a FOREIGN Delta log: the rows
+        ADDED by every commit in ``(from_version, latest]``, each tagged
+        ``_commit_version`` — the consumer keeps the last version it saw
+        and tails from there, the offset contract Spark's own Delta
+        streaming source uses (and it composes with the exactly-once
+        consumed-version pattern of ``stream_table_to_table_cdf``).
+
+        Non-append commits — any ``remove`` action or deletion-vector-
+        bearing ``add`` — REFUSE by default: their row-level delta is not
+        representable as inserts, and emitting their adds anyway would
+        re-deliver rewritten survivors as phantom inserts. With
+        ``skip_change_commits=True`` those commits are skipped WHOLESALE
+        (the ``skipChangeCommits`` contract). A schema or column-mapping
+        change inside the tailed range refuses loudly either way, as does
+        a vacuumed hole (a missing commit JSON means silently lost adds).
+
+        Scale shape: ONE scan branch for all new files regardless of how
+        many commits the range spans — files map to (commit version,
+        partition literals) through a broadcast keyed on the canonical
+        decoded path, the same normalization the DV anti-join uses.
+        """
+        commits, cps = self._scan()
+        all_versions = sorted(set(commits) | set(cps))
+        if not all_versions:
+            raise ValueError(f"empty _delta_log at {self.path}")
+        latest = all_versions[-1]
+        if from_version not in all_versions:
+            raise ValueError(f"no Delta version {from_version!r} at {self.path}")
+        commit_set = set(commits)
+        missing = [v for v in range(from_version + 1, latest + 1) if v not in commit_set]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot tail {self.path} from {from_version}: commit JSONs "
+                f"{missing} are missing (vacuumed?) — their adds would be "
+                "silently lost"
+            )
+        meta, _ = self._replay(from_version)
+        base_cfg = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+        batches: list[tuple[int, list[dict]]] = []
+        for v in range(from_version + 1, latest + 1):
+            adds: list[dict] = []
+            change = False
+            with open(os.path.join(self._log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        self._check_protocol(action["protocol"])
+                    elif "metaData" in action:
+                        md = action["metaData"]
+                        cfg = (md.get("configuration") or {}).get(
+                            "delta.columnMapping.mode", "none"
+                        )
+                        if md.get("schemaString") != meta["schemaString"] or cfg != base_cfg:
+                            raise DeltaProtocolError(
+                                f"commit {v} changes the table schema or column "
+                                "mapping mid-tail; restart the consumer from a "
+                                "fresh snapshot"
+                            )
+                    elif "add" in action:
+                        if action["add"].get("deletionVector"):
+                            change = True
+                        adds.append(action["add"])
+                    elif "remove" in action:
+                        change = True
+            if change:
+                if not skip_change_commits:
+                    raise DeltaProtocolError(
+                        f"commit {v} of {self.path} is not append-only "
+                        "(remove/deletion-vector actions); its row-level delta "
+                        "cannot be emitted as inserts — pass "
+                        "skip_change_commits=True to skip such commits, or "
+                        "consume a change feed instead"
+                    )
+                continue
+            if adds:
+                batches.append((v, adds))
+        schema, part_cols, phys, file_schema, rename, types = self._schema_plan(meta)
+        if not batches:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(schema.fields) + [T.StructField("_commit_version", T.LongType())]
+                ),
+            )
+        from urllib.parse import unquote
+
+        paths: list[str] = []
+        map_rows: list[tuple] = []
+        for v, adds in batches:
+            for add in adds:
+                full = os.path.join(self.path, unquote(add["path"]))
+                paths.append(full)
+                pv = add.get("partitionValues") or {}
+                map_rows.append(
+                    (os.path.abspath(full), v, *[pv.get(phys[c]) for c in part_cols])
+                )
+        canon = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__fp"), "^file:/*", "/"), r"\+", "%2B"
+            )
+        )
+        df = (
+            self.spark.read.schema(file_schema)
+            .parquet(*paths)
+            .select("*", F.col("_metadata.file_path").alias("__fp"))
+            .withColumn("__cf", canon)
+            .drop("__fp")
+        )
+        map_schema = T.StructType(
+            [
+                T.StructField("__cf", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+            + [T.StructField(c, T.StringType()) for c in part_cols]
+        )
+        fmap = F.broadcast(self.spark.createDataFrame(map_rows, map_schema))
+        return df.join(fmap, "__cf").select(
+            *rename,
+            *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
+            "_commit_version",
+        ).select(*[f.name for f in schema.fields], "_commit_version")
 
     def _read_dv_files(
         self,

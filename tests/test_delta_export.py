@@ -179,3 +179,154 @@ class TestIncrementalExport:
             export_delta_append(
                 spark.createDataFrame([(9, "z")], "id long, val string"), dest
             )
+
+
+class TestCowDelete:
+    """Copy-on-write delete: file-level surgical rewrite + tail interop."""
+
+    def _table(self, spark, tmp_path, name="cow"):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+
+        df = spark.createDataFrame(
+            [(i, "p%d" % (i % 2), float(i)) for i in range(40)],
+            "id long, part string, val double",
+        )
+        dest = str(tmp_path / name)
+        export_delta(df, dest, partition_by=["part"])
+        return dest, df
+
+    def test_only_matching_files_rewritten(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_delete
+
+        dest, df = self._table(spark, tmp_path)
+        before = {
+            json.loads(line)["add"]["path"]
+            for line in open(os.path.join(dest, "_delta_log", f"{0:020d}.json"))
+            if "add" in json.loads(line)
+        }
+        # the predicate hits only partition p1 (odd ids) — p0's files must
+        # survive untouched
+        res = export_delta_delete(spark, dest, "id % 2 = 1 AND id >= 30")
+        assert res["version"] == 1
+        commit = [
+            json.loads(line)
+            for line in open(os.path.join(dest, "_delta_log", f"{1:020d}.json"))
+        ]
+        from urllib.parse import unquote
+
+        removed = {a["remove"]["path"] for a in commit if "remove" in a}
+        assert removed and all(unquote(p).startswith("part=p1/") for p in removed)
+        assert removed <= before
+        back = DeltaLogReader(spark, dest).read()
+        expect = {(i, "p%d" % (i % 2), float(i)) for i in range(40) if not (i % 2 == 1 and i >= 30)}
+        assert {tuple(r) for r in back.collect()} == expect
+
+    def test_null_predicate_rows_are_kept(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_delete,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 3.0)], "id long, val double"
+        )
+        dest = str(tmp_path / "nulls")
+        export_delta(df, dest)
+        export_delta_delete(spark, dest, "val < 5.0")
+        back = DeltaLogReader(spark, dest).read()
+        # SQL DELETE: the NULL-val row does not match and stays
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+    def test_delete_refuses_checkpointed_log(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            DeltaExportError,
+            checkpoint_export,
+            export_delta_delete,
+        )
+
+        dest, _ = self._table(spark, tmp_path, "ckpt")
+        checkpoint_export(spark, dest)
+        with pytest.raises(DeltaExportError):
+            export_delta_delete(spark, dest, "id = 1")
+
+
+class TestTail:
+    """Incremental foreign-log tailing: offsets, refusals, one-scan plan."""
+
+    def _grown(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_append,
+        )
+
+        dest = str(tmp_path / "grown")
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, hi)], "id long, val double"
+        )
+        export_delta(mk(0, 10), dest)
+        export_delta_append(mk(10, 25), dest)
+        export_delta_append(mk(25, 30), dest)
+        return dest
+
+    def test_tail_versions_and_rows(self, spark, tmp_path):
+        dest = self._grown(spark, tmp_path)
+        got = DeltaLogReader(spark, dest).tail(0).collect()
+        by_v = {}
+        for r in got:
+            by_v.setdefault(r["_commit_version"], set()).add(r["id"])
+        assert by_v == {1: set(range(10, 25)), 2: set(range(25, 30))}
+        assert DeltaLogReader(spark, dest).tail(2).count() == 0
+
+    def test_tail_refuses_vacuumed_hole(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaProtocolError
+
+        dest = self._grown(spark, tmp_path)
+        os.remove(os.path.join(dest, "_delta_log", f"{1:020d}.json"))
+        with pytest.raises((DeltaProtocolError, ValueError)):
+            DeltaLogReader(spark, dest).tail(0)
+
+    def test_tail_refuses_schema_change_mid_range(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaProtocolError
+
+        dest = self._grown(spark, tmp_path)
+        # splice a metaData action with a drifted schema into commit 2
+        commit = os.path.join(dest, "_delta_log", f"{2:020d}.json")
+        lines = open(commit).read().splitlines()
+        meta = {
+            "metaData": {
+                "id": "export-x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                    ]}
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+        with open(commit, "w") as fh:
+            fh.write(json.dumps(meta) + "\n" + "\n".join(lines) + "\n")
+        with pytest.raises(DeltaProtocolError, match="schema or column mapping"):
+            DeltaLogReader(spark, dest).tail(0)
+
+    def test_tail_is_one_scan_branch(self, spark, tmp_path):
+        dest = self._grown(spark, tmp_path)
+        df = DeltaLogReader(spark, dest).tail(0)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # ONE parquet scan node for ALL tailed commits (formatted explain
+        # prints each node twice: tree + detail); the file->version map is
+        # an in-memory LocalTableScan broadcast
+        assert plan.count("Scan parquet") == 2
+        assert "BroadcastHashJoin" in plan
+
+    def test_tail_skip_change_commits_drops_rewrites(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_delete
+
+        dest = self._grown(spark, tmp_path)
+        export_delta_delete(spark, dest, "id % 3 = 0")
+        got = DeltaLogReader(spark, dest).tail(0, skip_change_commits=True).collect()
+        # the rewrite commit contributed nothing; appends intact
+        assert {r["id"] for r in got} == set(range(10, 30))
