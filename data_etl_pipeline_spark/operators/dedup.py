@@ -625,3 +625,69 @@ def repeated_substring_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING dedup: word ``g``-grams appearing in
+    at least ``min_docs`` distinct documents are boilerplate; every
+    occurrence's span is cut from every document (the training-data
+    dedup that removes licenses, headers and navigation chrome — Lee et
+    al. 2022's suffix-array pass, re-expressed relationally: the n-gram
+    postings index IS the repeated-substring finder at fixed g).
+
+    Returns (doc_id, n_words, n_removed, cleaned_text) for EVERY input
+    document — a fully-covered document comes back with empty text, a
+    short one (< g words) untouched.
+
+    Scale shape: one explode-groupBy over the corpus grams (the same
+    shuffle class as MinHash); the hot-gram set is tiny by construction
+    (boilerplate is rare), so the occurrence join prunes hard; covered
+    positions explode only from hot occurrences; the reconstruction is a
+    per-doc sort of kept words (partition-local after the doc_id
+    shuffle). No UDFs, pure codegen.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    grams = d.where(F.size("w") >= g).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, size(w) - {g})")).alias("s"),
+        "w",
+    ).select(
+        "doc_id", "s", F.concat_ws(" ", F.expr(f"slice(w, s + 1, {g})")).alias("gram")
+    )
+    hot = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    cov = (
+        grams.join(hot, "gram")
+        .select("doc_id", F.explode(F.expr(f"sequence(s, s + {g - 1})")).alias("pos"))
+        .distinct()
+    )
+    words = d.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+        ).alias("cleaned_text"),
+    )
+    base = d.select("doc_id", F.size("w").cast("long").alias("n_words"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

@@ -724,6 +724,42 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 @query(
+    "doc_boilerplate_removal",
+    sql="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (SELECT doc_id, i AS s, array_to_string(w[i:i+4], ' ') AS gram
+              FROM docs, unnest(range(1, len(w) - 3)) AS t(i)
+              WHERE len(w) >= 5),
+    hot AS (SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1) f
+        WHERE df >= 3),
+    cov AS (SELECT DISTINCT g.doc_id, g.s + o AS pos
+            FROM grams g JOIN hot USING (gram), unnest(range(0, 5)) AS t(o)),
+    words AS (SELECT doc_id, i AS pos, w[i] AS word
+              FROM docs, unnest(range(1, len(w) + 1)) AS t(i)),
+    kept AS (SELECT words.* FROM words ANTI JOIN cov USING (doc_id, pos)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY 1)
+    SELECT docs.doc_id, len(w) AS n_words,
+           len(w) - COALESCE(n_kept, 0) AS n_removed,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM docs LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Cross-document exact-substring dedup (Lee et al. 2022 shape): "
+    "5-grams appearing in >= 3 distinct docs are boilerplate; every "
+    "occurrence span is cut from every document. One explode-groupBy "
+    "postings pass; the hot-gram set is tiny so the occurrence join "
+    "prunes hard; reconstruction is a per-doc kept-word sort. Returns "
+    "every doc with (n_words, n_removed, cleaned_text).",
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.remove_boilerplate_spans(
+        load(spark, sf_dir, "documents"), g=5, min_docs=3
+    )
+
+
+@query(
     "doc_lang_id",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -215,3 +215,60 @@ def test_simhash_uses_all_60_bits_and_bands_stay_discriminative(spark, sf_dir):
             F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("k")
         ).distinct().count()
         assert distinct > n_docs // 10, (b, distinct, n_docs)
+
+
+class TestBoilerplateRemoval:
+    def test_spans_cut_and_unioned(self, spark):
+        from data_etl_pipeline_spark.operators.dedup import remove_boilerplate_spans
+
+        bp = "terms of service apply here"  # 5 words, in 3 docs
+        docs = spark.createDataFrame(
+            [
+                (0, f"alpha {bp} beta"),
+                (1, f"{bp} gamma delta epsilon"),
+                # overlapping occurrences: bp twice, spans overlap at 'zeta'? no —
+                # back-to-back occurrences, both cut
+                (2, f"{bp} {bp}"),
+                (3, "totally unrelated words right here now"),
+                (4, "tiny doc"),  # < g words, untouched
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_spans(docs, g=5, min_docs=3).collect()
+        }
+        assert out[0]["cleaned_text"] == "alpha beta"
+        assert out[0]["n_removed"] == 5 and out[0]["n_words"] == 7
+        assert out[1]["cleaned_text"] == "gamma delta epsilon"
+        # doc 2 is ALL boilerplate -> empty survivor, still present
+        assert out[2]["cleaned_text"] == "" and out[2]["n_removed"] == 10
+        assert out[3]["cleaned_text"] == "totally unrelated words right here now"
+        assert out[3]["n_removed"] == 0
+        assert out[4]["cleaned_text"] == "tiny doc" and out[4]["n_removed"] == 0
+
+    def test_overlapping_hot_grams_union_positions(self, spark):
+        from data_etl_pipeline_spark.operators.dedup import remove_boilerplate_spans
+
+        # 'a b c d e f' contains two hot 5-grams sharing 4 positions; the
+        # covered set is their UNION (6 positions), not double-counted
+        rep = "a b c d e f"
+        docs = spark.createDataFrame(
+            [(i, f"{rep} unique{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_spans(docs, g=5, min_docs=3).collect()
+        }
+        for i in range(3):
+            assert out[i]["cleaned_text"] == f"unique{i}"
+            assert out[i]["n_removed"] == 6
+
+    def test_no_udf_in_plan(self, spark):
+        from data_etl_pipeline_spark.operators.dedup import remove_boilerplate_spans
+
+        docs = spark.createDataFrame([(0, "a b c d e f g")], "doc_id long, text string")
+        df = remove_boilerplate_spans(docs)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
