@@ -2230,6 +2230,123 @@ def delta_interop_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_export_optimize_tail",
+    sql="""
+    SELECT 1 AS commit_version, o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800 GROUP BY 2
+    UNION ALL
+    SELECT 3, o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200 GROUP BY 2
+    """,
+    doc="OPTIMIZE on an exported Delta table: per-partition compaction to "
+    "one file via a dataChange:false remove+add commit. A tail across the "
+    "OPTIMIZE emits NOTHING for it (no rows changed) and does NOT refuse "
+    "— compaction is invisible to consumers, exactly Spark's Delta "
+    "streaming-source behavior; appends before and after surface under "
+    "their own _commit_version. File shrinkage and full-content "
+    "equivalence asserted in-query.",
+)
+def delta_export_optimize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_optimize,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="opt_tail_") + "/table"
+    export_delta(sl(0, 400), dest, partition_by=["o_orderstatus"])
+    export_delta_append(sl(400, 800), dest)
+    res = export_delta_optimize(spark, dest)
+    assert res["version"] == 2 and res["compacted_files"] > res["new_files"]
+    # every action in the OPTIMIZE commit is dataChange:false
+    commit = _os.path.join(dest, "_delta_log", f"{2:020d}.json")
+    for line in open(commit):
+        a = _json.loads(line)
+        act = a.get("remove") or a.get("add")
+        assert act is not None and act["dataChange"] is False
+    export_delta_append(sl(800, 1200), dest)
+    reader = DeltaLogReader(spark, dest)
+    # the snapshot after compaction is row-identical to the logical table
+    assert reader.read().count() == sl(0, 1200).count()
+    inc = reader.tail(0)  # no refusal: dataChange:false removes are not changes
+    return inc.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "delta_interop_timestamp_read",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 900
+    GROUP BY 1
+    """,
+    doc="timestampAsOf time travel: commit timestamps are the log files' "
+    "mtimes adjusted to strict monotonicity (Delta's clock-skew rule); a "
+    "timestamp between commit 1 and commit 2 resolves to version 1, one "
+    "before the earliest commit refuses. The returned aggregate is the "
+    "version-1 snapshot.",
+)
+def delta_interop_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="ts_read_") + "/table"
+    export_delta(sl(0, 500), dest, partition_by=["o_orderstatus"])
+    export_delta_append(sl(500, 900), dest)
+    export_delta_append(sl(900, 1200), dest)
+    t0 = 1_700_000_000
+    for v, t in [(0, t0), (1, t0 + 1000), (2, t0 + 2000)]:
+        p = _os.path.join(dest, "_delta_log", f"{v:020d}.json")
+        _os.utime(p, (t, t))
+    reader = DeltaLogReader(spark, dest)
+    assert reader.version_at_timestamp(t0 * 1000) == 0
+    assert reader.version_at_timestamp((t0 + 2500) * 1000) == 2
+    try:
+        reader.version_at_timestamp((t0 - 10) * 1000)
+        raise AssertionError("pre-table timestamp must refuse")
+    except ValueError:
+        pass
+    at_v1 = reader.read_as_of_timestamp((t0 + 1500) * 1000)
+    return at_v1.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Delta interop, COLUMN MAPPING (mode 'name'): the fixture table stores
 # PHYSICAL column names (col-1/col-2) in its parquet files and partition

@@ -198,18 +198,27 @@ def export_delta_append(df: DataFrame, dest: str) -> dict:
     does no evolution — a drifted snapshot is a different table).
     Returns {"version": ..., "n_files": ..., "bytes": ...}."""
     dest = dest.rstrip("/")
-    meta, versions, existing = _read_own_log(dest)
+    meta, versions, _existing = _read_own_log(dest)
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
             "append schema differs from the exported table's schema; "
             "export a new table instead of evolving this one"
         )
     partition_by = list(meta.get("partitionColumns") or [])
+    # diff against everything ON DISK before the write, not just the live
+    # add set — files removed by a CoW delete/OPTIMIZE linger until a
+    # vacuum, and re-adding them would resurrect deleted rows
+    known = {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dest)
-    known = {unquote(p) for p in existing}
     adds = []
     total = 0
     for root, _dirs, fs in os.walk(dest):
@@ -473,3 +482,94 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
         "removed_files": n_affected,
         "added_files": len(adds),
     }
+
+
+def export_delta_optimize(spark, dest: str) -> dict:
+    """Compact each partition of an exported table to ONE file — the
+    Delta OPTIMIZE shape: the commit's ``remove``/``add`` actions all
+    carry ``dataChange: false``, so log consumers know no ROWS changed
+    (a streaming tail emits nothing for it; snapshot readers just see
+    fewer files). Partitions already at one file are left untouched; if
+    nothing needs compacting, nothing commits (``version None``).
+    """
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files = _read_own_log(dest)
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    file_schema = T.StructType(data_fields)
+
+    groups: dict[tuple, list[str]] = {}
+    for p, a in files.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(unquote(p))
+    todo = {k: sorted(v) for k, v in groups.items() if len(v) > 1}
+    if not todo:
+        return {"version": None, "compacted_files": 0, "new_files": 0}
+
+    known = {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    removed: list[str] = []
+    for key, rels in sorted(todo.items(), key=lambda kv: repr(kv[0])):
+        df = spark.read.schema(file_schema).parquet(
+            *[os.path.join(dest, r) for r in rels]
+        )
+        out_dir = os.path.join(dest, os.path.dirname(rels[0]))
+        df.coalesce(1).write.mode("append").parquet(out_dir)
+        removed.extend(rels)
+
+    now_ms = int(__import__("time").time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": quote(rel.replace(os.sep, "/")),
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(removed)
+    ]
+    adds = []
+    for root, _d, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, dest).replace(os.sep, "/")
+            if rel in known:
+                continue
+            pv = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            st = os.stat(full)
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": pv,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": False,
+                    }
+                }
+            )
+    adds.sort(key=lambda a: a["add"]["path"])
+    version = versions[-1] + 1
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in [*actions, *adds]:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+    return {"version": version, "compacted_files": len(removed), "new_files": len(adds)}

@@ -458,6 +458,41 @@ class DeltaLogReader:
             out = dv_df if out is None else out.unionByName(dv_df)
         return out
 
+    # -- timestamp time travel ----------------------------------------------
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Latest version whose commit timestamp is <= ``ts_ms`` — the
+        ``timestampAsOf`` contract. A commit's timestamp is its log
+        file's modification time, adjusted to be strictly monotonic
+        across versions exactly as Delta does (a clock-skewed commit
+        inherits predecessor+1ms, so later versions never resolve
+        earlier). Versions whose JSON was trimmed behind a checkpoint
+        carry no timestamp: a request before the earliest surviving
+        commit refuses rather than guessing.
+        """
+        commits, _cps = self._scan()
+        if not commits:
+            raise ValueError(
+                f"{self.path} has no JSON commits to timestamp-resolve "
+                "(fully checkpointed/trimmed log); use a version read"
+            )
+        stamped: list[tuple[int, int]] = []
+        prev = -1
+        for v in sorted(commits):
+            raw = int(os.stat(os.path.join(self._log_dir, f"{v:020d}.json")).st_mtime * 1000)
+            eff = max(raw, prev + 1)
+            stamped.append((v, eff))
+            prev = eff
+        eligible = [v for v, t in stamped if t <= ts_ms]
+        if not eligible:
+            raise ValueError(
+                f"timestamp {ts_ms} predates the earliest available commit "
+                f"of {self.path} (version {stamped[0][0]} at {stamped[0][1]})"
+            )
+        return max(eligible)
+
+    def read_as_of_timestamp(self, ts_ms: int) -> DataFrame:
+        return self.read(self.version_at_timestamp(ts_ms))
+
     # -- incremental tail ---------------------------------------------------
     def tail(self, from_version: int, skip_change_commits: bool = False) -> DataFrame:
         """Micro-batch incremental read of a FOREIGN Delta log: the rows
@@ -523,9 +558,13 @@ class DeltaLogReader:
                     elif "add" in action:
                         if action["add"].get("deletionVector"):
                             change = True
-                        adds.append(action["add"])
+                        elif action["add"].get("dataChange", True):
+                            adds.append(action["add"])
+                        # dataChange:false adds are OPTIMIZE rewrites of
+                        # rows already emitted — no new rows to deliver
                     elif "remove" in action:
-                        change = True
+                        if action["remove"].get("dataChange", True):
+                            change = True
             if change:
                 if not skip_change_commits:
                     raise DeltaProtocolError(

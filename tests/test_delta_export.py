@@ -330,3 +330,85 @@ class TestTail:
         got = DeltaLogReader(spark, dest).tail(0, skip_change_commits=True).collect()
         # the rewrite commit contributed nothing; appends intact
         assert {r["id"] for r in got} == set(range(10, 30))
+
+
+class TestOptimizeAndTimestamp:
+    def test_optimize_compacts_and_append_never_resurrects(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_append,
+            export_delta_delete,
+            export_delta_optimize,
+        )
+
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, "p%d" % (i % 2), float(i)) for i in range(lo, hi)],
+            "id long, part string, val double",
+        )
+        dest = str(tmp_path / "opt")
+        export_delta(mk(0, 20), dest, partition_by=["part"])
+        export_delta_append(mk(20, 40), dest)
+        res = export_delta_optimize(spark, dest)
+        assert res["version"] == 2 and res["new_files"] == 2  # one per partition
+        # idempotent: already compacted -> nothing commits
+        assert export_delta_optimize(spark, dest)["version"] is None
+        # the regression this guards: append's walk-diff must ignore
+        # removed-but-unvacuumed files, or they get re-added
+        export_delta_delete(spark, dest, "id >= 35")
+        export_delta_append(mk(40, 45), dest)
+        back = DeltaLogReader(spark, dest).read()
+        assert sorted(r["id"] for r in back.collect()) == [
+            *range(0, 35), *range(40, 45)
+        ]
+
+    def test_tail_emits_nothing_for_optimize(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_append,
+            export_delta_optimize,
+        )
+
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, hi)], "id long, val double"
+        )
+        dest = str(tmp_path / "opt_tail")
+        export_delta(mk(0, 5), dest)
+        export_delta_append(mk(5, 10), dest)
+        export_delta_optimize(spark, dest)
+        export_delta_append(mk(10, 15), dest)
+        got = DeltaLogReader(spark, dest).tail(0).collect()
+        by_v = {}
+        for r in got:
+            by_v.setdefault(r["_commit_version"], set()).add(r["id"])
+        assert by_v == {1: set(range(5, 10)), 3: set(range(10, 15))}
+
+    def test_timestamp_resolution_is_monotonic_under_skew(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_append,
+        )
+
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "id long"
+        )
+        dest = str(tmp_path / "ts")
+        export_delta(mk(0, 3), dest)
+        export_delta_append(mk(3, 6), dest)
+        export_delta_append(mk(6, 9), dest)
+        log = os.path.join(dest, "_delta_log")
+        t0 = 1_700_000_000
+        # clock skew: commit 1's mtime is EARLIER than commit 0's — Delta's
+        # monotonic adjustment gives it t0*1000 + 1ms, so it still resolves
+        # after version 0
+        os.utime(os.path.join(log, f"{0:020d}.json"), (t0, t0))
+        os.utime(os.path.join(log, f"{1:020d}.json"), (t0 - 50, t0 - 50))
+        os.utime(os.path.join(log, f"{2:020d}.json"), (t0 + 100, t0 + 100))
+        r = DeltaLogReader(spark, dest)
+        assert r.version_at_timestamp(t0 * 1000) == 0
+        assert r.version_at_timestamp(t0 * 1000 + 1) == 1
+        assert r.version_at_timestamp((t0 + 100) * 1000) == 2
+        with pytest.raises(ValueError, match="predates"):
+            r.version_at_timestamp(t0 * 1000 - 1)
+        assert sorted(
+            x["id"] for x in r.read_as_of_timestamp(t0 * 1000 + 1).collect()
+        ) == list(range(6))
