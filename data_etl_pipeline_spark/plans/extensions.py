@@ -2294,6 +2294,69 @@ def delta_export_optimize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_export_vacuum_lifecycle",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200 AND o_orderkey % 6 <> 1
+    GROUP BY 1
+    """,
+    doc="Full exported-table lifecycle under one oracle: export -> append "
+    "-> CoW delete -> OPTIMIZE -> VACUUM keep_versions=1. The vacuum "
+    "reclaims every rewritten-input file (on-disk parquet count equals "
+    "the live set, asserted), time travel past the retention window "
+    "fails loudly, and the head snapshot still hashes to the filtered "
+    "source — storage reclaim can't change data.",
+)
+def delta_export_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+        export_delta_optimize,
+        export_delta_vacuum,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="vac_") + "/table"
+    export_delta(sl(0, 600), dest, partition_by=["o_orderstatus"])
+    export_delta_append(sl(600, 1200), dest)
+    export_delta_delete(spark, dest, "o_orderkey % 6 = 1")
+    export_delta_optimize(spark, dest)
+    res = export_delta_vacuum(dest, keep_versions=1)
+    assert res["removed_files"] > 0 and res["reclaimed_bytes"] > 0
+    on_disk = sum(
+        1
+        for root, _d, fs in _os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert on_disk == res["live_files"]
+    reader = DeltaLogReader(spark, dest)
+    # versions before the retention window lost their files — loud failure
+    try:
+        reader.read(version=1).count()
+        raise AssertionError("vacuumed time travel must fail")
+    except Exception as exc:
+        assert not isinstance(exc, AssertionError)
+    return reader.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "delta_interop_timestamp_read",
     sql="""
     SELECT o_orderstatus AS status, COUNT(*) AS n,

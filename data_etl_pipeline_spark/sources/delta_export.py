@@ -573,3 +573,60 @@ def export_delta_optimize(spark, dest: str) -> dict:
             fh.write(json.dumps(a) + "\n")
     os.rename(tmp, commit)
     return {"version": version, "compacted_files": len(removed), "new_files": len(adds)}
+
+
+def _live_at(dest: str, upto: int) -> set[str]:
+    """Decoded relative paths of the data files LIVE at version ``upto``
+    (pure text-log replay; checkpointed logs refuse upstream)."""
+    log_dir = os.path.join(dest, "_delta_log")
+    files: set[str] = set()
+    for v in range(0, upto + 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    files.add(unquote(a["add"]["path"]))
+                elif "remove" in a:
+                    files.discard(unquote(a["remove"]["path"]))
+    return files
+
+
+def export_delta_vacuum(dest: str, keep_versions: int = 1) -> dict:
+    """Physically delete data files no longer referenced by the newest
+    ``keep_versions`` snapshots — the storage-reclaim half of VACUUM for
+    tables this exporter owns (CoW deletes and OPTIMIZE leave their
+    rewritten inputs on disk until this runs). Time travel to versions
+    older than the retention window fails loudly at scan time afterwards,
+    exactly like a vacuumed Delta table.
+
+    Driver cost is O(files x retained versions) text-log replay — never
+    rows. Returns {"removed_files", "reclaimed_bytes", "live_files"}.
+    """
+    if keep_versions < 1:
+        raise DeltaExportError("keep_versions must be >= 1")
+    dest = dest.rstrip("/")
+    _meta, versions, _files = _read_own_log(dest)
+    referenced: set[str] = set()
+    for v in versions[-keep_versions:]:
+        referenced |= _live_at(dest, v)
+    removed = 0
+    reclaimed = 0
+    for root, _d, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, dest).replace(os.sep, "/")
+            if rel not in referenced:
+                reclaimed += os.path.getsize(full)
+                os.remove(full)
+                removed += 1
+    return {
+        "removed_files": removed,
+        "reclaimed_bytes": reclaimed,
+        "live_files": len(referenced),
+    }

@@ -412,3 +412,58 @@ class TestOptimizeAndTimestamp:
         assert sorted(
             x["id"] for x in r.read_as_of_timestamp(t0 * 1000 + 1).collect()
         ) == list(range(6))
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_only_unreferenced(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_delete,
+            export_delta_vacuum,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "id long, val double"
+        )
+        dest = str(tmp_path / "vac")
+        export_delta(df, dest)
+        export_delta_delete(spark, dest, "id >= 20")
+        res = export_delta_vacuum(dest, keep_versions=1)
+        assert res["removed_files"] > 0
+        back = DeltaLogReader(spark, dest).read()
+        assert sorted(r["id"] for r in back.collect()) == list(range(20))
+        # idempotent: a second vacuum finds nothing
+        assert export_delta_vacuum(dest, keep_versions=1)["removed_files"] == 0
+
+    def test_keep_versions_preserves_time_travel(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_delete,
+            export_delta_vacuum,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "id long, val double"
+        )
+        dest = str(tmp_path / "vac2")
+        export_delta(df, dest)
+        export_delta_delete(spark, dest, "id >= 20")
+        # keep BOTH versions: nothing referenced by v0 may be removed
+        res = export_delta_vacuum(dest, keep_versions=2)
+        at_v0 = DeltaLogReader(spark, dest).read(version=0)
+        assert at_v0.count() == 30
+        assert export_delta_vacuum(dest, keep_versions=2)["removed_files"] == 0
+        # shrinking retention afterwards reclaims v0's rewritten inputs
+        assert export_delta_vacuum(dest, keep_versions=1)["removed_files"] >= 1
+
+    def test_rejects_bad_retention(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_vacuum,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, val double")
+        dest = str(tmp_path / "vac3")
+        export_delta(df, dest)
+        with pytest.raises(DeltaExportError, match="keep_versions"):
+            export_delta_vacuum(dest, keep_versions=0)
