@@ -1080,3 +1080,101 @@ def ann_topk_pq_rerank(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "l2_dist")
     )
+
+
+def ann_topk_ivf_pq(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_queries: int = 10, k: int = 5, candidates: int = 50,
+    m: int = 16, ds: int = 4, stride: int = 10,
+    ivf_stride: int = 25, nprobe: int = 2,
+) -> DataFrame:
+    """The full FAISS IVF-PQ shape: coarse IVF cells prune WHICH vectors
+    are scored, PQ codes compress HOW they are scored, and an exact
+    rerank restores true distances on the survivors.
+
+    At 100 TB the two reductions multiply: a probe touches
+    ~nprobe/n_cells of the corpus, and what it touches is 16x-compressed
+    codes — the raw-vector pass is only the ``candidates`` rerank rows
+    per query. Cell assignment and probe ranking mirror ``ann_topk_ivf``
+    verbatim (cosine, max_by, round-6); encoding/ADC mirror
+    ``ann_topk_pq`` (integer micro-units) — both already oracle-proven,
+    so the composition is too.
+
+    Returns (q_id, neighbor_id, rank, l2_dist) ascending by TRUE
+    squared-L2, restricted to the probed cells.
+    """
+    e = _with_norm(df, vec_col, id_col)
+    c = e.where(F.pmod(F.col("vec_id"), F.lit(ivf_stride)) == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    # cell assignment — identical arithmetic to ann_topk_ivf
+    dot = _DOT.format(a="v", b="cv")
+    csim = F.round(F.expr(dot) / (F.col("norm") * F.col("cnorm")), 6)
+    scored_c = e.join(F.broadcast(c)).select("vec_id", "c_id", csim.alias("c_sim"))
+    cells = scored_c.groupBy("vec_id").agg(
+        F.expr("max_by(c_id, named_struct('s', c_sim, 'i', -c_id))").alias("c_id")
+    )
+    # probe cells per query: rank ALL centroids for the tiny query set
+    w = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    probes = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("v"), F.col("norm").alias("norm"))
+        .join(F.broadcast(c))
+        .select("q_id", "c_id", csim.alias("c_sim"))
+        .withColumn("c_rank", F.row_number().over(w))
+        .where(F.col("c_rank") <= nprobe)
+        .select("q_id", F.col("c_id").alias("qc_id"))
+    )
+    allowed = cells.join(
+        F.broadcast(probes), (F.col("c_id") == F.col("qc_id")) & (F.col("q_id") != F.col("vec_id"))
+    ).select("q_id", "vec_id")
+    # PQ codes + per-query distance tables — identical to ann_topk_pq
+    cb = pq_codebook(df, vec_col, id_col, m, ds, stride)
+    sub = _pq_subvectors(df, vec_col, id_col, m, ds)
+    d = sub.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "c_id", F.expr(_pq_l2sq_int("sv", "cv", ds)).alias("d_int")
+    )
+    codes = d.groupBy("vec_id", "j").agg(
+        F.expr("min_by(c_id, named_struct('d', d_int, 'i', c_id))").alias("code")
+    )
+    dt = d.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("dq_id"), F.col("j").alias("qj"), "c_id", "d_int"
+    )
+    scored = (
+        codes.join(F.broadcast(allowed), "vec_id")
+        .join(
+            F.broadcast(dt),
+            (F.col("q_id") == F.col("dq_id"))
+            & (F.col("j") == F.col("qj"))
+            & (F.col("code") == F.col("c_id")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_int").alias("d_sum"))
+    )
+    wc = W.partitionBy("q_id").orderBy(F.asc("d_sum"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= candidates)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ev = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = ev.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    exact = (
+        ev.join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), F.col("q_id") == F.col("qq_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.expr(_L2SQ_FOLD.format(a="qv", b="v")), 6).alias("l2_dist"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "l2_dist")
+    )

@@ -636,22 +636,28 @@ def _pq_l2_sql(a: str, b: str, ds: int = 8) -> str:
     return f"CAST(ROUND(({diff}) * 1000000) AS BIGINT)"
 
 
-_PQ_CTES = f"""
+_PQ_BASE_CTES = """
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     js AS (SELECT unnest(range(0, 16)) AS j),
     sub AS (SELECT vec_id, j, list_slice(v, j * 4 + 1, j * 4 + 4) AS sv FROM e, js),
     cb AS (SELECT j, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id % 10 = 0),
-    d AS (SELECT s.vec_id, s.j, cb.c_id, {{l2}} AS d_int
+    d AS (SELECT s.vec_id, s.j, cb.c_id, {l2} AS d_int
           FROM sub s JOIN cb ON s.j = cb.j),
     codes AS (SELECT vec_id, j, c_id AS code FROM (
         SELECT vec_id, j, c_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d_int, c_id) AS rn
-        FROM d) t WHERE rn = 1),
+        FROM d) t WHERE rn = 1)
+""".format(l2=_pq_l2_sql("s.sv", "cb.cv", 4))
+
+_PQ_CTES = (
+    _PQ_BASE_CTES
+    + """,
     scored AS (SELECT dt.vec_id AS q_id, c.vec_id AS neighbor_id, SUM(dt.d_int) AS d_sum
                FROM codes c JOIN d dt ON c.j = dt.j AND c.code = dt.c_id
                WHERE dt.vec_id < 10 AND dt.vec_id <> c.vec_id
                GROUP BY 1, 2)
-""".format(l2=_pq_l2_sql("s.sv", "cb.cv", 4))
+"""
+)
 
 _L2_FULL_SQL = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -717,6 +723,61 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_pq_rerank(
         load(spark, sf_dir, "embeddings"),
         n_queries=10, k=5, candidates=50, m=16, ds=4, stride=10,
+    )
+
+
+@query(
+    "ann_topk_ivf_pq",
+    sql=f"""
+    WITH {_PQ_BASE_CTES},
+    nn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    c AS (SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM nn WHERE vec_id % 25 = 0),
+    ranked AS (SELECT nn.vec_id, c.c_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY nn.vec_id
+                          ORDER BY ROUND({_DOT_SQL.format(a='nn.v', b='cv')} / (nn.norm * cnorm), 6) DESC,
+                                   c.c_id) AS c_rank
+               FROM nn CROSS JOIN c),
+    cells AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS q_id, c_id AS qc_id
+               FROM ranked WHERE vec_id < 10 AND c_rank <= 2),
+    allowed AS (SELECT p.q_id, cells.vec_id
+                FROM cells JOIN probes p
+                ON cells.c_id = p.qc_id AND p.q_id <> cells.vec_id),
+    scored AS (SELECT a.q_id, a.vec_id AS neighbor_id, SUM(dt.d_int) AS d_sum
+               FROM allowed a
+               JOIN codes co ON co.vec_id = a.vec_id
+               JOIN d dt ON dt.vec_id = a.q_id AND dt.j = co.j AND dt.c_id = co.code
+               GROUP BY 1, 2),
+    cand AS (SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d_sum, neighbor_id) AS rn
+        FROM scored) t WHERE rn <= 50),
+    exact AS (SELECT cand.q_id, cand.neighbor_id,
+                     ROUND({_L2_FULL_SQL.format(a='qe.v', b='ne.v')}, 6) AS l2_dist
+              FROM cand
+              JOIN e qe ON qe.vec_id = cand.q_id
+              JOIN e ne ON ne.vec_id = cand.neighbor_id)
+    SELECT q_id, neighbor_id, rank, l2_dist FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_dist, neighbor_id) AS rank,
+               l2_dist
+        FROM exact) t
+    WHERE rank <= 5
+    """,
+    doc="The full FAISS IVF-PQ shape: coarse IVF cells prune WHICH "
+    "vectors are scored (probe ~nprobe/n_cells of the corpus), PQ codes "
+    "compress HOW (16x, integer-micro-unit ADC), exact rerank restores "
+    "true distances on the 50 survivors per query. Cell assignment "
+    "mirrors ann_topk_ivf, encoding mirrors ann_topk_pq — the "
+    "composition multiplies their reductions: at 100 TB a probe reads "
+    "~kilobytes of codes per cell and a few MB of raw vectors total.",
+)
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_ivf_pq(
+        load(spark, sf_dir, "embeddings"),
+        n_queries=10, k=5, candidates=50, m=16, ds=4, stride=10,
+        ivf_stride=25, nprobe=2,
     )
 
 

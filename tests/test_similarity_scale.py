@@ -532,3 +532,49 @@ class TestPQ:
         # being exchanged on a non-key
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestIVFPQ:
+    def test_recall_distances_and_cell_containment(self, spark, sf_dir):
+        from pyspark.sql import Window as W
+
+        emb = load(spark, sf_dir, "embeddings")
+        got = similarity.ann_topk_ivf_pq(emb, n_queries=10, k=5).collect()
+        # recall vs the GLOBAL exact answer is bounded by IVF cell recall
+        # on this clusterless corpus — same floor as ann_topk_ivf
+        e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        q = e.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        dist = F.expr(
+            "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        )
+        scored = e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), F.round(dist, 6).alias("l2")
+        )
+        w = W.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+        exact = scored.withColumn("rank", F.row_number().over(w)).where("rank <= 5")
+        ex = {}
+        for r in exact.collect():
+            ex.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        ap = {}
+        for r in got:
+            ap.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        recall = sum(len(ex[qid] & ap.get(qid, set())) for qid in ex) / sum(
+            len(v) for v in ex.values()
+        )
+        assert recall >= 0.3, f"IVF-PQ recall@5 degraded: {recall:.2f}"
+        # every distance returned is the TRUE squared L2
+        truth = {(r["q_id"], r["neighbor_id"]): r["l2"] for r in scored.collect()}
+        for r in got:
+            assert truth[(r["q_id"], r["neighbor_id"])] == r["l2_dist"]
+        # (cell containment — neighbors only from probed cells — is what
+        # the DuckDB oracle's `allowed` CTE enforces at the hash gate)
+
+    def test_plan_broadcasts_everywhere(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        df = similarity.ann_topk_ivf_pq(emb, n_queries=10, k=5)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
