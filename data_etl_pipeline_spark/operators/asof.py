@@ -59,13 +59,16 @@ def asof_join(
 
     Returns the left columns plus ``payload_cols`` (prefixed as given).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    # with a tolerance, the matched right timestamp rides inside the
-    # payload struct so the bound test needs no second lookup; without
-    # one, don't widen the shuffle by an unused column
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    # with a tolerance (or 'nearest', which must compare distances), the
+    # matched right timestamp rides inside the payload struct so the
+    # bound test needs no second lookup; otherwise don't widen the
+    # shuffle by an unused column
     fields = [F.col(c) for c in payload_cols]
-    if tolerance_seconds is not None:
+    if tolerance_seconds is not None or direction == "nearest":
         fields = [F.col(right_ts).alias("_mt"), *fields]
     payload = F.struct(*fields)
     tb_type = dict(right.dtypes)[tiebreak]
@@ -85,17 +88,38 @@ def asof_join(
         F.lit(1).alias("_side"),
         *left.columns,
     )
-    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
-    w = (
-        W.partitionBy("_k")
-        .orderBy(t_order, F.asc("_side"), F.asc("_tb"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    out = (
-        r.unionByName(l)
-        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-        .where(F.col("_side") == 1)
-    )
+    def running(t_order):
+        return (
+            W.partitionBy("_k")
+            .orderBy(t_order, F.asc("_side"), F.asc("_tb"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+
+    u = r.unionByName(l)
+    if direction == "nearest":
+        # pandas merge_asof 'nearest': closest by absolute distance, ties
+        # to the backward candidate. BOTH running matches share the one
+        # exchange on _k (same partitioning, two in-partition sort orders).
+        u = u.withColumn(
+            "_mb", F.last("_payload", ignorenulls=True).over(running(F.asc("_t")))
+        ).withColumn(
+            "_mf", F.last("_payload", ignorenulls=True).over(running(F.desc("_t")))
+        )
+        t = F.col("_t").cast("double")
+        gap_b = t - F.col("_mb._mt").cast("double")
+        gap_f = F.col("_mf._mt").cast("double") - t
+        out = u.where(F.col("_side") == 1).withColumn(
+            "_match",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_b <= gap_f, F.col("_mb"))
+            .otherwise(F.col("_mf")),
+        )
+    else:
+        t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
+        out = u.withColumn(
+            "_match", F.last("_payload", ignorenulls=True).over(running(t_order))
+        ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col("_t").cast("double") - F.col("_match._mt").cast("double")

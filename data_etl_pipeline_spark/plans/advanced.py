@@ -1615,3 +1615,61 @@ def events_asof_orders_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(F.col("asof_orderkey").isNotNull()).select(
         "event_id", F.col("o_custkey").alias("user_id"), "ts", "asof_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+# closest order by absolute time distance, ties to the backward candidate.
+# Both running matches (backward + forward) share the single exchange on
+# the join key — two in-partition sort orders, one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_orders_nearest",
+    sql="""
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts, o_orderkey
+               FROM orders),
+    b AS (SELECT e.event_id, o.o_orderkey,
+                 epoch(e.ts) - epoch(o.o_ts) AS gap,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_ts DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN o ON o.o_custkey = e.user_id AND o.o_ts <= e.ts),
+    f AS (SELECT e.event_id, o.o_orderkey,
+                 epoch(o.o_ts) - epoch(e.ts) AS gap,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_ts ASC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN o ON o.o_custkey = e.user_id AND o.o_ts >= e.ts),
+    pick AS (SELECT e.event_id, e.user_id, e.ts,
+                    CASE WHEN b.o_orderkey IS NOT NULL
+                              AND (f.o_orderkey IS NULL OR b.gap <= f.gap)
+                         THEN b.o_orderkey ELSE f.o_orderkey END AS asof_orderkey
+             FROM events e
+             LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_id)
+             LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_id))
+    SELECT event_id, user_id, ts, asof_orderkey
+    FROM pick WHERE asof_orderkey IS NOT NULL
+    """,
+    doc="merge_asof direction='nearest' parity: each event takes its "
+    "user's order CLOSEST in absolute time (ties to the backward "
+    "candidate, then greatest orderkey); both running matches ride one "
+    "exchange on the key — no range join, no second shuffle.",
+)
+def events_asof_orders_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ots"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+    joined = asof_join(
+        events.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_ots",
+        payload_cols=["asof_orderkey"],
+        tiebreak="asof_orderkey",
+        direction="nearest",
+    )
+    return joined.where(F.col("asof_orderkey").isNotNull()).select(
+        "event_id", F.col("o_custkey").alias("user_id"), "ts", "asof_orderkey"
+    )

@@ -172,4 +172,65 @@ class TestAsofVariants:
 
         with _pytest.raises(ValueError, match="direction"):
             asof_join(df, df, on="k", left_ts="t", right_ts="t",
-                      payload_cols=["t"], tiebreak="t", direction="nearest")
+                      payload_cols=["t"], tiebreak="t", direction="sideways")
+
+    def test_nearest_matches_pandas_semantics(self, spark):
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10.0, "a"), (1, 14.0, "b"), (1, 25.0, "c"), (2, 5.0, "d")],
+            "k long, t double, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 8.0, 100), (1, 18.0, 200), (1, 18.0, 201), (3, 1.0, 900)],
+            "k long, t double, val int",
+        )
+        out = {
+            r["tag"]: r["val"]
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                payload_cols=["val"], tiebreak="val", direction="nearest",
+            ).collect()
+        }
+        assert out["a"] == 100   # gap 2 back vs 8 fwd
+        # 'b' at 14: gap 6 back (8.0) vs 4 fwd (18.0) -> forward; among the
+        # two rows at 18.0 the greatest tiebreak wins
+        assert out["b"] == 201
+        assert out["c"] == 201   # only backward exists; greatest tiebreak
+        assert out["d"] is None  # key 2 has no right rows at all
+
+    def test_nearest_tie_goes_backward_and_tolerance_applies(self, spark):
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10.0, "x"), (1, 50.0, "y")], "k long, t double, tag string")
+        right = spark.createDataFrame(
+            [(1, 7.0, 1), (1, 13.0, 2)], "k long, t double, val int"
+        )
+        out = {
+            r["tag"]: r["val"]
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                payload_cols=["val"], tiebreak="val", direction="nearest",
+                tolerance_seconds=5.0,
+            ).collect()
+        }
+        assert out["x"] == 1      # equal gaps (3) -> backward candidate
+        assert out["y"] is None   # nearest is 37 away, beyond tolerance
+
+    def test_nearest_plan_has_one_exchange(self, spark):
+        from data_etl_pipeline_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10.0)], "k long, t double")
+        right = spark.createDataFrame([(1, 8.0, 5)], "k long, t double, val int")
+        df = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            payload_cols=["val"], tiebreak="val", direction="nearest",
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        # both running matches share the one exchange on _k: the detail
+        # section lists exactly one Exchange node and two Window nodes
+        # (two in-partition sort orders, one shuffle)
+        import re as _re
+
+        assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert len(_re.findall(r"\(\d+\) Window", plan)) == 2
