@@ -2357,6 +2357,56 @@ def delta_export_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "delta_interop_stats_skipping",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 900
+    GROUP BY 1
+    """,
+    doc="Delta data skipping at the interop boundary: the exporter writes "
+    "per-file footer stats (numRecords/min/max/nullCount) into each add "
+    "action; a filtered read prunes files whose stats PROVE no match "
+    "(here 5 range-clustered files -> 1, asserted in-query via "
+    "live_files) and re-applies the predicate in the plan so correctness "
+    "never rests on stats honesty. Partition-literal pruning rides the "
+    "same path.",
+)
+def delta_interop_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).repartition(1)
+
+    dest = tempfile.mkdtemp(prefix="skip_") + "/table"
+    export_delta(sl(0, 300), dest)
+    for lo in range(300, 1500, 300):
+        export_delta_append(sl(lo, lo + 300), dest)
+    reader = DeltaLogReader(spark, dest)
+    filters = [("o_orderkey", ">=", 600), ("o_orderkey", "<", 900)]
+    n_all = len(reader.live_files())
+    n_hit = len(reader.live_files(filters=filters))
+    assert n_all == 5 and n_hit == 1, (n_all, n_hit)
+    got = reader.read(filters=filters)
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "delta_interop_timestamp_read",
     sql="""
     SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -78,7 +78,7 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # ann_topk_pq_rerank, delta_export_cow_delete, delta_interop_tail_read,
 # doc_boilerplate_removal, delta_export_optimize_tail,
 # delta_interop_timestamp_read, delta_export_vacuum_lifecycle,
-# ann_topk_ivf_pq, events_asof_orders_nearest,
+# ann_topk_ivf_pq, events_asof_orders_nearest, delta_interop_stats_skipping,
 # and any added after them this round), then the oldest r4 rows.
 _VERIFY_FIRST: list[str] = [
     # (a) never driver-tested

@@ -35,6 +35,85 @@ class DeltaExportError(RuntimeError):
     pass
 
 
+def _file_stats(full: str) -> str | None:
+    """Delta-style per-file stats JSON from the parquet FOOTER (no data
+    read): numRecords plus min/max/nullCount for top-level int / float /
+    bool / string columns, aggregated across row groups. Columns whose
+    footer lacks usable bounds (nested, binary, temporal, NaN-poisoned)
+    are simply omitted — readers must treat absence as 'cannot skip'.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            elif rg == 0:
+                mins[name] = mn
+                maxs[name] = mx
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _add_action(dest: str, full: str, data_change: bool) -> tuple[dict, int]:
+    """Build one protocol add action (path, Hive partition values, size,
+    mtime, footer stats) for an on-disk data file; returns (action, size)."""
+    rel = os.path.relpath(full, dest)
+    pv = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    st = os.stat(full)
+    add = {
+        "path": quote(rel.replace(os.sep, "/")),
+        "partitionValues": pv,
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "dataChange": data_change,
+    }
+    stats = _file_stats(full)
+    if stats is not None:
+        add["stats"] = stats
+    return {"add": add}, st.st_size
+
+
 def export_delta(
     df: DataFrame, dest: str, partition_by: list[str] | None = None
 ) -> dict:
@@ -58,7 +137,8 @@ def export_delta(
     writer.parquet(dest)
 
     # enumerate data files exactly as written; partition values come from
-    # the Hive path segments (the percent-encoded form Delta stores)
+    # the Hive path segments (the percent-encoded form Delta stores);
+    # per-file footer stats ride each add for reader-side data skipping
     adds = []
     total = 0
     for root, _dirs, files in os.walk(dest):
@@ -67,26 +147,9 @@ def export_delta(
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            full = os.path.join(root, f)
-            rel = os.path.relpath(full, dest)
-            pv = {}
-            for seg in rel.split(os.sep)[:-1]:
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            st = os.stat(full)
-            total += st.st_size
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel.replace(os.sep, "/")),
-                        "partitionValues": pv,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            action, size = _add_action(dest, os.path.join(root, f), True)
+            adds.append(action)
+            total += size
     adds.sort(key=lambda a: a["add"]["path"])
     os.makedirs(log_dir)
     actions = [
@@ -228,27 +291,11 @@ def export_delta_append(df: DataFrame, dest: str) -> dict:
             if not f.endswith(".parquet"):
                 continue
             full = os.path.join(root, f)
-            rel = os.path.relpath(full, dest)
-            if rel.replace(os.sep, "/") in known:
+            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
                 continue
-            pv = {}
-            for seg in rel.split(os.sep)[:-1]:
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            st = os.stat(full)
-            total += st.st_size
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel.replace(os.sep, "/")),
-                        "partitionValues": pv,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            action, size = _add_action(dest, full, True)
+            adds.append(action)
+            total += size
     adds.sort(key=lambda a: a["add"]["path"])
     version = versions[-1] + 1
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
@@ -449,26 +496,9 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
             if not f.endswith(".parquet"):
                 continue
             full = os.path.join(root, f)
-            rel = os.path.relpath(full, dest).replace(os.sep, "/")
-            if rel in known:
+            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
                 continue
-            pv = {}
-            for seg in rel.split("/")[:-1]:
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            st = os.stat(full)
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel),
-                        "partitionValues": pv,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            adds.append(_add_action(dest, full, True)[0])
     adds.sort(key=lambda a: a["add"]["path"])
     version = versions[-1] + 1
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
@@ -544,26 +574,9 @@ def export_delta_optimize(spark, dest: str) -> dict:
             if not f.endswith(".parquet"):
                 continue
             full = os.path.join(root, f)
-            rel = os.path.relpath(full, dest).replace(os.sep, "/")
-            if rel in known:
+            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
                 continue
-            pv = {}
-            for seg in rel.split("/")[:-1]:
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            st = os.stat(full)
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel),
-                        "partitionValues": pv,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": False,
-                    }
-                }
-            )
+            adds.append(_add_action(dest, full, False)[0])
     adds.sort(key=lambda a: a["add"]["path"])
     version = versions[-1] + 1
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")

@@ -409,12 +409,112 @@ class DeltaLogReader:
         types = {f.name: f.dataType for f in schema.fields}
         return schema, part_cols, phys, file_schema, rename, types
 
+    # -- stats-based data skipping ------------------------------------------
+    _FILTER_OPS = ("=", "<", "<=", ">", ">=")
+
+    @staticmethod
+    def _bound_excludes(mn, mx, op: str, v) -> bool:
+        """True iff NO value in [mn, mx] can satisfy ``col op v``."""
+        try:
+            if op == "=":
+                return mn > v or mx < v
+            if op == "<":
+                return mn >= v
+            if op == "<=":
+                return mn > v
+            if op == ">":
+                return mx <= v
+            if op == ">=":
+                return mx < v
+        except TypeError:
+            return False  # incomparable stats never justify a skip
+        return False
+
+    def _prune_adds(
+        self, adds: list[dict], filters, part_cols: list[str], phys: dict
+    ) -> list[dict]:
+        """Drop add files whose footer stats (Delta per-file ``stats``
+        JSON) or partition literals PROVE no row can match every filter —
+        Delta data skipping at the interop boundary. Absent/unparseable
+        stats never skip; the same predicates are ALWAYS re-applied in the
+        plan, so skipping is a pure pruning optimization whose worst case
+        is reading a file the filter then empties (comparison predicates
+        never match NULL, so null partition values are skippable)."""
+        out = []
+        for add in adds:
+            stats = None
+            if add.get("stats"):
+                try:
+                    stats = json.loads(add["stats"])
+                except (TypeError, ValueError):
+                    stats = None
+            pv = add.get("partitionValues") or {}
+            keep = True
+            for col, op, v in filters:
+                if op not in self._FILTER_OPS:
+                    raise ValueError(
+                        f"unsupported filter op {op!r}; use one of {self._FILTER_OPS}"
+                    )
+                pcol = phys.get(col, col)
+                if col in part_cols:
+                    raw = pv.get(pcol)
+                    if raw is None:
+                        keep = False
+                        break
+                    try:
+                        pval = type(v)(raw)
+                    except (TypeError, ValueError):
+                        continue
+                    if self._bound_excludes(pval, pval, op, v):
+                        keep = False
+                        break
+                elif stats:
+                    mn = (stats.get("minValues") or {}).get(pcol)
+                    mx = (stats.get("maxValues") or {}).get(pcol)
+                    if mn is None or mx is None:
+                        continue
+                    if self._bound_excludes(mn, mx, op, v):
+                        keep = False
+                        break
+            if keep:
+                out.append(add)
+        return out
+
+    def live_files(self, version: int | None = None, filters=None) -> list[str]:
+        """Decoded relative paths of the data files a (filtered) read
+        would scan — the observable surface of data skipping."""
+        from urllib.parse import unquote
+
+        meta, adds = self._replay(version)
+        _schema, part_cols, phys, *_rest = self._schema_plan(meta)
+        if filters:
+            adds = self._prune_adds(adds, filters, part_cols, phys)
+        return sorted(unquote(a["path"]) for a in adds)
+
     # -- snapshot read ------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, filters=None) -> DataFrame:
+        """Snapshot read. ``filters`` is an optional list of
+        ``(column, op, literal)`` with op in =/</<=/>/>= — each filter both
+        PRUNES files via per-file stats and partition values (data
+        skipping) and is applied in the plan (correctness never depends on
+        stats honesty)."""
+        import operator
+
         meta, adds = self._replay(version)
         schema, part_cols, phys, file_schema, rename, types = self._schema_plan(meta)
+        ops = {
+            "=": operator.eq, "<": operator.lt, "<=": operator.le,
+            ">": operator.gt, ">=": operator.ge,
+        }
+        cond = None
+        if filters:
+            adds = self._prune_adds(adds, filters, part_cols, phys)
+            for col, op, v in filters:
+                c = ops[op](F.col(col), F.lit(v))
+                cond = c if cond is None else cond & c
         if not adds:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            return out.where(cond) if cond is not None else out
         # group files by their partition assignment; each group reads with
         # the file schema and re-attaches the partition literals, cast
         # through the table schema (Delta stores them only in the log)
@@ -456,7 +556,7 @@ class DeltaLogReader:
                 [f.name for f in schema.fields],
             )
             out = dv_df if out is None else out.unionByName(dv_df)
-        return out
+        return out.where(cond) if cond is not None else out
 
     # -- timestamp time travel ----------------------------------------------
     def version_at_timestamp(self, ts_ms: int) -> int:

@@ -467,3 +467,75 @@ class TestVacuum:
         export_delta(df, dest)
         with pytest.raises(DeltaExportError, match="keep_versions"):
             export_delta_vacuum(dest, keep_versions=0)
+
+
+class TestStatsSkipping:
+    def _ranged(self, spark, tmp_path, name="sk"):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_append,
+        )
+
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, float(i), "s%d" % (i % 3)) for i in range(lo, hi)],
+            "id long, val double, tag string",
+        ).repartition(1)
+        dest = str(tmp_path / name)
+        export_delta(mk(0, 10), dest)
+        export_delta_append(mk(10, 20), dest)
+        export_delta_append(mk(20, 30), dest)
+        return dest
+
+    def test_range_filter_prunes_and_stays_correct(self, spark, tmp_path):
+        dest = self._ranged(spark, tmp_path)
+        r = DeltaLogReader(spark, dest)
+        assert len(r.live_files()) == 3
+        f = [("id", ">=", 12), ("id", "<=", 17)]
+        assert len(r.live_files(filters=f)) == 1
+        assert sorted(x["id"] for x in r.read(filters=f).collect()) == list(range(12, 18))
+        # boundary semantics: strict ops at the file edge
+        assert len(r.live_files(filters=[("id", "<", 10)])) == 1
+        assert len(r.live_files(filters=[("id", "<=", 10)])) == 2
+        assert len(r.live_files(filters=[("id", ">", 19)])) == 1
+        assert len(r.live_files(filters=[("id", "=", 10)])) == 1
+
+    def test_filter_is_reapplied_in_plan_even_without_stats(self, spark, tmp_path):
+        # strip the stats from every add: no file can be skipped, but the
+        # predicate still filters rows — correctness never rests on stats
+        dest = self._ranged(spark, tmp_path, "nostats")
+        log = os.path.join(dest, "_delta_log")
+        for fn in sorted(os.listdir(log)):
+            if not fn.endswith(".json"):
+                continue
+            lines = [json.loads(ln) for ln in open(os.path.join(log, fn))]
+            for a in lines:
+                if "add" in a:
+                    a["add"].pop("stats", None)
+            with open(os.path.join(log, fn), "w") as fh:
+                for a in lines:
+                    fh.write(json.dumps(a) + "\n")
+        r = DeltaLogReader(spark, dest)
+        f = [("id", ">=", 12), ("id", "<=", 17)]
+        assert len(r.live_files(filters=f)) == 3  # nothing provably skippable
+        assert sorted(x["id"] for x in r.read(filters=f).collect()) == list(range(12, 18))
+
+    def test_string_and_unknown_ops(self, spark, tmp_path):
+        dest = self._ranged(spark, tmp_path, "strop")
+        r = DeltaLogReader(spark, dest)
+        # string stats: every file spans s0..s2, nothing skippable, rows correct
+        got = r.read(filters=[("tag", "=", "s1")]).collect()
+        assert sorted(x["id"] for x in got) == [i for i in range(30) if i % 3 == 1]
+        with pytest.raises(ValueError, match="unsupported filter op"):
+            r.live_files(filters=[("id", "!=", 3)])
+
+    def test_null_partition_values_are_skipped_by_comparisons(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+
+        df = spark.createDataFrame([(1, "a"), (2, None)], "id long, p string")
+        dest = str(tmp_path / "nullpart")
+        export_delta(df, dest, partition_by=["p"])
+        r = DeltaLogReader(spark, dest)
+        assert len(r.live_files()) == 2
+        # a comparison never matches NULL -> the null partition's file prunes
+        assert len(r.live_files(filters=[("p", "=", "a")])) == 1
+        assert [x["id"] for x in r.read(filters=[("p", "=", "a")]).collect()] == [1]
