@@ -2357,6 +2357,85 @@ def delta_export_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_foreign_delta_ingest",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1400
+    GROUP BY 1
+    """,
+    doc="Exactly-once incremental ingest of a FOREIGN Delta table into an "
+    "engine table: each tick tails the foreign log from the max consumed "
+    "_commit_version already in the destination (the offset rides the "
+    "data, crash-safe) and MERGEs keyed rows, so a redelivered tick "
+    "replaces itself — proven in-query by replaying the final tick from "
+    "a stale offset and checking the state is unchanged. Composes E92 "
+    "tailing with the E75 consumed-version pattern.",
+)
+def stream_foreign_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    src = tempfile.mkdtemp(prefix="fingest_src_") + "/table"
+    dst = VersionedTable(spark, tempfile.mkdtemp(prefix="fingest_dst_"))
+    export_delta(sl(0, 500), src)
+    reader = DeltaLogReader(spark, src)
+
+    def tick() -> None:
+        latest = max(reader.versions())
+        if dst.latest_version() is None:
+            dst.write(
+                reader.read(version=latest).withColumn(
+                    "_v", F.lit(latest).cast("long")
+                )
+            )
+            return
+        last = dst.read().agg(F.max("_v")).first()[0]
+        if latest == last:
+            return
+        inc = reader.tail(last).withColumnRenamed("_commit_version", "_v")
+        dst.merge(inc, keys=["o_orderkey"])
+
+    tick()  # initial snapshot at v0
+    export_delta_append(sl(500, 900), src)
+    export_delta_append(sl(900, 1200), src)
+    tick()  # tails commits 1..2
+    export_delta_append(sl(1200, 1400), src)
+    tick()  # tails commit 3
+    # redelivery: replay the final tick from the stale offset 2 — the
+    # MERGE keyed on o_orderkey must replace the same rows, leaving the
+    # logical state unchanged while still committing
+    before = dst.latest_version()
+    dst.merge(
+        reader.tail(2).withColumnRenamed("_commit_version", "_v"),
+        keys=["o_orderkey"],
+    )
+    if dst.latest_version() != before + 1:
+        raise RuntimeError("replay did not commit; idempotence unproven")
+    return (
+        dst.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
     "delta_interop_stats_skipping",
     sql="""
     SELECT o_orderstatus AS status, COUNT(*) AS n,
