@@ -821,6 +821,45 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_json_shred",
+    sql="""
+    SELECT event_id,
+           event_type AS cat,
+           (event_id % 2 = 0) AS flag,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN event_id % 5 = 0 THEN user_id END AS opt,
+           value AS score
+    FROM events
+    """,
+    doc="VARIANT-style JSON shredding with corpus-wide schema inference: "
+    "a string column of JSON objects (built in-query with optional keys "
+    "and mixed scalar types) becomes typed top-level columns via ONE "
+    "from_json map pass — inference is an explode+groupBy over (key, "
+    "value-class), the shred is element_at casts, zero UDFs. The oracle "
+    "computes the expected projection straight from the base columns, so "
+    "the hash gate pins the inferred key set AND types (long/double/"
+    "boolean/string, absent key -> NULL).",
+)
+def event_props_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.shred import json_shred
+
+    ev = load(spark, sf_dir, "events")
+    doc = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.col("event_type").alias("cat"),
+                F.col("value").alias("score"),
+                (F.pmod("event_id", F.lit(2)) == 0).alias("flag"),
+                F.when(F.pmod("event_id", F.lit(5)) == 0, F.col("user_id")).alias("opt"),
+            )
+        ).alias("doc"),
+    )
+    return json_shred(doc, "doc", id_cols=["event_id"])
+
+
+@query(
     "doc_lang_id",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
