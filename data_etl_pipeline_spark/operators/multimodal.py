@@ -248,3 +248,144 @@ def synth_image_payload(fmt: str, w: int, h: int) -> bytes:
         sof = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
         return b"\xff\xd8" + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9 + sof
     raise ValueError(f"unknown fixture format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Audio container headers (reference capability family of image_header_dims
+# — multimodal metadata without codecs): WAV RIFF chunks and the FLAC
+# STREAMINFO block are pure public byte layouts, so channel count, sample
+# rate, bit depth and frame count parse from the first bytes of a blob.
+# Only sample ACCESS stays behind the codec seam (decode_image/decode_audio).
+# ---------------------------------------------------------------------------
+
+def audio_header_info(payload: bytes) -> tuple[str, int, int, int, int] | None:
+    """(format, channels, sample_rate, bits_per_sample, n_frames) from a
+    WAV or FLAC container header, or None for unrecognized / truncated /
+    malformed payloads (NULLs, never exceptions, on a 100 TB scan)."""
+    if payload is None:
+        return None
+    p = bytes(payload)
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return _wav_info(p)
+    if len(p) >= 4 and p[:4] == b"fLaC":
+        return _flac_info(p)
+    return None
+
+
+def _wav_info(p: bytes) -> tuple[str, int, int, int, int] | None:
+    channels = rate = bits = None
+    data_size = None
+    i = 12
+    # chunk walk: id(4) size(4 LE) payload(size, padded to even). The data
+    # chunk's DECLARED size is the authority for frame count — header-only
+    # fixtures and streamed blobs need not carry the samples themselves.
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if i + 8 + 16 > len(p) or size < 16:
+                return None
+            body = p[i + 8 : i + 24]
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = size
+        if channels is not None and data_size is not None:
+            break
+        i += 8 + size + (size % 2)
+    if channels in (None, 0) or rate in (None, 0) or bits in (None, 0) or data_size is None:
+        return None
+    block_align = channels * (bits // 8)
+    if block_align == 0:
+        return None
+    return ("wav", channels, rate, bits, data_size // block_align)
+
+
+def _flac_info(p: bytes) -> tuple[str, int, int, int, int] | None:
+    # fLaC magic, then metadata blocks: 1 byte (last<<7 | type), 3-byte
+    # big-endian length. STREAMINFO (type 0) must come first per spec.
+    if len(p) < 8 or (p[4] & 0x7F) != 0:
+        return None
+    length = int.from_bytes(p[5:8], "big")
+    if length < 34 or len(p) < 8 + 34:
+        return None
+    body = p[8 : 8 + 34]
+    packed = int.from_bytes(body[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return ("flac", channels, rate, bits, total)
+
+
+AUDIO_SCHEMA = (
+    "item_id long, format string, channels int, sample_rate int, "
+    "bits_per_sample int, n_frames long"
+)
+
+
+def audio_header_features(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One Arrow-batched scan -> audio container metadata; NULL columns
+    for unrecognized payloads (same contract as image_header_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [audio_header_info(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype("int64"),
+                    "format": [t[0] if t else None for t in parsed],
+                    "channels": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [t[3] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [t[4] if t else None for t in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_audio_payload(
+    fmt: str, channels: int, rate: int, bits: int, n_frames: int
+) -> bytes:
+    """Minimal spec-correct container header bytes for fixtures (samples
+    omitted; every field a header parser reads is real)."""
+    if fmt == "wav":
+        data_size = n_frames * channels * (bits // 8)
+        fmt_chunk = (
+            b"fmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * (bits // 8)).to_bytes(4, "little")
+            + (channels * (bits // 8)).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+        data_hdr = b"data" + data_size.to_bytes(4, "little")
+        riff_size = 4 + len(fmt_chunk) + len(data_hdr) + data_size
+        return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt_chunk + data_hdr
+    if fmt == "flac":
+        packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n_frames
+        body = (
+            (4096).to_bytes(2, "big") * 2
+            + (0).to_bytes(3, "big")
+            + (0).to_bytes(3, "big")
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16  # md5 of the (absent) samples
+        )
+        return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    raise ValueError(f"unknown audio fixture format {fmt!r}")

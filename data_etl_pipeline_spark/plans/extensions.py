@@ -2792,6 +2792,60 @@ def image_header_dims_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_header_features(payloads)
 
 
+@query(
+    "audio_header_info",
+    sql="""
+    SELECT doc_id AS item_id,
+           ['wav', 'flac'][(doc_id % 2) + 1] AS format,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST([8000, 16000, 22050, 44100, 48000][(doc_id % 5) + 1] AS INT) AS sample_rate,
+           CAST([8, 16, 24, 32][(doc_id % 4) + 1] AS INT) AS bits_per_sample,
+           CAST(1000 + doc_id % 9000 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc="Audio container metadata without codecs (sibling of "
+    "image_header_dims): WAV RIFF chunk walk (fmt + declared data size "
+    "-> frame count) and FLAC STREAMINFO bit-unpacking (20-bit rate, "
+    "3-bit channels, 5-bit depth, 36-bit total samples) in one Arrow "
+    "scan; fixture parameters are a closed-form function of doc_id so "
+    "the oracle never touches bytes. Only sample access stays behind "
+    "the codec seam.",
+)
+def audio_header_info_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.multimodal import (
+        audio_header_features,
+        synth_audio_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rates = [8000, 16000, 22050, 44100, 48000]
+    depths = [8, 16, 24, 32]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "payload": [
+                        synth_audio_payload(
+                            "wav" if int(i) % 2 == 0 else "flac",
+                            1 + int(i) % 2,
+                            rates[int(i) % 5],
+                            depths[int(i) % 4],
+                            1000 + int(i) % 9000,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(build, "item_id long, payload binary")
+    return audio_header_features(payloads)
+
+
 # ---------------------------------------------------------------------------
 # POINT-IN-TIME dimension join (the feature-store correctness pattern):
 # each event must see the dimension attribute that was valid AT ITS OWN
