@@ -2486,6 +2486,58 @@ def delta_interop_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_export_zorder_skipping",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1500 AND o_orderkey < 300 AND o_totalprice < 30000
+    GROUP BY 1
+    """,
+    doc="OPTIMIZE ZORDER BY on an exported table: files re-clustered on "
+    "the Morton curve over (o_orderkey, o_totalprice) via approxQuantile "
+    "rank-normalization + bit interleave (no global sort), committed as "
+    "dataChange:false. Composes with E99 stats skipping: a randomly-"
+    "laid-out export prunes nothing, the Z-ordered layout prunes on "
+    "EITHER dimension and multiplies on both (16 files -> ~1, asserted "
+    "in-query); logical content provably unchanged by the oracle.",
+)
+def delta_export_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_zorder,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") < 1500)
+    )
+    dest = tempfile.mkdtemp(prefix="zo_") + "/table"
+    # round-robin layout: every file spans the full range of both
+    # columns, so stats prune NOTHING before the rewrite
+    export_delta(base.repartition(6), dest)
+    reader = DeltaLogReader(spark, dest)
+    fk = [("o_orderkey", "<", 300)]
+    fp = [("o_totalprice", "<", 30000.0)]
+    assert len(reader.live_files(filters=fk)) == 6  # unclustered: no skips
+    export_delta_zorder(spark, dest, ["o_orderkey", "o_totalprice"], n_files=16)
+    n_all = len(reader.live_files())
+    nk = len(reader.live_files(filters=fk))
+    np_ = len(reader.live_files(filters=fp))
+    nb = len(reader.live_files(filters=fk + fp))
+    assert n_all == 16 and nk < 16 and np_ < 16 and nb <= 4, (n_all, nk, np_, nb)
+    got = reader.read(filters=fk + fp)
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "delta_interop_timestamp_read",
     sql="""
     SELECT o_orderstatus AS status, COUNT(*) AS n,

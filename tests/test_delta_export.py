@@ -539,3 +539,61 @@ class TestStatsSkipping:
         # a comparison never matches NULL -> the null partition's file prunes
         assert len(r.live_files(filters=[("p", "=", "a")])) == 1
         assert [x["id"] for x in r.read(filters=[("p", "=", "a")]).collect()] == [1]
+
+
+class TestZorderExport:
+    def test_zorder_preserves_content_and_is_datachange_false(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_zorder,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 100)) for i in range(200)], "id long, val double"
+        )
+        dest = str(tmp_path / "zo")
+        export_delta(df.repartition(4), dest)
+        res = export_delta_zorder(spark, dest, ["id", "val"], n_files=8)
+        assert res["version"] == 1 and res["new_files"] == 8
+        commit = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        for line in open(commit):
+            a = json.loads(line)
+            act = a.get("remove") or a.get("add")
+            assert act["dataChange"] is False
+        back = DeltaLogReader(spark, dest).read()
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+        # a tail across the zorder emits nothing (layout-only commit)
+        assert DeltaLogReader(spark, dest).tail(0).count() == 0
+
+    def test_zorder_refuses_partition_columns_and_empty(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            DeltaExportError,
+            export_delta,
+            export_delta_zorder,
+        )
+
+        df = spark.createDataFrame([(1, "a", 2.0)], "id long, p string, v double")
+        dest = str(tmp_path / "zop")
+        export_delta(df, dest, partition_by=["p"])
+        with pytest.raises(DeltaExportError, match="data columns"):
+            export_delta_zorder(spark, dest, ["p"])
+        with pytest.raises(DeltaExportError, match="at least one column"):
+            export_delta_zorder(spark, dest, [])
+
+    def test_zorder_tightens_stats_on_both_dims(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta,
+            export_delta_zorder,
+        )
+
+        # anti-correlated columns: a single-column sort could only ever
+        # tighten one of them
+        df = spark.createDataFrame(
+            [(i, float(999 - i)) for i in range(1000)], "id long, val double"
+        )
+        dest = str(tmp_path / "zo2")
+        export_delta(df.repartition(4), dest)
+        export_delta_zorder(spark, dest, ["id", "val"], n_files=16)
+        r = DeltaLogReader(spark, dest)
+        assert len(r.live_files(filters=[("id", "<", 100)])) < 16
+        assert len(r.live_files(filters=[("val", "<", 100.0)])) < 16
