@@ -112,3 +112,36 @@ def check_constraints(profile_df: DataFrame, rules: list[dict]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight (over all rows with value <= it) reaches half the group total.
+
+    Weights accumulate as exact DECIMAL over the default RANGE window
+    frame — peers at the same value are summed TOGETHER, so tie ordering
+    can never make the cumulative sum engine-dependent (the ROWS frame
+    would). One shuffle on the group key; the window sort is
+    partition-local.
+    """
+    from pyspark.sql import Window as W
+
+    w = F.col(weight_col).cast("decimal(18,2)")
+    win = W.partitionBy(*group_cols).orderBy(F.col(value_col))  # RANGE frame: peers included
+    tot = W.partitionBy(*group_cols)
+    c = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.sum(w).over(win).alias("__cum"),
+        F.sum(w).over(tot).alias("__tot"),
+    )
+    return (
+        c.where(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("weighted_median"))
+    )

@@ -1673,3 +1673,91 @@ def events_asof_orders_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(F.col("asof_orderkey").isNotNull()).select(
         "event_id", F.col("o_custkey").alias("user_id"), "ts", "asof_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy governance: k-anonymity audit + generalization ladder. Fine-
+# grained QI tuples (nation x segment) violate k=5 almost everywhere on
+# the small customer dim; one ladder step (nation -> region through the
+# nation table as the mapping dim) collapses the QI space 5x and the
+# re-audit passes broadly. Violations that survive the ladder are the
+# exact suppression set.
+# ---------------------------------------------------------------------------
+@query(
+    "kanonymity_generalization_audit",
+    sql="""
+    WITH gen AS (SELECT n_regionkey AS region, c_mktsegment AS segment
+                 FROM customer JOIN nation ON n_nationkey = c_nationkey)
+    SELECT region, segment, COUNT(*) AS group_size,
+           COUNT(*) < 5 AS is_violation
+    FROM gen GROUP BY 1, 2
+    """,
+    doc="k-anonymity audit (k=5) after one generalization ladder step: "
+    "quasi-identifier (nation, segment) coarsened to (region, segment) "
+    "through a broadcast mapping dim; the audit is one map-side-combined "
+    "hash aggregation, and the ladder step provably shrinks the "
+    "violation count (asserted in-query).",
+)
+def kanonymity_generalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.privacy import (
+        kanonymity_audit,
+        kanonymity_generalize,
+    )
+
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    before = kanonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)
+    n_before = before.where("is_violation").count()
+    mapping = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("value"), F.col("n_regionkey").alias("general")
+    )
+    gen = kanonymity_generalize(cust, "c_nationkey", mapping, out_col="region")
+    after = kanonymity_audit(
+        gen.select("region", "c_mktsegment"), ["region", "c_mktsegment"], k=5
+    )
+    n_after = after.where("is_violation").count()
+    # generalization law: a violating post-ladder group would imply a
+    # violating constituent pre-ladder group, so the violation count can
+    # only shrink — and must strictly shrink whenever violations existed
+    assert n_after <= n_before, (n_before, n_after)
+    assert n_before == 0 or n_after < n_before, (n_before, n_after)
+    return after.select(
+        F.col("region"),
+        F.col("c_mktsegment").alias("segment"),
+        "group_size",
+        "is_violation",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted median — the robust center a quality-weighted corpus
+# mixture wants (plain medians ignore the weights; means chase outliers).
+# RANGE-frame cumulative DECIMAL weights make the boundary tie-proof.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_median_price",
+    sql="""
+    WITH c AS (SELECT l_returnflag,
+                      l_extendedprice AS v,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                          PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                          PARTITION BY l_returnflag) AS tot
+               FROM lineitem)
+    SELECT l_returnflag AS returnflag, MIN(v) AS weighted_median
+    FROM c WHERE cum * 2 >= tot GROUP BY 1
+    """,
+    doc="Quantity-weighted median price per return flag: smallest price "
+    "whose cumulative weight reaches half the group's total. The default "
+    "RANGE window frame sums PEERS together, so equal prices cannot make "
+    "the cumulative sum tie-order-dependent; weights accumulate as exact "
+    "decimals.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.profile import weighted_median
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    ).select(F.col("l_returnflag").alias("returnflag"), "weighted_median")

@@ -1,0 +1,82 @@
+"""k-anonymity ladder + weighted median: laws and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.operators.privacy import (
+    kanonymity_audit,
+    kanonymity_generalize,
+)
+from data_etl_pipeline_spark.operators.profile import weighted_median
+
+
+def test_audit_counts_and_null_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), (None, 3), (None, 3)],
+        "qi string, x int",
+    )
+    got = {r["qi"]: r for r in kanonymity_audit(df, ["qi"], k=3).collect()}
+    assert got["a"]["group_size"] == 3 and got["a"]["is_violation"] is False
+    assert got["b"]["is_violation"] is True
+    # NULL is a QI value like any other — it forms its own auditable group
+    assert got[None]["group_size"] == 2 and got[None]["is_violation"] is True
+    with pytest.raises(ValueError, match="k >= 2"):
+        kanonymity_audit(df, ["qi"], k=1)
+
+
+def test_generalize_maps_and_unmapped_to_null(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (9, "z")], "code int, p string")
+    mapping = spark.createDataFrame([(1, 10), (2, 10)], "value int, general int")
+    out = {r["p"]: r["code"] for r in kanonymity_generalize(df, "code", mapping).collect()}
+    assert out["x"] == 10 and out["y"] == 10
+    assert out["z"] is None  # unmapped generalizes to NULL, never leaks raw
+
+
+def test_generalization_never_increases_violations(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(40), rnd.randrange(3)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "fine int, seg int")
+    mapping = spark.createDataFrame(
+        [(i, i // 8) for i in range(40)], "value int, general int"
+    )
+    n_before = (
+        kanonymity_audit(df, ["fine", "seg"], k=4).where("is_violation").count()
+    )
+    gen = kanonymity_generalize(df, "fine", mapping, out_col="coarse")
+    n_after = (
+        kanonymity_audit(gen.select("coarse", "seg"), ["coarse", "seg"], k=4)
+        .where("is_violation")
+        .count()
+    )
+    assert n_after <= n_before
+
+
+def test_weighted_median_hand_cases(spark):
+    df = spark.createDataFrame(
+        [
+            # group g1: values 1,2,3 weights 1,1,10 -> median 3
+            ("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 10.0),
+            # group g2: symmetric weights -> lower middle (cum rule: first
+            # value where cum*2 >= tot is 2)
+            ("g2", 1.0, 1.0), ("g2", 2.0, 1.0), ("g2", 3.0, 1.0), ("g2", 4.0, 1.0),
+            # group g3: tie values at the boundary accumulate TOGETHER
+            ("g3", 5.0, 1.0), ("g3", 5.0, 1.0), ("g3", 9.0, 1.0),
+        ],
+        "g string, v double, w double",
+    )
+    got = {r["g"]: r["weighted_median"] for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert got["g1"] == 3.0
+    assert got["g2"] == 2.0
+    assert got["g3"] == 5.0
+
+
+def test_weighted_median_equals_plain_median_under_unit_weights(spark):
+    df = spark.createDataFrame(
+        [("a", float(v), 1.0) for v in range(1, 102)], "g string, v double, w double"
+    )
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got == 51.0
