@@ -487,6 +487,84 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash.
 # ---------------------------------------------------------------------------
 @query(
+    "ivm_join_view",
+    sql="""
+    WITH a1 AS (SELECT c_custkey,
+                       CASE WHEN c_custkey % 10 = 3 THEN 99 ELSE c_nationkey END AS nation
+                FROM customer),
+    b1 AS (SELECT o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey < 1800 AND o_orderkey % 11 <> 5)
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM a1 JOIN b1 ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+    doc="Incremental maintenance of a JOIN view (revenue per nation over "
+    "customer x orders) through changes to BOTH tables: "
+    "delta(A x B) = dA x B0 + A1 x dB with sign algebra, so the big join "
+    "never reruns — only change-sized joins against snapshots. The "
+    "customer update relocates revenue between nations via its "
+    "preimage(-1)/postimage(+1) pair; order inserts and deletes flow "
+    "through dB. Oracle aggregates the final joined state directly, so "
+    "any delta-algebra drift fails the hash.",
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators.ivm import join_view_delta
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = VersionedTable(spark, tempfile.mkdtemp(prefix="ivm_a_"))
+    b = VersionedTable(spark, tempfile.mkdtemp(prefix="ivm_b_"))
+    a.write(cust)
+    b.write(orders.where(F.col("o_orderkey") < 1500))
+
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    mv0 = (
+        a.read(version=0)
+        .join(b.read(version=0), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total"))
+    )
+    # both tables change: a dimension UPDATE and fact INSERTs + DELETEs
+    a.merge(
+        cust.where(F.pmod("c_custkey", F.lit(10)) == 3).withColumn(
+            "c_nationkey", F.lit(99).cast(dict(cust.dtypes)["c_nationkey"])
+        ),
+        keys=["c_custkey"],
+    )
+    b.merge(
+        orders.where((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800)),
+        keys=["o_orderkey"],
+    )
+    b.delete_where(F.pmod("o_orderkey", F.lit(11)) == 5)
+
+    delta = join_view_delta(
+        a.change_feed(keys=["c_custkey"], from_version=0),
+        b.read(version=0).drop("o_orderkey"),
+        a.read(),
+        b.change_feed(keys=["o_orderkey"], from_version=0).drop("o_orderkey"),
+        on_a="c_custkey",
+        on_b="o_custkey",
+    )
+    dagg = delta.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.sum("_sign").alias("n"),
+        F.sum(dec * F.col("_sign").cast("decimal(2,0)")).alias("total"),
+    )
+    return (
+        mv0.unionByName(dagg)
+        .groupBy("nation")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("total").alias("total"))
+        .where(F.col("n") > 0)
+        .select("nation", "n", F.col("total").cast("double").alias("total"))
+    )
+
+
+@query(
     "cdc_materialized_view",
     sql="""
     WITH v0 AS (

@@ -81,7 +81,7 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # ann_topk_ivf_pq, events_asof_orders_nearest, delta_interop_stats_skipping,
 # stream_foreign_delta_ingest, event_props_json_shred, audio_header_info,
 # delta_export_zorder_skipping, kanonymity_generalization_audit,
-# weighted_median_price,
+# weighted_median_price, ivm_join_view,
 # and any added after them this round), then the oldest r4 rows.
 _VERIFY_FIRST: list[str] = [
     # (a) never driver-tested
