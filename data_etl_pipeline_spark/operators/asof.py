@@ -131,3 +131,46 @@ def asof_join(
     return out.select(
         *left.columns, *[F.col(f"_match.{c}").alias(c) for c in payload_cols]
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    step_seconds: int = 21600,
+) -> DataFrame:
+    """Regularize an irregular series per key: a fixed step grid from the
+    key's first to last observation (bucket-aligned), each grid point
+    carrying the LAST OBSERVATION at or before it (LOCF) — the resampling
+    a feature pipeline runs before windowed models.
+
+    The grid is generated key-locally (`sequence` over the key's own
+    span, exploded — no cross join against a calendar dim), and the fill
+    IS the as-of join: grid points are the left side, observations the
+    right, one union+window shuffle total (`asof_join`'s plan). A key's
+    first grid point always has an observation at or before it by
+    construction, so the output has no NULL holes.
+    """
+    bucket = F.expr(
+        f"timestamp_seconds(floor(unix_timestamp({ts_col}) / {step_seconds}) * {step_seconds})"
+    )
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step_seconds} second)")
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        df.select(key_col, ts_col, F.col(value_col), F.col(tiebreak)),
+        on=key_col,
+        left_ts="grid_ts",
+        right_ts=ts_col,
+        payload_cols=[value_col],
+        tiebreak=tiebreak,
+    )
