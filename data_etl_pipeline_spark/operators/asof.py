@@ -149,17 +149,22 @@ def resample_locf(
     The grid is generated key-locally (`sequence` over the key's own
     span, exploded — no cross join against a calendar dim), and the fill
     IS the as-of join: grid points are the left side, observations the
-    right, one union+window shuffle total (`asof_join`'s plan). A key's
-    first grid point always has an observation at or before it by
-    construction, so the output has no NULL holes.
+    right, one union+window shuffle total (`asof_join`'s plan). The grid
+    starts at the bucket CEILING of the key's first observation — never
+    before it — so every grid point has an observation at or before it
+    and the output has no NULL holes (round-7 ADVICE fix: a floor start
+    preceded every observation whenever the first one was off-boundary).
+    Keys whose observations all fall strictly inside a single step (so
+    no grid point lands within the observed span) emit no rows.
     """
-    bucket = F.expr(
+    lo = F.expr(
+        f"timestamp_seconds(cast(ceil(unix_timestamp({ts_col}) / {step_seconds}) as bigint) * {step_seconds})"
+    )
+    hi = F.expr(
         f"timestamp_seconds(floor(unix_timestamp({ts_col}) / {step_seconds}) * {step_seconds})"
     )
-    spans = df.groupBy(key_col).agg(
-        F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
-    )
-    grid = spans.select(
+    spans = df.groupBy(key_col).agg(F.min(lo).alias("__lo"), F.max(hi).alias("__hi"))
+    grid = spans.where(F.col("__lo") <= F.col("__hi")).select(
         key_col,
         F.explode(
             F.expr(f"sequence(__lo, __hi, interval {step_seconds} second)")

@@ -123,15 +123,22 @@ def weighted_median(
     """Per-group weighted median: the smallest value whose cumulative
     weight (over all rows with value <= it) reaches half the group total.
 
-    Weights accumulate as exact DECIMAL over the default RANGE window
-    frame — peers at the same value are summed TOGETHER, so tie ordering
-    can never make the cumulative sum engine-dependent (the ROWS frame
-    would). One shuffle on the group key; the window sort is
-    partition-local.
+    Weights accumulate as exact DECIMAL(28,10) over the default RANGE
+    window frame — peers at the same value are summed TOGETHER, so tie
+    ordering can never make the cumulative sum engine-dependent (the ROWS
+    frame would). Scale 10 keeps sub-cent fractional weights (round-7
+    ADVICE fix: scale 2 silently zeroed weights like 0.004, shifting the
+    median). Weights must be non-negative — a negative weight makes the
+    cumulative-reaches-half definition meaningless, so it fails the job
+    (JVM-side assert riding the weight expression itself, un-prunable).
+    One shuffle on the group key; the window sort is partition-local.
     """
     from pyspark.sql import Window as W
 
-    w = F.col(weight_col).cast("decimal(18,2)")
+    w_raw = F.col(weight_col).cast("decimal(28,10)")
+    # assert_true yields NULL on pass; riding it inside the weight
+    # expression keeps Catalyst from pruning the check away
+    w = F.when(F.assert_true(w_raw >= 0, f"negative weight in {weight_col}").isNull(), w_raw)
     win = W.partitionBy(*group_cols).orderBy(F.col(value_col))  # RANGE frame: peers included
     tot = W.partitionBy(*group_cols)
     c = df.select(

@@ -1717,9 +1717,11 @@ def kanonymity_generalization_audit(spark: SparkSession, sf_dir: str) -> DataFra
     n_after = after.where("is_violation").count()
     # generalization law: a violating post-ladder group would imply a
     # violating constituent pre-ladder group, so the violation count can
-    # only shrink — and must strictly shrink whenever violations existed
+    # only shrink. Only the monotone bound is guaranteed — if no violating
+    # group merges with anything in its region, n_after == n_before on
+    # perfectly valid data (round-7 ADVICE fix: the old strict-decrease
+    # assertion could raise during plan construction).
     assert n_after <= n_before, (n_before, n_after)
-    assert n_before == 0 or n_after < n_before, (n_before, n_after)
     return after.select(
         F.col("region"),
         F.col("c_mktsegment").alias("segment"),
@@ -1738,9 +1740,9 @@ def kanonymity_generalization_audit(spark: SparkSession, sf_dir: str) -> DataFra
     sql="""
     WITH c AS (SELECT l_returnflag,
                       l_extendedprice AS v,
-                      SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                      SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
                           PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
-                      SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                      SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
                           PARTITION BY l_returnflag) AS tot
                FROM lineitem)
     SELECT l_returnflag AS returnflag, MIN(v) AS weighted_median
@@ -1761,3 +1763,48 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity"
     ).select(F.col("l_returnflag").alias("returnflag"), "weighted_median")
+
+
+# ---------------------------------------------------------------------------
+# LOCF resampling — regularize each user's irregular event series onto a
+# fixed 6-hour grid, each grid point carrying the last observation at or
+# before it. The feature-pipeline step before any windowed model. The
+# grid is key-local (sequence+explode over the key's own span — no
+# calendar-dim cross join) and the fill IS the as-of join: one
+# union+window shuffle total. Grid starts at the bucket CEILING of the
+# first observation, so the output has no NULL holes by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "events_resample_locf",
+    sql="""
+    WITH s AS (SELECT user_id,
+                      MIN(CAST(ceil(epoch(ts) / 21600.0) AS BIGINT)) AS lo,
+                      MAX(CAST(floor(epoch(ts) / 21600.0) AS BIGINT)) AS hi
+               FROM events GROUP BY user_id),
+    g AS (SELECT user_id,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                     + (unnest(generate_series(lo, hi)) * 21600) * INTERVAL 1 SECOND
+                     AS grid_ts
+          FROM s WHERE lo <= hi),
+    m AS (SELECT g.user_id, g.grid_ts, e.value AS locf_value,
+                 ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ts
+                                    ORDER BY e.ts DESC, e.event_id DESC) AS rn
+          FROM g JOIN events e
+            ON e.user_id = g.user_id AND e.ts <= g.grid_ts)
+    SELECT user_id, grid_ts, locf_value FROM m WHERE rn = 1
+    """,
+    doc="Per-user LOCF resampling onto a 6h grid (pandas .resample().ffill() "
+    "at cluster scale): grid generated key-locally via sequence+explode, "
+    "fill via the single-shuffle union+window as-of join; grid starts at "
+    "the bucket ceiling of the first observation so no grid point precedes "
+    "all data (round-7 ADVICE fix). Ties at one timestamp resolve to the "
+    "greatest event_id in both engines.",
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.asof import resample_locf
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    out = resample_locf(
+        ev, "user_id", "ts", "value", tiebreak="event_id", step_seconds=21600
+    )
+    return out.select("user_id", "grid_ts", F.col("value").alias("locf_value"))

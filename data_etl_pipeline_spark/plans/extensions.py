@@ -511,7 +511,7 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from data_etl_pipeline_spark.operators.ivm import join_view_delta
+    from data_etl_pipeline_spark.operators.ivm import join_view_delta_versioned
     from data_etl_pipeline_spark.sources.versioned import VersionedTable
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -543,13 +543,19 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b.delete_where(F.pmod("o_orderkey", F.lit(11)) == 5)
 
-    delta = join_view_delta(
-        a.change_feed(keys=["c_custkey"], from_version=0),
-        b.read(version=0).drop("o_orderkey"),
-        a.read(),
-        b.change_feed(keys=["o_orderkey"], from_version=0).drop("o_orderkey"),
+    # versioned form: snapshots (B at OLD, A at NEW) and both feeds are
+    # derived from the tables + version numbers, so the same-version
+    # snapshot pairing that double-counts dA x dB cannot be expressed
+    delta = join_view_delta_versioned(
+        a,
+        b,
+        a_keys=["c_custkey"],
+        b_keys=["o_orderkey"],
         on_a="c_custkey",
         on_b="o_custkey",
+        a_from=0,
+        b_from=0,
+        b_cols=["o_custkey", "o_totalprice"],
     )
     dagg = delta.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.sum("_sign").alias("n"),

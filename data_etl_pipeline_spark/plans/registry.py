@@ -47,98 +47,69 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 
 
 # The driver's CORRECTNESS run samples the FIRST 50 of the declared queries
-# in dict order per round, so this list holds EXACTLY 50 names. Round-6
-# front, exactly as the r5 verdict instructed: (a) the one query never
-# driver-tested (events_asof_orders_bounded, added late in r5); (b) the
-# twelve queries added THIS round (file-based DV + mode-'id' +
-# V2-checkpoint + timestampNtz interop, BM25 postings GC, LSH index GC,
-# triples integrity audit, incremental export, TPC-H Q4/Q7/Q14/Q19
-# shapes); (c) queries whose
-# implementation changed this round and need re-proof —
-# doc_global_quality_rank and corpus_curation_v3 (global_rank rewritten
-# to literal-boundary range partitioning, no localCheckpoint retention)
-# and quantile_sketch_incremental (micro-quantile integer rank); (d) ALL
-# 24 r2-only rows (verbatim from the r5 verdict/registry comment); (e)
-# the oldest r3 rows, alphabetical, as many as fit (10:
-# ann_topk_bruteforce .. customer_order_gaps). The round-7 front MUST
-# take the remaining 33 r3 rows (customer_triples,
-# deferred_extraction_results, deferred_retry_state,
-# doc_chunks_token_aware, doc_dedup_clusters, doc_exact_dedup,
-# doc_minhash_signatures, doc_ngram_jaccard_capped,
-# doc_ngram_jaccard_pairs, doc_simhash, doc_tfidf_topk,
-# events_followup_counts, first_ship_per_flag, forecast_revenue_change,
-# mapping_validation, multimodal_features, multimodal_frame_sample,
-# order_price_analytics, order_status_rollup, price_percentiles,
-# returnflag_pivot, segment_correction_fold, stratified_split,
-# stream_dedup_first_seen, stream_deferred_extraction,
-# stream_enriched_counts, stream_hourly_event_counts,
-# stream_user_sessions, supplier_wkt_points, token_budget_guard,
-# user_session_counts, user_sessions_gap, version_drift_entities), plus
-# the round-6 LATE additions without rows (ann_topk_pq,
-# ann_topk_pq_rerank, delta_export_cow_delete, delta_interop_tail_read,
-# doc_boilerplate_removal, delta_export_optimize_tail,
-# delta_interop_timestamp_read, delta_export_vacuum_lifecycle,
-# ann_topk_ivf_pq, events_asof_orders_nearest, delta_interop_stats_skipping,
-# stream_foreign_delta_ingest, event_props_json_shred, audio_header_info,
-# delta_export_zorder_skipping, kanonymity_generalization_audit,
-# weighted_median_price, ivm_join_view,
-# and any added after them this round), then the oldest r4 rows.
+# in dict order per round, so this list holds EXACTLY 50 names. Round-7
+# front, exactly as the r6 verdict instructed ("Next round" item 1):
+# (a) the 33 r3-stale rows (no driver row since round 3), alphabetical;
+# (b) 17 of the 18 round-6-late queries that have never had a driver row
+# (pytest-oracle-green only). ivm_join_view is the named carry-over that
+# falls off the 50-row window; it MUST lead the round-8 front, followed by
+# every query added in round 7 (delta_export_merge_upsert,
+# delta_export_cow_tail_lifecycle, events_resample_locf, and any after
+# them), then the oldest r4 rows (alphabetical: csv_export_roundtrip,
+# customer_ltv_quartiles, customers_without_recent_orders, ...).
 _VERIFY_FIRST: list[str] = [
-    # (a) never driver-tested
-    "events_asof_orders_bounded",
-    # (b) added this round
-    "delta_interop_dv_file_read",           # NEW: sidecar 'u' DVs, one-branch plan
-    "delta_interop_column_mapping_id_read",  # NEW: parquet field-id matching
-    "delta_interop_v2_checkpoint_read",      # NEW: UUID manifest + _sidecars
-    "bm25_postings_gc_search",               # NEW: CDF-driven postings GC
-    "triples_integrity_audit",               # NEW: URI/dup-label/cycle audit
-    "ann_lsh_gc_topk",                       # NEW: LSH index GC after DV delete
-    "delta_interop_timestamp_ntz_read",      # NEW: timestampNtz reader feature
-    "delta_export_incremental",              # NEW: append + checkpoint + trim
-    "order_priority_exists",                 # NEW: TPC-H Q4 shape
-    "nation_pair_trade_volume",              # NEW: TPC-H Q7 shape
-    "promo_revenue_share",                   # NEW: TPC-H Q14 shape
-    "disjunctive_band_revenue",              # NEW: TPC-H Q19 shape
-    # (c) implementation changed this round
-    "doc_global_quality_rank",       # global_rank: literal-boundary rewrite
-    "corpus_curation_v3",            # composes the rewritten global_rank
-    "quantile_sketch_incremental",   # micro-quantile integer rank
-    # (d) the 24 r2-only rows
-    "doc_pii_redaction",
-    "doc_quality_scores",
-    "doc_repetition_filter",
-    "doc_simhash_pairs",
-    "doc_token_counts",
-    "embedding_kmeans_centroids",
-    "event_props_json_stats",
-    "event_type_user_buckets",
-    "hourly_event_stats",
-    "mixture_rebalance",
-    "nation_segment_rollup",
-    "newest_open_orders",
-    "order_key_lookup",
-    "orderkey_set_ops",
-    "part_prefix_agg",
-    "quantity_band_stats",
-    "returnflag_priority_counts",
-    "revenue_by_nation",
-    "rich_customers_projection",
-    "running_value_per_user",
-    "segment_with_override",
-    "sole_returned_suppliers",
-    "supplier_host_etld1",
-    "top3_orders_per_customer",
-    # (e) oldest r3 rows, alphabetical
-    "ann_topk_bruteforce",
-    "batch_schedule_plan",
-    "batch_schedule_two_ticks",
-    "blocks_dedup_first_wins",
-    "blocks_header_depth",
-    "concept_ancestor_closure",
-    "csv_roundtrip_agg",
-    "customer_emails",
-    "customer_hash_sample",
-    "customer_order_gaps",
+    # (a) the 33 r3-stale rows
+    "customer_triples",
+    "deferred_extraction_results",
+    "deferred_retry_state",
+    "doc_chunks_token_aware",
+    "doc_dedup_clusters",
+    "doc_exact_dedup",
+    "doc_minhash_signatures",
+    "doc_ngram_jaccard_capped",
+    "doc_ngram_jaccard_pairs",
+    "doc_simhash",
+    "doc_tfidf_topk",
+    "events_followup_counts",
+    "first_ship_per_flag",
+    "forecast_revenue_change",
+    "mapping_validation",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "order_price_analytics",
+    "order_status_rollup",
+    "price_percentiles",
+    "returnflag_pivot",
+    "segment_correction_fold",
+    "stratified_split",
+    "stream_dedup_first_seen",
+    "stream_deferred_extraction",
+    "stream_enriched_counts",
+    "stream_hourly_event_counts",
+    "stream_user_sessions",
+    "supplier_wkt_points",
+    "token_budget_guard",
+    "user_session_counts",
+    "user_sessions_gap",
+    "version_drift_entities",
+    # (b) round-6-late queries, never driver-tested
+    "ann_topk_pq",
+    "ann_topk_pq_rerank",
+    "ann_topk_ivf_pq",
+    "delta_export_cow_delete",
+    "delta_export_optimize_tail",
+    "delta_export_vacuum_lifecycle",
+    "delta_export_zorder_skipping",
+    "delta_interop_tail_read",
+    "delta_interop_timestamp_read",
+    "delta_interop_stats_skipping",
+    "stream_foreign_delta_ingest",
+    "doc_boilerplate_removal",
+    "event_props_json_shred",
+    "audio_header_info",
+    "events_asof_orders_nearest",
+    "kanonymity_generalization_audit",
+    "weighted_median_price",
 ]
 
 

@@ -51,6 +51,12 @@ def _file_stats(full: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # Bounds (and null counts) must cover EVERY row group or be omitted:
+    # partial stats are TIGHTER than the file's true range, which makes
+    # data skipping silently drop files that contain matching rows. Once a
+    # column lands in a dropped set it never re-enters.
+    no_bounds: set = set()
+    no_nulls: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -60,20 +66,25 @@ def _file_stats(full: str) -> str | None:
                 continue
             st = col.statistics
             if st is None:
+                no_bounds.add(name)
+                no_nulls.add(name)
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                no_nulls.add(name)
             if not st.has_min_max:
-                mins.pop(name, None)
-                maxs.pop(name, None)
+                no_bounds.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    no_bounds.add(name)
                     continue
             if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                no_bounds.add(name)
                 continue
             if name in mins:
                 mins[name] = min(mins[name], mn)
@@ -81,6 +92,11 @@ def _file_stats(full: str) -> str | None:
             elif rg == 0:
                 mins[name] = mn
                 maxs[name] = mx
+    for name in no_bounds:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in no_nulls:
+        nulls.pop(name, None)
     return json.dumps(
         {
             "numRecords": md.num_rows,

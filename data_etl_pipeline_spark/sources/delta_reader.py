@@ -38,7 +38,9 @@ real Delta writers WITHOUT the delta-spark package — the interop seam for
   * COLUMN MAPPING: mode ``name`` (scan under physical names, rename to
     logical) and mode ``id`` (parquet field-id matching via
     ``spark.sql.parquet.fieldId.read.enabled`` with ``parquet.field.id``
-    metadata carried into the scan schema); unknown modes fail loudly.
+    metadata carried into the scan schema — the conf rides an isolated
+    child session so it never leaks into the caller's parquet scans);
+    unknown modes fail loudly.
   * remaining unsupported reader features keep failing loudly.
 
 Write support intentionally does not exist here: the engine's own
@@ -75,6 +77,40 @@ class DeltaLogReader:
         self.spark = spark
         self.path = path.rstrip("/")
         self._log_dir = os.path.join(self.path, "_delta_log")
+        # data-file scans run on this session; _schema_plan swaps in an
+        # isolated child session when a table needs scan-scoped SQL conf
+        # (column mapping mode 'id'), so reader needs never leak into the
+        # caller's session (round-7 ADVICE fix)
+        self._scan_spark = spark
+
+    def _field_id_session(self) -> SparkSession:
+        """A cached child session with parquet field-id matching enabled.
+
+        ``spark.sql.parquet.fieldId.read.enabled`` is a session-wide SQL
+        conf with no per-reader option; setting it on the caller's session
+        would change column resolution for every later parquet scan whose
+        files carry field-id metadata. ``newSession()`` shares the
+        SparkContext (same executors, same catalog of temp dirs) but has
+        its own SQLConf, and a DataFrame executes under the conf of the
+        session that created it — exactly scan-scoped. Runtime confs that
+        affect semantics/parallelism are mirrored from the parent.
+        """
+        cached = getattr(self.spark, "_delta_field_id_session", None)
+        if cached is not None:
+            return cached
+        child = self.spark.newSession()
+        for k in (
+            "spark.sql.session.timeZone",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        ):
+            try:
+                child.conf.set(k, self.spark.conf.get(k))
+            except Exception:
+                pass
+        child.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        self.spark._delta_field_id_session = child
+        return child
 
     # -- log directory scan -------------------------------------------------
     def _scan(self) -> tuple[list[int], dict[int, list[str]]]:
@@ -382,12 +418,15 @@ class DeltaLogReader:
             else:
                 phys[f.name] = f.name
         data_fields = [f for f in schema.fields if f.name not in part_cols]
+        self._scan_spark = self.spark
         if cm_mode == "id":
             # field-id matching: scan under the LOGICAL names, each field
             # tagged with its parquet field id — Spark's vectorized reader
             # resolves columns by id, so physical parquet names are
-            # irrelevant (and files that predate a rename still resolve)
-            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            # irrelevant (and files that predate a rename still resolve).
+            # The fieldId conf rides an isolated child session, never the
+            # caller's (see _field_id_session).
+            self._scan_spark = self._field_id_session()
             file_schema = T.StructType(
                 [
                     T.StructField(
@@ -543,7 +582,7 @@ class DeltaLogReader:
             return df.select(*[f.name for f in schema.fields])
 
         for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-            df = self.spark.read.schema(file_schema).parquet(*paths).select(*rename)
+            df = self._scan_spark.read.schema(file_schema).parquet(*paths).select(*rename)
             df = attach(df, key)
             out = df if out is None else out.unionByName(df)
         if dv_reads:
@@ -703,7 +742,7 @@ class DeltaLogReader:
             )
         )
         df = (
-            self.spark.read.schema(file_schema)
+            self._scan_spark.read.schema(file_schema)
             .parquet(*paths)
             .select("*", F.col("_metadata.file_path").alias("__fp"))
             .withColumn("__cf", canon)
@@ -716,7 +755,7 @@ class DeltaLogReader:
             ]
             + [T.StructField(c, T.StringType()) for c in part_cols]
         )
-        fmap = F.broadcast(self.spark.createDataFrame(map_rows, map_schema))
+        fmap = F.broadcast(self._scan_spark.createDataFrame(map_rows, map_schema))
         return df.join(fmap, "__cf").select(
             *rename,
             *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
@@ -747,7 +786,7 @@ class DeltaLogReader:
         which url_decode would otherwise turn into a space); the driver
         side is already decoded (add.path is unquoted at join time).
         """
-        spark = self.spark
+        spark = self._scan_spark
         canon = F.url_decode(
             F.regexp_replace(
                 F.regexp_replace(F.col("__fp"), "^file:/*", "/"), r"\+", "%2B"

@@ -234,3 +234,79 @@ class TestAsofVariants:
 
         assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
         assert len(_re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+class TestResampleLocf:
+    """resample_locf: fixed-step grid per key, LOCF fill, no NULL holes.
+    Round-7 ADVICE fix: the grid starts at the bucket CEILING of the first
+    observation — a floor start preceded every observation whenever the
+    first one was off-boundary, yielding a NULL first grid point."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp, v double, tb long")
+
+    def test_unaligned_first_timestamp_has_no_null_hole(self, spark):
+        from data_etl_pipeline_spark.operators.asof import resample_locf
+
+        rows = [
+            # first obs at 00:10 — NOT on the 1h grid; grid starts 01:00
+            ("a", datetime(2024, 1, 1, 0, 10), 1.0, 1),
+            ("a", datetime(2024, 1, 1, 2, 30), 2.0, 2),
+            ("a", datetime(2024, 1, 1, 4, 0), 3.0, 3),
+        ]
+        out = resample_locf(
+            self._df(spark, rows), "k", "ts", "v", "tb", step_seconds=3600
+        ).collect()
+        got = {r["grid_ts"]: r["v"] for r in out}
+        assert got == {
+            datetime(2024, 1, 1, 1): 1.0,
+            datetime(2024, 1, 1, 2): 1.0,
+            datetime(2024, 1, 1, 3): 2.0,
+            datetime(2024, 1, 1, 4): 3.0,
+        }
+        assert all(r["v"] is not None for r in out)
+
+    def test_aligned_first_timestamp_keeps_its_grid_point(self, spark):
+        from data_etl_pipeline_spark.operators.asof import resample_locf
+
+        rows = [
+            ("a", datetime(2024, 1, 1, 1, 0), 5.0, 1),
+            ("a", datetime(2024, 1, 1, 3, 0), 7.0, 2),
+        ]
+        out = resample_locf(
+            self._df(spark, rows), "k", "ts", "v", "tb", step_seconds=3600
+        ).collect()
+        got = {r["grid_ts"]: r["v"] for r in out}
+        assert got == {
+            datetime(2024, 1, 1, 1): 5.0,
+            datetime(2024, 1, 1, 2): 5.0,
+            datetime(2024, 1, 1, 3): 7.0,
+        }
+
+    def test_key_within_single_step_emits_no_rows(self, spark):
+        from data_etl_pipeline_spark.operators.asof import resample_locf
+
+        # both observations strictly inside (01:00, 02:00) — no grid point
+        # lands within the observed span
+        rows = [
+            ("a", datetime(2024, 1, 1, 1, 10), 1.0, 1),
+            ("a", datetime(2024, 1, 1, 1, 50), 2.0, 2),
+        ]
+        out = resample_locf(
+            self._df(spark, rows), "k", "ts", "v", "tb", step_seconds=3600
+        ).collect()
+        assert out == []
+
+    def test_timestamp_tie_takes_greatest_tiebreak(self, spark):
+        from data_etl_pipeline_spark.operators.asof import resample_locf
+
+        rows = [
+            ("a", datetime(2024, 1, 1, 1, 0), 1.0, 1),
+            ("a", datetime(2024, 1, 1, 1, 0), 9.0, 2),
+            ("a", datetime(2024, 1, 1, 2, 0), 3.0, 3),
+        ]
+        out = resample_locf(
+            self._df(spark, rows), "k", "ts", "v", "tb", step_seconds=3600
+        ).collect()
+        got = {r["grid_ts"]: r["v"] for r in out}
+        assert got[datetime(2024, 1, 1, 1)] == 9.0

@@ -597,3 +597,52 @@ class TestZorderExport:
         r = DeltaLogReader(spark, dest)
         assert len(r.live_files(filters=[("id", "<", 100)])) < 16
         assert len(r.live_files(filters=[("val", "<", 100.0)])) < 16
+
+
+class TestFooterStatsCompleteness:
+    """_file_stats must emit bounds that cover EVERY row group or none at
+    all — partial (tighter-than-true) bounds make data skipping drop files
+    that contain matching rows (round-7 ADVICE fix)."""
+
+    def test_undecodable_later_row_group_drops_bounds_not_tightens(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_etl_pipeline_spark.sources.delta_export import _file_stats
+
+        path = str(tmp_path / "two_groups.parquet")
+        schema = pa.schema([("x", pa.int64()), ("b", pa.binary())])
+        with pq.ParquetWriter(path, schema) as w:
+            # row group 0: binary stats decode fine as UTF-8
+            w.write_table(
+                pa.table({"x": [1, 2], "b": [b"aaa", b"bbb"]}, schema=schema)
+            )
+            # row group 1: invalid UTF-8 — bounds for `b` are unusable here
+            w.write_table(
+                pa.table({"x": [3, 4], "b": [b"\xff\xfe", b"\xff"]}, schema=schema)
+            )
+        assert pq.ParquetFile(path).metadata.num_row_groups == 2
+        stats = json.loads(_file_stats(path))
+        # int column spans BOTH row groups
+        assert stats["minValues"]["x"] == 1 and stats["maxValues"]["x"] == 4
+        # binary column: rg0-only bounds (min=aaa/max=bbb) would be tighter
+        # than the file's true range — must be omitted entirely
+        assert "b" not in stats["minValues"] and "b" not in stats["maxValues"]
+        assert stats["numRecords"] == 4
+
+    def test_stats_disabled_column_is_fully_omitted(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_etl_pipeline_spark.sources.delta_export import _file_stats
+
+        path = str(tmp_path / "nostat.parquet")
+        t = pa.table({"x": [1, 2, 3], "s": ["a", None, "c"]})
+        pq.write_table(t, path, write_statistics=["x"])
+        stats = json.loads(_file_stats(path))
+        assert stats["minValues"] == {"x": 1}
+        assert stats["maxValues"] == {"x": 3}
+        # a column with no usable per-row-group stats must not appear in
+        # nullCount either (absence == "cannot skip", never a partial count)
+        assert "s" not in stats["nullCount"]
+        assert stats["nullCount"]["x"] == 0

@@ -904,3 +904,41 @@ class TestCheckpointCompleteness:
         ).close()
         with pytest.raises(DeltaProtocolError, match="both a single-file and multi-part"):
             DeltaLogReader(spark, tbl).versions()
+
+
+def test_id_mode_read_does_not_leak_field_id_conf(spark, tmp_path):
+    # round-7 ADVICE fix: the fieldId scan conf must ride an isolated
+    # child session — a mode-'id' read must not flip column resolution
+    # for the caller's own later parquet scans
+    import shutil
+
+    before = spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None)
+    tbl = str(tmp_path / "dlcmleak")
+    os.makedirs(tbl)
+    file_schema = T.StructType(
+        [
+            T.StructField("col-11", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField("col-22", T.StringType(), True, {"parquet.field.id": 2}),
+        ]
+    )
+    df = spark.createDataFrame([(7, "z")], file_schema)
+    tmp = os.path.join(tbl, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
+    shutil.rmtree(tmp)
+    meta = _cm_meta("col-11", "col-22")
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}}, meta, _add("f.parquet")])
+    got = DeltaLogReader(spark, tbl).read().collect()
+    assert [(r.id, r.val) for r in got] == [(7, "z")]
+    # caller's session conf is untouched (unset stays unset, value stays)
+    assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None) == before
+    # the caller resolves field-id-tagged files BY NAME as before the read:
+    # scanning f.parquet under its physical names must still work
+    plain = (
+        spark.read.schema("`col-11` long, `col-22` string")
+        .parquet(os.path.join(tbl, "f.parquet"))
+        .collect()
+    )
+    assert [(r["col-11"], r["col-22"]) for r in plain] == [(7, "z")]

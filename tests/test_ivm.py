@@ -78,3 +78,71 @@ def test_signed_drops_feed_metadata(spark):
     out = signed(df)
     assert set(out.columns) == {"k", "_sign"}
     assert {r["k"]: r["_sign"] for r in out.collect()} == {1: 1, 2: -1}
+
+
+class TestVersionedForm:
+    """join_view_delta_versioned derives snapshots + feeds from the tables
+    and version numbers — the wrong snapshot pairing is inexpressible
+    (round-7 verdict item: make ivm_join_view misuse loud)."""
+
+    def _tables(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+        a = VersionedTable(spark, str(tmp_path / "a"))
+        b = VersionedTable(spark, str(tmp_path / "b"))
+        a.write(spark.createDataFrame([(1, 10), (2, 20)], "ak long, av long"))
+        b.write(spark.createDataFrame([(1, 100), (2, 200)], "bk long, bv long"))
+        return a, b
+
+    def test_matches_recompute_through_both_tables_changing(self, spark, tmp_path):
+        from data_etl_pipeline_spark.operators.ivm import join_view_delta_versioned
+
+        a, b = self._tables(spark, tmp_path)
+        v0_view = a.read(version=0).join(b.read(version=0), F.col("ak") == F.col("bk"))
+        base = {(r.ak, r.av, r.bk, r.bv) for r in v0_view.collect()}
+        # change both sides: update a row in A, insert + delete in B
+        a.merge(spark.createDataFrame([(1, 11)], "ak long, av long"), keys=["ak"])
+        b.merge(spark.createDataFrame([(3, 300)], "bk long, bv long"), keys=["bk"])
+        b.delete_where(F.col("bk") == 2)
+        a.merge(spark.createDataFrame([(3, 30)], "ak long, av long"), keys=["ak"])
+        delta = join_view_delta_versioned(
+            a, b, a_keys=["ak"], b_keys=["bk"], on_a="ak", on_b="bk",
+            a_from=0, b_from=0,
+        ).collect()
+        state = dict()
+        for r in delta:
+            key = (r.ak, r.av, r.bk, r.bv)
+            state[key] = state.get(key, 0) + r._sign
+        for key in base:
+            state[key] = state.get(key, 0) + 1
+        maintained = {k for k, n in state.items() if n > 0}
+        assert all(n in (0, 1) for n in state.values()), state
+        truth = {
+            (r.ak, r.av, r.bk, r.bv)
+            for r in a.read().join(b.read(), F.col("ak") == F.col("bk")).collect()
+        }
+        assert maintained == truth
+
+    def test_backward_version_range_raises(self, spark, tmp_path):
+        import pytest
+
+        from data_etl_pipeline_spark.operators.ivm import join_view_delta_versioned
+
+        a, b = self._tables(spark, tmp_path)
+        a.merge(spark.createDataFrame([(1, 11)], "ak long, av long"), keys=["ak"])
+        with pytest.raises(ValueError, match="must move forward"):
+            join_view_delta_versioned(
+                a, b, a_keys=["ak"], b_keys=["bk"], on_a="ak", on_b="bk",
+                a_from=1, b_from=0, a_to=0,
+            )
+
+    def test_projection_drops_ambiguous_columns_before_join(self, spark, tmp_path):
+        from data_etl_pipeline_spark.operators.ivm import join_view_delta_versioned
+
+        a, b = self._tables(spark, tmp_path)
+        b.merge(spark.createDataFrame([(3, 300)], "bk long, bv long"), keys=["bk"])
+        delta = join_view_delta_versioned(
+            a, b, a_keys=["ak"], b_keys=["bk"], on_a="ak", on_b="bk",
+            a_from=0, b_from=0, b_cols=["bk", "bv"],
+        )
+        assert set(delta.columns) == {"ak", "av", "bk", "bv", "_sign"}

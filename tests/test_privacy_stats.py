@@ -80,3 +80,35 @@ def test_weighted_median_equals_plain_median_under_unit_weights(spark):
     )
     got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
     assert got == 51.0
+
+
+def test_weighted_median_sub_cent_weights_not_zeroed(spark):
+    # round-7 ADVICE fix: decimal(18,2) weights rounded 0.004 -> 0.00,
+    # erasing sub-cent weights from both sums and shifting the median.
+    # With 0.004 weights live, v=2 carries 10.0 of ~10.012 total weight.
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.004), ("a", 2.0, 10.0), ("a", 3.0, 0.008)],
+        "g string, v double, w double",
+    )
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got == 2.0
+    # all-fractional group: with scale-2 rounding every weight is 0 and the
+    # where-clause degenerates (0*2 >= 0 everywhere -> min value always)
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 0.001), ("a", 2.0, 0.001), ("a", 3.0, 0.005)],
+        "g string, v double, w double",
+    )
+    got2 = weighted_median(df2, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got2 == 3.0
+
+
+def test_weighted_median_rejects_negative_weights(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, -1.0)], "g string, v double, w double"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        weighted_median(df, ["g"], "v", "w").collect()
