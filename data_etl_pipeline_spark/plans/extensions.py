@@ -2211,6 +2211,79 @@ def delta_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_export_merge_upsert",
+    sql="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 5 <> 2
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+    doc="Keyed copy-on-write MERGE into an exported Delta table — the "
+    "continuous-promotion path: after a CoW delete, a second promotion "
+    "replaces changed keys (price doubled where key%7=3) and inserts new "
+    "ones ([1000,1200)) in ONE commit that rewrites only matched files. "
+    "Deleted keys (key%5=2) stay gone — the merge walk-diff ignores "
+    "removed-but-unvacuumed files, no resurrection (asserted in-query). "
+    "Tail consumers see the net-change contract: the merge commit "
+    "refuses a plain tail and skips WHOLESALE under skip_change_commits "
+    "(asserted in-query); the oracle recomputes the final logical state "
+    "from scratch.",
+)
+def delta_export_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_delete,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import (
+        DeltaLogReader,
+        DeltaProtocolError,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="exp_mrg_") + "/table"
+    export_delta(base.where(k < 1000), dest, partition_by=["o_orderstatus"])
+    export_delta_delete(spark, dest, "o_orderkey % 5 = 2")
+    # second promotion: updates for surviving key%7=3 rows + new keys
+    upd = (
+        base.where((k < 1000) & (k % 7 == 3) & (k % 5 != 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    src = upd.unionByName(base.where((k >= 1000) & (k < 1200)))
+    res = export_delta_merge(spark, src, dest, keys=["o_orderkey"])
+    assert res["version"] == 2 and res["removed_files"] > 0, res
+    back = DeltaLogReader(spark, dest).read()
+    # no resurrection: the CoW-deleted keys must still be absent
+    assert back.where((k < 1000) & (k % 5 == 2)).count() == 0
+    # net-change contract for tails: the merge commit refuses a plain
+    # tail and is skipped WHOLESALE by a skipping one
+    reader = DeltaLogReader(spark, dest)
+    try:
+        reader.tail(1)
+        raise AssertionError("tailing across a MERGE commit must refuse")
+    except DeltaProtocolError:
+        pass
+    assert reader.tail(1, skip_change_commits=True).count() == 0
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "delta_export_cow_delete",
     sql="""
     SELECT o_orderstatus AS status, COUNT(*) AS n,
@@ -2262,15 +2335,21 @@ def delta_export_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 2, o_orderstatus, COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
     FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1400 GROUP BY 2
+    UNION ALL
+    SELECT 4, o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 1400 AND o_orderkey < 1600 GROUP BY 2
     """,
     doc="Incremental TAIL of a foreign Delta log: rows added by commits "
     "(from_version, latest], tagged _commit_version, in ONE scan branch "
     "regardless of commit count (file->version via a canonical-path "
-    "broadcast). A copy-on-write delete then makes the head a CHANGE "
-    "commit: tailing refuses by default (emitting rewritten survivors as "
-    "inserts would re-deliver rows) and skip_change_commits skips it "
-    "wholesale — both proven in-query; the aggregate hashes only the "
-    "append commits.",
+    "broadcast). Full change-commit lifecycle: a copy-on-write delete "
+    "mid-log makes commit 3 a CHANGE commit — tailing refuses by default "
+    "(emitting rewritten survivors as inserts would re-deliver rows), "
+    "skip_change_commits skips it WHOLESALE while appends before AND "
+    "after it surface under their own _commit_version (the Spark Delta "
+    "streaming-source skipChangeCommits contract) — all proven in-query; "
+    "the aggregate hashes exactly the append commits 1, 2 and 4.",
 )
 def delta_interop_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -2297,8 +2376,11 @@ def delta_interop_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_delta_append(sl(600, 1000), dest)
     export_delta_append(sl(1000, 1400), dest)
     reader = DeltaLogReader(spark, dest)
-    # the head becomes a non-append commit — the refusal/skip contract
+    # commit 3 becomes a non-append CHANGE commit — the refusal/skip
+    # contract — and commit 4 appends AFTER it: a skipping tail must
+    # drop 3 wholesale yet still surface 4 under its own version
     export_delta_delete(spark, dest, "o_orderkey % 7 = 3")
+    export_delta_append(sl(1400, 1600), dest)
     try:
         reader.tail(0)
         raise AssertionError("tailing across a change commit must refuse")

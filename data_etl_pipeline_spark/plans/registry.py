@@ -53,9 +53,11 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # (b) 17 of the 18 round-6-late queries that have never had a driver row
 # (pytest-oracle-green only). ivm_join_view is the named carry-over that
 # falls off the 50-row window; it MUST lead the round-8 front, followed by
-# every query added in round 7 (delta_export_merge_upsert,
-# delta_export_cow_tail_lifecycle, events_resample_locf, and any after
-# them), then the oldest r4 rows (alphabetical: csv_export_roundtrip,
+# every query added or materially changed in round 7
+# (delta_export_merge_upsert, events_resample_locf, and any after them;
+# delta_interop_tail_read gained a post-delete append commit but is
+# driver-tested THIS round), then the oldest r4 rows (alphabetical:
+# csv_export_roundtrip,
 # customer_ltv_quartiles, customers_without_recent_orders, ...).
 _VERIFY_FIRST: list[str] = [
     # (a) the 33 r3-stale rows

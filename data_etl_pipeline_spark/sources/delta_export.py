@@ -530,6 +530,160 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
     }
 
 
+def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict:
+    """Keyed COPY-ON-WRITE MERGE (upsert) into a table this module
+    exported: destination rows whose key tuple appears in ``df`` are
+    replaced by the source rows, and source rows with new keys are
+    inserted — the "promote each engine snapshot continuously" path the
+    append/delete halves already implied. Classic Delta writer MERGE
+    shape: rewrite ONLY the data files containing at least one matched
+    key (survivor rows = anti-join on the keys), append ALL source rows
+    as new files, commit ``remove`` + ``add`` with ``dataChange: true``.
+
+    Tail consumers see exactly the net change semantics the Spark Delta
+    streaming source defines for data-changing rewrites: the commit is
+    refused by default (its row-level delta is not expressible as
+    inserts) and skipped wholesale under ``skip_change_commits=True``.
+
+    Delta MERGE's multiple-source-rows-matched rule applies: duplicate
+    key tuples in ``df`` refuse loudly (a nondeterministic "last write
+    wins" would silently depend on partitioning). Schema must match the
+    table's exactly; checkpointed/foreign logs refuse via
+    ``_read_own_log``.
+
+    Scale shape: match discovery is one pruned scan per partition group
+    joined against the (distinct) source keys — collect is bounded by
+    FILE count; the rewrite reads only affected files; the insert is one
+    distributed partitioned write of the source.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files = _read_own_log(dest)
+    if df.schema.json() != meta["schemaString"]:
+        raise DeltaExportError(
+            "merge source schema differs from the exported table's schema; "
+            "export a new table instead of evolving this one"
+        )
+    for k in keys:
+        if k not in df.columns:
+            raise DeltaExportError(f"merge key {k!r} is not a source column")
+    if df.groupBy(*keys).count().where(F.col("count") > 1).take(1):
+        raise DeltaExportError(
+            "duplicate key tuples in the merge source — Delta MERGE "
+            "semantics forbid multiple source rows matching one target row"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    types_map = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    file_schema = T.StructType(data_fields)
+
+    def canon_fs_path(file_uri: str) -> str:
+        return unquote(_re.sub("^file:/*", "/", file_uri).replace("+", "%2B"))
+
+    groups: dict[tuple, list[str]] = {}
+    for p, a in files.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(unquote(p))
+
+    def scan_group(key: tuple, rels: list[str]):
+        g = spark.read.schema(file_schema).parquet(
+            *[os.path.join(dest, r) for r in rels]
+        ).select("*", F.col("_metadata.file_path").alias("__fp"))
+        for c, raw in zip(part_cols, key):
+            g = g.withColumn(c, F.lit(raw).cast(types_map[c]))
+        return g
+
+    src_keys = df.select(*keys).distinct()
+    # 1) discovery: live files holding at least one matched key (semi-join
+    #    against the source keys; collect bounded by file count)
+    affected: dict[tuple, list[str]] = {}
+    n_affected = 0
+    for key, rels in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        hit = (
+            scan_group(key, rels)
+            .join(src_keys, on=keys, how="left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        if not hit:
+            continue
+        by_abs = {os.path.abspath(os.path.join(dest, r)): r for r in rels}
+        aff = sorted(by_abs[canon_fs_path(r["__fp"])] for r in hit)
+        affected[key] = aff
+        n_affected += len(aff)
+
+    known = {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # 2) rewrite survivors (rows whose key is NOT in the source) of each
+    #    affected file back into its own partition directory
+    for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
+        surv = (
+            scan_group(key, aff)
+            .join(src_keys, on=keys, how="left_anti")
+            .select(*[f.name for f in data_fields])
+        )
+        out_dir = os.path.join(dest, os.path.dirname(aff[0]))
+        surv.write.mode("append").parquet(out_dir)
+    # 3) insert ALL source rows (updates and new keys) as new files
+    writer = df.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dest)
+
+    # 4) commit: remove rewritten files, add every file the walk-diff finds
+    now_ms = int(__import__("time").time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": quote(rel.replace(os.sep, "/")),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for aff in affected.values()
+        for rel in sorted(aff)
+    ]
+    adds = []
+    total = 0
+    for root, _d, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
+                continue
+            action, size = _add_action(dest, full, True)
+            adds.append(action)
+            total += size
+    adds.sort(key=lambda a: a["add"]["path"])
+    version = versions[-1] + 1
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in [*actions, *adds]:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+    return {
+        "version": version,
+        "removed_files": n_affected,
+        "added_files": len(adds),
+        "bytes": total,
+    }
+
+
 def export_delta_optimize(spark, dest: str) -> dict:
     """Compact each partition of an exported table to ONE file — the
     Delta OPTIMIZE shape: the commit's ``remove``/``add`` actions all

@@ -578,3 +578,51 @@ class TestIVFPQ:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestBenchScaleRecall:
+    """PQ / IVF-PQ recall floors at BENCH scale (sf0.1: 2000 vectors) —
+    the measured operating points live in SCALE.md round-7 notes; these
+    floors keep them honest (deterministic data -> deterministic recall,
+    floors leave headroom for partitioning nondeterminism only).
+    """
+
+    SF01 = "/root/testdata/sf0.1"
+
+    def _recall(self, exact, approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    def _sets(self, df):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def test_pq_rerank_recall_floor(self, spark):
+        emb = load(spark, self.SF01, "embeddings")
+        exact = self._sets(similarity.ann_topk_bruteforce(emb, n_queries=20, k=5))
+        approx = self._sets(
+            similarity.ann_topk_pq_rerank(emb, n_queries=20, k=5, candidates=50)
+        )
+        r = self._recall(exact, approx)
+        # measured 0.98 at this exact configuration (SCALE.md round-7)
+        assert r >= 0.9, f"PQ-rerank recall@5 degraded at bench scale: {r:.2f}"
+
+    def test_ivf_pq_recall_tracks_scan_fraction(self, spark):
+        emb = load(spark, self.SF01, "embeddings")
+        exact = self._sets(similarity.ann_topk_bruteforce(emb, n_queries=20, k=5))
+        # the 40%-scan operating point (cells=20, nprobe=8): measured 0.70
+        approx = self._sets(
+            similarity.ann_topk_ivf_pq(
+                emb, n_queries=20, k=5, ivf_stride=100, nprobe=8, candidates=100
+            )
+        )
+        r = self._recall(exact, approx)
+        assert r >= 0.55, f"IVF-PQ recall@5 degraded at bench scale: {r:.2f}"
+        # and the default narrow probe stays a SCAN-BUDGET point, not an
+        # accuracy point, on clusterless data — document the measured gap
+        narrow = self._sets(
+            similarity.ann_topk_ivf_pq(emb, n_queries=20, k=5, nprobe=2)
+        )
+        assert self._recall(exact, narrow) < r
