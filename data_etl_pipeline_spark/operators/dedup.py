@@ -55,6 +55,22 @@ def _docs_with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
     """(doc_id, sh) with sh = distinct word n-gram array. The text is split
     exactly once (projected to a column before the size filter) so the plan
     carries one split per row instead of recomputing it in every predicate.
+
+    The shingle expression is TOTAL (empty array below n words), not
+    merely filtered: InferFiltersFromGenerate copies a downstream
+    explode's expression into the Filter as inferred ``size(...) > 0`` /
+    ``isnotnull`` conjuncts, and common-subexpression elimination then
+    evaluates it EAGERLY for every row — the size predicate's
+    short-circuit never happens, and an unguarded
+    ``sequence(0, size(w) - n)`` on a sub-n-word doc descends into
+    ``slice(w, 0, n)``, which throws. (Round-7 fix; found the moment a
+    corpus contained a two-word document.) Totality comes from clamping
+    the sequence bound — ``sequence(0, greatest(size(w) - n, 0))`` — NOT
+    from a CASE guard: a conditional branch would BLOCK subexpression
+    elimination, forcing the shingling to run twice per row (measured
+    +65% on the jaccard/minhash headliners). A sub-n-word row evaluates
+    to one bogus short shingle that the real size predicate then drops;
+    rows that survive the filter are untouched by the clamp.
     """
     return (
         df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w"))
@@ -62,7 +78,10 @@ def _docs_with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
         .select(
             "doc_id",
             F.array_distinct(
-                F.expr(f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n})))")
+                F.expr(
+                    f"transform(sequence(0, greatest(size(w) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(w, i + 1, {n})))"
+                )
             ).alias("sh"),
         )
     )
@@ -690,4 +709,64 @@ def remove_boilerplate_spans(
         "n_words",
         (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    n_queries: int,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-query lexical similarity ranking: for each of the first
+    ``n_queries`` doc ids, the top-k OTHER documents by exact word-n-gram
+    Jaccard — the lexical leg of a hybrid retriever (fuse with an ANN leg
+    via ``operators.search.rrf_fuse``).
+
+    Unlike the pair miner (symmetric, thresholded), this is asymmetric
+    and exhaustive per query: the query side is TINY (n_queries docs) and
+    broadcast onto the corpus postings, so the candidate join is
+    one equi-join on the shingle — a pruned-probe shape that scales with
+    corpus postings, never corpus pairs. Ties break on doc id.
+
+    Returns (q_id, doc_id, jaccard, rank) with rank 1..k per query,
+    jaccard rounded to 6 decimals. Queries whose text yields no shingles
+    (under n words) rank nothing.
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    qsh = (
+        sh.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), "shingle")
+    )
+    qsz = sizes.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("__sz").alias("__qsz")
+    )
+    shared = (
+        sh.join(F.broadcast(qsh), "shingle")
+        .where(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    scored = (
+        shared.join(sizes, id_col)
+        .join(F.broadcast(qsz), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                F.col("__shared")
+                / (F.col("__qsz") + F.col("__sz") - F.col("__shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("jaccard"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )

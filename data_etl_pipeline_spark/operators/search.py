@@ -23,7 +23,7 @@ to 6 decimals, the float contract the whole oracle suite uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), x -> length(x) >= 2)"
@@ -169,3 +169,51 @@ def refresh_postings(
     if fresh.take(1):
         # the stale rows are already gone, so the MERGE is a pure insert
         index.merge(build_postings(fresh, text_col, id_col), keys=["term", "doc_id"])
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings (the standard
+    hybrid-retrieval combiner: lexical BM25/Jaccard + semantic ANN lists
+    into one ranking): score(q, d) = sum over systems of 1/(c + rank),
+    missing entries contribute 0.
+
+    Determinism: ranks are integers, so 1/(c+rank) is the same double in
+    every engine; the fused score is a fixed-arity sum (one term per
+    system, NULL-coalesced) rounded to 6 decimals, and ties break on
+    doc id. Scale shape: each ranking is per-query top-n (tiny — n*k
+    rows per query), so the full-outer merge joins bounded frames; no
+    corpus-sized input ever reaches the fusion.
+
+    Returns (q_col, doc_col, rrf_score, rank) with rank 1..k per query.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse wants at least two rankings to fuse")
+    from functools import reduce
+
+    scored = [
+        r.select(
+            F.col(q_col), F.col(doc_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col))).alias(f"__s{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    merged = reduce(
+        lambda a, b: a.join(b, [q_col, doc_col], "full_outer"), scored
+    )
+    total = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    out = merged.select(q_col, doc_col, F.round(total, 6).alias("rrf_score"))
+    w = W.partitionBy(q_col).orderBy(F.desc("rrf_score"), F.asc(doc_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

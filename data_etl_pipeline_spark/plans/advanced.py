@@ -1778,8 +1778,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_resample_locf",
     sql="""
     WITH s AS (SELECT user_id,
-                      MIN(CAST(ceil(epoch(ts) / 21600.0) AS BIGINT)) AS lo,
-                      MAX(CAST(floor(epoch(ts) / 21600.0) AS BIGINT)) AS hi
+                      -- floor(epoch()) first: Spark's unix_timestamp
+                      -- TRUNCATES fractional seconds, and ceil over the
+                      -- raw fractional epoch would round a first
+                      -- observation just past a boundary into the next
+                      -- bucket (engine divergence)
+                      MIN(CAST(ceil(floor(epoch(ts)) / 21600.0) AS BIGINT)) AS lo,
+                      MAX(CAST(floor(floor(epoch(ts)) / 21600.0) AS BIGINT)) AS hi
                FROM events GROUP BY user_id),
     g AS (SELECT user_id,
                  TIMESTAMP '1970-01-01 00:00:00'
@@ -1808,3 +1813,232 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value", tiebreak="event_id", step_seconds=21600
     )
     return out.select("user_id", "grid_ts", F.col("value").alias("locf_value"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics — clip each group's values at its own
+# exact p05/p95 before averaging, the outlier-robust center a
+# quality-score mixer wants (means chase outliers, plain medians ignore
+# spread). Bounds are exact interpolated percentiles rounded to 6
+# decimals in BOTH engines before clipping, so a value at the boundary
+# clips identically; clipped values accumulate as exact decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_price_stats",
+    sql="""
+    WITH b AS (SELECT l_returnflag,
+                      ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+                      ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+               FROM lineitem GROUP BY 1),
+    c AS (SELECT l.l_returnflag,
+                 CAST(LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95)
+                      AS DECIMAL(18,6)) AS w,
+                 b.p05, b.p95
+          FROM lineitem l JOIN b USING (l_returnflag))
+    SELECT l_returnflag AS returnflag, MIN(p05) AS p05, MIN(p95) AS p95,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+    FROM c GROUP BY 1
+    """,
+    doc="Per-group winsorization at exact p05/p95: bounds from one "
+    "percentile aggregation broadcast back onto the fact rows, clipping "
+    "via least/greatest in codegen, decimal accumulation of the clipped "
+    "values. Bounds are rounded to 6 decimals in both engines before "
+    "clipping so boundary rows cannot clip differently.",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05D)"), 6).alias("p05"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 6).alias("p95"),
+    )
+    c = li.join(F.broadcast(b), "l_returnflag").withColumn(
+        "w",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+        .cast("decimal(18,6)"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+    ).select(F.col("l_returnflag").alias("returnflag"), "p05", "p95", "n", "winsorized_mean")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — each event lands in window_len/slide
+# overlapping windows. Spark's native window(ts, '1 hour', '15 minutes')
+# does the 4x fan-out inside the Expand-free TimeWindow expression; the
+# oracle makes the fan-out explicit (4 shifted tumbling buckets).
+# ---------------------------------------------------------------------------
+@query(
+    "hopping_event_stats",
+    sql="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + ((floor(epoch(ts))::BIGINT // 900) - k.k) * 900 * INTERVAL 1 SECOND
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Hopping-window aggregation (1h window, 15min slide): Spark's "
+    "native sliding TimeWindow fans each event into its 4 covering "
+    "windows; the oracle writes the same fan-out as 4 shifted tumbling "
+    "buckets. The streaming twin is the same plan under readStream "
+    "(SURVEY ST1 family).",
+)
+def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Annotation QA: Cohen's kappa between two deterministic labelers (char-
+# length buckets vs word-count buckets) per language — chance-corrected
+# agreement, the metric a labeling pipeline reports before trusting
+# auto-labels. All marginals are integer counts; the two divisions run
+# on identical integers in both engines and round to 6 decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "annotator_agreement_kappa",
+    sql="""
+    WITH lab AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 300 THEN 'long'
+                  WHEN n_chars >= 150 THEN 'mid' ELSE 'short' END AS a,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 'long'
+                  WHEN len(string_split(text, ' ')) >= 25 THEN 'mid'
+                  ELSE 'short' END AS b
+      FROM documents),
+    agg AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+             SUM(CASE WHEN a = 'long' THEN 1 ELSE 0 END) AS al,
+             SUM(CASE WHEN a = 'mid' THEN 1 ELSE 0 END) AS am,
+             SUM(CASE WHEN a = 'short' THEN 1 ELSE 0 END) AS ash,
+             SUM(CASE WHEN b = 'long' THEN 1 ELSE 0 END) AS bl,
+             SUM(CASE WHEN b = 'mid' THEN 1 ELSE 0 END) AS bm,
+             SUM(CASE WHEN b = 'short' THEN 1 ELSE 0 END) AS bs
+      FROM lab GROUP BY lang)
+    SELECT lang, n,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST(al * bl + am * bm + ash * bs AS DOUBLE) / (n * n), 6) AS pe,
+           ROUND((CAST(agree AS DOUBLE) / n
+                  - CAST(al * bl + am * bm + ash * bs AS DOUBLE) / (n * n))
+                 / (1 - CAST(al * bl + am * bm + ash * bs AS DOUBLE) / (n * n)),
+                 6) AS kappa
+    FROM agg
+    """,
+    doc="Cohen's kappa per language between a char-length labeler and a "
+    "word-count labeler: observed agreement po, chance agreement pe from "
+    "the marginal products, kappa = (po-pe)/(1-pe). One hash aggregation "
+    "carrying nine integer counters; divisions happen once per group on "
+    "identical integers.",
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    a = (
+        F.when(F.col("n_chars") >= 300, "long")
+        .when(F.col("n_chars") >= 150, "mid")
+        .otherwise("short")
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    b = F.when(wc >= 50, "long").when(wc >= 25, "mid").otherwise("short")
+    lab = docs.select("lang", a.alias("a"), b.alias("b"))
+
+    def cnt(c, v):
+        return F.sum((F.col(c) == v).cast("long"))
+
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+        cnt("a", "long").alias("al"), cnt("a", "mid").alias("am"),
+        cnt("a", "short").alias("ash"),
+        cnt("b", "long").alias("bl"), cnt("b", "mid").alias("bm"),
+        cnt("b", "short").alias("bs"),
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (
+        F.col("al") * F.col("bl") + F.col("am") * F.col("bm")
+        + F.col("ash") * F.col("bs")
+    ).cast("double") / (F.col("n") * F.col("n"))
+    return agg.select(
+        "lang", "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier flagging: median/MAD z-scores per group (mean/stddev
+# chase the very outliers they should flag; the MAD breaks down only at
+# 50% contamination). Two percentile passes, each broadcast back; the
+# 1.4826 normal-consistency constant and the 3-sigma cut are identical
+# double literals in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "mad_outlier_flags",
+    sql="""
+    WITH med AS (SELECT l_returnflag,
+                        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med
+                 FROM lineitem GROUP BY 1),
+    dev AS (SELECT l.l_returnflag, l.l_extendedprice, m.med,
+                   ABS(l.l_extendedprice - m.med) AS ad
+            FROM lineitem l JOIN med m USING (l_returnflag)),
+    mad AS (SELECT l_returnflag, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.l_returnflag AS returnflag, MIN(d.med) AS med, MIN(x.mad) AS mad,
+           COUNT(*) AS n,
+           SUM(CASE WHEN d.ad > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad x USING (l_returnflag)
+    GROUP BY 1
+    """,
+    doc="Median/MAD robust z-score outlier counts per return flag: exact "
+    "median, median absolute deviation (both rounded to 6 decimals "
+    "before the cut so boundary rows decide identically), flag when "
+    "|x - med| > 3 * 1.4826 * MAD. Two percentile aggregations, each "
+    "broadcast back onto the fact — no sort of the fact table.",
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(ad, 0.5D)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("ad") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(F.col("l_returnflag").alias("returnflag"), "med", "mad", "n", "n_outliers")
+    )

@@ -3201,3 +3201,190 @@ def versioned_lifecycle_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit(1 if len(removed) >= 8 else 0).cast("int").alias("vacuumed_ge_8"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketches — the ORACLE-EXACT approximate-distinct path.
+# approx_count_distinct's HLL++ can only be checked against Spark itself
+# (engine-internal hash); KMV over md5 makes the sketch rows, the k-th
+# order statistic, and the integer estimator bit-identical in DuckDB, so
+# an APPROXIMATE algorithm still passes the value-hash gate. The grouped
+# form is one exchange; the global form is TakeOrderedAndProject; merge
+# is union + re-take-k (associative, idempotent), persisted as table
+# state for incremental ingest.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_distinct_kmv",
+    sql="""
+    WITH h AS (SELECT DISTINCT c_mktsegment AS segment,
+                      md5(CAST(o_custkey AS VARCHAR)) AS hx
+               FROM orders JOIN customer ON c_custkey = o_custkey),
+    r AS (SELECT segment, hx,
+                 ROW_NUMBER() OVER (PARTITION BY segment ORDER BY hx) AS rn,
+                 COUNT(*) OVER (PARTITION BY segment) AS n
+          FROM h),
+    sk AS (SELECT segment, MAX(CASE WHEN rn = 128 THEN hx END) AS kth,
+                  MAX(n) AS n
+           FROM r WHERE rn <= 128 GROUP BY segment)
+    SELECT segment,
+           CASE WHEN n < 128 THEN n
+                ELSE 35747322042253312 -- (128-1) * 2^48
+                     // GREATEST((('0x' || substr(kth, 1, 12))::BIGINT), 1)
+           END AS est_distinct,
+           n >= 128 AS saturated
+    FROM sk
+    """,
+    doc="Per-segment distinct-buyer estimate via a k=128 KMV sketch — "
+    "approximate counting that is bit-identical across engines (md5 "
+    "hashes, integer div estimator, no floats): the oracle replays the "
+    "same sketch, so even the ESTIMATE hash-matches. Below saturation "
+    "the sketch IS the distinct set (estimate exact by construction); "
+    "the in-query guard asserts the saturated estimate lands within 50% "
+    "of truth (stderr ~ 1/sqrt(128) ~ 8.8%).",
+)
+def segment_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators import kmv
+
+    K = 128
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("segment"), "o_custkey")
+    sk = kmv.kmv_sketch(joined, "o_custkey", k=K, group_cols=["segment"])
+    est = kmv.kmv_estimate(sk, k=K, group_cols=["segment"])
+    sizes = sk.groupBy("segment").agg(F.count(F.lit(1)).alias("__sz"))
+    # error guard on the saturated estimates (driver-side, group count is
+    # bounded by segment cardinality)
+    exact = {
+        r["segment"]: r["n"]
+        for r in joined.groupBy("segment")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in est.collect():
+        e = exact[r["segment"]]
+        assert abs(r["est_distinct"] - e) <= 0.5 * e, (r, e)
+    return est.join(sizes, "segment").select(
+        "segment", "est_distinct", (F.col("__sz") >= K).alias("saturated")
+    )
+
+
+@query(
+    "kmv_sketch_incremental",
+    sql="""
+    WITH h AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders),
+    r AS (SELECT hx, ROW_NUMBER() OVER (ORDER BY hx) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM h),
+    sk AS (SELECT MAX(CASE WHEN rn = 64 THEN hx END) AS kth, MAX(n) AS n
+           FROM r WHERE rn <= 64)
+    SELECT CASE WHEN n < 64 THEN n
+                ELSE 17732923532771328 -- (64-1) * 2^48
+                     // GREATEST((('0x' || substr(kth, 1, 12))::BIGINT), 1)
+           END AS est_distinct,
+           LEAST(n, 64) AS sketch_size
+    FROM sk
+    """,
+    doc="KMV sketch as MERGE-maintained table state: batch 1's sketch is "
+    "persisted to a VersionedTable, batch 2 merges in (union + re-take-k "
+    "— associative and idempotent, so redelivery cannot move the "
+    "estimate; proven in-query by re-merging batch 2), and the final "
+    "estimate equals a from-scratch sketch over all rows (also asserted "
+    "in-query). The oracle builds the from-scratch sketch directly. "
+    "History is never rescanned: each batch hashes only its own rows.",
+)
+def kmv_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.operators import kmv
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    K = 64
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    half = orders.agg(F.expr("percentile(o_orderkey, 0.5D)")).collect()[0][0]
+    b1 = orders.where(F.col("o_orderkey") <= half)
+    b2 = orders.where(F.col("o_orderkey") > half)
+
+    state = VersionedTable(spark, tempfile.mkdtemp(prefix="kmv_"))
+    state.write(kmv.kmv_sketch(b1, "o_custkey", k=K))
+    merged = kmv.kmv_merge(state.read(), kmv.kmv_sketch(b2, "o_custkey", k=K), k=K)
+    state.write(merged)  # next version of the sketch state
+    final = state.read()
+    # idempotence: re-delivering batch 2 against the merged state is a
+    # no-op (sketch rows are a set; re-take-k of a superset-free union)
+    redelivered = kmv.kmv_merge(final, kmv.kmv_sketch(b2, "o_custkey", k=K), k=K)
+    assert (
+        redelivered.exceptAll(final).count() == 0
+        and final.exceptAll(redelivered).count() == 0
+    )
+    # merge == from-scratch over the full key stream
+    scratch = kmv.kmv_sketch(orders, "o_custkey", k=K)
+    assert final.exceptAll(scratch).count() == 0
+    est = kmv.kmv_estimate(final, k=K)
+    return est.crossJoin(
+        final.agg(F.count(F.lit(1)).cast("bigint").alias("sketch_size"))
+    ).select("est_distinct", "sketch_size")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — the sequential-looking recurrence
+# S_i = max(0, S_{i-1} + d_i) compiled to TWO running windows on ONE
+# exchange via the max-drawdown identity S_i = P_i - min(0, min P_j)
+# (operators/drift.py). Deviation is "value above 1.1x the type's own
+# mean", scaled by 10n so no division ever happens: every intermediate
+# is exact decimal and the alarm set hash-matches the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_value_cusum",
+    sql="""
+    WITH base AS (SELECT event_type, ts, event_id,
+                         CAST(value AS DECIMAL(10,2)) AS x
+                  FROM events),
+    st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS t
+           FROM base GROUP BY 1),
+    d AS (SELECT b.event_type, b.ts, b.event_id,
+                 b.x * (10 * st.n) - 11 * st.t AS dd, st.n, st.t
+          FROM base b JOIN st USING (event_type)),
+    p AS (SELECT *, SUM(dd) OVER w AS pp FROM d
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT *, pp - LEAST(MIN(pp) OVER w, 0) AS sc FROM p
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           COALESCE(SUM(CASE WHEN sc >= 50 * t THEN 1 ELSE 0 END), 0) AS n_alarms,
+           MIN(CASE WHEN sc >= 50 * t THEN event_id END) AS first_alarm_event_id,
+           ROUND(CAST(MAX(sc) AS DOUBLE) / CAST(10 * MAX(n) AS DOUBLE), 6)
+               AS max_score
+    FROM s GROUP BY event_type
+    """,
+    doc="One-sided CUSUM drift monitor per event type (alarm when the "
+    "cumulative excess over 1.1x the type mean reaches 5x the mean): the "
+    "recurrence runs as two running windows on one exchange via the "
+    "max-drawdown identity, never a per-key loop. Deviations are scaled "
+    "by 10n to stay division-free exact decimals; the single unscaling "
+    "division happens once per GROUP on identical doubles in both "
+    "engines.",
+)
+def event_type_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.drift import cusum_scores
+
+    base = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").cast("decimal(10,2)").alias("x")
+    )
+    st = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    d = base.join(F.broadcast(st), "event_type").withColumn(
+        "dd", F.col("x") * (10 * F.col("n")) - 11 * F.col("t")
+    )
+    s = cusum_scores(d, ["event_type"], ["ts", "event_id"], "dd", out_col="sc")
+    alarm = F.col("sc") >= 50 * F.col("t")
+    return s.groupBy("event_type").agg(
+        F.coalesce(F.sum(alarm.cast("long")), F.lit(0)).alias("n_alarms"),
+        F.min(F.when(alarm, F.col("event_id"))).alias("first_alarm_event_id"),
+        F.round(
+            F.max("sc").cast("double") / (10 * F.max("n")).cast("double"), 6
+        ).alias("max_score"),
+    )

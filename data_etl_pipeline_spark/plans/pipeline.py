@@ -2912,3 +2912,237 @@ def bm25_postings_gc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         corpus.read(), ["data", "model", "quality"], topk=20, postings=index.read()
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a SEMANTIC ranking (exact
+# cosine top-20 over the embeddings) and a LEXICAL ranking (exact 3-gram
+# Jaccard top-20 over the documents, query side broadcast onto the
+# postings) — the standard RAG retriever combiner. Ranks are integers,
+# so 1/(60+rank) is the same double in both engines; the fused score is
+# a fixed-arity coalesced sum rounded to 6 decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "hybrid_search_rrf",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    qq AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM nn WHERE vec_id < 5),
+    sem_scored AS (SELECT q_id, nn.vec_id AS doc_id,
+                          ROUND({_DOT_SQL.format(a='qv', b='nn.v')} / (qnorm * nn.norm), 6) AS cs
+                   FROM nn JOIN qq ON q_id != nn.vec_id),
+    sem AS (SELECT q_id, doc_id, rnk FROM (
+                SELECT q_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, doc_id) AS rnk
+                FROM sem_scored) t WHERE rnk <= 20),
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    qsh AS (SELECT doc_id AS q_id, shingle FROM sh WHERE doc_id < 5),
+    shared AS (SELECT qsh.q_id, sh.doc_id, COUNT(*) AS c
+               FROM sh JOIN qsh USING (shingle)
+               WHERE sh.doc_id != qsh.q_id
+               GROUP BY qsh.q_id, sh.doc_id),
+    lexs AS (SELECT shared.q_id, shared.doc_id,
+                    ROUND(c / (qs.sz + ds.sz - c), 6) AS j
+             FROM shared
+             JOIN sizes qs ON qs.doc_id = shared.q_id
+             JOIN sizes ds ON ds.doc_id = shared.doc_id),
+    lex AS (SELECT q_id, doc_id, rnk FROM (
+                SELECT q_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY j DESC, doc_id) AS rnk
+                FROM lexs) t WHERE rnk <= 20),
+    fused AS (SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+                     COALESCE(s.doc_id, l.doc_id) AS doc_id,
+                     ROUND(COALESCE(1.0::DOUBLE / (60 + s.rnk), 0.0)
+                           + COALESCE(1.0::DOUBLE / (60 + l.rnk), 0.0), 6) AS rrf_score
+              FROM sem s FULL OUTER JOIN lex l
+                ON s.q_id = l.q_id AND s.doc_id = l.doc_id)
+    SELECT q_id, doc_id, rrf_score, rank FROM (
+        SELECT q_id, doc_id, rrf_score,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused) t
+    WHERE rank <= 10
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (c=60): exact-cosine "
+    "semantic top-20 fused with exact 3-gram-Jaccard lexical top-20 per "
+    "query doc, full-outer on (query, doc), top-10 by fused score. The "
+    "lexical leg broadcasts the tiny query shingle set onto the corpus "
+    "postings (one equi-join, never corpus pairs); the fusion joins only "
+    "bounded per-query lists.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.search import rrf_fuse
+
+    sem = similarity.ann_topk_bruteforce(
+        load(spark, sf_dir, "embeddings"), n_queries=5, k=20
+    ).select("q_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    lex = dedup.jaccard_topk(
+        load(spark, sf_dir, "documents"), n_queries=5, k=20
+    ).select("q_id", "doc_id", "rank")
+    return rrf_fuse([sem, lex], k=10).select("q_id", "doc_id", "rrf_score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: split assignment happens at the
+# NEAR-DUP CLUSTER level (hash of the cluster's canonical id), never the
+# document level, so near-duplicates cannot straddle a split boundary
+# and leak eval data into training — the step after dedup clustering in
+# every serious corpus pipeline. Cross-split LSH pairs are provably zero
+# by construction (asserted in-query on the actual pair set).
+# ---------------------------------------------------------------------------
+@query(
+    "leakage_safe_split",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, s, b,
+                     md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> x::VARCHAR), ',')) AS band_key
+              FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM cand
+              WHERE ROUND(CAST(len([i for i in range(1, {NUM_MINHASH + 1}) if sa[i] = sb[i]]) AS DOUBLE)
+                          / CAST({NUM_MINHASH} AS DOUBLE), 6) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+    ),
+    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    clustered AS (SELECT d.doc_id, d.n_chars,
+                         COALESCE(l.cluster, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN labels l USING (doc_id)),
+    assigned AS (SELECT doc_id, n_chars, cluster,
+                        CASE WHEN bkt < 8 THEN 'train'
+                             WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split
+                 FROM (SELECT *,
+                              (('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 12))::BIGINT) % 10 AS bkt
+                       FROM clustered) t)
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster) AS n_clusters,
+           SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+    doc="Cluster-level train/val/test assignment (md5 of the cluster's "
+    "canonical id, 80/10/10): near-dups land in one split by "
+    "construction, and the in-query audit joins the ACTUAL LSH pair set "
+    "against the assignment to prove zero cross-split pairs. The "
+    "assignment hash is the same 48-bit md5 prefix in both engines.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, bands=4, min_est=0.5)
+    bkt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 12), 16, 10)
+        .cast("bigint"),
+        F.lit(10),
+    )
+    assigned = clusters.withColumn(
+        "split",
+        F.when(bkt < 8, F.lit("train")).when(bkt == 8, F.lit("val")).otherwise(
+            F.lit("test")
+        ),
+    )
+    # the leak audit runs on the REAL pair set, not the construction
+    pairs = dedup.lsh_candidate_pairs(docs, bands=4, min_est=0.5).select(
+        "doc_a", "doc_b"
+    )
+    sp = assigned.select("doc_id", "split")
+    leaks = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaks == 0, f"{leaks} near-dup pairs straddle splits"
+    return (
+        assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources — map each source's score onto
+# the GLOBAL score distribution rank-preservingly (normalized(x) =
+# G^-1(F_source(x))), the standard move before mixing heterogeneous
+# quality scores into one sampling weight. Per-source ranks are one
+# keyed window; the global inverse-CDF lookup rides the TeraSort-shape
+# global_rank (range partitioning + offsets — no single-reducer window)
+# and two equi-joins on the rank id. Both engines compute p, idx and the
+# interpolation in the same literal order, so the doubles agree bit-for-
+# bit before the final round(6).
+# ---------------------------------------------------------------------------
+@query(
+    "source_quantile_normalization",
+    sql="""
+    WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+    src AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY source) AS ns
+            FROM s),
+    g AS (SELECT x AS gx, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS gr FROM s),
+    nn AS (SELECT COUNT(*) AS n FROM s),
+    m AS (SELECT src.doc_id, src.source, src.x,
+                 (CASE WHEN src.ns = 1 THEN 0.5
+                       ELSE (src.r - 1)::DOUBLE / (src.ns - 1) END) * (nn.n - 1) AS idx
+          FROM src, nn),
+    lo AS (SELECT *, CAST(floor(idx) AS BIGINT) AS lo_r, idx - floor(idx) AS frac FROM m)
+    SELECT lo.doc_id, lo.source, lo.x,
+           ROUND(g1.gx + lo.frac * (COALESCE(g2.gx, g1.gx) - g1.gx), 6) AS norm_score
+    FROM lo
+    JOIN g g1 ON g1.gr = lo.lo_r + 1
+    LEFT JOIN g g2 ON g2.gr = lo.lo_r + 2
+    """,
+    doc="Rank-preserving quantile normalization of per-source n_chars "
+    "onto the global distribution: per-source percent position p = "
+    "(r-1)/(ns-1), global inverse CDF by linear interpolation between "
+    "the floor(p*(N-1))-th and next global order statistics. Global "
+    "ranks come from the literal-boundary range partitioner (no "
+    "single-reducer window); the lookup is two equi-joins on the rank.",
+)
+def source_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.globalsort import global_rank
+    from pyspark.sql import Window as W
+
+    s = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("x")
+    )
+    w = W.partitionBy("source").orderBy("x", "doc_id")
+    src = s.withColumn("r", F.row_number().over(w)).withColumn(
+        "ns", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    g = global_rank(s, ["x", "doc_id"], rank_col="gr").select(
+        F.col("x").alias("gx"), "gr"
+    )
+    n = s.count()  # one bounded count job, a literal in the plan
+    p = F.when(F.col("ns") == 1, F.lit(0.5)).otherwise(
+        (F.col("r") - 1).cast("double") / (F.col("ns") - 1)
+    )
+    m = src.select(
+        "doc_id", "source", "x", (p * F.lit(n - 1)).alias("idx")
+    ).select(
+        "doc_id", "source", "x", "idx",
+        F.floor("idx").cast("bigint").alias("lo_r"),
+        (F.col("idx") - F.floor("idx")).alias("frac"),
+    )
+    g1 = g.select(F.col("gr").alias("g1r"), F.col("gx").alias("g1x"))
+    g2 = g.select(F.col("gr").alias("g2r"), F.col("gx").alias("g2x"))
+    return (
+        m.join(g1, F.col("lo_r") + 1 == F.col("g1r"))
+        .join(g2, F.col("lo_r") + 2 == F.col("g2r"), "left")
+        .select(
+            "doc_id", "source", "x",
+            F.round(
+                F.col("g1x")
+                + F.col("frac") * (F.coalesce(F.col("g2x"), F.col("g1x")) - F.col("g1x")),
+                6,
+            ).alias("norm_score"),
+        )
+    )

@@ -54,7 +54,14 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # (pytest-oracle-green only). ivm_join_view is the named carry-over that
 # falls off the 50-row window; it MUST lead the round-8 front, followed by
 # every query added or materially changed in round 7
-# (delta_export_merge_upsert, events_resample_locf, and any after them;
+# (delta_export_merge_upsert, events_resample_locf, segment_distinct_kmv,
+# kmv_sketch_incremental, event_type_value_cusum, winsorized_price_stats,
+# hopping_event_stats, hybrid_search_rrf, leakage_safe_split,
+# annotator_agreement_kappa, mad_outlier_flags,
+# source_quantile_normalization, and any after them —
+# note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
+# re-prove the round-7 total-shingle-expression fix THIS round since
+# they sit in the round-7 front;
 # delta_interop_tail_read gained a post-delete append commit but is
 # driver-tested THIS round), then the oldest r4 rows (alphabetical:
 # csv_export_roundtrip,

@@ -272,3 +272,24 @@ class TestBoilerplateRemoval:
         df = remove_boilerplate_spans(docs)
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shingles_survive_sub_n_word_documents(spark):
+    """Round-7 regression: InferFiltersFromGenerate + subexpression
+    elimination evaluate the shingle transform EAGERLY for every row, so
+    the expression must be total — an unguarded sequence(0, negative)
+    descended into slice(w, 0, n) and threw on any corpus containing a
+    document shorter than n words."""
+    from data_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "two words"), (1, ""), (2, "one two three four"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = dedup.shingles(docs).collect()
+    assert {r["doc_id"] for r in got} == {2}
+    assert {r["shingle"] for r in got} == {"one two three", "two three four"}
+    # the pair miner and clustering paths ride the same expression
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect() == []
+    clusters = {r["doc_id"]: r["cluster"] for r in dedup.dedup_clusters(docs).collect()}
+    assert clusters == {0: 0, 1: 1, 2: 2, 3: 3}

@@ -142,3 +142,82 @@ def test_refresh_postings_handles_updates_and_refuses_big_batches(spark, tmp_pat
     )
     with pytest.raises(ValueError, match="rebuild"):
         refresh_postings(idx, big, max_changed_docs=3)
+
+
+class TestRrfFuse:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(rows, "q_id long, doc_id long, rank long")
+
+    def test_fuses_and_ranks_by_reciprocal_sum(self, spark):
+        from data_etl_pipeline_spark.operators.search import rrf_fuse
+
+        sem = self._rank(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+        lex = self._rank(spark, [(0, 11, 1), (0, 13, 2)])
+        got = {r["doc_id"]: (r["rank"], r["rrf_score"])
+               for r in rrf_fuse([sem, lex], k=10).collect()}
+        # doc 11 appears in both lists -> highest fused score
+        assert got[11][0] == 1
+        assert got[11][1] == round(1 / 62 + 1 / 61, 6)
+        # docs present in one list only still score
+        assert got[10][1] == round(1 / 61, 6)
+        assert got[13][1] == round(1 / 62, 6)
+        assert got[12][1] == round(1 / 63, 6)
+
+    def test_score_ties_break_on_doc_id(self, spark):
+        from data_etl_pipeline_spark.operators.search import rrf_fuse
+
+        sem = self._rank(spark, [(0, 20, 1), (0, 5, 2)])
+        lex = self._rank(spark, [(0, 5, 1), (0, 20, 2)])
+        rows = sorted(rrf_fuse([sem, lex], k=2).collect(), key=lambda r: r["rank"])
+        # both docs score 1/61 + 1/62 — smaller doc_id must rank first
+        assert [r["doc_id"] for r in rows] == [5, 20]
+
+    def test_requires_two_rankings(self, spark):
+        import pytest
+
+        from data_etl_pipeline_spark.operators.search import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least two"):
+            rrf_fuse([self._rank(spark, [(0, 1, 1)])])
+
+    def test_three_system_fusion(self, spark):
+        from data_etl_pipeline_spark.operators.search import rrf_fuse
+
+        a = self._rank(spark, [(0, 1, 1)])
+        b = self._rank(spark, [(0, 1, 2)])
+        c = self._rank(spark, [(0, 2, 1)])
+        got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b, c], k=5).collect()}
+        assert got[1] == round(1 / 61 + 1 / 62, 6)
+        assert got[2] == round(1 / 61, 6)
+
+
+class TestJaccardTopk:
+    def test_ranks_by_exact_jaccard(self, spark):
+        from data_etl_pipeline_spark.operators.dedup import jaccard_topk
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps"),       # query
+                (1, "the quick brown fox sleeps"),      # 2 shared 3-grams
+                (2, "the quick brown cat jumps"),       # 1 shared
+                (3, "completely different text here now"),  # 0 shared
+            ],
+            "doc_id long, text string",
+        )
+        rows = jaccard_topk(docs, n_queries=1, k=3).collect()
+        ranked = {r["rank"]: r["doc_id"] for r in rows}
+        assert ranked[1] == 1 and ranked[2] == 2
+        assert all(r["doc_id"] != 0 for r in rows)  # never self-matches
+        assert 3 not in {r["doc_id"] for r in rows}  # zero overlap never appears
+        j = {r["doc_id"]: r["jaccard"] for r in rows}
+        assert j[1] == round(2 / 4, 6)  # 3 shingles each, 2 shared
+        assert j[2] == round(1 / 5, 6)
+
+    def test_query_without_shingles_ranks_nothing(self, spark):
+        from data_etl_pipeline_spark.operators.dedup import jaccard_topk
+
+        docs = spark.createDataFrame(
+            [(0, "too short"), (1, "a longer document with words")],
+            "doc_id long, text string",
+        )
+        assert jaccard_topk(docs, n_queries=1, k=3).collect() == []
