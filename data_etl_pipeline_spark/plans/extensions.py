@@ -3388,3 +3388,108 @@ def event_type_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sc").cast("double") / (10 * F.max("n")).cast("double"), 6
         ).alias("max_score"),
     )
+
+
+@query(
+    "delta_interop_column_pruning",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200 AND o_orderkey >= 300
+    GROUP BY 1
+    """,
+    doc="Column-projected Delta interop read: read(columns=[status, "
+    "price], filters=[orderkey range]) scans ONLY those three columns "
+    "(ReadSchema asserted in-query to exclude the three untouched "
+    "columns — at 100 TB a 3-of-6-column read moves half the bytes), "
+    "drops the filter-only column from the output, and the aggregate "
+    "over the pruned frame hash-matches a from-scratch recompute.",
+)
+def delta_interop_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import export_delta
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    dest = tempfile.mkdtemp(prefix="exp_prune_") + "/table"
+    export_delta(base.where(F.col("o_orderkey") < 1200), dest)
+    back = DeltaLogReader(spark, dest).read(
+        columns=["o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", ">=", 300)],
+    )
+    assert back.columns == ["o_orderstatus", "o_totalprice"]
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    rs = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs is not None, plan
+    scanned = rs.group(1)
+    for col in ("o_custkey", "o_orderdate", "o_orderpriority"):
+        assert col not in scanned, scanned
+    assert "o_totalprice" in scanned and "o_orderkey" in scanned, scanned
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "delta_export_replace_where",
+    sql="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2 FROM orders
+      WHERE o_orderkey < 800 AND o_orderstatus = 'F'
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+    doc="Atomic partition overwrite (replaceWhere restricted to "
+    "partition equality): the 'F' partition of an exported table is "
+    "re-published in one remove+add commit — removal is a log-level "
+    "file-list filter (zero data read), other partitions untouched. "
+    "Non-matching source rows refuse (asserted in-query); the oracle "
+    "recomputes the post-replace state from scratch.",
+)
+def delta_export_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        DeltaExportError,
+        export_delta,
+        export_delta_replace_where,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="exp_rw_") + "/table"
+    export_delta(base.where(k < 1000), dest, partition_by=["o_orderstatus"])
+    repub = base.where((k < 800) & (F.col("o_orderstatus") == "F")).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    # rows outside the predicate must refuse before any commit happens
+    try:
+        export_delta_replace_where(
+            spark, base.where(k < 10), dest, {"o_orderstatus": "F"}
+        )
+        raise AssertionError("non-matching source rows must refuse")
+    except DeltaExportError:
+        pass
+    res = export_delta_replace_where(spark, repub, dest, {"o_orderstatus": "F"})
+    assert res["version"] == 1 and res["removed_files"] > 0, res
+    back = DeltaLogReader(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -58,7 +58,9 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # kmv_sketch_incremental, event_type_value_cusum, winsorized_price_stats,
 # hopping_event_stats, hybrid_search_rrf, leakage_safe_split,
 # annotator_agreement_kappa, mad_outlier_flags,
-# source_quantile_normalization, and any after them —
+# source_quantile_normalization, part_affinity_lift,
+# user_rolling_features, delta_interop_column_pruning,
+# delta_export_replace_where, and any after them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
 # they sit in the round-7 front;

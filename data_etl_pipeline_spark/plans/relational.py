@@ -713,3 +713,120 @@ def top3_orders_per_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFr
     return grouped_topk(
         orders, ["o_custkey"], "o_totalprice", k=3, tiebreak="o_orderkey"
     ).select("o_custkey", "o_orderkey", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (support / confidence / lift) over order
+# baskets — co-occurrence mining with the SAME inverted-index shape as
+# the dedup pair miners: pairs come from per-basket sorted combinations
+# (one groupBy + explode), never a basket self-join, so the fan-out is
+# sum over baskets of C(|basket|, 2), bounded by basket size (<= 13
+# here), and the corpus is scanned once. All three metrics are ratios of
+# exact integer counts, divided once per output row.
+# ---------------------------------------------------------------------------
+@query(
+    "part_affinity_lift",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    c AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY 1),
+    p AS (SELECT a.l_partkey AS pa, b2.l_partkey AS pb, COUNT(*) AS cab
+          FROM b a JOIN b b2
+            ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT pa AS part_a, pb AS part_b, cab AS n_both,
+           ROUND(CAST(cab AS DOUBLE) / n.n, 6) AS support,
+           ROUND(CAST(cab AS DOUBLE) / ca.cnt, 6) AS confidence,
+           ROUND((CAST(cab AS DOUBLE) * n.n) / (ca.cnt * cb.cnt), 6) AS lift
+    FROM p
+    CROSS JOIN n
+    JOIN c ca ON ca.l_partkey = pa
+    JOIN c cb ON cb.l_partkey = pb
+    """,
+    doc="Part-pair association rules over order baskets: n_both, support "
+    "n_ab/N, confidence n_ab/n_a, lift n_ab*N/(n_a*n_b), pairs with "
+    "n_both >= 2. Pair generation is per-basket sorted combinations "
+    "(groupBy + explode, the dedup posting-combo pattern) — no basket "
+    "self-join; the oracle writes the self-join form.",
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = b.select("l_orderkey").distinct().count()  # bounded driver literal
+    c = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    combos = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"
+    )
+    pairs = (
+        b.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(combos)).alias("pr"))
+        .select(F.col("pr.x").alias("part_a"), F.col("pr.y").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    ca = c.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("ca"))
+    cb = c.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a", "part_b", "n_both",
+            F.round(F.col("n_both").cast("double") / n, 6).alias("support"),
+            F.round(F.col("n_both").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both").cast("double") * n) / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-window features — the per-entity trailing aggregates a
+# feature pipeline materializes before training (trailing 24h activity
+# count / value sum, seconds since previous event). RANGE frame over
+# INTEGER epoch seconds: peers at one second aggregate together, so tie
+# order cannot split engines; the value sum is exact decimal. One
+# exchange on the user key serves every feature.
+# ---------------------------------------------------------------------------
+@query(
+    "user_rolling_features",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts,
+                      floor(epoch(ts))::BIGINT AS sec,
+                      CAST(value AS DECIMAL(18,6)) AS v
+               FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w24 AS n_24h,
+           CAST(SUM(v) OVER w24 AS DOUBLE) AS sum_value_24h,
+           sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS gap_s
+    FROM e
+    WINDOW w24 AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-24h activity features per user (count, exact-decimal "
+    "value sum, gap to previous event in whole seconds): RANGE frame "
+    "over truncated epoch seconds — identical integers in both engines "
+    "(Spark unix_timestamp truncates; the oracle floor()s) and peers "
+    "aggregate together. One user-key exchange, three features.",
+)
+def user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w24 = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-86400, 0)
+    )
+    wlag = W.partitionBy("user_id").orderBy("sec", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w24).alias("n_24h"),
+        F.sum("v").over(w24).cast("double").alias("sum_value_24h"),
+        (F.col("sec") - F.lag("sec").over(wlag)).alias("gap_s"),
+    )

@@ -684,6 +684,116 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     }
 
 
+def export_delta_replace_where(
+    spark, df: DataFrame, dest: str, partition_values: dict
+) -> dict:
+    """Atomic partition overwrite (Delta ``replaceWhere`` restricted to
+    partition-column equality): every live file whose partition values
+    match ``partition_values`` is removed and ``df`` becomes the
+    partition's new content, in ONE commit — the idempotent
+    "re-publish this day/source" operation a backfill pipeline runs.
+
+    Restrictions keep it honest: the predicate columns must be partition
+    columns (a non-partition replaceWhere is a row-level rewrite — use
+    merge/delete), and every ``df`` row must match the predicate
+    (writing non-matching rows under a replaced partition would corrupt
+    partition pruning; refused after one bounded validation aggregate).
+
+    Scale shape: removal is a log-level file-list filter (no data read
+    at all — partition values live in the log); the write is one
+    distributed partitioned append; the commit is O(files touched).
+    """
+    dest = dest.rstrip("/")
+    meta, versions, files = _read_own_log(dest)
+    if df.schema.json() != meta["schemaString"]:
+        raise DeltaExportError(
+            "replaceWhere source schema differs from the exported table's "
+            "schema; export a new table instead of evolving this one"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    bad = [c for c in partition_values if c not in part_cols]
+    if bad:
+        raise DeltaExportError(
+            f"replaceWhere columns {bad} are not partition columns "
+            f"{part_cols}; a non-partition replace is a row-level "
+            "rewrite — use export_delta_merge/export_delta_delete"
+        )
+    if not partition_values:
+        raise DeltaExportError("replaceWhere needs at least one partition predicate")
+    from pyspark.sql import functions as F
+
+    mismatch = None
+    for c, v in partition_values.items():
+        m = ~F.col(c).eqNullSafe(F.lit(v))
+        mismatch = m if mismatch is None else mismatch | m
+    n_bad = df.where(mismatch).count()
+    if n_bad:
+        raise DeltaExportError(
+            f"{n_bad} source rows do not match the replaceWhere predicate "
+            f"{partition_values}; refusing to write them under the "
+            "replaced partition"
+        )
+    # removal set straight from the log — no data read
+    doomed = [
+        p
+        for p, a in files.items()
+        if all(
+            (a.get("partitionValues") or {}).get(c) == (None if v is None else str(v))
+            for c, v in partition_values.items()
+        )
+    ]
+    known = {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    writer = df.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dest)
+    now_ms = int(__import__("time").time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(doomed)
+    ]
+    adds = []
+    total = 0
+    for root, _d, fs in os.walk(dest):
+        if "_delta_log" in root:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
+                continue
+            action, size = _add_action(dest, full, True)
+            adds.append(action)
+            total += size
+    adds.sort(key=lambda a: a["add"]["path"])
+    version = versions[-1] + 1
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in [*actions, *adds]:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+    return {
+        "version": version,
+        "removed_files": len(doomed),
+        "added_files": len(adds),
+        "bytes": total,
+    }
+
+
 def export_delta_optimize(spark, dest: str) -> dict:
     """Compact each partition of an exported table to ONE file — the
     Delta OPTIMIZE shape: the commit's ``remove``/``add`` actions all

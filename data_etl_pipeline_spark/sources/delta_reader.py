@@ -531,16 +531,42 @@ class DeltaLogReader:
         return sorted(unquote(a["path"]) for a in adds)
 
     # -- snapshot read ------------------------------------------------------
-    def read(self, version: int | None = None, filters=None) -> DataFrame:
+    def read(
+        self, version: int | None = None, filters=None, columns: list[str] | None = None
+    ) -> DataFrame:
         """Snapshot read. ``filters`` is an optional list of
         ``(column, op, literal)`` with op in =/</<=/>/>= — each filter both
         PRUNES files via per-file stats and partition values (data
         skipping) and is applied in the plan (correctness never depends on
-        stats honesty)."""
+        stats honesty).
+
+        ``columns`` optionally projects the read: only the named columns
+        reach the output (in TABLE-SCHEMA order, not argument order), and
+        — the part that matters at 100 TB — only they reach the parquet
+        scan's ReadSchema, so a 2-of-20-column read moves 2 columns of
+        bytes. Filter columns are scanned as needed and dropped from the
+        output; the physical-name / field-id mapping applies per kept
+        column exactly as for a full read."""
         import operator
 
         meta, adds = self._replay(version)
         schema, part_cols, phys, file_schema, rename, types = self._schema_plan(meta)
+        out_names = [f.name for f in schema.fields]
+        mid_names = out_names
+        if columns is not None:
+            known = set(out_names)
+            unknown = [c for c in columns if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"columns {unknown} not in table schema {out_names}"
+                )
+            need = set(columns) | {c for c, _o, _v in (filters or [])}
+            data_names = [f.name for f in schema.fields if f.name not in part_cols]
+            keep = [i for i, nm in enumerate(data_names) if nm in need]
+            file_schema = T.StructType([file_schema.fields[i] for i in keep])
+            rename = [rename[i] for i in keep]
+            mid_names = [nm for nm in out_names if nm in need]
+            out_names = [nm for nm in out_names if nm in set(columns)]
         ops = {
             "=": operator.eq, "<": operator.lt, "<=": operator.le,
             ">": operator.gt, ">=": operator.ge,
@@ -552,8 +578,12 @@ class DeltaLogReader:
                 c = ops[op](F.col(col), F.lit(v))
                 cond = c if cond is None else cond & c
         if not adds:
-            out = self.spark.createDataFrame([], schema)
-            return out.where(cond) if cond is not None else out
+            out = self.spark.createDataFrame(
+                [], T.StructType([f for f in schema.fields if f.name in set(out_names)])
+            )
+            # empty frame: the filter can reference pruned-away columns,
+            # and zero rows satisfy it vacuously — skip the where
+            return out
         # group files by their partition assignment; each group reads with
         # the file schema and re-attaches the partition literals, cast
         # through the table schema (Delta stores them only in the log)
@@ -578,8 +608,9 @@ class DeltaLogReader:
 
         def attach(df: DataFrame, key: tuple) -> DataFrame:
             for c, raw in zip(part_cols, key):
-                df = df.withColumn(c, F.lit(raw).cast(types[c]))
-            return df.select(*[f.name for f in schema.fields])
+                if c in set(mid_names):
+                    df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            return df.select(*mid_names)
 
         for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             df = self._scan_spark.read.schema(file_schema).parquet(*paths).select(*rename)
@@ -590,12 +621,14 @@ class DeltaLogReader:
                 sorted(dv_reads, key=lambda kv: kv[1]),
                 file_schema,
                 rename,
-                part_cols,
+                part_cols,  # full list: the DV partition map zips the full key tuple
                 types,
-                [f.name for f in schema.fields],
+                mid_names,  # restriction happens at its final select
             )
             out = dv_df if out is None else out.unionByName(dv_df)
-        return out.where(cond) if cond is not None else out
+        if cond is not None:
+            out = out.where(cond)
+        return out.select(*out_names) if out_names != mid_names else out
 
     # -- timestamp time travel ----------------------------------------------
     def version_at_timestamp(self, ts_ms: int) -> int:

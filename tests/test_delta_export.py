@@ -760,3 +760,69 @@ class TestMergeUpsert:
         inc = reader.tail(0, skip_change_commits=True).collect()
         # the merge (v1) is skipped wholesale; only v2's append surfaces
         assert {(r.id, r._commit_version) for r in inc} == {(200, 2)}
+
+
+class TestReplaceWhere:
+    def _table(self, spark, tmp_path, name="rw"):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+
+        df = spark.createDataFrame(
+            [(i, "p%d" % (i % 2), float(i)) for i in range(20)],
+            "id long, part string, val double",
+        )
+        dest = str(tmp_path / name)
+        export_delta(df, dest, partition_by=["part"])
+        return dest
+
+    def test_replaces_exactly_the_predicate_partition(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta_replace_where,
+        )
+
+        dest = self._table(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(100, "p1", -1.0), (101, "p1", -2.0)], "id long, part string, val double"
+        )
+        res = export_delta_replace_where(spark, new, dest, {"part": "p1"})
+        assert res["version"] == 1 and res["removed_files"] > 0
+        back = DeltaLogReader(spark, dest).read()
+        rows = {(r.id, r.part) for r in back.collect()}
+        assert rows == {(i, "p0") for i in range(0, 20, 2)} | {(100, "p1"), (101, "p1")}
+
+    def test_nonmatching_source_rows_refuse(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta_replace_where,
+        )
+
+        dest = self._table(spark, tmp_path, "rw2")
+        leak = spark.createDataFrame(
+            [(100, "p1", -1.0), (101, "p0", -2.0)], "id long, part string, val double"
+        )
+        with pytest.raises(DeltaExportError, match="do not match"):
+            export_delta_replace_where(spark, leak, dest, {"part": "p1"})
+
+    def test_non_partition_column_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta_replace_where,
+        )
+
+        dest = self._table(spark, tmp_path, "rw3")
+        new = spark.createDataFrame([(1, "p1", 0.0)], "id long, part string, val double")
+        with pytest.raises(DeltaExportError, match="not partition columns"):
+            export_delta_replace_where(spark, new, dest, {"id": 1})
+        with pytest.raises(DeltaExportError, match="at least one"):
+            export_delta_replace_where(spark, new, dest, {})
+
+    def test_tail_sees_replace_as_change_commit(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            export_delta_replace_where,
+        )
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaProtocolError
+
+        dest = self._table(spark, tmp_path, "rw4")
+        new = spark.createDataFrame([(100, "p1", -1.0)], "id long, part string, val double")
+        export_delta_replace_where(spark, new, dest, {"part": "p1"})
+        reader = DeltaLogReader(spark, dest)
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            reader.tail(0)
+        assert reader.tail(0, skip_change_commits=True).count() == 0

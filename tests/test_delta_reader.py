@@ -942,3 +942,84 @@ def test_id_mode_read_does_not_leak_field_id_conf(spark, tmp_path):
         .collect()
     )
     assert [(r["col-11"], r["col-22"]) for r in plain] == [(7, "z")]
+
+
+class TestColumnPruning:
+    """read(columns=...): only requested (+filter) columns reach the scan
+    ReadSchema; output restricted to requested names in table order."""
+
+    def test_projected_read_plain_table(self, spark, tmp_path):
+        tbl = str(tmp_path / "prune1")
+        os.makedirs(tbl)
+        _write_part(
+            spark, tbl, "f.parquet", [(1, "a"), (2, "b")]
+        )
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), _add("f.parquet")])
+        out = DeltaLogReader(spark, tbl).read(columns=["id"])
+        assert out.columns == ["id"]
+        assert sorted(r["id"] for r in out.collect()) == [1, 2]
+        # the scan itself is pruned, not just the output
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert rs and "val" not in rs.group(1) and "id" in rs.group(1), plan
+
+    def test_filter_column_scanned_but_dropped(self, spark, tmp_path):
+        tbl = str(tmp_path / "prune2")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a"), (2, "b")])
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), _add("f.parquet")])
+        out = DeltaLogReader(spark, tbl).read(columns=["val"], filters=[("id", ">", 1)])
+        assert out.columns == ["val"]
+        assert [r["val"] for r in out.collect()] == ["b"]
+
+    def test_unknown_column_refuses(self, spark, tmp_path):
+        tbl = str(tmp_path / "prune3")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), _add("f.parquet")])
+        with pytest.raises(ValueError, match="not in table schema"):
+            DeltaLogReader(spark, tbl).read(columns=["nope"])
+
+    def test_output_order_is_table_schema_order(self, spark, tmp_path):
+        tbl = str(tmp_path / "prune4")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a")])
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), _add("f.parquet")])
+        out = DeltaLogReader(spark, tbl).read(columns=["val", "id"])
+        assert out.columns == ["id", "val"]  # table order, not argument order
+
+    def test_pruned_read_with_deletion_vector(self, spark, tmp_path):
+        tbl = str(tmp_path / "prunedv")
+        os.makedirs(tbl)
+        _write_part(spark, tbl, "f.parquet", [(1, "a"), (2, "b"), (3, "c")])
+        add = _add("f.parquet")
+        from data_etl_pipeline_spark.sources.delta_reader import encode_inline_dv
+
+        add["add"]["deletionVector"] = encode_inline_dv([1])  # delete row idx 1
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 3,
+                                    "readerFeatures": ["deletionVectors"]}},
+                      _meta(), add])
+        out = DeltaLogReader(spark, tbl).read(columns=["id"])
+        assert out.columns == ["id"]
+        assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+    def test_pruned_read_name_mapping(self, spark, tmp_path):
+        import shutil
+
+        tbl = str(tmp_path / "prunecm")
+        os.makedirs(tbl)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "`col-11` long, `col-22` string")
+        tmp = os.path.join(tbl, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
+        shutil.rmtree(tmp)
+        _log(tbl, 0, [{"protocol": {"minReaderVersion": 2}},
+                      _cm_meta("col-11", "col-22"), _add("f.parquet")])
+        out = DeltaLogReader(spark, tbl).read(columns=["val"])
+        assert out.columns == ["val"]
+        assert sorted(r["val"] for r in out.collect()) == ["a", "b"]
