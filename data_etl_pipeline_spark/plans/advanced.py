@@ -2008,7 +2008,8 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dev GROUP BY 1)
     SELECT d.l_returnflag AS returnflag, MIN(d.med) AS med, MIN(x.mad) AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN d.ad > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev d JOIN mad x USING (l_returnflag)
     GROUP BY 1
     """,

@@ -762,3 +762,26 @@ def jsonl_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "chunk_no int, n_bytes long, n_lines long, first_id long, last_id long"
     )
+
+
+@query(
+    "stream_hopping_event_counts",
+    sql="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + ((floor(epoch(ts))::BIGINT // 900) - k.k) * 900 * INTERVAL 1 SECOND
+               AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Hopping-window counts (1h window / 15min slide) via Structured "
+    "Streaming: the sliding TimeWindow's 4x fan-out runs inside the "
+    "watermark-bounded streaming aggregation; the drained stream equals "
+    "the batch twin hopping_event_stats (ST1 family).",
+)
+def stream_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_hopping_counts
+
+    return run_stream_hopping_counts(spark, sf_dir)

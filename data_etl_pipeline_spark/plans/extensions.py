@@ -3353,8 +3353,10 @@ def kmv_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT event_type,
-           COALESCE(SUM(CASE WHEN sc >= 50 * t THEN 1 ELSE 0 END), 0) AS n_alarms,
-           MIN(CASE WHEN sc >= 50 * t THEN event_id END) AS first_alarm_event_id,
+           CAST(COALESCE(SUM(CASE WHEN sc >= 50 * t THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_alarms,
+           COALESCE(MIN(CASE WHEN sc >= 50 * t THEN event_id END), -1)
+               AS first_alarm_event_id,
            ROUND(CAST(MAX(sc) AS DOUBLE) / CAST(10 * MAX(n) AS DOUBLE), 6)
                AS max_score
     FROM s GROUP BY event_type
@@ -3383,7 +3385,9 @@ def event_type_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm = F.col("sc") >= 50 * F.col("t")
     return s.groupBy("event_type").agg(
         F.coalesce(F.sum(alarm.cast("long")), F.lit(0)).alias("n_alarms"),
-        F.min(F.when(alarm, F.col("event_id"))).alias("first_alarm_event_id"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("event_id"))), F.lit(-1)
+        ).alias("first_alarm_event_id"),
         F.round(
             F.max("sc").cast("double") / (10 * F.max("n")).cast("double"), 6
         ).alias("max_score"),

@@ -827,7 +827,7 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS cat,
            (event_id % 2 = 0) AS flag,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CASE WHEN event_id % 5 = 0 THEN user_id END AS opt,
+           COALESCE(CASE WHEN event_id % 5 = 0 THEN user_id END, -1) AS opt,
            value AS score
     FROM events
     """,
@@ -838,7 +838,10 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-class), the shred is element_at casts, zero UDFs. The oracle "
     "computes the expected projection straight from the base columns, so "
     "the hash gate pins the inferred key set AND types (long/double/"
-    "boolean/string, absent key -> NULL).",
+    "boolean/string, absent key -> NULL; the NULL is surfaced as -1 at "
+    "the query boundary so the hash gate compares integers — a nullable "
+    "int column with NULLs round-trips as float through pandas/Arrow, "
+    "which is exactly the type drift the gate exists to catch).",
 )
 def event_props_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.operators.shred import json_shred
@@ -856,7 +859,8 @@ def event_props_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("doc"),
     )
-    return json_shred(doc, "doc", id_cols=["event_id"])
+    out = json_shred(doc, "doc", id_cols=["event_id"])
+    return out.withColumn("opt", F.coalesce(F.col("opt"), F.lit(-1).cast("long")))
 
 
 @query(
@@ -3023,7 +3027,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FROM clustered) t)
     SELECT split, COUNT(*) AS n_docs,
            COUNT(DISTINCT cluster) AS n_clusters,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
     doc="Cluster-level train/val/test assignment (md5 of the cluster's "

@@ -800,14 +800,16 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            COUNT(*) OVER w24 AS n_24h,
            CAST(SUM(v) OVER w24 AS DOUBLE) AS sum_value_24h,
-           sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
-               AS gap_s
+           COALESCE(sec - LAG(sec) OVER (PARTITION BY user_id
+                                         ORDER BY sec, event_id), -1) AS gap_s
     FROM e
     WINDOW w24 AS (PARTITION BY user_id ORDER BY sec
                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
     """,
     doc="Trailing-24h activity features per user (count, exact-decimal "
-    "value sum, gap to previous event in whole seconds): RANGE frame "
+    "value sum, gap to previous event in whole seconds, -1 for a "
+    "user's first event — NULL-free so engines cannot diverge on null "
+    "representation): RANGE frame "
     "over truncated epoch seconds — identical integers in both engines "
     "(Spark unix_timestamp truncates; the oracle floor()s) and peers "
     "aggregate together. One user-key exchange, three features.",
@@ -828,5 +830,7 @@ def user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.count(F.lit(1)).over(w24).alias("n_24h"),
         F.sum("v").over(w24).cast("double").alias("sum_value_24h"),
-        (F.col("sec") - F.lag("sec").over(wlag)).alias("gap_s"),
+        F.coalesce(F.col("sec") - F.lag("sec").over(wlag), F.lit(-1)).alias(
+            "gap_s"
+        ),
     )

@@ -330,3 +330,28 @@ def run_stream_merge_versioned(
         q.stop()
 
     return tbl.read().groupBy("c_mktsegment", "event_type").agg(F.sum("n").alias("n"))
+
+
+def run_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window counts (1h window / 15min slide) by a streaming
+    query: the sliding TimeWindow fans each event into its 4 covering
+    windows inside the streaming aggregation, watermark-bounded state.
+    Batch twin: hopping_event_stats (same grouping, count only)."""
+    name = f"hopping_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias(
+                "window_start"
+            ),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _align_ts_cols(spark, sf_dir, spark.table(name), ["window_start"])
