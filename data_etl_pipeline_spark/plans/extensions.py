@@ -3497,3 +3497,59 @@ def delta_export_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "delta_export_txn_idempotence",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200 GROUP BY 1
+    """,
+    doc="Exactly-once streaming-sink contract for the exporter: appends "
+    "carry a Delta txn action (appId + monotone version); re-delivered "
+    "batches — immediate replay, late replay after further commits, "
+    "both asserted in-query — skip without writing a byte, so the table "
+    "holds each batch exactly once even under at-least-once delivery. "
+    "A second appId keeps its own counter. The oracle recomputes the "
+    "deduplicated final state.",
+)
+def delta_export_txn_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def sl(lo, hi):
+        return base.where((k >= lo) & (k < hi))
+
+    dest = tempfile.mkdtemp(prefix="exp_txn_") + "/table"
+    export_delta(sl(0, 600), dest)
+    app = "orders-ingest"
+    assert export_delta_append(sl(600, 900), dest, app_id=app, txn_version=0)[
+        "version"
+    ] == 1
+    # at-least-once delivery: the same micro-batch arrives again
+    assert export_delta_append(sl(600, 900), dest, app_id=app, txn_version=0)[
+        "skipped"
+    ]
+    assert export_delta_append(sl(900, 1200), dest, app_id=app, txn_version=1)[
+        "version"
+    ] == 2
+    # LATE replay of an old batch after newer commits still skips
+    assert export_delta_append(sl(600, 900), dest, app_id=app, txn_version=0)[
+        "skipped"
+    ]
+    back = DeltaLogReader(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -3150,3 +3150,95 @@ def source_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("norm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfilling — allocate a global token budget across
+# sources so small sources keep everything and big sources are capped at
+# one common level (the classic max-min fair allocation a corpus mixer
+# runs before sampling). The iterative cap-and-redistribute loop has a
+# CLOSED FORM over the capacity order statistics: sort capacities
+# ascending, find the largest i* with cap_i*(n-i+1) + prefix_{i-1} <=
+# budget; sources up to i* get their full capacity, the rest get level
+# L = (budget - prefix_{i*}) / (n - i*). One tiny window over the
+# per-source aggregate — no loop, no driver iteration.
+# ---------------------------------------------------------------------------
+@query(
+    "token_budget_waterfill",
+    sql="""
+    WITH cap AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap
+                 FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(cap) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM cap),
+    r AS (SELECT source, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+                 SUM(cap) OVER (ORDER BY cap, source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS p
+          FROM cap),
+    f AS (SELECT r.*, t.total // 2 AS budget, t.n FROM r, t),
+    st AS (SELECT COALESCE(MAX(i), 0) AS istar FROM f
+           WHERE cap * (n - i + 1) + (p - cap) <= budget),
+    pi AS (SELECT COALESCE(MAX(CASE WHEN i = st.istar THEN p END), 0) AS p_star
+           FROM f, st)
+    SELECT f.source, f.cap,
+           CASE WHEN f.i <= st.istar THEN CAST(f.cap AS DOUBLE)
+                ELSE ROUND(CAST(f.budget - pi.p_star AS DOUBLE)
+                           / (f.n - st.istar), 6) END AS alloc,
+           f.i <= st.istar AS keeps_all
+    FROM f, st, pi
+    """,
+    doc="Max-min fair (waterfilling) allocation of a 50%-of-total token "
+    "budget across sources via the order-statistic closed form — no "
+    "iterative redistribute loop: sources below the water level keep "
+    "their full capacity, the rest share one level L computed with a "
+    "single division on identical integers in both engines. One window "
+    "over the per-source aggregate (rows = #sources).",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cap = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("cap"))
+    )
+    t = cap.agg(
+        F.sum("cap").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = W.orderBy("cap", "source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the window runs over the per-source AGGREGATE (rows = #sources) —
+    # the unpartitioned frame is bounded by source cardinality, not data
+    r = cap.select(
+        "source", "cap",
+        F.row_number().over(W.orderBy("cap", "source")).alias("i"),
+        F.sum("cap").over(w).alias("p"),
+    )
+    f = r.crossJoin(F.broadcast(t)).withColumn(
+        "budget", F.expr("total div 2")
+    )
+    st = f.where(
+        F.col("cap") * (F.col("n") - F.col("i") + 1) + (F.col("p") - F.col("cap"))
+        <= F.col("budget")
+    ).agg(F.coalesce(F.max("i"), F.lit(0)).cast("bigint").alias("istar"))
+    pi = (
+        f.crossJoin(F.broadcast(st))
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("i") == F.col("istar"), F.col("p"))), F.lit(0)
+            ).cast("bigint").alias("p_star")
+        )
+    )
+    out = f.crossJoin(F.broadcast(st)).crossJoin(F.broadcast(pi))
+    alloc = F.when(F.col("i") <= F.col("istar"), F.col("cap").cast("double")).otherwise(
+        F.round(
+            (F.col("budget") - F.col("p_star")).cast("double")
+            / (F.col("n") - F.col("istar")),
+            6,
+        )
+    )
+    return out.select(
+        "source", "cap", alloc.alias("alloc"),
+        (F.col("i") <= F.col("istar")).alias("keeps_all"),
+    )

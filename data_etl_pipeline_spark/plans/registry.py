@@ -60,8 +60,9 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # annotator_agreement_kappa, mad_outlier_flags,
 # source_quantile_normalization, part_affinity_lift,
 # user_rolling_features, delta_interop_column_pruning,
-# delta_export_replace_where, stream_hopping_event_counts, and any
-# after them —
+# delta_export_replace_where, stream_hopping_event_counts,
+# token_budget_waterfill, delta_export_txn_idempotence, and any after
+# them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
 # they sit in the round-7 front;

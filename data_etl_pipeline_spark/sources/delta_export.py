@@ -271,13 +271,52 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
     return meta, versions, files
 
 
-def export_delta_append(df: DataFrame, dest: str) -> dict:
+def _last_txn_versions(dest: str) -> dict:
+    """{appId -> highest committed txn version} from the log's ``txn``
+    actions — the Delta transaction-identifier mechanism streaming sinks
+    use for exactly-once appends (delta.io PROTOCOL.md, Transaction
+    Identifiers)."""
+    seen: dict[str, int] = {}
+    log_dir = os.path.join(dest, "_delta_log")
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json") or not f[:20].isdigit():
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "txn" in a:
+                    t = a["txn"]
+                    v = int(t.get("version", -1))
+                    app = str(t.get("appId"))
+                    seen[app] = max(seen.get(app, -1), v)
+    return seen
+
+
+def export_delta_append(
+    df: DataFrame,
+    dest: str,
+    app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
     """Append ``df`` as the next commit of a table ``export_delta``
     created. The schema must match the table's EXACTLY (this exporter
     does no evolution — a drifted snapshot is a different table).
-    Returns {"version": ..., "n_files": ..., "bytes": ...}."""
+    Returns {"version": ..., "n_files": ..., "bytes": ...}.
+
+    EXACTLY-ONCE SINK CONTRACT: pass ``app_id`` + ``txn_version`` (e.g.
+    the streaming query id and micro-batch id) and the commit carries a
+    Delta ``txn`` action; a RE-DELIVERED batch (txn_version <= the
+    app's highest committed version) is skipped without writing a byte
+    — ``{"version": None, "skipped": True}`` — which is exactly how a
+    real Delta streaming sink makes foreachBatch idempotent."""
     dest = dest.rstrip("/")
+    if (app_id is None) != (txn_version is None):
+        raise DeltaExportError("app_id and txn_version must be passed together")
     meta, versions, _existing = _read_own_log(dest)
+    if app_id is not None and txn_version <= _last_txn_versions(dest).get(app_id, -1):
+        return {"version": None, "n_files": 0, "bytes": 0, "skipped": True}
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
             "append schema differs from the exported table's schema; "
@@ -316,8 +355,11 @@ def export_delta_append(df: DataFrame, dest: str) -> dict:
     version = versions[-1] + 1
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
     tmp = commit + ".tmp"
+    actions = list(adds)
+    if app_id is not None:
+        actions.insert(0, {"txn": {"appId": app_id, "version": int(txn_version)}})
     with open(tmp, "w") as fh:
-        for a in adds:
+        for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.rename(tmp, commit)
     return {"version": version, "n_files": len(adds), "bytes": total}

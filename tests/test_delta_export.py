@@ -826,3 +826,62 @@ class TestReplaceWhere:
         with pytest.raises(DeltaProtocolError, match="append-only"):
             reader.tail(0)
         assert reader.tail(0, skip_change_commits=True).count() == 0
+
+
+class TestTxnIdempotentAppend:
+    """export_delta_append with (app_id, txn_version): the Delta ``txn``
+    action makes re-delivered batches no-ops — the exactly-once
+    foreachBatch sink contract."""
+
+    def _table(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+
+        dest = str(tmp_path / "txn")
+        export_delta(
+            spark.createDataFrame([(0, 0.0)], "id long, v double"), dest
+        )
+        return dest
+
+    def test_redelivered_batch_is_skipped(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._table(spark, tmp_path)
+        b1 = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        r1 = export_delta_append(b1, dest, app_id="q1", txn_version=0)
+        assert r1["version"] == 1 and not r1.get("skipped")
+        # crash-after-commit replay: same batch id arrives again
+        r2 = export_delta_append(b1, dest, app_id="q1", txn_version=0)
+        assert r2["version"] is None and r2["skipped"]
+        # next batch commits; a LATE replay of batch 0 still skips
+        b2 = spark.createDataFrame([(2, 2.0)], "id long, v double")
+        assert export_delta_append(b2, dest, app_id="q1", txn_version=1)["version"] == 2
+        assert export_delta_append(b1, dest, app_id="q1", txn_version=0)["skipped"]
+        back = DeltaLogReader(spark, dest).read()
+        assert sorted(r.id for r in back.collect()) == [0, 1, 2]
+
+    def test_independent_app_ids_do_not_interfere(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._table(spark, tmp_path)
+        b = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        export_delta_append(b, dest, app_id="q1", txn_version=5)
+        # another writer's version counter is its own
+        r = export_delta_append(b, dest, app_id="q2", txn_version=0)
+        assert r["version"] == 2
+        assert DeltaLogReader(spark, dest).read().count() == 3
+
+    def test_half_specified_txn_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._table(spark, tmp_path)
+        b = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(DeltaExportError, match="together"):
+            export_delta_append(b, dest, app_id="q1")
+
+    def test_plain_append_unaffected(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta_append
+
+        dest = self._table(spark, tmp_path)
+        b = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        assert export_delta_append(b, dest)["version"] == 1
+        assert export_delta_append(b, dest)["version"] == 2  # no dedup without txn

@@ -190,3 +190,55 @@ class TestOntologyValidation:
         assert len(rows) == 1
         assert rows[0]["label_lower"] == "mig welding"
         assert rows[0]["concepts"] == ["joining", "welding"]
+
+
+def test_waterfill_closed_form_matches_iterative(spark):
+    """token_budget_waterfill's order-statistic closed form vs the
+    textbook iterative cap-and-redistribute loop, over randomized
+    capacity profiles (skewed, uniform, tiny-budget, full-budget)."""
+    import random
+
+    from data_etl_pipeline_spark.plans.pipeline import token_budget_waterfill  # noqa: F401
+    from data_etl_pipeline_spark.plans.registry import QUERIES
+
+    def iterative(caps: dict, budget: int) -> dict:
+        alloc = {s: 0.0 for s in caps}
+        active = set(caps)
+        remaining = float(budget)
+        while active and remaining > 1e-9:
+            share = remaining / len(active)
+            done = {s for s in active if caps[s] <= alloc[s] + share}
+            if not done:
+                for s in active:
+                    alloc[s] += share
+                remaining = 0.0
+                break
+            for s in done:
+                remaining -= caps[s] - alloc[s]
+                alloc[s] = float(caps[s])
+            active -= done
+        return alloc
+
+    def closed_form(caps: dict, budget: int) -> dict:
+        rows = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(rows)
+        prefix, istar, p_star = 0, 0, 0
+        for i, (s, c) in enumerate(rows, start=1):
+            if c * (n - i + 1) + prefix <= budget:
+                istar, p_star = i, prefix + c
+            prefix += c
+        out = {}
+        for i, (s, c) in enumerate(rows, start=1):
+            out[s] = float(c) if i <= istar else (budget - p_star) / (n - istar)
+        return out
+
+    rng = random.Random(11)
+    for trial in range(200):
+        n = rng.randint(1, 9)
+        caps = {f"s{j}": rng.randint(1, 1000) for j in range(n)}
+        total = sum(caps.values())
+        budget = rng.choice([total // 2, total // 10, total, 1, total - 1])
+        a, b = iterative(caps, budget), closed_form(caps, budget)
+        for s in caps:
+            assert abs(a[s] - b[s]) < 1e-6, (trial, caps, budget, a, b)
+        assert abs(sum(b.values()) - min(budget, total)) < 1e-6
