@@ -737,27 +737,30 @@ def jaccard_topk(
     """
     from pyspark.sql import Window as W
 
+    # shingles() canonicalizes the id column to 'doc_id'; alias back to
+    # the caller's id_col at the end (round-7 review fix: non-default
+    # id_col previously raised an unresolved-column error)
     sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__sz"))
     qsh = (
-        sh.where(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("q_id"), "shingle")
+        sh.where(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("q_id"), "shingle")
     )
-    qsz = sizes.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col("__sz").alias("__qsz")
+    qsz = sizes.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"), F.col("__sz").alias("__qsz")
     )
     shared = (
         sh.join(F.broadcast(qsh), "shingle")
-        .where(F.col(id_col) != F.col("q_id"))
-        .groupBy("q_id", id_col)
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
     scored = (
-        shared.join(sizes, id_col)
+        shared.join(sizes, "doc_id")
         .join(F.broadcast(qsz), "q_id")
         .select(
             "q_id",
-            id_col,
+            "doc_id",
             F.round(
                 F.col("__shared")
                 / (F.col("__qsz") + F.col("__sz") - F.col("__shared")),
@@ -765,8 +768,9 @@ def jaccard_topk(
             ).alias("jaccard"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("jaccard"), F.asc(id_col))
+    w = W.partitionBy("q_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+        .select("q_id", F.col("doc_id").alias(id_col), "jaccard", "rank")
     )

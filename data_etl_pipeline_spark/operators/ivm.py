@@ -95,6 +95,12 @@ def join_view_delta_versioned(
     """
     a_to = a.latest_version() if a_to is None else a_to
     b_to = b.latest_version() if b_to is None else b_to
+    for name, hi in (("a", a_to), ("b", b_to)):
+        if hi is None:
+            raise ValueError(
+                f"{name}: the table has no committed versions — write a "
+                "snapshot before maintaining a view over it"
+            )
     for name, lo, hi in (("a", a_from, a_to), ("b", b_from, b_to)):
         if lo > hi:
             raise ValueError(

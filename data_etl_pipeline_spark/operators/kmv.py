@@ -47,6 +47,19 @@ def _hex12_to_long(c):
     return F.conv(F.substring(c, 1, 12), 16, 10).cast("bigint")
 
 
+def _take_k_smallest(h: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+    """k smallest distinct hashes (per group): TakeOrderedAndProject for
+    the global form, one window exchange for the grouped form."""
+    if not group_cols:
+        return h.orderBy("hx").limit(k)
+    w = W.partitionBy(*group_cols).orderBy("hx")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, col: str, k: int, group_cols: list[str] | None = None
 ) -> DataFrame:
@@ -56,14 +69,7 @@ def kmv_sketch(
         raise ValueError("KMV needs k >= 2 (the estimator divides by k-1)")
     group_cols = list(group_cols or [])
     h = df.select(*group_cols, _hash_col(col).alias("hx")).distinct()
-    if not group_cols:
-        return h.orderBy("hx").limit(k)  # TakeOrderedAndProject
-    w = W.partitionBy(*group_cols).orderBy("hx")
-    return (
-        h.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _take_k_smallest(h, k, group_cols)
 
 
 def kmv_merge(
@@ -74,14 +80,7 @@ def kmv_merge(
     re-delivered batches cannot move the estimate."""
     group_cols = list(group_cols or [])
     u = a.select(*group_cols, "hx").unionByName(b.select(*group_cols, "hx")).distinct()
-    if not group_cols:
-        return u.orderBy("hx").limit(k)
-    w = W.partitionBy(*group_cols).orderBy("hx")
-    return (
-        u.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _take_k_smallest(u, k, group_cols)
 
 
 def kmv_estimate(

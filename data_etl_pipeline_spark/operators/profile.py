@@ -137,8 +137,16 @@ def weighted_median(
 
     w_raw = F.col(weight_col).cast("decimal(28,10)")
     # assert_true yields NULL on pass; riding it inside the weight
-    # expression keeps Catalyst from pruning the check away
-    w = F.when(F.assert_true(w_raw >= 0, f"negative weight in {weight_col}").isNull(), w_raw)
+    # expression keeps Catalyst from pruning the check away. NULL weights
+    # keep their historical skip-from-the-sums semantics (the predicate
+    # admits them explicitly — a bare >= 0 evaluates NULL and would fail
+    # the job with a wrong 'negative' diagnostic).
+    w = F.when(
+        F.assert_true(
+            (w_raw >= 0) | w_raw.isNull(), f"negative weight in {weight_col}"
+        ).isNull(),
+        w_raw,
+    )
     win = W.partitionBy(*group_cols).orderBy(F.col(value_col))  # RANGE frame: peers included
     tot = W.partitionBy(*group_cols)
     c = df.select(
@@ -147,8 +155,15 @@ def weighted_median(
         F.sum(w).over(win).alias("__cum"),
         F.sum(w).over(tot).alias("__tot"),
     )
+    # __cum is decimal(38,10); a bare *2 would push precision past 38 and
+    # Spark would REDUCE THE SCALE to 6, rounding sub-1e-6 weights away at
+    # the boundary (round-7 review fix). Casting down to (36,10) first
+    # keeps (36,10) x (1,0) at precision 38 exactly — scale intact; the
+    # cast itself can only overflow for cumulative weights >= 1e26, which
+    # fails loudly rather than rounding silently.
+    cum2 = F.col("__cum").cast("decimal(36,10)") * F.lit(2).cast("decimal(1,0)")
     return (
-        c.where(F.col("__cum") * 2 >= F.col("__tot"))
+        c.where(cum2 >= F.col("__tot"))
         .groupBy(*group_cols)
         .agg(F.min("__v").alias("weighted_median"))
     )

@@ -130,6 +130,45 @@ def _add_action(dest: str, full: str, data_change: bool) -> tuple[dict, int]:
     return {"add": add}, st.st_size
 
 
+def _data_files_on_disk(dest: str) -> set[str]:
+    """Relative ('/'-separated) paths of every parquet data file under
+    ``dest`` — INCLUDING removed-but-unvacuumed files, which is exactly
+    what makes walk-diff appends resurrection-proof."""
+    return {
+        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
+        for root, _d, fs in os.walk(dest)
+        if "_delta_log" not in root
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+
+def _adds_for_new_files(
+    dest: str, known: set[str], data_change: bool = True
+) -> tuple[list[dict], int]:
+    """add actions (sorted) + total bytes for data files that appeared on
+    disk since ``known`` was snapshotted — the walk-diff every mutating
+    commit uses."""
+    adds: list[dict] = []
+    total = 0
+    for rel in sorted(_data_files_on_disk(dest) - known):
+        action, size = _add_action(dest, os.path.join(dest, rel), data_change)
+        adds.append(action)
+        total += size
+    adds.sort(key=lambda a: a["add"]["path"])
+    return adds, total
+
+
+def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
+    """Atomically publish one commit file (tmp write + rename)."""
+    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit)
+
+
 def export_delta(
     df: DataFrame, dest: str, partition_by: list[str] | None = None
 ) -> dict:
@@ -182,12 +221,7 @@ def export_delta(
         },
         *adds,
     ]
-    commit = os.path.join(log_dir, f"{0:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, 0, actions)
     return {"n_files": len(adds), "bytes": total}
 
 
@@ -205,9 +239,12 @@ def export_delta(
 # ---------------------------------------------------------------------------
 
 
-def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
-    """(metaData, sorted versions, {path -> add}) for a table this module
-    exported; raises DeltaExportError on any sign of a foreign writer."""
+def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str, int]]:
+    """(metaData, sorted versions, {path -> add}, {txn appId -> highest
+    committed version}) for a table this module exported; raises
+    DeltaExportError on any sign of a foreign writer. The txn map is the
+    Delta transaction-identifier state exactly-once sinks consult
+    (collected in the same single log pass — no second scan)."""
     log_dir = os.path.join(dest, "_delta_log")
     if not os.path.isdir(log_dir):
         raise DeltaExportError(f"{dest} has no _delta_log")
@@ -223,6 +260,7 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
         raise DeltaExportError(f"{dest} has an empty _delta_log")
     meta = None
     files: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     start = 0
     if cps:
         # checkpointed export: earlier JSONs may be trimmed; appends only
@@ -257,8 +295,12 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
                     files[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     files.pop(a["remove"]["path"], None)
-                elif set(a) & {"commitInfo", "txn"}:
-                    pass  # informational actions are harmless
+                elif "txn" in a:
+                    t = a["txn"]
+                    app = str(t.get("appId"))
+                    txns[app] = max(txns.get(app, -1), int(t.get("version", -1)))
+                elif "commitInfo" in a:
+                    pass  # informational
                 else:
                     raise DeltaExportError(
                         f"{dest}: unrecognized action {sorted(a)} — foreign writer?"
@@ -268,30 +310,7 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict]]:
             f"{dest} was not created by this exporter (metaData id "
             f"{meta.get('id') if meta else None!r}); refusing to append"
         )
-    return meta, versions, files
-
-
-def _last_txn_versions(dest: str) -> dict:
-    """{appId -> highest committed txn version} from the log's ``txn``
-    actions — the Delta transaction-identifier mechanism streaming sinks
-    use for exactly-once appends (delta.io PROTOCOL.md, Transaction
-    Identifiers)."""
-    seen: dict[str, int] = {}
-    log_dir = os.path.join(dest, "_delta_log")
-    for f in sorted(os.listdir(log_dir)):
-        if not f.endswith(".json") or not f[:20].isdigit():
-            continue
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "txn" in a:
-                    t = a["txn"]
-                    v = int(t.get("version", -1))
-                    app = str(t.get("appId"))
-                    seen[app] = max(seen.get(app, -1), v)
-    return seen
+    return meta, versions, files, txns
 
 
 def export_delta_append(
@@ -314,8 +333,8 @@ def export_delta_append(
     dest = dest.rstrip("/")
     if (app_id is None) != (txn_version is None):
         raise DeltaExportError("app_id and txn_version must be passed together")
-    meta, versions, _existing = _read_own_log(dest)
-    if app_id is not None and txn_version <= _last_txn_versions(dest).get(app_id, -1):
+    meta, versions, _existing, txns = _read_own_log(dest)
+    if app_id is not None and txn_version <= txns.get(app_id, -1):
         return {"version": None, "n_files": 0, "bytes": 0, "skipped": True}
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
@@ -326,42 +345,17 @@ def export_delta_append(
     # diff against everything ON DISK before the write, not just the live
     # add set — files removed by a CoW delete/OPTIMIZE linger until a
     # vacuum, and re-adding them would resurrect deleted rows
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dest)
-    adds = []
-    total = 0
-    for root, _dirs, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            action, size = _add_action(dest, full, True)
-            adds.append(action)
-            total += size
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, total = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
     actions = list(adds)
     if app_id is not None:
         actions.insert(0, {"txn": {"appId": app_id, "version": int(txn_version)}})
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, actions)
     return {"version": version, "n_files": len(adds), "bytes": total}
 
 
@@ -376,7 +370,7 @@ def checkpoint_export(spark, dest: str, trim: bool = False) -> int:
     from pyspark.sql import types as T
 
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     head = versions[-1]
     add_struct = T.StructType(
         [
@@ -473,7 +467,7 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
     from pyspark.sql import types as T
 
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     types_map = {f.name: f.dataType for f in schema.fields}
@@ -520,13 +514,7 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
         return {"version": None, "removed_files": 0, "added_files": 0}
 
     # 2) rewrite survivors per partition group, into the group's own dir
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     keep = ~F.coalesce(pred, F.lit(False))
     for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
         surv = scan_group(key, aff).where(keep).select(*[f.name for f in data_fields])
@@ -546,25 +534,9 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
         for aff in affected.values()
         for rel in sorted(aff)
     ]
-    adds = []
-    for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            adds.append(_add_action(dest, full, True)[0])
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, _ = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in [*actions, *adds]:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, [*actions, *adds])
     return {
         "version": version,
         "removed_files": n_affected,
@@ -604,7 +576,7 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     from pyspark.sql import types as T
 
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
             "merge source schema differs from the exported table's schema; "
@@ -640,7 +612,13 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
             g = g.withColumn(c, F.lit(raw).cast(types_map[c]))
         return g
 
-    src_keys = df.select(*keys).distinct()
+    # The source participates in discovery (its keys), the survivor
+    #    anti-joins, and the final insert. The KEY SET is pinned with an
+    #    eager localCheckpoint so every phase sees one consistent set of
+    #    matched keys; the source ROWS are read once more for the insert,
+    #    so — like real Delta MERGE — the source must be deterministic
+    #    (materialize nondeterministic sources before merging).
+    src_keys = df.select(*keys).distinct().localCheckpoint(eager=True)
     # 1) discovery: live files holding at least one matched key (semi-join
     #    against the source keys; collect bounded by file count)
     affected: dict[tuple, list[str]] = {}
@@ -660,13 +638,7 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
         affected[key] = aff
         n_affected += len(aff)
 
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     # 2) rewrite survivors (rows whose key is NOT in the source) of each
     #    affected file back into its own partition directory
     for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
@@ -696,28 +668,9 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
         for aff in affected.values()
         for rel in sorted(aff)
     ]
-    adds = []
-    total = 0
-    for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            action, size = _add_action(dest, full, True)
-            adds.append(action)
-            total += size
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, total = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in [*actions, *adds]:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, [*actions, *adds])
     return {
         "version": version,
         "removed_files": n_affected,
@@ -746,7 +699,7 @@ def export_delta_replace_where(
     distributed partitioned append; the commit is O(files touched).
     """
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
             "replaceWhere source schema differs from the exported table's "
@@ -775,22 +728,27 @@ def export_delta_replace_where(
             f"{partition_values}; refusing to write them under the "
             "replaced partition"
         )
+    def _pv_str(v):
+        # the log stores partition values in Spark's Hive dir encoding:
+        # booleans are lowercase 'true'/'false', never Python's 'True'
+        # (round-7 review fix: str(True) matched nothing, so the old
+        # partition silently stayed live under the new rows)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     # removal set straight from the log — no data read
     doomed = [
         p
         for p, a in files.items()
         if all(
-            (a.get("partitionValues") or {}).get(c) == (None if v is None else str(v))
+            (a.get("partitionValues") or {}).get(c) == _pv_str(v)
             for c, v in partition_values.items()
         )
     ]
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     writer = df.write.mode("append")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -806,28 +764,9 @@ def export_delta_replace_where(
         }
         for p in sorted(doomed)
     ]
-    adds = []
-    total = 0
-    for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            action, size = _add_action(dest, full, True)
-            adds.append(action)
-            total += size
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, total = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in [*actions, *adds]:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, [*actions, *adds])
     return {
         "version": version,
         "removed_files": len(doomed),
@@ -847,7 +786,7 @@ def export_delta_optimize(spark, dest: str) -> dict:
     from pyspark.sql import types as T
 
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -861,13 +800,7 @@ def export_delta_optimize(spark, dest: str) -> dict:
     if not todo:
         return {"version": None, "compacted_files": 0, "new_files": 0}
 
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     removed: list[str] = []
     for key, rels in sorted(todo.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.schema(file_schema).parquet(
@@ -888,25 +821,9 @@ def export_delta_optimize(spark, dest: str) -> dict:
         }
         for rel in sorted(removed)
     ]
-    adds = []
-    for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            adds.append(_add_action(dest, full, False)[0])
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, _ = _adds_for_new_files(dest, known, data_change=False)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in [*actions, *adds]:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, [*actions, *adds])
     return {"version": version, "compacted_files": len(removed), "new_files": len(adds)}
 
 
@@ -942,7 +859,7 @@ def export_delta_vacuum(dest: str, keep_versions: int = 1) -> dict:
     if keep_versions < 1:
         raise DeltaExportError("keep_versions must be >= 1")
     dest = dest.rstrip("/")
-    _meta, versions, _files = _read_own_log(dest)
+    _meta, versions, _files, _txns = _read_own_log(dest)
     referenced: set[str] = set()
     for v in versions[-keep_versions:]:
         referenced |= _live_at(dest, v)
@@ -990,7 +907,7 @@ def export_delta_zorder(
     if not cols:
         raise DeltaExportError("zorder needs at least one column")
     dest = dest.rstrip("/")
-    meta, versions, files = _read_own_log(dest)
+    meta, versions, files, _txns = _read_own_log(dest)
     part_cols = list(meta.get("partitionColumns") or [])
     if set(cols) & set(part_cols):
         raise DeltaExportError("zorder columns must be data columns, not partitions")
@@ -1003,13 +920,7 @@ def export_delta_zorder(
         pv = a.get("partitionValues") or {}
         groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(unquote(p))
 
-    known = {
-        os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
-        for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
-        for f in fs
-        if f.endswith(".parquet")
-    }
+    known = _data_files_on_disk(dest)
     removed: list[str] = []
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
@@ -1053,23 +964,7 @@ def export_delta_zorder(
         }
         for rel in sorted(removed)
     ]
-    adds = []
-    for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
-            continue
-        for f in fs:
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            if os.path.relpath(full, dest).replace(os.sep, "/") in known:
-                continue
-            adds.append(_add_action(dest, full, False)[0])
-    adds.sort(key=lambda a: a["add"]["path"])
+    adds, _ = _adds_for_new_files(dest, known, data_change=False)
     version = versions[-1] + 1
-    commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in [*actions, *adds]:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, commit)
+    _write_commit(dest, version, [*actions, *adds])
     return {"version": version, "rewritten_files": len(removed), "new_files": len(adds)}

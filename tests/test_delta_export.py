@@ -885,3 +885,26 @@ class TestTxnIdempotentAppend:
         b = spark.createDataFrame([(1, 1.0)], "id long, v double")
         assert export_delta_append(b, dest)["version"] == 1
         assert export_delta_append(b, dest)["version"] == 2  # no dedup without txn
+
+
+def test_replace_where_matches_hive_encoded_bool_partitions(spark, tmp_path):
+    """Round-7 review fix: the log stores bool partition values as
+    lowercase 'true'/'false' (Spark's Hive dir encoding); str(True) was
+    'True', matched nothing, and the old partition silently stayed live
+    under the new rows — duplicated data in an 'atomic replace'."""
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_replace_where,
+    )
+
+    dest = str(tmp_path / "rwbool")
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0), (3, True, 3.0)],
+        "id long, flag boolean, val double",
+    )
+    export_delta(df, dest, partition_by=["flag"])
+    new = spark.createDataFrame([(10, True, 10.0)], "id long, flag boolean, val double")
+    res = export_delta_replace_where(spark, new, dest, {"flag": True})
+    assert res["removed_files"] > 0, "old true-partition files must be removed"
+    back = {(r.id, r.flag) for r in DeltaLogReader(spark, dest).read().collect()}
+    assert back == {(2, False), (10, True)}

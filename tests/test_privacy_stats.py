@@ -112,3 +112,26 @@ def test_weighted_median_rejects_negative_weights(spark):
     )
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         weighted_median(df, ["g"], "v", "w").collect()
+
+
+def test_weighted_median_keeps_full_scale_10_at_the_boundary(spark):
+    # round-7 review fix: __cum * 2 used to overflow precision 38 and
+    # Spark silently REDUCED the scale to 6 — weights below 1e-6 were
+    # rounded away exactly at the cum*2 >= tot boundary test
+    df = spark.createDataFrame(
+        [("a", 1.0, 4e-7), ("a", 2.0, 1e-7), ("a", 3.0, 4e-7)],
+        "g string, v double, w double",
+    )
+    # cum(1.0)=4e-7, tot=9e-7: 2*4e-7 < 9e-7 so v=1 must NOT qualify;
+    # with scale-6 rounding both sides collapse to 0 and v=1 wins wrongly
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got == 2.0
+
+
+def test_weighted_median_null_weights_are_skipped_not_fatal(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, 1.0), ("a", 3.0, 2.0)],
+        "g string, v double, w double",
+    )
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got == 3.0  # weights 1,2 -> cum at v=3 reaches half of 3

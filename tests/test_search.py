@@ -221,3 +221,21 @@ class TestJaccardTopk:
             "doc_id long, text string",
         )
         assert jaccard_topk(docs, n_queries=1, k=3).collect() == []
+
+
+def test_jaccard_topk_honors_custom_id_col(spark):
+    # round-7 review fix: shingles() canonicalizes the id to doc_id; a
+    # non-default id_col used to raise an unresolved-column error
+    from data_etl_pipeline_spark.operators.dedup import jaccard_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "the quick brown fox sleeps"),
+            (2, "unrelated words entirely here now"),
+        ],
+        "vec_id long, text string",
+    )
+    rows = jaccard_topk(docs, n_queries=1, k=2, id_col="vec_id").collect()
+    assert rows and rows[0].asDict().keys() >= {"q_id", "vec_id", "jaccard", "rank"}
+    assert {r["vec_id"] for r in rows} == {1}
