@@ -1,0 +1,206 @@
+"""Behavioral / product-analytics query shapes over the events table.
+
+The reference pipeline's event-log consumers (SURVEY §2.4/§2.5 window
+family; reference capability: session- and sequence-shaped rollups of
+the queue-driven event stream) stop at sessionization and funnels. This
+module adds the four next shapes every product-analytics and
+training-data-curation stack runs at warehouse scale:
+
+- gaps-and-islands activity streaks (consecutive-day engagement),
+- weekly cohort retention (first-seen week x week offset),
+- first-order Markov transitions between event types,
+- exponentially time-decayed per-user value (half-life weighting).
+
+All four are pure DataFrame plans: the streak/cohort/transition shapes
+are one or two key-local exchanges, and the decayed sum is a single
+groupBy with a closed-form weight (no recursion, no UDF). Decimal
+accumulation + round(6) keeps both engines bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user. The
+# island key is date - row_number() days (equal for consecutive days),
+# the textbook formulation both engines window-execute identically.
+# Scale shape: distinct on (user, day) shrinks the event log to at most
+# users x days rows; both windows and both groupBys hash on user_id, so
+# after the distinct everything is one exchange on the user key.
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_streaks",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)::INT AS grp
+        FROM d
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
+    """,
+    doc="Consecutive-day activity streaks per user (gaps-and-islands: "
+    "island = day - row_number days). distinct (user, day) first bounds "
+    "the window input at users x days; every later step re-uses the "
+    "user-key exchange.",
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-active ISO week; each
+# later active week contributes to (cohort_week, week_offset). Both
+# engines truncate to Monday-start ISO weeks, and (user, week) is
+# distinct before counting, so COUNT(*) IS the distinct-user count.
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_cohort_retention",
+    sql="""
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1)
+    SELECT c.cohort_week,
+           CAST((uw.wk - c.cohort_week) // 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention matrix: cohort = first-active Monday "
+    "week, offset = whole weeks since. distinct (user, week) then a "
+    "per-user min re-joined on the same key — the join and both "
+    "aggregations share the user-key exchange; output is cohorts x "
+    "offsets, tiny at any scale.",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uw = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transitions between event types. The successor is
+# lead() over (user, ts, event_id) — the event_id tiebreak keeps
+# same-timestamp neighbors deterministic in both engines. Transition
+# probability is a window sum over the (from, to) aggregate, which is
+# at most |types|^2 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_probs",
+    sql="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n
+          FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+    FROM t
+    """,
+    doc="First-order Markov transition matrix of event types per user "
+    "stream (lead over user/ts/event_id; event_id breaks timestamp "
+    "ties). One user-key exchange for the lead, then an aggregate "
+    "bounded by |event types|^2 rows.",
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    t = nxt.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed per-user value with a 7-day half-life,
+# anchored at the corpus max timestamp: weight = 0.5^(age_s/604800).
+# Closed form — one scan, one groupBy, no recursion. The weight is an
+# IEEE double both engines compute bit-identically (truncated epoch
+# seconds in, pow out); each weighted term is cast to decimal(28,10)
+# BEFORE summing so partial-aggregation order cannot move the sum.
+# ---------------------------------------------------------------------------
+@query(
+    "time_decayed_user_value",
+    sql="""
+    WITH e AS (SELECT user_id, value, floor(epoch(ts))::BIGINT AS sec FROM events),
+    m AS (SELECT MAX(sec) AS ref FROM e)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(
+               value * pow(0.5, (m.ref - sec) / 604800.0)
+               AS DECIMAL(28,10))) AS DOUBLE), 6) AS decayed_value
+    FROM e, m GROUP BY user_id
+    """,
+    doc="Half-life-decayed user value (7-day half-life, anchored at the "
+    "global max event time): closed-form 0.5^(age/hl) weight, decimal "
+    "accumulation of the weighted terms. One broadcast of the 1-row "
+    "anchor, one user-key aggregate — the streaming-friendly alternative "
+    "to recursive EWMA.",
+)
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    ref = e.agg(F.max("sec").alias("ref"))
+    term = (
+        F.col("value")
+        * F.pow(F.lit(0.5), (F.col("ref") - F.col("sec")) / F.lit(604800.0))
+    ).cast("decimal(28,10)")
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term).cast("double"), 6).alias("decayed_value"),
+        )
+    )

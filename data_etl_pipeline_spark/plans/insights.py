@@ -1,0 +1,327 @@
+"""Statistical-insight query shapes: distribution audits, skylines,
+collocations, and sketch-based set overlap.
+
+Four more warehouse-scale analysis shapes the reference's corpus/ledger
+consumers run (SURVEY §2.4 aggregate family, §2.11 sketch family), each
+expressed as a declarative plan with oracle-exact arithmetic:
+
+- Benford first-digit audit (fraud/quality screening of a value ledger),
+- Pareto-efficient frontier (2-D skyline) with a bucketed pre-skyline so
+  the global pass sees only local survivors,
+- PMI bigram collocations over the document corpus,
+- KMV-sketch Jaccard / intersection estimates between key sets — the
+  mergeable, oracle-exact alternative to exact set overlap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit of the order ledger. The first
+# significant digit comes from the decimal string of floor(price) —
+# no log10-of-price boundary hazard (log10(1000.0) may round below 3).
+# One scan, one 9-row aggregate; expected shares are closed-form.
+# ---------------------------------------------------------------------------
+@query(
+    "benford_price_audit",
+    sql="""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT digit, n,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS obs_p,
+           ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
+           ROUND(ABS(n / CAST(SUM(n) OVER () AS DOUBLE)
+                     - log10(1 + 1.0 / digit)), 6) AS abs_dev
+    FROM c
+    """,
+    doc="Benford first-digit distribution of o_totalprice vs the "
+    "log10(1+1/d) expectation: digit from the integer's decimal string "
+    "(immune to log10 rounding at exact powers of ten), shares over a "
+    "9-row window. One scan, audit output is O(1).",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy())
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    obs = F.col("n") / tot.cast("double")
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline): orders no other order beats on BOTH
+# lower price and later date. Distributed shape: (1) per-price max-date
+# aggregate (parallel, collapses equal-price rows so every later window
+# walks unique prices); (2) bucketed LOCAL skyline — dominance within a
+# price bucket implies global dominance, so locally-dominated rows drop
+# in parallel; (3) global cummax pass over the surviving fraction only;
+# (4) broadcast join back to emit the winning order rows.
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_efficient_orders",
+    sql="""
+    WITH pd AS (SELECT o_totalprice AS price, MAX(o_orderdate) AS d
+                FROM orders GROUP BY 1),
+    s AS (SELECT price, d,
+                 MAX(d) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS mb
+          FROM pd)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN s ON o.o_totalprice = s.price AND o.o_orderdate = s.d
+    WHERE s.mb IS NULL OR s.d > s.mb
+    """,
+    doc="Pareto-efficient orders (min price, max date skyline): per-price "
+    "max-date aggregate, bucketed local skyline (parallel dominance "
+    "pruning — safe because a same-bucket dominator is a global "
+    "dominator), then the global cummax over local survivors only; "
+    "skyline points broadcast back onto the fact table. The oracle runs "
+    "the unbucketed single-window formulation — identical output proves "
+    "the pruning is lossless.",
+)
+def pareto_efficient_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    pd_ = orders.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("d")
+    )
+    # Local skyline within coarse price buckets: prices are unique after
+    # the groupBy, so a strictly-preceding row is strictly cheaper.
+    bkt = pd_.withColumn("bkt", F.floor(F.col("price") / F.lit(50000.0)))
+    wloc = (
+        W.partitionBy("bkt").orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = (
+        bkt.withColumn("mb", F.max("d").over(wloc))
+        .where(F.col("mb").isNull() | (F.col("d") > F.col("mb")))
+        .drop("mb", "bkt")
+    )
+    wg = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    sky = (
+        loc.withColumn("mb", F.max("d").over(wg))
+        .where(F.col("mb").isNull() | (F.col("d") > F.col("mb")))
+        .drop("mb")
+    )
+    return orders.join(
+        F.broadcast(sky),
+        (orders["o_totalprice"] == sky["price"])
+        & (orders["o_orderdate"] == sky["d"]),
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations — the corpus-curation signal for multi-word
+# expressions ("new york" vs chance co-occurrence). House tokenizer
+# (lowercase alnum runs, len>=2); PMI in one arithmetic shape so both
+# engines round identical doubles: log2(n12 * Nuni * Nuni / (Nbig * c1 * c2)).
+# Scale: two grouped counts (bigram, unigram) + two joins on the word
+# key; totals are 1-row broadcasts. Vocabulary-bound, not corpus-bound.
+# ---------------------------------------------------------------------------
+@query(
+    "pmi_bigram_collocations",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS arr
+              FROM documents)
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    nuni AS (SELECT COUNT(*) AS nu FROM toks),
+    big AS (
+        SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n12
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+    ),
+    nbig AS (SELECT CAST(SUM(n12) AS BIGINT) AS nb FROM big)
+    SELECT w1 || ' ' || w2 AS bigram, n12, u1.c AS c1, u2.c AS c2,
+           ROUND(log2((CAST(n12 AS DOUBLE) * nu * nu)
+                      / (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM big JOIN uni u1 ON big.w1 = u1.tok
+             JOIN uni u2 ON big.w2 = u2.tok, nuni, nbig
+    WHERE n12 >= 5
+    ORDER BY pmi DESC, bigram ASC LIMIT 40
+    """,
+    doc="Top-40 PMI bigram collocations (min support 5): bigram and "
+    "unigram grouped counts, two word-key joins, 1-row total broadcasts. "
+    "PMI evaluated as ONE left-associative double expression in both "
+    "engines so the round(6) cannot split; deterministic (pmi, bigram) "
+    "ordering.",
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
+        ).alias("arr")
+    )
+    toks = docs.select(F.explode("arr").alias("tok"), F.lit(1).alias("one"))
+    # Bigrams key-locally: clamp the sequence bound so sub-2-token docs
+    # yield an empty array even under eager generator evaluation
+    # (InferFiltersFromGenerate — see SCALE.md round-7 note).
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(arr) - 1, 0)), "
+                "          i -> struct(arr[i-1] AS w1, arr[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    nu = toks.agg(F.count(F.lit(1)).alias("nu"))
+    nb = big.agg(F.sum("n12").cast("bigint").alias("nb"))
+    j = (
+        big.where(F.col("n12") >= 5)
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.log2(
+        (F.col("n12").cast("double") * F.col("nu") * F.col("nu"))
+        / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n12",
+            "c1",
+            "c2",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimation between event-type audiences: Jaccard,
+# intersection, and union estimates for every type pair from k=64
+# sketches — Beyer et al.'s rho = |M ∩ S_A ∩ S_B| / |M| on the k
+# smallest hashes M of the sketch union. md5-based, so the oracle
+# reproduces every sketch row and estimate bit-for-bit; all arithmetic
+# on the saturated path is integer. Scale: sketches are k rows per
+# type regardless of corpus size; the pairwise stage touches only
+# |types|^2 * k rows.
+# ---------------------------------------------------------------------------
+@query(
+    "kmv_jaccard_event_types",
+    sql="""
+    WITH s AS (
+        SELECT event_type, hx FROM (
+            SELECT event_type, hx,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+            FROM (SELECT DISTINCT event_type,
+                         md5(CAST(user_id AS VARCHAR)) AS hx FROM events)
+        ) WHERE rn <= 64
+    ),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    p AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+    u AS (
+        SELECT ta, tb, hx, COUNT(*) AS c FROM (
+            SELECT p.ta, p.tb, s.hx FROM p JOIN s ON s.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, s.hx FROM p JOIN s ON s.event_type = p.tb
+        ) GROUP BY 1, 2, 3
+    ),
+    m AS (SELECT ta, tb, hx, c,
+                 ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hx) AS rn
+          FROM u),
+    agg AS (
+        SELECT ta, tb, COUNT(*) AS mm,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ov,
+               MAX(('0x' || substr(hx, 1, 12))::BIGINT) AS vk
+        FROM m WHERE rn <= 64 GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b, ov AS overlap_k,
+           CAST(CASE WHEN mm < 64 THEN mm
+                ELSE (63 * 281474976710656) // GREATEST(vk, 1) END
+                AS BIGINT) AS union_est,
+           CAST((ov * (CASE WHEN mm < 64 THEN mm
+                       ELSE (63 * 281474976710656) // GREATEST(vk, 1) END)) // mm
+                AS BIGINT) AS inter_est,
+           ROUND(ov / CAST(mm AS DOUBLE), 6) AS jaccard_est
+    FROM agg
+    """,
+    doc="Pairwise audience overlap from k=64 KMV sketches (Beyer et al. "
+    "set-op estimator): M = k smallest hashes of the pair union, "
+    "jaccard = |M in both| / |M|, intersection = jaccard * KMV union "
+    "estimate — integer-exact on the saturated path, EXACT sets on the "
+    "unsaturated path. Sketch size is k per type however large the log; "
+    "oracle rebuilds identical sketches from md5.",
+)
+def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators import kmv as kv
+
+    k = 64
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    s = kv.kmv_sketch(ev, "user_id", k=k, group_cols=["event_type"])
+    ty = ev.select("event_type").distinct()
+    pairs = (
+        ty.alias("a")
+        .join(ty.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    ua = F.broadcast(pairs).join(s, F.col("ta") == s["event_type"]).select(
+        "ta", "tb", "hx"
+    )
+    ub = F.broadcast(pairs).join(s, F.col("tb") == s["event_type"]).select(
+        "ta", "tb", "hx"
+    )
+    u = ua.unionByName(ub).groupBy("ta", "tb", "hx").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("ta", "tb").orderBy("hx")
+    m = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    num = (k - 1) * (1 << 48)
+    agg = m.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("mm"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("ov"),
+        F.max(F.conv(F.substring("hx", 1, 12), 16, 10).cast("bigint")).alias("vk"),
+    )
+    union_est = F.when(F.col("mm") < k, F.col("mm").cast("bigint")).otherwise(
+        F.expr(f"cast({num}L div greatest(vk, 1L) as bigint)")
+    )
+    return (
+        agg.withColumn("union_est", union_est)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("ov").alias("overlap_k"),
+            "union_est",
+            F.expr("cast((ov * union_est) div mm as bigint)").alias("inter_est"),
+            F.round(F.col("ov") / F.col("mm").cast("double"), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -61,7 +61,10 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # source_quantile_normalization, part_affinity_lift,
 # user_rolling_features, delta_interop_column_pruning,
 # delta_export_replace_where, stream_hopping_event_counts,
-# token_budget_waterfill, delta_export_txn_idempotence, and any after
+# token_budget_waterfill, delta_export_txn_idempotence,
+# user_activity_streaks, weekly_cohort_retention, event_transition_probs,
+# time_decayed_user_value, benford_price_audit, pareto_efficient_orders,
+# pmi_bigram_collocations, kmv_jaccard_event_types, and any after
 # them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
@@ -151,8 +154,10 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import data_etl_pipeline_spark.plans.advanced  # noqa: F401
+    import data_etl_pipeline_spark.plans.behavior  # noqa: F401
     import data_etl_pipeline_spark.plans.etl  # noqa: F401
     import data_etl_pipeline_spark.plans.extensions  # noqa: F401
+    import data_etl_pipeline_spark.plans.insights  # noqa: F401
     import data_etl_pipeline_spark.plans.pipeline  # noqa: F401
     import data_etl_pipeline_spark.plans.reconcile  # noqa: F401
     import data_etl_pipeline_spark.plans.relational  # noqa: F401
