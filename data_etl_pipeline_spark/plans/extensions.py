@@ -3553,3 +3553,200 @@ def delta_export_txn_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED lifecycle on an exported table: create (cdf=True) ->
+# append -> keyed CoW MERGE -> CoW DELETE, then table_changes(0) replays
+# every row-level change — derived inserts for the add-only commits,
+# _change_data files (written by the exporter, PROTOCOL.md "Add CDC
+# File") for the merge's update_preimage/update_postimage/insert and the
+# delete's pre-images. The oracle recomputes the full feed from raw
+# orders, so a wrong change type, version tag, pre/post price, or a
+# cdc/derived mixup all break the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_cdf_lifecycle",
+    sql="""
+    WITH ch AS (
+        SELECT 0 AS _commit_version, 'insert' AS _change_type, o_totalprice AS p
+        FROM orders WHERE o_orderkey <= 400
+        UNION ALL
+        SELECT 1, 'insert', o_totalprice
+        FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 800
+        UNION ALL
+        SELECT 2, 'update_preimage', o_totalprice
+        FROM orders WHERE o_orderkey <= 800 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 2, 'update_postimage', o_totalprice * 2
+        FROM orders WHERE o_orderkey <= 800 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 2, 'insert', o_totalprice FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        -- unmatched merge-source rows insert AS SENT, i.e. with the
+        -- source's doubled price
+        SELECT 2, 'insert', o_totalprice * 2
+        FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 900 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 3, 'delete',
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END
+        FROM orders WHERE o_orderkey BETWEEN 100 AND 200 AND o_orderkey <= 800
+    )
+    SELECT _commit_version, _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ch GROUP BY 1, 2
+    """,
+    doc="Change-data-feed lifecycle: export(cdf=True) -> append -> CoW "
+    "merge -> CoW delete; table_changes(0) derives inserts from "
+    "add-only commits and reads the exporter's _change_data files for "
+    "the rewrites (update_preimage/update_postimage/insert, delete). "
+    "One scan per change kind however many commits the range spans. "
+    "Oracle rebuilds the exact feed from raw orders.",
+)
+def delta_export_cdf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="exp_cdf_") + "/table"
+    export_delta(base.where(k <= 400), dest, cdf=True)
+    export_delta_append(base.where((k > 400) & (k <= 800)), dest)
+    upd = base.where((k % 7 == 0) & (k <= 900)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.where(k % 13 == 0).withColumn("o_orderkey", k + 100000)
+    res = export_delta_merge(spark, upd.unionByName(ins), dest, keys=["o_orderkey"])
+    assert res["cdc_files"] > 0, res
+    export_delta_delete(spark, dest, "o_orderkey between 100 and 200")
+    ch = DeltaLogReader(spark, dest).table_changes(0)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta interop, FOREIGN change feed: a log this exporter did NOT write
+# (metaData id 'interop-cdf', writer version 4) whose delete commit
+# carries real cdc actions — table_changes must use the _change_data
+# file ALONE for that commit (ignoring its remove+add pair) and still
+# derive inserts for the plain append around it. Oracle recomputes the
+# three-commit feed from raw orders by key.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_cdf_read",
+    sql="""
+    WITH ch AS (
+        SELECT 0 AS _commit_version, 'insert' AS _change_type,
+               o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 300
+        UNION ALL
+        SELECT 1, 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 2, 'insert', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 500
+    )
+    SELECT _commit_version, _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ch GROUP BY 1, 2
+    """,
+    doc="Reads the change feed of a FOREIGN Delta table whose rewrite "
+    "commit carries cdc actions (protocol 'Add CDC File'): the cdc "
+    "file is used alone for that commit — the remove+add pair "
+    "contributes nothing — while the surrounding create/append commits "
+    "derive inserts.",
+)
+def delta_interop_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    tbl = tempfile.mkdtemp(prefix="delta_cdf_foreign_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    a = base.where(k <= 300)
+    _write_single_parquet(a, tbl, "a.parquet")
+    _write_single_parquet(a.where(k % 3 != 0), tbl, "a2.parquet")
+    os.makedirs(os.path.join(tbl, "_change_data"))
+    _write_single_parquet(
+        a.where(k % 3 == 0).withColumn("_change_type", F.lit("delete")),
+        os.path.join(tbl, "_change_data"),
+        "cdc-0.parquet",
+    )
+    _write_single_parquet(base.where((k > 300) & (k <= 500)), tbl, "b.parquet")
+
+    def log(v: int, actions: list[dict]) -> None:
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for act in actions:
+                fh.write(_json.dumps(act) + "\n")
+
+    def sz(rel: str) -> int:
+        return os.path.getsize(os.path.join(tbl, rel))
+
+    def add(p: str) -> dict:
+        return {
+            "add": {
+                "path": p,
+                "partitionValues": {},
+                "size": sz(p),
+                "dataChange": True,
+            }
+        }
+
+    log(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "interop-cdf",
+                    "schemaString": base.schema.json(),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                    "configuration": {"delta.enableChangeDataFeed": "true"},
+                }
+            },
+            add("a.parquet"),
+        ],
+    )
+    log(
+        1,
+        [
+            {"remove": {"path": "a.parquet", "dataChange": True}},
+            add("a2.parquet"),
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-0.parquet",
+                    "partitionValues": {},
+                    "size": sz("_change_data/cdc-0.parquet"),
+                    "dataChange": False,
+                }
+            },
+        ],
+    )
+    log(2, [add("b.parquet")])
+
+    ch = DeltaLogReader(spark, tbl).table_changes(0, 2)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total"
+        ),
+    )

@@ -137,7 +137,7 @@ def _data_files_on_disk(dest: str) -> set[str]:
     return {
         os.path.relpath(os.path.join(root, f), dest).replace(os.sep, "/")
         for root, _d, fs in os.walk(dest)
-        if "_delta_log" not in root
+        if "_delta_log" not in root and "_change_data" not in root
         for f in fs
         if f.endswith(".parquet")
     }
@@ -159,6 +159,58 @@ def _adds_for_new_files(
     return adds, total
 
 
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _cdc_files_on_disk(dest: str) -> set[str]:
+    """Relative paths (under _change_data/) of every CDC parquet file."""
+    cd = os.path.join(dest, "_change_data")
+    if not os.path.isdir(cd):
+        return set()
+    return {
+        os.path.relpath(os.path.join(root, f), cd).replace(os.sep, "/")
+        for root, _d, fs in os.walk(cd)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+
+def _write_cdc(dest: str, change_df, part_cols: list[str]) -> list[dict]:
+    """Write change rows (which must carry ``_change_type``) as
+    ``_change_data/`` parquet and return their ``cdc`` actions
+    (PROTOCOL.md "Add CDC File": path, partitionValues, size,
+    dataChange:false). One distributed write; the action list is a
+    walk-diff bounded by file count."""
+    cd = os.path.join(dest, "_change_data")
+    known = _cdc_files_on_disk(dest)
+    writer = change_df.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(cd)
+    actions: list[dict] = []
+    for rel in sorted(_cdc_files_on_disk(dest) - known):
+        pv = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        size = os.path.getsize(os.path.join(cd, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": quote("_change_data/" + rel),
+                    "partitionValues": pv,
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
+
+
 def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
     """Atomically publish one commit file (tmp write + rename)."""
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
@@ -170,13 +222,22 @@ def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
 
 
 def export_delta(
-    df: DataFrame, dest: str, partition_by: list[str] | None = None
+    df: DataFrame, dest: str, partition_by: list[str] | None = None, cdf: bool = False
 ) -> dict:
     """Write ``df`` as a new single-commit Delta table at ``dest``.
 
     Returns {"n_files": ..., "bytes": ...} accounting. One distributed
     parquet write; the log commit is a driver-side listing of the written
     files (bounded by file count, never rows).
+
+    ``cdf=True`` enables the CHANGE DATA FEED (delta.io PROTOCOL.md
+    "Add CDC File"): the table property
+    ``delta.enableChangeDataFeed=true`` is set and the protocol becomes
+    ``minWriterVersion: 4``; subsequent ``export_delta_delete`` /
+    ``export_delta_merge`` commits then publish their row-level changes
+    as ``_change_data/`` parquet files referenced by ``cdc`` actions,
+    which ``DeltaLogReader.table_changes`` (and any Delta reader's
+    ``table_changes``) consumes.
     """
     dest = dest.rstrip("/")
     log_dir = os.path.join(dest, "_delta_log")
@@ -197,7 +258,7 @@ def export_delta(
     adds = []
     total = 0
     for root, _dirs, files in os.walk(dest):
-        if "_delta_log" in root:
+        if "_delta_log" in root or "_change_data" in root:
             continue
         for f in files:
             if not f.endswith(".parquet"):
@@ -208,14 +269,16 @@ def export_delta(
     adds.sort(key=lambda a: a["add"]["path"])
     os.makedirs(log_dir)
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4 if cdf else 2}},
         {
             "metaData": {
                 "id": "export-" + hashlib.md5(dest.encode()).hexdigest()[:12],
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": partition_by,
-                "configuration": {},
+                "configuration": (
+                    {"delta.enableChangeDataFeed": "true"} if cdf else {}
+                ),
                 "createdTime": int(os.stat(dest).st_mtime * 1000),
             }
         },
@@ -284,7 +347,12 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                     continue
                 a = json.loads(line)
                 if "protocol" in a:
-                    if a["protocol"] != {"minReaderVersion": 1, "minWriterVersion": 2}:
+                    # writer 2 = plain export; writer 4 = CDF-enabled export
+                    # (change data feed requires minWriterVersion 4)
+                    if a["protocol"] not in (
+                        {"minReaderVersion": 1, "minWriterVersion": 2},
+                        {"minReaderVersion": 1, "minWriterVersion": 4},
+                    ):
                         raise DeltaExportError(
                             f"{dest} uses protocol {a['protocol']}; refusing to "
                             "append to a table this exporter did not create"
@@ -299,6 +367,8 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                     t = a["txn"]
                     app = str(t.get("appId"))
                     txns[app] = max(txns.get(app, -1), int(t.get("version", -1)))
+                elif "cdc" in a:
+                    pass  # change-data files are not table state
                 elif "commitInfo" in a:
                     pass  # informational
                 else:
@@ -521,6 +591,22 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
         out_dir = os.path.join(dest, os.path.dirname(aff[0]))
         surv.write.mode("append").parquet(out_dir)
 
+    # 2b) change data feed: the deleted rows (matched rows live only in
+    # affected files by construction) as one _change_data write
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        import functools
+
+        parts = [
+            scan_group(key, aff)
+            .where(pred)
+            .select(*[f.name for f in schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
+            for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0]))
+        ]
+        deleted = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        cdc_actions = _write_cdc(dest, deleted, part_cols)
+
     # 3) commit: remove rewritten files, add their survivor files
     now_ms = int(__import__("time").time() * 1000)
     actions = [
@@ -536,11 +622,12 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
     ]
     adds, _ = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    _write_commit(dest, version, [*actions, *adds])
+    _write_commit(dest, version, [*actions, *adds, *cdc_actions])
     return {
         "version": version,
         "removed_files": n_affected,
         "added_files": len(adds),
+        "cdc_files": len(cdc_actions),
     }
 
 
@@ -649,6 +736,37 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
         )
         out_dir = os.path.join(dest, os.path.dirname(aff[0]))
         surv.write.mode("append").parquet(out_dir)
+    # 2b) change data feed: matched old rows are update_preimage, their
+    #     source counterparts update_postimage, new-key source rows insert.
+    #     Matched keys pinned eagerly so pre/post/insert see one key set.
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        import functools
+
+        cols = [f.name for f in schema.fields]
+        pre_parts = [
+            scan_group(key, aff).join(src_keys, on=keys, how="left_semi").select(*cols)
+            for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0]))
+        ]
+        if pre_parts:
+            pre = functools.reduce(lambda a, b: a.unionByName(b), pre_parts)
+            matched = pre.select(*keys).distinct().localCheckpoint(eager=True)
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    df.join(matched, on=keys, how="left_semi")
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                .unionByName(
+                    df.join(matched, on=keys, how="left_anti")
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        else:
+            changes = df.select(*cols).withColumn("_change_type", F.lit("insert"))
+        cdc_actions = _write_cdc(dest, changes, part_cols)
     # 3) insert ALL source rows (updates and new keys) as new files
     writer = df.write.mode("append")
     if part_cols:
@@ -670,12 +788,13 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     ]
     adds, total = _adds_for_new_files(dest, known)
     version = versions[-1] + 1
-    _write_commit(dest, version, [*actions, *adds])
+    _write_commit(dest, version, [*actions, *adds, *cdc_actions])
     return {
         "version": version,
         "removed_files": n_affected,
         "added_files": len(adds),
         "bytes": total,
+        "cdc_files": len(cdc_actions),
     }
 
 
@@ -700,6 +819,15 @@ def export_delta_replace_where(
     """
     dest = dest.rstrip("/")
     meta, versions, files, _txns = _read_own_log(dest)
+    if _cdf_enabled(meta):
+        # a replaceWhere commit mixes dataChange adds and removes; without
+        # cdc files its row-level delta is unrecoverable, and emitting it
+        # silently would poison every change-feed consumer downstream
+        raise DeltaExportError(
+            "replaceWhere does not yet publish change data; this table has "
+            "delta.enableChangeDataFeed=true — use export_delta_delete + "
+            "export_delta_append (or merge) so the feed stays complete"
+        )
     if df.schema.json() != meta["schemaString"]:
         raise DeltaExportError(
             "replaceWhere source schema differs from the exported table's "
@@ -865,8 +993,10 @@ def export_delta_vacuum(dest: str, keep_versions: int = 1) -> dict:
         referenced |= _live_at(dest, v)
     removed = 0
     reclaimed = 0
+    # _change_data (CDC) files are never referenced by add actions but are
+    # part of the change feed's retention — vacuum must not touch them
     for root, _d, fs in os.walk(dest):
-        if "_delta_log" in root:
+        if "_delta_log" in root or "_change_data" in root:
             continue
         for f in fs:
             if not f.endswith(".parquet"):

@@ -795,6 +795,206 @@ class DeltaLogReader:
             "_commit_version",
         ).select(*[f.name for f in schema.fields], "_commit_version")
 
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """CHANGE DATA FEED read (delta-spark's ``table_changes``): every
+        row-level change committed in ``[from_version, to_version]``,
+        tagged ``_change_type`` (insert / update_preimage /
+        update_postimage / delete) and ``_commit_version``.
+
+        Per the protocol's CDC reader contract, a commit that carries
+        ``cdc`` actions is represented by its ``_change_data`` files
+        ALONE; for commits without them the feed is DERIVED: a
+        dataChange add-only commit yields its rows as inserts, a
+        dataChange remove-only commit yields the removed files' rows as
+        deletes (the pre-image bytes must still exist on disk — a
+        vacuumed hole refuses). A dataChange commit that mixes adds and
+        removes (CoW delete/merge/replaceWhere) WITHOUT cdc files
+        refuses loudly: its row-level delta is unrecoverable, and
+        guessing would poison every downstream consumer — enable
+        ``delta.enableChangeDataFeed`` at write time instead
+        (``export_delta(..., cdf=True)``). OPTIMIZE commits
+        (dataChange:false) correctly contribute nothing. A schema or
+        column-mapping change inside the range refuses, as in ``tail``.
+
+        Scale shape: ONE scan per change KIND (cdc files, derived
+        inserts, derived deletes) regardless of how many commits the
+        range spans — files map to (version, partition literals) through
+        a broadcast keyed on the canonical decoded path, exactly like
+        ``tail``.
+        """
+        from urllib.parse import unquote
+
+        commits, _cps = self._scan()
+        if not commits:
+            raise ValueError(f"no commit JSONs at {self.path}")
+        latest = max(commits)
+        to_v = latest if to_version is None else to_version
+        if not (0 <= from_version <= to_v <= latest):
+            raise ValueError(
+                f"invalid change range [{from_version}, {to_v}] for a log at "
+                f"version {latest}"
+            )
+        commit_set = set(commits)
+        missing = [v for v in range(from_version, to_v + 1) if v not in commit_set]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot read changes of {self.path}: commit JSONs {missing} "
+                "are missing (vacuumed?) — their changes would be silently lost"
+            )
+        meta, _ = self._replay(from_version)
+        base_cfg = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        schema, part_cols, phys, file_schema, rename, types = self._schema_plan(meta)
+
+        def pv_key(action: dict) -> tuple:
+            pv = action.get("partitionValues")
+            if pv is None:
+                # removes may omit partitionValues; recover them from the
+                # Hive path segments (keyed by physical names, like the log)
+                pv = {}
+                for seg in unquote(action["path"]).split("/")[:-1]:
+                    if "=" in seg:
+                        k, val = seg.split("=", 1)
+                        pv[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            return tuple(pv.get(phys[c]) for c in part_cols)
+
+        cdc_entries: list[tuple[str, int, tuple]] = []
+        ins_entries: list[tuple[str, int, tuple]] = []
+        del_entries: list[tuple[str, int, tuple]] = []
+        for v in range(from_version, to_v + 1):
+            cdc_v: list[dict] = []
+            adds_v: list[dict] = []
+            rem_v: list[dict] = []
+            dv_change = False
+            with open(os.path.join(self._log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        self._check_protocol(action["protocol"])
+                    elif "metaData" in action and v > from_version:
+                        md = action["metaData"]
+                        cfg = (md.get("configuration") or {}).get(
+                            "delta.columnMapping.mode", "none"
+                        )
+                        if md.get("schemaString") != meta["schemaString"] or cfg != base_cfg:
+                            raise DeltaProtocolError(
+                                f"commit {v} changes the table schema or column "
+                                "mapping mid-range; read changes up to it, "
+                                "re-snapshot, then continue"
+                            )
+                    elif "cdc" in action:
+                        cdc_v.append(action["cdc"])
+                    elif "add" in action:
+                        if action["add"].get("deletionVector"):
+                            dv_change = True
+                        elif action["add"].get("dataChange", True):
+                            adds_v.append(action["add"])
+                    elif "remove" in action:
+                        if action["remove"].get("dataChange", True):
+                            rem_v.append(action["remove"])
+            if cdc_v:
+                for c in cdc_v:
+                    full = os.path.join(self.path, unquote(c["path"]))
+                    if not os.path.exists(full):
+                        raise DeltaProtocolError(
+                            f"commit {v} references change file {c['path']} "
+                            "but it is gone — the feed was truncated"
+                        )
+                    cdc_entries.append((full, v, pv_key(c)))
+                continue
+            if dv_change or (adds_v and rem_v):
+                raise DeltaProtocolError(
+                    f"commit {v} of {self.path} rewrites data (remove+add or "
+                    "deletion vectors) without cdc files; its row-level "
+                    "changes are unrecoverable — write with "
+                    "delta.enableChangeDataFeed=true to publish them"
+                )
+            for a in adds_v:
+                full = os.path.join(self.path, unquote(a["path"]))
+                if not os.path.exists(full):
+                    raise DeltaProtocolError(
+                        f"commit {v} adds {a['path']} but the file is gone "
+                        "(vacuumed after a later rewrite?) — its derived "
+                        "inserts are unrecoverable; start the change read "
+                        "at a retained version"
+                    )
+                ins_entries.append((full, v, pv_key(a)))
+            for r in rem_v:
+                full = os.path.join(self.path, unquote(r["path"]))
+                if not os.path.exists(full):
+                    raise DeltaProtocolError(
+                        f"commit {v} removes {r['path']} but the file is gone "
+                        "(vacuumed?) — its delete pre-images are unrecoverable"
+                    )
+                del_entries.append((full, v, pv_key(r)))
+
+        out_type = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        canon = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__fp"), "^file:/*", "/"), r"\+", "%2B"
+            )
+        )
+
+        def scan(entries: list[tuple[str, int, tuple]], ct: str | None) -> DataFrame:
+            """One scan of a change kind; ``ct`` is the literal change
+            type for derived kinds, None when the files carry it."""
+            fschema = file_schema
+            extra = [F.col("_change_type")]
+            if ct is None:
+                fschema = T.StructType(
+                    list(file_schema.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+            else:
+                extra = [F.lit(ct).alias("_change_type")]
+            df = (
+                self._scan_spark.read.schema(fschema)
+                .parquet(*[e[0] for e in entries])
+                .select("*", F.col("_metadata.file_path").alias("__fp"))
+                .withColumn("__cf", canon)
+                .drop("__fp")
+            )
+            map_schema = T.StructType(
+                [
+                    T.StructField("__cf", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+                + [T.StructField(c, T.StringType()) for c in part_cols]
+            )
+            map_rows = [(os.path.abspath(full), v, *pvs) for full, v, pvs in entries]
+            fmap = F.broadcast(self._scan_spark.createDataFrame(map_rows, map_schema))
+            return df.join(fmap, "__cf").select(
+                *rename,
+                *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
+                *extra,
+                "_commit_version",
+            ).select(*[f.name for f in out_type.fields])
+
+        frames = [
+            scan(entries, ct)
+            for entries, ct in (
+                (cdc_entries, None),
+                (ins_entries, "insert"),
+                (del_entries, "delete"),
+            )
+            if entries
+        ]
+        if not frames:
+            return self.spark.createDataFrame([], out_type)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def _read_dv_files(
         self,
         dv_reads: list[tuple[tuple, str, list[int]]],

@@ -1,0 +1,176 @@
+"""Change-data-feed tests: exporter cdc emission, reader table_changes
+semantics, and the refusal paths that keep the feed honest."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.sources import delta_export as de
+from data_etl_pipeline_spark.sources.delta_reader import (
+    DeltaLogReader,
+    DeltaProtocolError,
+)
+from data_etl_pipeline_spark.tables import load
+
+
+def _base(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _fresh(prefix="cdf_t_"):
+    return tempfile.mkdtemp(prefix=prefix) + "/t"
+
+
+def test_non_cdf_rewrite_refuses_changes(spark, sf_dir):
+    b = _base(spark, sf_dir)
+    dest = _fresh()
+    de.export_delta(b.where(F.col("o_orderkey") <= 300), dest)  # cdf off
+    de.export_delta_delete(spark, dest, "o_orderkey % 5 = 0")
+    r = DeltaLogReader(spark, dest)
+    with pytest.raises(DeltaProtocolError, match="without cdc files"):
+        r.table_changes(0).collect()
+    # the creation commit alone is still derivable
+    assert r.table_changes(0, 0).count() == b.where(F.col("o_orderkey") <= 300).count()
+
+
+def test_optimize_commit_contributes_nothing(spark, sf_dir):
+    b = _base(spark, sf_dir)
+    dest = _fresh()
+    de.export_delta(b.where(F.col("o_orderkey") <= 200), dest, cdf=True)
+    de.export_delta_append(
+        b.where((F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 400)), dest
+    )
+    de.export_delta_optimize(spark, dest)
+    ch = DeltaLogReader(spark, dest).table_changes(0)
+    n_rows = b.where(F.col("o_orderkey") <= 400).count()
+    assert ch.count() == n_rows
+    assert ch.where(F.col("_commit_version") == 2).count() == 0
+
+
+def test_vacuum_retains_change_data(spark, sf_dir):
+    b = _base(spark, sf_dir)
+    dest = _fresh()
+    de.export_delta(b.where(F.col("o_orderkey") <= 300), dest, cdf=True)
+    res = de.export_delta_delete(spark, dest, "o_orderkey % 3 = 0")
+    assert res["cdc_files"] > 0
+    de.export_delta_vacuum(dest, keep_versions=1)
+    cd = os.path.join(dest, "_change_data")
+    assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(cd) for f in fs)
+    # the delete commit's cdc files survive vacuum and replay cleanly
+    ch = DeltaLogReader(spark, dest).table_changes(1, 1)
+    expect = b.where((F.col("o_orderkey") <= 300) & (F.col("o_orderkey") % 3 == 0))
+    assert ch.where(F.col("_change_type") == "delete").count() == expect.count()
+    # the creation commit's derived inserts were vacuumed with their file:
+    # the full-range read refuses loudly instead of scanning a hole
+    with pytest.raises(DeltaProtocolError, match="unrecoverable"):
+        DeltaLogReader(spark, dest).table_changes(0).collect()
+
+
+def test_cdc_files_never_become_table_adds(spark, sf_dir):
+    """The walk-diff that builds add actions must not see _change_data."""
+    b = _base(spark, sf_dir)
+    dest = _fresh()
+    de.export_delta(b.where(F.col("o_orderkey") <= 300), dest, cdf=True)
+    de.export_delta_delete(spark, dest, "o_orderkey % 3 = 0")
+    de.export_delta_append(
+        b.where((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)), dest
+    )
+    snap = DeltaLogReader(spark, dest).read()
+    assert "_change_type" not in snap.columns
+    survivors = b.where(
+        ((F.col("o_orderkey") <= 300) & (F.col("o_orderkey") % 3 != 0))
+        | ((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500))
+    )
+    assert snap.count() == survivors.count()
+
+
+def test_remove_only_commit_derives_deletes(spark, sf_dir):
+    """A foreign remove-only commit (no cdc) yields the removed file's
+    rows as deletes — and refuses if the pre-image file was vacuumed."""
+    from data_etl_pipeline_spark.plans.extensions import _write_single_parquet
+
+    b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 100)
+    tbl = tempfile.mkdtemp(prefix="cdf_rm_")
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    _write_single_parquet(b, tbl, "a.parquet")
+
+    def log(v, actions):
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    log(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "interop-rm",
+                    "schemaString": b.schema.json(),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                }
+            },
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(tbl, "a.parquet")),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    log(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    ch = DeltaLogReader(spark, tbl).table_changes(1, 1)
+    assert ch.count() == b.count()
+    assert ch.select("_change_type").distinct().collect()[0][0] == "delete"
+    os.remove(os.path.join(tbl, "a.parquet"))
+    with pytest.raises(DeltaProtocolError, match="unrecoverable"):
+        DeltaLogReader(spark, tbl).table_changes(1, 1).collect()
+
+
+def test_partitioned_cdf_partition_values(spark, sf_dir):
+    b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 400)
+    dest = _fresh("cdf_part_")
+    de.export_delta(b, dest, partition_by=["o_orderstatus"], cdf=True)
+    de.export_delta_delete(spark, dest, "o_orderkey % 4 = 1")
+    ch = DeltaLogReader(spark, dest).table_changes(1, 1)
+    got = {
+        (r.o_orderstatus, r.n)
+        for r in ch.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in b.where(F.col("o_orderkey") % 4 == 1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_replace_where_refuses_on_cdf_table(spark, sf_dir):
+    b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 200)
+    dest = _fresh("cdf_rw_")
+    de.export_delta(b, dest, partition_by=["o_orderstatus"], cdf=True)
+    with pytest.raises(de.DeltaExportError, match="change data"):
+        de.export_delta_replace_where(spark, b, dest, {"o_orderstatus": "O"})
+
+
+def test_range_validation(spark, sf_dir):
+    b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 100)
+    dest = _fresh("cdf_rng_")
+    de.export_delta(b, dest, cdf=True)
+    r = DeltaLogReader(spark, dest)
+    with pytest.raises(ValueError, match="invalid change range"):
+        r.table_changes(0, 5)
+    with pytest.raises(ValueError, match="invalid change range"):
+        r.table_changes(-1)
