@@ -3750,3 +3750,80 @@ def delta_interop_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized view over the INTEROP change feed: the
+# E106/cdc_materialized_view delta algebra applied across the table
+# boundary — view state computed from the v0 snapshot, then maintained
+# with O(changes) arithmetic from table_changes(): insert and
+# update_postimage rows count +1, delete and update_preimage rows -1.
+# The big v0 aggregate never reruns. Oracle aggregates the FINAL state
+# directly, so any sign error, missed change kind, or double-applied
+# cdc/derived row breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_cdf_materialized_view",
+    sql="""
+    WITH final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey <= 1200 AND o_orderkey % 6 <> 1
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+    doc="Materialized view maintained from a REAL Delta change feed: "
+    "view = agg(v0) + signed deltas of table_changes(1..) — insert/"
+    "update_postimage +1, delete/update_preimage -1 — across the "
+    "interop boundary (cdc files + derived inserts), never re-reading "
+    "v0. Oracle aggregates the final table state directly.",
+)
+def delta_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_delete,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="exp_cdf_mv_") + "/table"
+    export_delta(base.where(k <= 1200), dest, cdf=True)
+    upd = base.where((k <= 1200) & (k % 11 == 3)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    export_delta_merge(spark, upd, dest, keys=["o_orderkey"])
+    export_delta_delete(spark, dest, "o_orderkey % 6 = 1")
+
+    r = DeltaLogReader(spark, dest)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    view0 = (
+        r.read(version=0)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total"))
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        r.table_changes(1)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(dec * sign.cast("decimal(2,0)")).alias("total"),
+        )
+    )
+    merged = view0.unionByName(deltas).groupBy("status").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("total").cast("double").alias("total"),
+    )
+    return merged.where(F.col("n") > 0)

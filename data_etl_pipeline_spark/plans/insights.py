@@ -325,3 +325,48 @@ def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (operators/cms.py): per-user
+# event counts estimated from a 4x512 mergeable counter sketch next to
+# the exact counts — n_est >= n_true always, equal when the user's
+# counters are collision-free. The oracle rebuilds the identical sketch
+# from md5 positions, so this is an approximate algorithm under an
+# exact value-hash gate.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_user_frequencies",
+    sql="""
+    WITH r AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    sk AS (
+        SELECT r.i,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+                                    CAST(r.i AS VARCHAR)), 1, 12))::BIGINT
+                % 512) AS pos,
+               COUNT(*) AS c
+        FROM events, r GROUP BY 1, 2
+    ),
+    k AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY 1)
+    SELECT k.user_id, k.n_true, CAST(MIN(sk.c) AS BIGINT) AS n_est
+    FROM k CROSS JOIN r
+    JOIN sk ON sk.i = r.i
+           AND sk.pos = (('0x' || substr(md5(CAST(k.user_id AS VARCHAR) || '#' ||
+                                             CAST(r.i AS VARCHAR)), 1, 12))::BIGINT
+                         % 512)
+    GROUP BY 1, 2
+    """,
+    doc="Count-min sketch (4 rows x 512 md5-hashed counters) next to "
+    "exact per-user counts: build is one hash aggregate over a d-way "
+    "row-local fan-out, state is <= 2048 rows however large the log, "
+    "estimates broadcast-join the sketch and take the min counter. "
+    "Oracle rebuilds the identical sketch.",
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators import cms
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    sketch = cms.cms_sketch(ev, "user_id", d=4, w=512)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms.cms_estimate(sketch, truth.select("user_id"), "user_id", d=4, w=512)
+    return truth.join(est, "user_id").select("user_id", "n_true", "n_est")

@@ -834,3 +834,94 @@ def user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction — the shuffle-avoidance technique for
+# a selective-dim/huge-fact join at 100 TB: a bitmap built from the dim
+# keys rides to every fact task as an 8 KB array literal and drops
+# non-matching fact rows IN THE SCAN STAGE (whole-stage codegen, zero
+# extra shuffle, no false negatives), so the join's exchange moves only
+# the surviving fraction. The exact join still runs after the filter, so
+# the OUTPUT is provably identical to the plain join — which is exactly
+# what the oracle computes; an in-query assertion proves the bloom
+# actually reduced the joined volume.
+# ---------------------------------------------------------------------------
+def _bloom_bits(keys: list[int], m_bits: int, k: int) -> list[int]:
+    """Driver-side bitmap build: md5-derived positions, ``m_bits/64``
+    longs. Bounded by the DIM key count (collect of dim keys only)."""
+    import hashlib as _hl
+
+    words = [0] * (m_bits // 64)
+    for key in keys:
+        for i in range(k):
+            h = int(_hl.md5(f"{key}#{i}".encode()).hexdigest()[:12], 16) % m_bits
+            words[h // 64] |= 1 << (h % 64)
+    # as SIGNED 64-bit for Spark long literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+@query(
+    "bloom_prejoin_revenue",
+    sql="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7000
+    GROUP BY 1
+    """,
+    doc="Selective dim -> huge fact join with a Bloom pre-filter: a "
+    "65536-bit bitmap (3 md5 probes) built from the selective customer "
+    "keys is inlined as an array literal and applied to orders in the "
+    "scan stage — codegen bit tests, no shuffle, no false negatives — "
+    "before the exact join. Output provably equals the plain join (the "
+    "oracle runs it); the in-query assertion proves rows were actually "
+    "dropped pre-join.",
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M_BITS, K = 65536, 3
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000))
+        .select("c_custkey", "c_nationkey")
+    )
+    # the collect is bounded by the SELECTIVE DIM's key count — the fact
+    # table is never collected, never scanned twice
+    keys = [r.c_custkey for r in cust.select("c_custkey").distinct().collect()]
+    bm = F.array(*[F.lit(w).cast("long") for w in _bloom_bits(keys, M_BITS, K)])
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    probe = None
+    for i in range(K):
+        h = (
+            f"pmod(cast(conv(substring(md5(concat_ws('#', o_custkey, '{i}')), "
+            f"1, 12), 16, 10) as bigint), {M_BITS})"
+        )
+        hit = F.expr(
+            f"(shiftright(element_at(__bm, cast({h} div 64 as int) + 1), "
+            f"cast({h} % 64 as int)) & 1) = 1"
+        )
+        probe = hit if probe is None else probe & hit
+    filtered = orders.withColumn("__bm", bm).where(probe).drop("__bm")
+
+    n_raw = orders.count()
+    n_filtered = filtered.count()
+    assert n_filtered < n_raw, (
+        f"bloom pre-filter dropped nothing ({n_filtered}/{n_raw}); the "
+        "reduction claim would be false"
+    )
+
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        filtered.join(F.broadcast(cust), filtered["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -128,3 +128,60 @@ def test_kmv_unsaturated_pairs_are_exact(spark, sf_dir):
         assert r.union_est == len(a | b)
         assert r.inter_est == len(a & b)
         assert abs(r.jaccard_est - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    rows = _run("cms_user_frequencies", spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_est >= r.n_true for r in rows)
+
+
+def test_cms_merge_equals_full_sketch(spark, sf_dir):
+    from data_etl_pipeline_spark.operators import cms
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    full = {
+        (r.r, r.pos): r.c for r in cms.cms_sketch(ev, "user_id").collect()
+    }
+    merged = {
+        (r.r, r.pos): r.c
+        for r in cms.cms_merge(
+            cms.cms_sketch(a, "user_id"), cms.cms_sketch(b, "user_id")
+        ).collect()
+    }
+    assert merged == full
+
+
+def test_cms_unknown_key_estimates_from_collisions_only(spark, sf_dir):
+    from data_etl_pipeline_spark.operators import cms
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    sketch = cms.cms_sketch(ev, "user_id")
+    ghost = spark.createDataFrame([(999999999,)], "user_id bigint")
+    est = cms.cms_estimate(sketch, ghost, "user_id").collect()[0].n_est
+    assert est >= 0  # 0 unless all 4 counters collide
+
+
+def test_bloom_prejoin_no_false_negatives(spark, sf_dir):
+    """The bloom-filtered join output must equal the plain join."""
+    got = {
+        (r.nation, r.n_orders)
+        for r in _run("bloom_prejoin_revenue", spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
+    )
+    plain = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.n_name, r.n) for r in plain.collect()}
+    assert got == want
