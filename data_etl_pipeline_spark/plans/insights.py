@@ -370,3 +370,162 @@ def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
     est = cms.cms_estimate(sketch, truth.select("user_id"), "user_id", d=4, w=512)
     return truth.join(est, "user_id").select("user_id", "n_true", "n_est")
+
+
+# ---------------------------------------------------------------------------
+# Geohash spatial bucketing (operators/geo.py): the supplier fleet's
+# deterministic lat/lng (same derivation as supplier_wkt_points) encoded
+# to precision-5 cells plus the nesting precision-2 prefix — pure
+# integer shifts in whole-stage codegen, zero shuffle for the encode,
+# one hash exchange for the cell rollup. Both dialects are emitted from
+# ONE bit-plan loop, so the engines cannot drift.
+# ---------------------------------------------------------------------------
+def _geohash_oracle_sql() -> str:
+    from data_etl_pipeline_spark.operators.geo import geohash_duckdb
+
+    gh = geohash_duckdb("lat", "lng", 5)
+    return f"""
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST(((s_suppkey * 7) % 181) - 90 AS DOUBLE)
+                   * (CASE WHEN s_suppkey % 5 = 0 THEN 3 ELSE 1 END) AS lat,
+               CAST(((s_suppkey * 13) % 361) - 180 AS DOUBLE) AS lng
+        FROM supplier
+    ),
+    g AS (SELECT s_suppkey, lat, lng, {gh} AS gh5
+          FROM pts WHERE lat BETWEEN -90 AND 90 AND lng BETWEEN -180 AND 180)
+    SELECT gh5, substr(gh5, 1, 2) AS cell2, s_suppkey, lat, lng FROM g
+    """
+
+
+@query(
+    "supplier_geohash_cells",
+    sql=_geohash_oracle_sql(),
+    doc="Geohash encode (precision 5) of the supplier fleet as closed-"
+    "form integer bit interleaving — codegen only, no UDF; prefix "
+    "truncation gives the nesting coarse cell for free. Encoder "
+    "verified against the canonical bisection algorithm including the "
+    "±90/±180 edges (tests/test_r7_insights.py).",
+)
+def supplier_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.geo import geohash_col
+
+    pts = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            (((F.col("s_suppkey") * 7) % 181) - 90).cast("double")
+            * F.when(F.col("s_suppkey") % 5 == 0, F.lit(3)).otherwise(F.lit(1))
+        ).alias("lat"),
+        ((((F.col("s_suppkey") * 13) % 361)) - 180).cast("double").alias("lng"),
+    ).where(
+        (F.col("lat") >= -90) & (F.col("lat") <= 90)
+        & (F.col("lng") >= -180) & (F.col("lng") <= 180)
+    )
+    g = pts.withColumn("gh5", geohash_col("lat", "lng", 5))
+    return g.select(
+        "gh5", F.substring("gh5", 1, 2).alias("cell2"), "s_suppkey", "lat", "lng"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature selection — the token-level discriminativeness
+# ranking a classifier pipeline (operators/nbayes.py) runs before
+# training: for each (token, language) the 2x2 presence contingency
+# (a = lang docs with token, b = other docs with token, c/d = without)
+# scored chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)). Counts are exact
+# integers from ONE distinct (doc, lang, token) aggregate (vocabulary-
+# bound, not corpus-bound); the score is one left-associative double
+# expression in both engines. Top-5 tokens per language.
+# ---------------------------------------------------------------------------
+@query(
+    "chi2_token_selection",
+    sql="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, lang, unnest(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> length(x) >= 2)) AS tok
+        FROM documents
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    lang_docs AS (SELECT lang, COUNT(DISTINCT doc_id) AS nl FROM documents GROUP BY 1),
+    tl AS (SELECT tok, lang, COUNT(*) AS a FROM dt GROUP BY 1, 2),
+    tok_docs AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS nt FROM tl GROUP BY 1),
+    x AS (
+        SELECT tl.tok, tl.lang, tl.a,
+               tok_docs.nt - tl.a AS b,
+               lang_docs.nl - tl.a AS c,
+               n_docs.n - tok_docs.nt - (lang_docs.nl - tl.a) AS d,
+               n_docs.n AS n
+        FROM tl JOIN tok_docs USING (tok) JOIN lang_docs USING (lang), n_docs
+    ),
+    scored AS (
+        SELECT tok, lang, a, b, c, d,
+               ROUND((CAST(n AS DOUBLE) * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                      * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c))
+                     / ((CAST(a + b AS DOUBLE)) * (c + d) * (a + c) * (b + d)), 6)
+                   AS chi2
+        FROM x WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY chi2 DESC, tok ASC) AS rn
+        FROM scored
+    )
+    SELECT lang, tok, a, b, c, d, chi2 FROM ranked WHERE rn <= 5
+    """,
+    doc="Chi-square token selection per language: presence contingency "
+    "from one distinct (doc, lang, token) aggregate, joins bounded by "
+    "vocabulary x languages, the statistic evaluated in one arithmetic "
+    "shape in both engines; deterministic (chi2, token) ranking, top-5 "
+    "per language.",
+)
+def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)")
+        ).alias("tok"),
+    ).distinct()
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    lang_docs = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("nl"))
+    tl = dt.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("a"))
+    tok_docs = tl.groupBy("tok").agg(F.sum("a").cast("bigint").alias("nt"))
+    x = (
+        tl.join(tok_docs, "tok")
+        .join(F.broadcast(lang_docs), "lang")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "lang",
+            "a",
+            (F.col("nt") - F.col("a")).alias("b"),
+            (F.col("nl") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("nt") - (F.col("nl") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d") - F.col("b").cast("double") * F.col("c")
+    chi2 = F.round(
+        (F.col("n").cast("double") * ad_bc * ad_bc)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ),
+        6,
+    )
+    scored = x.where(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    ).select("tok", "lang", "a", "b", "c", "d", chi2.alias("chi2"))
+    w = W.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "tok", "a", "b", "c", "d", "chi2")
+    )

@@ -185,3 +185,33 @@ def test_bloom_prejoin_no_false_negatives(spark, sf_dir):
     )
     want = {(r.n_name, r.n) for r in plain.collect()}
     assert got == want
+
+
+def _ref_geohash(lat, lng, p):
+    """Canonical bisection geohash (public algorithm) as the test oracle."""
+    B = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lng_r, bits, even = [-90.0, 90.0], [-180.0, 180.0], [], True
+    while len(bits) < 5 * p:
+        rng, v = (lng_r, lng) if even else (lat_r, lat)
+        mid = (rng[0] + rng[1]) / 2
+        bits.append(1 if v >= mid else 0)
+        rng[0 if v >= mid else 1] = mid
+        even = not even
+    return "".join(
+        B[int("".join(map(str, bits[i : i + 5])), 2)] for i in range(0, 5 * p, 5)
+    )
+
+
+def test_geohash_matches_bisection_reference(spark, sf_dir):
+    from data_etl_pipeline_spark.operators.geo import geohash_decode_bounds
+
+    rows = _run("supplier_geohash_cells", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.gh5 == _ref_geohash(r.lat, r.lng, 5), r
+        assert r.cell2 == r.gh5[:2]
+        lat_lo, lat_hi, lng_lo, lng_hi = geohash_decode_bounds(r.gh5)
+        if r.lat < 90.0:
+            assert lat_lo <= r.lat < lat_hi
+        if r.lng < 180.0:
+            assert lng_lo <= r.lng < lng_hi
