@@ -41,14 +41,11 @@ def _quant_sql(col: str, lo: float, span: float, bits: int) -> str:
     )
 
 
-def geohash_sql(lat_expr: str, lng_expr: str, precision: int, shift_fn) -> str:
-    """Geohash expression in either dialect. ``shift_fn(expr, by, dir)``
-    renders a shift — Spark uses shiftright/shiftleft functions, DuckDB
-    uses >> / << operators — everything else is shared text, so the two
-    engines evaluate the SAME integer plan."""
+def geohash_from_ints_sql(x_expr: str, y_expr: str, precision: int, shift_fn) -> str:
+    """Geohash chars from ALREADY-QUANTIZED cell integers — the seam a
+    neighbor join uses (neighbors are x±1/y±1 BEFORE interleaving).
+    ``shift_fn(expr, by, dir)`` renders a shift in either dialect."""
     total, lng_bits, lat_bits = _bit_plan(precision)
-    x = _quant_sql(lng_expr, -180.0, 360.0, lng_bits)
-    y = _quant_sql(lat_expr, -90.0, 180.0, lat_bits)
     # interleave MSB-first, longitude first: z bit (total-1-k) takes
     # lng bit (lng_bits-1-j) at k=2j, lat bit (lat_bits-1-j) at k=2j+1
     terms = []
@@ -66,9 +63,30 @@ def geohash_sql(lat_expr: str, lng_expr: str, precision: int, shift_fn) -> str:
         idx = f"({shift_fn(z, total - 5 * (c + 1), 'r')} & 31)"
         chars.append(f"substr('{_BASE32}', cast({idx} as int) + 1, 1)")
     concat = " || ".join(chars)
-    # inline the quantizers at every bit reference; both engines
+    # inline the int expressions at every bit reference; both engines
     # common-subexpression-eliminate the repeats
-    return concat.replace("__gx", x).replace("__gy", y)
+    return concat.replace("__gx", f"({x_expr})").replace("__gy", f"({y_expr})")
+
+
+def geohash_sql(lat_expr: str, lng_expr: str, precision: int, shift_fn) -> str:
+    """Geohash expression in either dialect from raw lat/lng. The two
+    dialects share all text except the shift rendering, so the engines
+    evaluate the SAME integer plan."""
+    _total, lng_bits, lat_bits = _bit_plan(precision)
+    x = _quant_sql(lng_expr, -180.0, 360.0, lng_bits)
+    y = _quant_sql(lat_expr, -90.0, 180.0, lat_bits)
+    return geohash_from_ints_sql(x, y, precision, shift_fn)
+
+
+def quant_sql(lat_or_lng: str, axis: str, precision: int) -> str:
+    """Quantized cell integer of one axis at ``precision`` (dialect-
+    neutral) — the pre-interleave seam for neighbor enumeration."""
+    _total, lng_bits, lat_bits = _bit_plan(precision)
+    if axis == "lng":
+        return _quant_sql(lat_or_lng, -180.0, 360.0, lng_bits)
+    if axis == "lat":
+        return _quant_sql(lat_or_lng, -90.0, 180.0, lat_bits)
+    raise ValueError(f"axis must be 'lat' or 'lng', got {axis!r}")
 
 
 def _spark_shift(expr: str, by: int, direction: str) -> str:

@@ -3827,3 +3827,130 @@ def delta_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("double").alias("total"),
     )
     return merged.where(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once CDC mirror of a foreign Delta table: where E100's tail
+# ingest can only consume appends, this consumer replays the CHANGE
+# FEED, reduces each batch to its NET effect per key (latest commit
+# wins; within a commit the postimage beats its preimage), and applies
+# upserts via keyed MERGE + deletes via the keyed anti-join rewrite
+# (VersionedTable.delete_keys) — so CoW deletes and merges on the
+# source propagate, which no insert-only consumer can do. The consumed
+# _commit_version offset rides the mirror's own rows (crash-safe);
+# replaying the final batch from a stale offset leaves the state
+# logically unchanged (upserts replace themselves, deletes of absent
+# keys no-op) — asserted in-query.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_cdf_delta_mirror",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderkey < 1000 AND o_orderkey % 9 = 0
+                              THEN o_totalprice * 2 ELSE o_totalprice END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1100 AND o_orderkey % 5 <> 3
+    GROUP BY 1
+    """,
+    doc="Exactly-once CDC mirror of a foreign Delta table: per-tick "
+    "net-effect reduction of table_changes (latest commit per key wins, "
+    "postimage over preimage), keyed MERGE for upserts + delete_keys "
+    "anti-join rewrite for deletes — CoW deletes/merges propagate where "
+    "tail-based ingest must refuse; stale-offset replay proven "
+    "unchanged in-query. Oracle computes the mirrored final state from "
+    "raw orders.",
+)
+def stream_cdf_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = tempfile.mkdtemp(prefix="cdcmirror_src_") + "/table"
+    dst = VersionedTable(spark, tempfile.mkdtemp(prefix="cdcmirror_dst_"))
+    export_delta(base.where(k < 700), src, cdf=True)
+    reader = DeltaLogReader(spark, src)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def apply_batch(lo: int, hi: int) -> None:
+        """Net-effect apply of source commits [lo, hi] onto the mirror."""
+        ch = reader.table_changes(lo, hi)
+        pref = F.when(F.col("_change_type") == "update_preimage", 0).otherwise(1)
+        w = W.partitionBy("o_orderkey").orderBy(
+            F.desc("_commit_version"), F.desc(pref)
+        )
+        net = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = net.where(F.col("_change_type") != "delete").select(
+            *cols, F.col("_commit_version").alias("_v")
+        )
+        dels = net.where(F.col("_change_type") == "delete").select("o_orderkey")
+        if ups.take(1):
+            dst.merge(ups, keys=["o_orderkey"])
+        if dels.take(1):
+            dst.delete_keys(dels, keys=["o_orderkey"])
+
+    def tick() -> None:
+        latest = max(reader.versions())
+        if dst.latest_version() is None:
+            dst.write(
+                reader.read(version=latest).withColumn(
+                    "_v", F.lit(latest).cast("long")
+                )
+            )
+            return
+        last = dst.read().agg(F.max("_v")).first()[0]
+        if latest > last:
+            apply_batch(last + 1, latest)
+
+    tick()  # snapshot at v0
+    export_delta_append(base.where((k >= 700) & (k < 1000)), src)
+    upd = base.where((k < 1000) & (k % 9 == 0)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.where((k >= 1000) & (k < 1100))
+    export_delta_merge(spark, upd.unionByName(ins), src, keys=["o_orderkey"])
+    tick()  # consumes commits 1..2 (append + merge) in one net batch
+    export_delta_delete(spark, src, "o_orderkey % 5 = 3")
+    tick()  # consumes commit 3 (CoW delete)
+
+    # redelivery: replay the final batch from the stale offset — the
+    # mirror's logical state must not move
+    def state():
+        return {
+            (r.o_orderkey, r.o_orderstatus, float(r.o_totalprice))
+            for r in dst.read().select(*cols).collect()
+        }
+
+    before = state()
+    apply_batch(3, 3)
+    assert state() == before, "stale-offset replay changed the mirror"
+
+    # the mirror must equal the source's final snapshot
+    mirrored = dst.read().select(*cols)
+    direct = reader.read().select(*cols)
+    assert mirrored.exceptAll(direct).take(1) == [] and direct.exceptAll(
+        mirrored
+    ).take(1) == [], "mirror diverged from the source snapshot"
+    return mirrored.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total"
+        ),
+    )

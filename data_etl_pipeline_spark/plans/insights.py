@@ -529,3 +529,108 @@ def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "tok", "a", "b", "c", "d", "chi2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial neighbor self-join via geohash grid bucketing: all supplier
+# pairs within 20 degrees (euclidean degree metric), found by equi-
+# joining each point's 3x3 cell NEIGHBORHOOD (precision-1 cells span 45
+# degrees > the radius, so the neighborhood provably covers every
+# qualifying pair) against each point's own cell — the classic
+# grid-bucketed range join that replaces the O(n^2) cross join with a
+# hash exchange. Neighbor cells come from x±1/y±1 on the QUANTIZED
+# integers before interleaving (clamped at the poles/dateline, exactly
+# matching the non-wrapping degree metric); the oracle brute-forces all
+# pairs, so a missed neighborhood breaks the count, not just values.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_geo_neighbor_pairs",
+    sql="""
+    WITH p AS (
+        SELECT s_suppkey,
+               CAST(((s_suppkey * 7) % 181) - 90 AS DOUBLE)
+                   * (CASE WHEN s_suppkey % 5 = 0 THEN 3 ELSE 1 END) AS lat,
+               CAST(((s_suppkey * 13) % 361) - 180 AS DOUBLE) AS lng
+        FROM supplier
+    ),
+    g AS (SELECT * FROM p
+          WHERE lat BETWEEN -90 AND 90 AND lng BETWEEN -180 AND 180)
+    SELECT a.s_suppkey AS s_a, b.s_suppkey AS s_b,
+           ROUND(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                      + (a.lng - b.lng) * (a.lng - b.lng)), 6) AS dist_deg
+    FROM g a JOIN g b ON a.s_suppkey < b.s_suppkey
+    WHERE sqrt((a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lng - b.lng) * (a.lng - b.lng)) <= 20.0
+    """,
+    doc="Grid-bucketed spatial range join: 3x3 geohash-cell neighborhood "
+    "(precision 1, 45-degree cells > 20-degree radius) equi-joined "
+    "against own cells, exact distance filter after — a hash join where "
+    "the naive formulation is a cross join. Oracle brute-forces every "
+    "pair, proving neighborhood completeness.",
+)
+def supplier_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.geo import (
+        _bit_plan,
+        _spark_shift,
+        geohash_from_ints_sql,
+        quant_sql,
+    )
+
+    prec = 1
+    _total, lng_bits, lat_bits = _bit_plan(prec)
+    pts = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            (((F.col("s_suppkey") * 7) % 181) - 90).cast("double")
+            * F.when(F.col("s_suppkey") % 5 == 0, F.lit(3)).otherwise(F.lit(1))
+        ).alias("lat"),
+        ((((F.col("s_suppkey") * 13) % 361)) - 180).cast("double").alias("lng"),
+    ).where(
+        (F.col("lat") >= -90) & (F.col("lat") <= 90)
+        & (F.col("lng") >= -180) & (F.col("lng") <= 180)
+    ).select(
+        "s_suppkey", "lat", "lng",
+        F.expr(quant_sql("lng", "lng", prec)).alias("x"),
+        F.expr(quant_sql("lat", "lat", prec)).alias("y"),
+    )
+    cell = geohash_from_ints_sql("__nx", "__ny", prec, _spark_shift)
+    left = (
+        pts.select(
+            F.col("s_suppkey").alias("s_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lng").alias("lng_a"),
+            F.explode(
+                F.expr(
+                    "array(" + ",".join(
+                        f"struct(least(greatest(x + {dx}, 0L), {(1 << lng_bits) - 1}L) AS nx, "
+                        f"least(greatest(y + {dy}, 0L), {(1 << lat_bits) - 1}L) AS ny)"
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                    ) + ")"
+                )
+            ).alias("nb"),
+        )
+        .select(
+            "s_a", "lat_a", "lng_a",
+            F.expr(cell.replace("__nx", "nb.nx").replace("__ny", "nb.ny")).alias(
+                "cell"
+            ),
+        )
+        .distinct()  # pole/dateline clamps can duplicate a neighbor cell
+    )
+    right = pts.select(
+        F.col("s_suppkey").alias("s_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lng").alias("lng_b"),
+        F.expr(cell.replace("__nx", "x").replace("__ny", "y")).alias("cell"),
+    )
+    d2 = (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lng_a") - F.col("lng_b")) * (F.col("lng_a") - F.col("lng_b"))
+    )
+    return (
+        left.join(right, "cell")
+        .where(F.col("s_a") < F.col("s_b"))
+        .where(F.sqrt(d2) <= 20.0)
+        .select("s_a", "s_b", F.round(F.sqrt(d2), 6).alias("dist_deg"))
+    )

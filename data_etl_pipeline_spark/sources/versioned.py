@@ -998,6 +998,43 @@ class VersionedTable:
 
         return self._commit_retry(build, "merge")
 
+    def delete_keys(self, tombstones: DataFrame, keys: list[str]) -> int:
+        """Keyed DELETE: drop every row whose key tuple appears in
+        ``tombstones`` — the change-feed-delete application path (a CDC
+        consumer holds delete KEYS as a DataFrame, not a predicate, so
+        ``delete_where``'s Column form doesn't fit without a collect).
+        Files whose key stats cannot intersect the tombstone batch are
+        carried forward untouched (same per-file existence test as
+        ``merge``); deleting absent keys is a no-op state change, so a
+        redelivered delete batch is idempotent (ST2). Pinned with an
+        eager localCheckpoint for the same determinism reason as merge."""
+        tombstones = tombstones.localCheckpoint(eager=True)
+
+        def build(man: dict):
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            missing = [k for k in keys if k not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"delete keys {missing} not in table schema")
+            key_types = {
+                f.name: f.dataType.simpleString()
+                for f in schema.fields
+                if f.name in keys
+            }
+            touched, carried = self._split_by_key_range(
+                man["files"], tombstones, keys, key_types=key_types
+            )
+            cur = self._read_files(touched, man["schema"], man.get("dv_files"))
+            kept = cur.join(
+                tombstones.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            detail = (
+                f"delete_keys keys={keys} files_skipped={len(carried)} "
+                f"files_rewritten={len(touched)}"
+            )
+            return kept, carried, detail, man["schema"]
+
+        return self._commit_retry(build, "delete")
+
     def delete_where(self, cond: Column | str, prune: StatsPredicate | None = None) -> int:
         """DELETE WHERE: drop matching rows (S13 prefix-delete shape).
         Rows where the predicate is NULL are kept, matching SQL DELETE.

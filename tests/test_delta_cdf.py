@@ -174,3 +174,28 @@ def test_range_validation(spark, sf_dir):
         r.table_changes(0, 5)
     with pytest.raises(ValueError, match="invalid change range"):
         r.table_changes(-1)
+
+
+def test_delete_keys_skips_disjoint_files_and_is_idempotent(spark, sf_dir):
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.versioned import VersionedTable
+
+    b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 1000)
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="delkeys_"))
+    t.write(b, cluster_by=["o_orderkey"], n_files=8)
+    tomb = b.where(F.col("o_orderkey") <= 100).select("o_orderkey")
+    v1 = t.delete_keys(tomb, keys=["o_orderkey"])
+    hist = {h["version"]: h for h in t.history()}
+    assert "files_skipped" in hist[v1]["detail"]
+    # low-key tombstones must not rewrite high-key files
+    assert int(hist[v1]["detail"].split("files_skipped=")[1].split(" ")[0]) > 0
+    n_after = t.read().count()
+    assert n_after == b.where(F.col("o_orderkey") > 100).count()
+    # redelivered batch: absent keys are a no-op state change
+    t.delete_keys(tomb, keys=["o_orderkey"])
+    assert t.read().count() == n_after
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.delete_keys(tomb.withColumnRenamed("o_orderkey", "zz"), keys=["zz"])
