@@ -389,3 +389,138 @@ def synth_audio_payload(
         )
         return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
     raise ValueError(f"unknown audio fixture format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Video container headers (ISO BMFF / MP4, reference capability "video
+# metadata without codecs", sibling of the WAV/FLAC walk above): box
+# structure is size(4 BE) + type(4) + payload; movie-level metadata
+# lives in moov/mvhd (timescale + duration, version 0 = 32-bit times,
+# version 1 = 64-bit) and stream count is the number of trak children.
+# Frame ACCESS stays behind the codec seam like pixels and samples.
+# ---------------------------------------------------------------------------
+
+def video_header_info(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(format, timescale, duration, n_tracks) from an MP4/ISO-BMFF
+    header, or None for unrecognized / truncated / malformed payloads
+    (NULLs, never exceptions, on a 100 TB scan)."""
+    if payload is None:
+        return None
+    p = bytes(payload)
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    moov = _find_box(p, 0, len(p), b"moov")
+    if moov is None:
+        return None
+    lo, hi = moov
+    mvhd = _find_box(p, lo, hi, b"mvhd")
+    if mvhd is None:
+        return None
+    b_lo, b_hi = mvhd
+    body = p[b_lo:b_hi]
+    if len(body) < 4:
+        return None
+    version = body[0]
+    if version == 0:
+        if len(body) < 20:
+            return None
+        timescale = int.from_bytes(body[12:16], "big")
+        duration = int.from_bytes(body[16:20], "big")
+    elif version == 1:
+        if len(body) < 32:
+            return None
+        timescale = int.from_bytes(body[20:24], "big")
+        duration = int.from_bytes(body[24:32], "big")
+    else:
+        return None
+    if timescale == 0:
+        return None
+    n_tracks = 0
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(p[i : i + 4], "big")
+        if size < 8 or i + size > hi:
+            break
+        if p[i + 4 : i + 8] == b"trak":
+            n_tracks += 1
+        i += size
+    return ("mp4", timescale, duration, n_tracks)
+
+
+def _find_box(p: bytes, lo: int, hi: int, name: bytes) -> tuple[int, int] | None:
+    """(body_lo, body_hi) of the first ``name`` box in p[lo:hi]."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(p[i : i + 4], "big")
+        if size < 8 or i + size > hi:
+            return None
+        if p[i + 4 : i + 8] == name:
+            return (i + 8, i + size)
+        i += size
+    return None
+
+
+VIDEO_SCHEMA = "item_id long, format string, timescale int, duration long, n_tracks int"
+
+
+def video_header_features(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One Arrow-batched scan -> video container metadata; NULL columns
+    for unrecognized payloads (same contract as the image/audio walks)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [video_header_info(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype("int64"),
+                    "format": [t[0] if t else None for t in parsed],
+                    "timescale": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "duration": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int64"
+                    ),
+                    "n_tracks": pd.array(
+                        [t[3] if t else None for t in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_SCHEMA)
+
+
+def _box(name: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + name + body
+
+
+def synth_video_payload(
+    timescale: int, duration: int, n_tracks: int, mvhd_version: int = 0
+) -> bytes:
+    """Minimal spec-correct MP4 header bytes for fixtures — every field
+    the box walk reads is real; media data is absent."""
+    if mvhd_version == 0:
+        mvhd_body = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80  # rate/volume/matrix/predefined/next_track_id
+        )
+    elif mvhd_version == 1:
+        mvhd_body = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+    else:
+        raise ValueError("mvhd version must be 0 or 1")
+    traks = b"".join(
+        _box(b"trak", _box(b"tkhd", b"\x00" * 84)) for _ in range(n_tracks)
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + traks)
+    ftyp = _box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    return ftyp + moov

@@ -204,3 +204,61 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward (temporal) cross-validation folds with an embargo day —
+# the time-series counterpart of leakage_safe_split: each validation
+# fold's training window ends one full day BEFORE the fold starts, so
+# no same-day (or later) information leaks into training. Fold
+# boundaries are calendar-derived from the global min date (one 1-row
+# broadcast); assignment is a row-local case over an exploded fold list.
+# ---------------------------------------------------------------------------
+@query(
+    "walk_forward_folds",
+    sql="""
+    WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    e AS (SELECT user_id, (CAST(ts AS DATE) - m.d0) AS d FROM events, m),
+    f AS (SELECT unnest([1, 2, 3]) AS fold),
+    r AS (
+        SELECT f.fold,
+               CASE WHEN e.d // 7 = f.fold THEN 'val'
+                    WHEN e.d <= f.fold * 7 - 2 THEN 'train' END AS role,
+               e.user_id
+        FROM e, f
+    )
+    SELECT fold, role, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM r WHERE role IS NOT NULL GROUP BY 1, 2
+    """,
+    doc="Walk-forward temporal CV folds (7-day validation windows, "
+    "1-day embargo before each): train strictly precedes validation in "
+    "time per fold, the temporal-leakage guard a forecasting/feature "
+    "pipeline needs; one broadcast anchor date, row-local fold fan-out, "
+    "one aggregate.",
+)
+def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("dt"))
+    d0 = ev.agg(F.min("dt").alias("d0"))
+    e = ev.crossJoin(F.broadcast(d0)).select(
+        "user_id", F.datediff(F.col("dt"), F.col("d0")).alias("d")
+    )
+    r = e.select(
+        "user_id",
+        "d",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("fold"),
+    ).select(
+        "fold",
+        "user_id",
+        F.when(F.expr("d div 7") == F.col("fold"), F.lit("val"))
+        .when(F.col("d") <= F.col("fold") * 7 - 2, F.lit("train"))
+        .alias("role"),
+    )
+    return (
+        r.where(F.col("role").isNotNull())
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

@@ -3954,3 +3954,68 @@ def stream_cdf_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video container metadata (ISO BMFF box walk, sibling of the image and
+# WAV/FLAC header decoders): moov/mvhd timescale + duration (both mvhd
+# versions) and the trak stream count, parsed codec-free in one Arrow
+# scan; fixture parameters are a closed-form function of doc_id so the
+# oracle never touches bytes. duration_s is one division rounded to 6
+# decimals in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "video_header_info",
+    sql="""
+    SELECT doc_id AS item_id,
+           'mp4' AS format,
+           CAST([600, 1000, 24000, 30000, 90000][(doc_id % 5) + 1] AS INT)
+               AS timescale,
+           CAST(1000 + (doc_id % 7) * 12345 AS BIGINT) AS duration,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           ROUND((1000 + (doc_id % 7) * 12345)
+                 / CAST([600, 1000, 24000, 30000, 90000][(doc_id % 5) + 1]
+                        AS DOUBLE), 6) AS duration_s
+    FROM documents
+    """,
+    doc="MP4/ISO-BMFF header decode without codecs: box walk to "
+    "moov/mvhd (32- and 64-bit time variants by doc parity) for "
+    "timescale/duration plus trak counting, one Arrow-batched scan, "
+    "NULLs never exceptions on malformed payloads (malformed-input "
+    "tests in tests/test_multimodal.py).",
+)
+def video_header_info_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.multimodal import (
+        synth_video_payload,
+        video_header_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    scales = [600, 1000, 24000, 30000, 90000]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "payload": [
+                        synth_video_payload(
+                            scales[int(i) % 5],
+                            1000 + (int(i) % 7) * 12345,
+                            1 + int(i) % 3,
+                            mvhd_version=int(i) % 2,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(build, "item_id long, payload binary")
+    out = video_header_features(payloads)
+    return out.withColumn(
+        "duration_s",
+        F.round(F.col("duration") / F.col("timescale").cast("double"), 6),
+    )

@@ -76,3 +76,46 @@ def test_resize_plan_geometry(spark, sf_dir):
         else:
             assert r["scale"] == 1.0
             assert r["target_width"] == max(r["src_width"], 1)
+
+
+class TestVideoHeaders:
+    def test_both_mvhd_versions_parse(self):
+        from data_etl_pipeline_spark.operators.multimodal import (
+            synth_video_payload,
+            video_header_info,
+        )
+
+        for v in (0, 1):
+            got = video_header_info(synth_video_payload(90000, 123456789, 2, v))
+            assert got == ("mp4", 90000, 123456789, 2)
+
+    def test_malformed_payloads_yield_none(self):
+        from data_etl_pipeline_spark.operators.multimodal import (
+            synth_video_payload,
+            video_header_info,
+        )
+
+        good = synth_video_payload(30000, 1000, 1, 0)
+        assert video_header_info(None) is None
+        assert video_header_info(b"") is None
+        assert video_header_info(b"1234") is None
+        assert video_header_info(b"RIFFxxxxWAVE") is None  # wrong container
+        assert video_header_info(good[:20]) is None  # truncated mid-moov
+        # zero timescale refuses rather than dividing later
+        bad = bytearray(synth_video_payload(1, 1000, 1, 0))
+        i = bad.find((1).to_bytes(4, "big"), 40)
+        assert video_header_info(bytes(bad)) is not None
+        # corrupt the box size so the walk stops cleanly
+        assert video_header_info(good[:4] + b"xxxx" + good[8:]) is None
+
+    def test_version2_mvhd_refuses(self):
+        from data_etl_pipeline_spark.operators.multimodal import (
+            synth_video_payload,
+            video_header_info,
+        )
+
+        p = bytearray(synth_video_payload(30000, 1000, 1, 0))
+        # flip the mvhd version byte (body starts right after 'mvhd')
+        i = p.find(b"mvhd") + 4
+        p[i] = 2
+        assert video_header_info(bytes(p)) is None
