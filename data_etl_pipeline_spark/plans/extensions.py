@@ -4019,3 +4019,97 @@ def video_header_info_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         F.round(F.col("duration") / F.col("timescale").cast("double"), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta CHECK constraints at the lakehouse boundary (PROTOCOL.md
+# delta.constraints.*, writer version 3): the export carries its quality
+# contract in the table metadata, and every later append/merge validates
+# INCOMING rows in one aggregation — TRUE-or-NULL passes (SQL CHECK
+# semantics, proven with a NULL-status batch), any FALSE refuses before
+# a byte lands. The violating-batch attempts are part of the query; the
+# oracle aggregates the state only valid batches could have produced.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_check_constraints",
+    sql="""
+    WITH rows_ AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey <= 900
+    )
+    SELECT COALESCE(o_orderstatus, '?') AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM rows_ GROUP BY 1
+    """,
+    doc="CHECK constraints on exported Delta tables: constraint "
+    "expressions ride the metaData configuration (writer version 3); "
+    "appends/merges validate incoming rows in ONE aggregation and "
+    "refuse wholesale on any FALSE row; NULL evaluations pass (SQL "
+    "CHECK), proven with a null-status batch; violating append and "
+    "merge attempts refuse in-query without moving the version.",
+)
+def delta_export_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        DeltaExportError,
+        export_delta,
+        export_delta_append,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="exp_chk_") + "/table"
+    cons = {
+        "price_positive": "o_totalprice > 0",
+        "status_known": "o_orderstatus in ('O', 'F', 'P')",  # NULL passes
+    }
+    export_delta(base.where(k <= 600), dest, cdf=False, constraints=cons)
+    export_delta_append(base.where((k > 600) & (k <= 900)), dest)
+
+    # violating APPEND: negative prices must refuse without committing
+    reader = DeltaLogReader(spark, dest)
+    v_before = max(reader.versions())
+    bad = base.where(k <= 50).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        export_delta_append(bad, dest)
+        raise AssertionError("violating append must refuse")
+    except DeltaExportError as e:
+        assert "price_positive" in str(e)
+    # violating MERGE: unknown status must refuse
+    # a data-dependent when() keeps the column NULLABLE (a bare lit
+    # constant-folds to non-nullable) so the batch fails the CONSTRAINT
+    # check, not the schema check
+    bad2 = base.where(k <= 50).withColumn(
+        "o_orderstatus", F.when(k >= 0, F.lit("Z"))
+    )
+    try:
+        export_delta_merge(spark, bad2, dest, keys=["o_orderkey"])
+        raise AssertionError("violating merge must refuse")
+    except DeltaExportError as e:
+        assert "status_known" in str(e)
+    assert max(reader.versions()) == v_before, "refused writes moved the log"
+
+    return (
+        reader.read()
+        .groupBy(F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -70,7 +70,7 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # cms_user_frequencies, supplier_geohash_cells,
 # chi2_token_selection, supplier_geo_neighbor_pairs,
 # stream_cdf_delta_mirror, video_header_info, walk_forward_folds,
-# and any after
+# delta_export_check_constraints, and any after
 # them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since

@@ -159,6 +159,36 @@ def _adds_for_new_files(
     return adds, total
 
 
+def _constraints(meta: dict) -> dict[str, str]:
+    """CHECK constraints from the metaData configuration (the protocol's
+    ``delta.constraints.<name>`` keys, writer feature checkConstraints)."""
+    cfg = meta.get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in cfg.items() if k.startswith(pre)}
+
+
+def _validate_constraints(df: DataFrame, cons: dict[str, str]) -> None:
+    """Delta CHECK semantics: a row passes when every constraint is TRUE
+    or NULL; any FALSE aborts before a byte is written. ONE aggregation
+    evaluates every constraint over the INCOMING rows only."""
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    names = sorted(cons)
+    aggs = [
+        F.count(F.when(F.expr(cons[n]).eqNullSafe(F.lit(False)), 1)).alias(f"_c{i}")
+        for i, n in enumerate(names)
+    ]
+    row = df.agg(*aggs).first()
+    for i, n in enumerate(names):
+        if row[f"_c{i}"]:
+            raise DeltaExportError(
+                f"CHECK constraint {n!r} ({cons[n]}) violated by "
+                f"{row[f'_c{i}']} incoming row(s); nothing was written"
+            )
+
+
 def _cdf_enabled(meta: dict) -> bool:
     return (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
@@ -222,7 +252,11 @@ def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
 
 
 def export_delta(
-    df: DataFrame, dest: str, partition_by: list[str] | None = None, cdf: bool = False
+    df: DataFrame,
+    dest: str,
+    partition_by: list[str] | None = None,
+    cdf: bool = False,
+    constraints: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as a new single-commit Delta table at ``dest``.
 
@@ -238,8 +272,18 @@ def export_delta(
     as ``_change_data/`` parquet files referenced by ``cdc`` actions,
     which ``DeltaLogReader.table_changes`` (and any Delta reader's
     ``table_changes``) consumes.
+
+    ``constraints`` adds Delta CHECK constraints (PROTOCOL.md
+    ``delta.constraints.<name>`` configuration, writer version >= 3): a
+    row passes when the expression is TRUE or NULL; the initial write
+    and every later append/merge/replaceWhere validates its INCOMING
+    rows in one aggregation and refuses before writing a byte if any
+    row fails — the schema-quality gate a publishing pipeline wants at
+    the lakehouse boundary.
     """
     dest = dest.rstrip("/")
+    constraints = dict(constraints or {})
+    _validate_constraints(df, constraints)
     log_dir = os.path.join(dest, "_delta_log")
     if os.path.isdir(log_dir):
         raise DeltaExportError(
@@ -268,17 +312,21 @@ def export_delta(
             total += size
     adds.sort(key=lambda a: a["add"]["path"])
     os.makedirs(log_dir)
+    cfg: dict[str, str] = {}
+    if cdf:
+        cfg["delta.enableChangeDataFeed"] = "true"
+    for name, expr in sorted(constraints.items()):
+        cfg[f"delta.constraints.{name}"] = expr
+    writer_v = 4 if cdf else (3 if constraints else 2)
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4 if cdf else 2}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}},
         {
             "metaData": {
                 "id": "export-" + hashlib.md5(dest.encode()).hexdigest()[:12],
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": partition_by,
-                "configuration": (
-                    {"delta.enableChangeDataFeed": "true"} if cdf else {}
-                ),
+                "configuration": cfg,
                 "createdTime": int(os.stat(dest).st_mtime * 1000),
             }
         },
@@ -349,8 +397,10 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                 if "protocol" in a:
                     # writer 2 = plain export; writer 4 = CDF-enabled export
                     # (change data feed requires minWriterVersion 4)
+                    # writer 2 = plain, 3 = CHECK constraints, 4 = CDF
                     if a["protocol"] not in (
                         {"minReaderVersion": 1, "minWriterVersion": 2},
+                        {"minReaderVersion": 1, "minWriterVersion": 3},
                         {"minReaderVersion": 1, "minWriterVersion": 4},
                     ):
                         raise DeltaExportError(
@@ -411,6 +461,7 @@ def export_delta_append(
             "append schema differs from the exported table's schema; "
             "export a new table instead of evolving this one"
         )
+    _validate_constraints(df, _constraints(meta))
     partition_by = list(meta.get("partitionColumns") or [])
     # diff against everything ON DISK before the write, not just the live
     # add set — files removed by a CoW delete/OPTIMIZE linger until a
@@ -677,6 +728,7 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
             "duplicate key tuples in the merge source — Delta MERGE "
             "semantics forbid multiple source rows matching one target row"
         )
+    _validate_constraints(df, _constraints(meta))
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     types_map = {f.name: f.dataType for f in schema.fields}
@@ -833,6 +885,7 @@ def export_delta_replace_where(
             "replaceWhere source schema differs from the exported table's "
             "schema; export a new table instead of evolving this one"
         )
+    _validate_constraints(df, _constraints(meta))
     part_cols = list(meta.get("partitionColumns") or [])
     bad = [c for c in partition_values if c not in part_cols]
     if bad:

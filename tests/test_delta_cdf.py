@@ -199,3 +199,52 @@ def test_delete_keys_skips_disjoint_files_and_is_idempotent(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not in table schema"):
         t.delete_keys(tomb.withColumnRenamed("o_orderkey", "zz"), keys=["zz"])
+
+
+class TestCheckConstraints:
+    def test_initial_export_validates(self, spark, sf_dir):
+        b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 100)
+        with pytest.raises(de.DeltaExportError, match="price_positive"):
+            de.export_delta(
+                b.withColumn("o_totalprice", -F.col("o_totalprice")),
+                _fresh("chk_init_"),
+                constraints={"price_positive": "o_totalprice > 0"},
+            )
+
+    def test_null_rows_pass_and_writer_version(self, spark, sf_dir):
+        import json as _json
+        import os as _os
+
+        b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 100).withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        dest = _fresh("chk_null_")
+        de.export_delta(
+            b, dest, constraints={"status_known": "o_orderstatus in ('O','F','P')"}
+        )
+        with open(_os.path.join(dest, "_delta_log", f"{0:020d}.json")) as fh:
+            acts = [_json.loads(l) for l in fh if l.strip()]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert proto["minWriterVersion"] == 3
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        assert meta["configuration"]["delta.constraints.status_known"]
+        # NULL status rows passed; appends keep validating
+        assert DeltaLogReader(spark, dest).read().count() == b.count()
+        with pytest.raises(de.DeltaExportError, match="status_known"):
+            de.export_delta_append(
+                b.withColumn("o_orderstatus", F.when(F.col("o_orderkey") >= 0, F.lit("Z"))),
+                dest,
+            )
+
+    def test_cdf_and_constraints_compose(self, spark, sf_dir):
+        b = _base(spark, sf_dir).where(F.col("o_orderkey") <= 200)
+        dest = _fresh("chk_cdf_")
+        de.export_delta(
+            b, dest, cdf=True, constraints={"pp": "o_totalprice > 0"}
+        )
+        de.export_delta_delete(spark, dest, "o_orderkey % 2 = 0")
+        ch = DeltaLogReader(spark, dest).table_changes(1, 1)
+        assert ch.where(F.col("_change_type") == "delete").count() > 0
