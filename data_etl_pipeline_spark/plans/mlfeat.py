@@ -1,0 +1,459 @@
+"""ML feature-preparation query shapes: leakage-safe encodings, quantile
+scoring, and the hashing trick.
+
+The reference's corpus consumers feed curated tables into model training
+(SURVEY §2.11 extension family); these are the standard tabular
+feature-engineering passes a training-data pipeline runs at scale, each
+expressed so the expensive part is one map-side-combinable aggregate and
+the "model" part is arithmetic over a group-count-sized frame:
+
+- K-fold out-of-fold target encoding (the leakage-safe mean encoding used
+  for high-cardinality categoricals): fold membership by portable hash,
+  encodings from complement sums — no row ever sees its own fold's target.
+- RFM scoring via percentile BOUNDARIES instead of a global NTILE: the
+  quantile frame is one row, broadcast back — no global sort, no
+  single-partition window, ties broken identically in both engines.
+- Feature hashing (Weinberger et al.'s hashing trick): token -> signed
+  bucket with a portable md5-derived hash; the output dimensionality is
+  fixed (64) regardless of vocabulary size, which is the whole point at
+  100 TB — no vocabulary build, no dictionary shuffle, one corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_etl_pipeline_spark.plans.registry import query
+from data_etl_pipeline_spark.tables import load
+
+# Portable 60-bit hash: identical in Spark and DuckDB (md5 hex prefix as
+# integer; the same idiom plans/etl.py's hash sample established).
+_H60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _h60(col: str) -> F.Column:
+    return F.expr(f"cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint)")
+
+
+# ---------------------------------------------------------------------------
+# K-fold out-of-fold target encoding. Folds are assigned by portable
+# hash of the order key (reproducible across engines and reruns, unlike
+# rand()). Per (segment, fold) partial sums roll up once; each fold's
+# encoding uses the OTHER folds' sums plus an m=20 prior toward the
+# global mean — the standard smoothing that keeps rare categories from
+# memorizing their own targets. The fact scan is the only big pass; the
+# window arithmetic runs on a |segments| x |folds| frame (25 rows here,
+# bounded by category cardinality at any scale). Sums accumulate in
+# DECIMAL so partial-aggregation order cannot change the double result.
+# ---------------------------------------------------------------------------
+@query(
+    "target_encode_kfold",
+    sql=f"""
+    WITH f AS (
+        SELECT c_mktsegment AS segment,
+               ({_H60_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 5) AS fold,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (SELECT segment, fold, SUM(p) AS s, COUNT(*) AS c FROM f GROUP BY 1, 2)
+    SELECT segment, fold, c AS n,
+           ROUND((CAST(SUM(s) OVER (PARTITION BY segment) - s AS DOUBLE)
+                  + 20 * (CAST(SUM(s) OVER () AS DOUBLE)
+                          / CAST(SUM(c) OVER () AS DOUBLE)))
+                 / (CAST(SUM(c) OVER (PARTITION BY segment) - c AS DOUBLE) + 20),
+                 6) AS encoded
+    FROM g
+    """,
+    doc="Leakage-safe K-fold target encoding of market segment against "
+    "order price: portable-hash folds, per-(segment,fold) DECIMAL partial "
+    "sums, out-of-fold complement means smoothed toward the global prior "
+    "(m=20). One fact-scan aggregate; all encoding arithmetic on a "
+    "25-row frame.",
+)
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (_h60("cast(o_orderkey as string)") % 5).alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    g = f.groupBy("segment", "fold").agg(
+        F.sum("p").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    seg = W.partitionBy("segment")
+    allw = W.partitionBy()
+    prior = F.sum("s").over(allw).cast("double") / F.sum("c").over(allw).cast(
+        "double"
+    )
+    enc = (
+        (F.sum("s").over(seg) - F.col("s")).cast("double") + 20 * prior
+    ) / ((F.sum("c").over(seg) - F.col("c")).cast("double") + 20)
+    return g.select(
+        "segment", "fold", F.col("c").alias("n"), F.round(enc, 6).alias("encoded")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) scoring. The classic formulation
+# ranks every customer with NTILE over a GLOBAL sort — a single-reducer
+# window at scale. This plan scores against exact percentile BOUNDARIES
+# instead: per-customer aggregates (one shuffle, map-side combinable),
+# a one-row quantile frame (exact interpolated percentiles — identical
+# arithmetic in both engines), broadcast back for the score compare.
+# Recency is integer days since epoch (NTZ-safe, no timezone in play);
+# monetary accumulates in DECIMAL. Output is the 4x4x4 score-cell
+# distribution, bounded regardless of customer count.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_customer_segments",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+                   AS rec,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT quantile_cont(CAST(rec AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(CAST(mon AS DOUBLE), [0.25, 0.5, 0.75]) AS mq
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT
+            1 + CAST(rec >= rq[1] AS INT) + CAST(rec >= rq[2] AS INT)
+              + CAST(rec >= rq[3] AS INT) AS r_score,
+            1 + CAST(freq >= fq[1] AS INT) + CAST(freq >= fq[2] AS INT)
+              + CAST(freq >= fq[3] AS INT) AS f_score,
+            1 + CAST(CAST(mon AS DOUBLE) >= mq[1] AS INT)
+              + CAST(CAST(mon AS DOUBLE) >= mq[2] AS INT)
+              + CAST(CAST(mon AS DOUBLE) >= mq[3] AS INT) AS m_score,
+            mon
+        FROM per_cust, q
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n,
+           CAST(SUM(mon) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer scoring against exact percentile boundaries (no "
+    "global NTILE sort): per-customer aggregate, one-row broadcast "
+    "quantile frame, boundary-compare scores, 4x4x4 cell distribution.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "datediff(cast(max(o_orderdate) as date), date'1970-01-01')"
+            ).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+    )
+    q = per_cust.agg(
+        F.expr("percentile(cast(rec as double), array(0.25, 0.5, 0.75))").alias(
+            "rq"
+        ),
+        F.expr("percentile(cast(freq as double), array(0.25, 0.5, 0.75))").alias(
+            "fq"
+        ),
+        F.expr("percentile(cast(mon as double), array(0.25, 0.5, 0.75))").alias(
+            "mq"
+        ),
+    )
+
+    def score(col: str, bounds: str) -> F.Column:
+        c = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + (c >= F.col(bounds)[0]).cast("int")
+            + (c >= F.col(bounds)[1]).cast("int")
+            + (c >= F.col(bounds)[2]).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(q)).select(
+        score("rec", "rq").alias("r_score"),
+        score("freq", "fq").alias("f_score"),
+        score("mon", "mq").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mon").cast("double").alias("total_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): every token maps to one of 64
+# buckets by portable hash, with a sign bit from the next hash bit so
+# collisions cancel in expectation (Weinberger et al. 2009). There is
+# deliberately NO vocabulary dictionary: the corpus scan aggregates
+# straight to (token, count) -> (bucket, signed mass), so the output
+# width is fixed at 64 no matter how large the vocabulary grows — the
+# property that makes this the 100 TB featurizer when a vocab build
+# (and its dictionary broadcast) would not fit.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_hashing_signed",
+    sql=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) >= 2)) AS tok
+        FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    h AS (
+        SELECT {_H60_SQL.format(x="tok")} AS hv, tok, cnt FROM tc
+    )
+    SELECT (hv % 64) AS bucket,
+           CAST(SUM(CASE WHEN (hv % 128) = (hv % 64) THEN cnt ELSE -cnt END)
+                AS BIGINT) AS signed_mass,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS total_count
+    FROM h GROUP BY 1
+    """,
+    doc="Hashing-trick featurizer: tokens -> 64 signed buckets via "
+    "portable md5 hash (sign bit 6 cancels collisions in expectation); "
+    "no vocabulary dictionary is ever built — fixed output width at any "
+    "corpus size. One corpus scan, one vocab-sized combine, 64-row output.",
+)
+def feature_hashing_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)")
+        ).alias("tok")
+    )
+    tc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = tc.select(_h60("tok").alias("hv"), "tok", "cnt")
+    # sign bit = bit 6 of the hash, read with pure modulo arithmetic
+    # (integer division via doubles would lose exactness above 2^53)
+    sign = F.when(
+        F.col("hv") % 128 == F.col("hv") % 64, F.col("cnt")
+    ).otherwise(-F.col("cnt"))
+    return h.groupBy((F.col("hv") % 64).alias("bucket")).agg(
+        F.sum(sign).cast("bigint").alias("signed_mass"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cnt").cast("bigint").alias("total_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly detection on the event stream: an hour-of-week
+# baseline (the 168-slot seasonal profile every ops dashboard uses),
+# robust center/spread per (event_type, slot) via exact median and MAD,
+# then a 3-sigma-equivalent robust z flag (1.4826 * MAD estimates sigma
+# under normality). Two grouped exact-percentile passes over slot-sized
+# groups — the per-slot state is O(event_types x 168) however large the
+# stream; no global sort, no per-row window. Day-of-week is normalized
+# to Sunday=0 in both engines (Spark's dayofweek is 1-based).
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_anomaly_events",
+    sql="""
+    WITH slotted AS (
+        SELECT event_type,
+               (dayofweek(ts) * 24 + CAST(extract(hour FROM ts) AS INT)) AS slot,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, slot, quantile_cont(value, 0.5) AS med
+        FROM slotted GROUP BY 1, 2
+    ),
+    mad AS (
+        SELECT s.event_type, s.slot, m.med,
+               quantile_cont(abs(s.value - m.med), 0.5) AS mad
+        FROM slotted s JOIN med m USING (event_type, slot)
+        GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+        SELECT s.event_type,
+               CASE WHEN abs(s.value - d.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END AS is_anom
+        FROM slotted s JOIN mad d USING (event_type, slot)
+    )
+    SELECT event_type, CAST(SUM(is_anom) AS BIGINT) AS n_anomalies,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(is_anom) AS DOUBLE) / COUNT(*), 6) AS anomaly_rate
+    FROM flagged GROUP BY 1
+    """,
+    doc="Hour-of-week seasonal anomaly flags: per (event_type, slot) "
+    "exact median + MAD baseline, robust |z| > 3 via the 1.4826 normal "
+    "consistency factor. Baseline state is O(types x 168) at any stream "
+    "size; two grouped percentile passes, no global sort.",
+)
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    slotted = ev.select(
+        "event_type",
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).alias("slot"),
+        "value",
+    )
+    med = slotted.groupBy("event_type", "slot").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        slotted.join(med, ["event_type", "slot"])
+        .groupBy("event_type", "slot", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = slotted.join(mad, ["event_type", "slot"]).select(
+        "event_type",
+        F.when(
+            F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+        )
+        .otherwise(0)
+        .alias("is_anom"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("is_anom").cast("double") / F.count(F.lit(1)), 6
+        ).alias("anomaly_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the companion check to the k-anonymity ladder
+# (plans/advanced.py): a quasi-identifier group can be k-large and STILL
+# leak if every member shares the same sensitive value. Groups are
+# (nation, account-balance band); the sensitive attribute is the market
+# segment; a group fails l=3 when it carries fewer than 3 distinct
+# sensitive values. One hash aggregate with countDistinct — the audit
+# output is O(groups), and the flag arithmetic never touches rows.
+# ---------------------------------------------------------------------------
+@query(
+    "ldiversity_audit",
+    sql="""
+    SELECT c_nationkey AS nation,
+           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT c_mktsegment) AS l_distinct,
+           CASE WHEN COUNT(DISTINCT c_mktsegment) < 3 THEN 1 ELSE 0 END
+               AS violates_l3
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="l-diversity audit over (nation, balance-band) quasi-identifier "
+    "groups with market segment as the sensitive attribute: groups with "
+    "< 3 distinct sensitive values are flagged even when k-large. One "
+    "hash aggregate, O(groups) output — the privacy companion to "
+    "kanonymity_generalization_audit.",
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+            F.when(F.countDistinct("c_mktsegment") < 3, 1)
+            .otherwise(0)
+            .alias("violates_l3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage pruning (the WordPiece/SentencePiece vocab-size
+# decision): find the smallest vocabulary prefix — ordered by frequency
+# desc, token asc — whose cumulative mass reaches 95% of all token
+# occurrences. The naive plan ranks every distinct token with a GLOBAL
+# sort; this plan never ranks tokens at all. It aggregates to FREQUENCY
+# LEVELS (distinct counts — a few hundred rows under any Zipfian
+# corpus, bounded by max document frequency), takes the level-wise
+# cumulative sum on that tiny frame, and solves for how many tokens of
+# the boundary level are needed in closed form. The only corpus-sized
+# work is the (token, count) combine.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_coverage_prune",
+    sql="""
+    WITH tc AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) >= 2)) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM tc GROUP BY 1),
+    levels AS (SELECT f, COUNT(*) AS n_toks, f * COUNT(*) AS mass
+               FROM freq GROUP BY 1),
+    cum AS (
+        SELECT f, n_toks, mass,
+               SUM(mass) OVER (ORDER BY f DESC) AS cum_mass,
+               SUM(n_toks) OVER (ORDER BY f DESC) AS cum_toks,
+               SUM(mass) OVER () AS total_mass,
+               SUM(n_toks) OVER () AS total_vocab
+        FROM levels
+    ),
+    boundary AS (
+        SELECT * FROM cum
+        WHERE cum_mass >= 0.95 * total_mass
+          AND (cum_mass - mass) < 0.95 * total_mass
+    )
+    SELECT CAST(total_vocab AS BIGINT) AS total_vocab,
+           CAST(total_mass AS BIGINT) AS total_mass,
+           CAST(f AS BIGINT) AS f_star,
+           CAST((cum_toks - n_toks)
+                + CAST(ceil((0.95 * total_mass - (cum_mass - mass)) / f)
+                       AS BIGINT) AS BIGINT) AS vocab_kept,
+           ROUND(CAST((cum_mass - mass)
+                      + f * ceil((0.95 * total_mass - (cum_mass - mass)) / f)
+                      AS DOUBLE) / total_mass, 6) AS coverage
+    FROM boundary
+    """,
+    doc="Vocabulary pruning to 95% token-mass coverage WITHOUT ranking "
+    "tokens: aggregate to frequency levels (Zipf-bounded, a few hundred "
+    "rows), level-wise cumulative window on that frame only, boundary "
+    "level solved in closed form. Corpus-sized work is one (token, "
+    "count) combine; the global window touches O(levels) rows.",
+)
+def vocab_coverage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)")
+        ).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    levels = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n_toks")).select(
+        "f", "n_toks", (F.col("f") * F.col("n_toks")).alias("mass")
+    )
+    wcum = W.orderBy(F.desc("f")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = levels.select(
+        "f",
+        "n_toks",
+        "mass",
+        F.sum("mass").over(wcum).alias("cum_mass"),
+        F.sum("n_toks").over(wcum).alias("cum_toks"),
+        F.sum("mass").over(wall).alias("total_mass"),
+        F.sum("n_toks").over(wall).alias("total_vocab"),
+    )
+    target = 0.95 * F.col("total_mass")
+    boundary = cum.where(
+        (F.col("cum_mass") >= target) & ((F.col("cum_mass") - F.col("mass")) < target)
+    )
+    need = F.ceil(
+        (target - (F.col("cum_mass") - F.col("mass"))) / F.col("f")
+    ).cast("bigint")
+    return boundary.select(
+        F.col("total_vocab").cast("bigint").alias("total_vocab"),
+        F.col("total_mass").cast("bigint").alias("total_mass"),
+        F.col("f").cast("bigint").alias("f_star"),
+        ((F.col("cum_toks") - F.col("n_toks")) + need)
+        .cast("bigint")
+        .alias("vocab_kept"),
+        F.round(
+            ((F.col("cum_mass") - F.col("mass")) + F.col("f") * need).cast("double")
+            / F.col("total_mass"),
+            6,
+        ).alias("coverage"),
+    )

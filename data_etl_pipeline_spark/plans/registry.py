@@ -164,6 +164,7 @@ def _ensure_loaded() -> None:
     import data_etl_pipeline_spark.plans.etl  # noqa: F401
     import data_etl_pipeline_spark.plans.extensions  # noqa: F401
     import data_etl_pipeline_spark.plans.insights  # noqa: F401
+    import data_etl_pipeline_spark.plans.mlfeat  # noqa: F401
     import data_etl_pipeline_spark.plans.pipeline  # noqa: F401
     import data_etl_pipeline_spark.plans.reconcile  # noqa: F401
     import data_etl_pipeline_spark.plans.relational  # noqa: F401
