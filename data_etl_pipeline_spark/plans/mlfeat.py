@@ -457,3 +457,53 @@ def vocab_coverage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The hot inner loop of distributed BPE tokenizer training
+# (operators/bpe_train.py): adjacent-symbol pair counts over the
+# vocabulary, weighted by word frequency. The corpus collapses to
+# (word, freq) FIRST — identical words never recount — so this, the
+# per-round shuffle, is vocab-sized at any corpus size. The oracle
+# recomputes the round-0 pair counts positionally (symbols are single
+# characters before any merge, so pairs are 2-char substrings).
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_top_pairs",
+    sql="""
+    WITH w AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) >= 2)) AS word
+        FROM documents
+    ),
+    v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+    p AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS a,
+               substr(word, CAST(i AS INT) + 1, 1) AS b,
+               freq
+        FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)
+    ),
+    c AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)
+    SELECT a, b, cnt FROM c ORDER BY cnt DESC, a ASC, b ASC LIMIT 20
+    """,
+    doc="Round-0 of distributed BPE training: top-20 adjacent-symbol "
+    "pairs over the (word, freq) vocabulary — the per-round shuffle is "
+    "vocab-sized because the corpus collapsed to word counts first. "
+    "Deterministic (count, pair) ordering; the multi-round trainer "
+    "(operators/bpe_train.py) is proven against the offline trainer in "
+    "tests.",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.bpe_train import (
+        pair_counts,
+        vocab_from_documents,
+    )
+
+    vocab = vocab_from_documents(load(spark, sf_dir, "documents"))
+    syms = vocab.withColumn("syms", F.expr("split(word, '')"))
+    return (
+        pair_counts(syms)
+        .select("a", "b", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
