@@ -1572,6 +1572,45 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The LEFT OUTER stream-stream join — the semantically hard half of the
+# two-moving-sides case: unmatched views must emit (with NULL purchase
+# columns) exactly once, when the watermark passes their expiry and the
+# state row is evicted unmatched. A far-future flush sentinel forms the
+# last micro-batch so the final watermark advance actually evicts every
+# buffered row (streaming/ss_join.py::append_flush_sentinel documents
+# the under-count pitfall this closes). Oracle is the exact batch LEFT
+# interval join — matched pair counts AND miss counts both hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_stream_left_outer",
+    sql="""
+    WITH v AS (SELECT user_id, ts AS vts, event_id AS vid
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS pts, event_id AS pid
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+        SELECT v.user_id, v.vid, p.pid
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+    )
+    SELECT user_id, COUNT(pid) AS n_pairs,
+           CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_views
+    FROM j GROUP BY 1
+    """,
+    doc="Watermarked LEFT OUTER stream-stream join: view->purchase pairs "
+    "plus NULL-emission of every unmatched view on state expiry, flushed "
+    "by a sentinel final micro-batch; oracle is the exact batch left "
+    "interval join.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.ss_join import run_stream_stream_left_outer
+
+    return run_stream_stream_left_outer(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Bounded as-of join (pandas merge_asof tolerance parity): same
 # single-shuffle union+window plan, but a match farther back than 7 days
 # reverts to "no order" — the staleness guard a feature pipeline applies

@@ -80,11 +80,20 @@ def split_events_by_ts(
 
 
 def join_streams_over_dir(
-    spark: SparkSession, src: str, window_minutes: int = 60, delay: str = "90 minutes"
+    spark: SparkSession,
+    src: str,
+    window_minutes: int = 60,
+    delay: str = "90 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Run the watermarked stream-stream join over a prepared micro-batch
     directory and return the raw (v_user, v_ts, v_id, p_ts, p_id) pairs as
-    a batch DataFrame once both streams drain."""
+    a batch DataFrame once both streams drain.
+
+    ``how="left_outer"`` additionally emits every view that found NO
+    purchase in its window, with NULL purchase columns — emitted exactly
+    once, when the watermark passes the view's expiry and the state row
+    is evicted unmatched (Spark's outer stream-stream contract)."""
 
     def side(kind: str, prefix: str) -> DataFrame:
         s = (
@@ -107,7 +116,7 @@ def join_streams_over_dir(
             f"v_user = p_user AND p_ts >= v_ts "
             f"AND p_ts <= v_ts + interval {window_minutes} minutes"
         ),
-        "inner",
+        how,
     )
 
     sink = tempfile.mkdtemp(prefix="ss_join_sink_")
@@ -148,4 +157,53 @@ def run_stream_stream_attribution(
     return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("p_id").alias("n_attributed_purchases"),
+    )
+
+
+def append_flush_sentinel(
+    spark: SparkSession, src: str, bounds: list[tuple[str, str]], horizon_days: int = 30
+) -> None:
+    """Append one far-future view+purchase pair (reserved ids < 0) as the
+    LAST micro-batch, so the final watermark advance evicts every buffered
+    outer-join state row and the unmatched-view results actually emit.
+
+    Without this, views still inside the watermark horizon when the file
+    stream drains would sit in state forever and the left-outer results
+    would silently under-count — the classic outer stream-stream pitfall.
+    Sentinel rows carry event_id -1/-2 and are filtered out of results;
+    the sentinel pair can only match itself (its ts is beyond every real
+    row's window).
+    """
+    far = F.expr(
+        f"timestamp'{max(hi for _, hi in bounds)}' + interval {horizon_days} days"
+    )
+    sent = spark.createDataFrame(
+        [(-1, -1, "view"), (-2, -1, "purchase")],
+        "event_id long, user_id long, event_type string",
+    ).select("event_id", far.alias("ts"), "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="ss_join_sentinel_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(src, "zz_sentinel.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (1_600_100_000, 1_600_100_000))  # after every real batch
+
+
+def run_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 60, delay: str = "90 minutes"
+) -> DataFrame:
+    """Per-user attribution INCLUDING the misses: matched view->purchase
+    pairs plus every view with no purchase in its window, the latter
+    emitted as NULL-purchase rows on state expiry.  Returns one row per
+    user with pair and unmatched-view counts."""
+    src, bounds = split_events_by_ts(spark, sf_dir)
+    append_flush_sentinel(spark, src, bounds)
+    rows = join_streams_over_dir(
+        spark, src, window_minutes, delay, how="left_outer"
+    ).where(F.col("v_id") >= 0)
+    return rows.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("p_id").alias("n_pairs"),
+        F.sum(F.col("p_id").isNull().cast("int")).cast("bigint").alias(
+            "n_unmatched_views"
+        ),
     )

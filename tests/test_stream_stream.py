@@ -48,3 +48,45 @@ def test_cross_batch_pairs_survive_state(spark, tmp_path):
     got = {(r.v_id, r.p_id) for r in pairs}
     assert (101, 301) in got  # view from batch 1 joined purchase from batch 3
     assert (102, 302) not in got  # 2h45m gap: outside the window
+
+
+def test_left_outer_emits_unmatched_views_on_expiry(spark, sf_dir):
+    """The left-outer variant must (a) reproduce the inner pairs exactly
+    and (b) emit every miss exactly once — including views still inside
+    the watermark horizon at drain time (the flush sentinel's job)."""
+    from pyspark.sql import functions as F
+
+    from data_etl_pipeline_spark.plans.registry import QUERIES, _ensure_loaded
+    from data_etl_pipeline_spark.tables import load
+
+    _ensure_loaded()
+    rows = QUERIES["stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    got = {r.user_id: (r.n_pairs, r.n_unmatched_views) for r in rows}
+    assert any(u for u, (_, miss) in got.items() if miss > 0), "no misses emitted"
+    assert all(u >= 0 for u in got), "sentinel leaked into results"
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"), "event_id"
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    j = v.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("interval 60 minutes")),
+        "left",
+    )
+    want = {
+        r.u: (r.np, r.nm)
+        for r in j.groupBy("u")
+        .agg(
+            F.count("pid").alias("np"),
+            F.sum(F.col("pid").isNull().cast("int")).cast("bigint").alias("nm"),
+        )
+        .collect()
+    }
+    assert got == want
