@@ -2758,6 +2758,89 @@ def delta_interop_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IN-COMMIT TIMESTAMPS (PROTOCOL.md writer feature `inCommitTimestamp`):
+# the authoritative commit time rides commitInfo as the FIRST action of
+# every commit; file mtimes — which object-store copies and log
+# transfers do NOT preserve — must be ignored for time travel. The
+# fixture sabotages all three log mtimes to ONE identical past second;
+# under mtime resolution every probe would land on version 2, so the
+# per-version asserts fail loudly if the reader ever regresses to
+# stat(). Protocol shape (minWriterVersion 7 + writerFeatures) and
+# commitInfo-first framing are asserted off the raw JSON.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_ict_read",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 900
+    GROUP BY 1
+    """,
+    doc="timestampAsOf over an In-Commit-Timestamps table: "
+    "commitInfo.inCommitTimestamp (strictly monotonic, commitInfo first "
+    "action, table-features protocol writer 7) overrides log mtimes — "
+    "proven by sabotaging every mtime to one identical past second. The "
+    "returned aggregate is the version-1 snapshot resolved via ICT.",
+)
+def delta_interop_ict_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return base.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    dest = tempfile.mkdtemp(prefix="ict_read_") + "/table"
+    export_delta(sl(0, 500), dest, ict=True)
+    export_delta_append(sl(500, 900), dest)
+    export_delta_append(sl(900, 1200), dest)
+
+    icts: list[int] = []
+    for v in range(3):
+        p = _os.path.join(dest, "_delta_log", f"{v:020d}.json")
+        with open(p) as fh:
+            first = _json.loads(fh.readline())
+        if v == 0:
+            with open(p) as fh:
+                proto = next(
+                    _json.loads(ln)["protocol"]
+                    for ln in fh
+                    if ln.strip() and "protocol" in _json.loads(ln)
+                )
+            assert proto["minWriterVersion"] == 7, proto
+            assert "inCommitTimestamp" in proto["writerFeatures"], proto
+        assert "commitInfo" in first, f"v{v}: commitInfo must be FIRST"
+        icts.append(int(first["commitInfo"]["inCommitTimestamp"]))
+        _os.utime(p, (1_700_000_000, 1_700_000_000))  # sabotage: all equal
+    assert icts[0] < icts[1] < icts[2], icts  # strict monotonicity
+
+    reader = DeltaLogReader(spark, dest)
+    assert reader.version_at_timestamp(icts[0]) == 0
+    assert reader.version_at_timestamp(icts[1]) == 1
+    assert reader.version_at_timestamp(icts[2] + 10_000) == 2
+    try:
+        reader.version_at_timestamp(icts[0] - 1)
+        raise AssertionError("pre-table ICT timestamp must refuse")
+    except ValueError:
+        pass
+    at_v1 = reader.read_as_of_timestamp(icts[1])
+    return at_v1.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Delta interop, COLUMN MAPPING (mode 'name'): the fixture table stores
 # PHYSICAL column names (col-1/col-2) in its parquet files and partition
 # values — the on-disk shape any Delta table acquires after a column

@@ -507,3 +507,179 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo) — the OTHER classic
+# candidate generator for entity resolution, complementing the blocked
+# edit-distance join (fuzzy_name_match): sort records by a key, compare
+# each record only to its w nearest neighbors in sort order. Distributed
+# form: the sort key's PREFIX is the block (so the window never crosses
+# executors' hash partitions), row_number within block, self-join on
+# rank offset 1..w — candidate volume is exactly w*n, never quadratic,
+# and the final Levenshtein gate runs only on candidates.
+# ---------------------------------------------------------------------------
+@query(
+    "sorted_neighborhood_pairs",
+    sql="""
+    WITH r AS (
+        SELECT p_partkey, p_name,
+               substr(p_name, 1, 2) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substr(p_name, 1, 2)
+                                  ORDER BY p_name, p_partkey) AS rn
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM r a JOIN r b
+          ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+    )
+    SELECT name_a, name_b, dist, COUNT(*) AS n_pairs
+    FROM cand WHERE dist <= 4
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sorted-neighborhood entity-resolution blocking: sort-key-prefix "
+    "blocks, row_number ranks, rank-offset self-join (candidate volume "
+    "exactly w*n, never quadratic), Levenshtein gate on candidates only.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    r = part.select(
+        "p_partkey",
+        "p_name",
+        F.substring("p_name", 1, 2).alias("blk"),
+        F.row_number()
+        .over(W.partitionBy(F.substring("p_name", 1, 2)).orderBy("p_name", "p_partkey"))
+        .alias("rn"),
+    )
+    a = r.select(
+        F.col("blk"), F.col("rn"), F.col("p_name").alias("name_a")
+    )
+    b = r.select(
+        F.col("blk").alias("blk_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("rn_b") - F.col("rn") >= 1)
+        & (F.col("rn_b") - F.col("rn") <= 3),
+    ).select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    )
+    return (
+        cand.where(F.col("dist") <= 4)
+        .groupBy("name_a", "name_b", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion over the event stream: for every
+# 'view', hours until the SAME user's next 'purchase' — right-censored
+# at the corpus horizon for views never followed by one (the views near
+# the horizon are genuinely censored, which is the whole reason KM
+# exists instead of a plain mean). The per-view duration comes from ONE
+# user-key window pass (min following purchase ts); the estimator
+# S(t) = prod(1 - d_i/n_i) is then computed WITHOUT any per-subject
+# iteration: duration-level counts (one aggregate), at-risk sets n(t)
+# as a descending cumulative sum over the duration-level frame, and the
+# product as exp of a cumulative log sum — every window after the event
+# scan runs on O(distinct durations) rows however many views exist.
+# Log-sum order is pinned by the window sort so the doubles agree
+# bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "kaplan_meier_churn",
+    sql="""
+    WITH nxt AS (
+        SELECT event_type, floor(epoch(ts))::BIGINT AS sec,
+               (SELECT floor(epoch(MAX(ts)))::BIGINT FROM events) AS h,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN floor(epoch(ts))::BIGINT END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY floor(epoch(ts))::BIGINT, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS p_sec
+        FROM events
+    ),
+    views AS (
+        SELECT CASE WHEN p_sec IS NOT NULL THEN (p_sec - sec) // 3600
+                    ELSE (h - sec) // 3600 END AS dur,
+               CASE WHEN p_sec IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM nxt WHERE event_type = 'view'
+    ),
+    lev AS (
+        SELECT dur, COUNT(*) AS n_all,
+               CAST(SUM(converted) AS BIGINT) AS d
+        FROM views GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(n_all) OVER (ORDER BY dur DESC) AS n_risk
+        FROM lev
+    )
+    SELECT dur AS t, d AS n_converted, CAST(n_risk AS BIGINT) AS n_at_risk,
+           ROUND(exp(SUM(ln(1 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY dur ASC)), 6) AS survival
+    FROM risk WHERE d > 0 AND d < n_risk
+    """,
+    doc="Kaplan-Meier time-to-conversion (view -> next purchase, hours, "
+    "horizon right-censoring): one user-key window for durations, then "
+    "duration-level aggregate, descending-cumsum at-risk sets, and the "
+    "product-limit via pinned-order log cumsum — all survival windows "
+    "on O(distinct durations) rows.",
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    horizon = ev.agg(F.max("sec").alias("h"))
+    wfwd = W.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    p_sec = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("sec"))
+    ).over(wfwd)
+    views = (
+        ev.withColumn("p_sec", p_sec)
+        .where(F.col("event_type") == "view")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_sec").isNotNull(),
+                F.floor((F.col("p_sec") - F.col("sec")) / 3600),
+            )
+            .otherwise(F.floor((F.col("h") - F.col("sec")) / 3600))
+            .alias("dur"),
+            F.col("p_sec").isNotNull().cast("int").alias("converted"),
+        )
+    )
+    lev = views.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("converted").cast("bigint").alias("d"),
+    )
+    wdesc = W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wasc = W.orderBy(F.asc("dur")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = lev.select(
+        "dur", "d", F.sum("n_all").over(wdesc).alias("n_risk")
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+            ).over(wasc)
+        ),
+        6,
+    )
+    return (
+        risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .select(
+            F.col("dur").alias("t"),
+            F.col("d").alias("n_converted"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            surv.alias("survival"),
+        )
+    )

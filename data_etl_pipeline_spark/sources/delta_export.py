@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame
@@ -241,8 +242,58 @@ def _write_cdc(dest: str, change_df, part_cols: list[str]) -> list[dict]:
     return actions
 
 
+def _prev_ict(dest: str, version: int) -> int | None:
+    """The predecessor commit's inCommitTimestamp, or None if the table
+    is not ICT (no commitInfo.inCommitTimestamp on version-1)."""
+    prev = os.path.join(dest, "_delta_log", f"{version - 1:020d}.json")
+    if not os.path.isfile(prev):
+        return None
+    with open(prev) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("inCommitTimestamp")
+                return int(ts) if ts is not None else None
+            return None  # ICT requires commitInfo FIRST; absent -> not ICT
+    return None
+
+
 def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
-    """Atomically publish one commit file (tmp write + rename)."""
+    """Atomically publish one commit file (tmp write + rename).
+
+    IN-COMMIT TIMESTAMPS (delta.io PROTOCOL.md "In-Commit Timestamps",
+    writer feature ``inCommitTimestamp``): when the table was created
+    with ICT enabled, EVERY commit must carry a ``commitInfo`` as its
+    FIRST action with a strictly monotonically increasing
+    ``inCommitTimestamp``. The flag self-propagates here — version 0
+    declares it via table configuration, and every later commit stamps
+    itself iff its predecessor did — so no lifecycle call site needs to
+    thread the option."""
+    if version == 0:
+        ict = any(
+            "metaData" in a
+            and (a["metaData"].get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            )
+            == "true"
+            for a in actions
+        )
+        prev_ts = -1
+    else:
+        p = _prev_ict(dest, version)
+        ict, prev_ts = p is not None, (p if p is not None else -1)
+    if ict:
+        ts = max(int(time.time() * 1000), prev_ts + 1)
+        info = next((a for a in actions if "commitInfo" in a), None)
+        if info is None:
+            info = {"commitInfo": {}}
+        else:
+            actions = [a for a in actions if a is not info]
+        info["commitInfo"]["inCommitTimestamp"] = ts
+        info["commitInfo"].setdefault("timestamp", ts)
+        actions = [info, *actions]
     commit = os.path.join(dest, "_delta_log", f"{version:020d}.json")
     tmp = commit + ".tmp"
     with open(tmp, "w") as fh:
@@ -257,6 +308,7 @@ def export_delta(
     partition_by: list[str] | None = None,
     cdf: bool = False,
     constraints: dict[str, str] | None = None,
+    ict: bool = False,
 ) -> dict:
     """Write ``df`` as a new single-commit Delta table at ``dest``.
 
@@ -280,6 +332,15 @@ def export_delta(
     rows in one aggregation and refuses before writing a byte if any
     row fails — the schema-quality gate a publishing pipeline wants at
     the lakehouse boundary.
+
+    ``ict=True`` enables IN-COMMIT TIMESTAMPS (PROTOCOL.md writer
+    feature ``inCommitTimestamp``, table-features protocol
+    ``minWriterVersion 7``): every commit carries an authoritative,
+    strictly monotonic ``commitInfo.inCommitTimestamp`` as its first
+    action, so ``timestampAsOf`` time travel no longer depends on log
+    file modification times — which object stores and log copies do
+    not preserve. Subsequent appends/merges stamp themselves
+    automatically (see ``_write_commit``).
     """
     dest = dest.rstrip("/")
     constraints = dict(constraints or {})
@@ -317,9 +378,25 @@ def export_delta(
         cfg["delta.enableChangeDataFeed"] = "true"
     for name, expr in sorted(constraints.items()):
         cfg[f"delta.constraints.{name}"] = expr
-    writer_v = 4 if cdf else (3 if constraints else 2)
+    if ict:
+        cfg["delta.enableInCommitTimestamps"] = "true"
+        # writer feature => table-features protocol; legacy features in
+        # use must then be listed explicitly (PROTOCOL.md feature rules)
+        feats = ["inCommitTimestamp"]
+        if cdf:
+            feats.append("changeDataFeed")
+        if constraints:
+            feats.append("checkConstraints")
+        protocol: dict = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+    else:
+        writer_v = 4 if cdf else (3 if constraints else 2)
+        protocol = {"minReaderVersion": 1, "minWriterVersion": writer_v}
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": "export-" + hashlib.md5(dest.encode()).hexdigest()[:12],
@@ -395,14 +472,22 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                     continue
                 a = json.loads(line)
                 if "protocol" in a:
-                    # writer 2 = plain export; writer 4 = CDF-enabled export
-                    # (change data feed requires minWriterVersion 4)
-                    # writer 2 = plain, 3 = CHECK constraints, 4 = CDF
-                    if a["protocol"] not in (
+                    # writer 2 = plain, 3 = CHECK constraints, 4 = CDF;
+                    # writer 7 = table features, accepted only when every
+                    # listed feature is one this exporter itself writes
+                    p = a["protocol"]
+                    ok = p in (
                         {"minReaderVersion": 1, "minWriterVersion": 2},
                         {"minReaderVersion": 1, "minWriterVersion": 3},
                         {"minReaderVersion": 1, "minWriterVersion": 4},
-                    ):
+                    ) or (
+                        p.get("minReaderVersion") == 1
+                        and p.get("minWriterVersion") == 7
+                        and set(p.get("writerFeatures") or [])
+                        <= {"inCommitTimestamp", "changeDataFeed", "checkConstraints"}
+                        and sorted(p) == ["minReaderVersion", "minWriterVersion", "writerFeatures"]
+                    )
+                    if not ok:
                         raise DeltaExportError(
                             f"{dest} uses protocol {a['protocol']}; refusing to "
                             "append to a table this exporter did not create"

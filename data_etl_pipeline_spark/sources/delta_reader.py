@@ -633,13 +633,19 @@ class DeltaLogReader:
     # -- timestamp time travel ----------------------------------------------
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Latest version whose commit timestamp is <= ``ts_ms`` — the
-        ``timestampAsOf`` contract. A commit's timestamp is its log
-        file's modification time, adjusted to be strictly monotonic
-        across versions exactly as Delta does (a clock-skewed commit
-        inherits predecessor+1ms, so later versions never resolve
-        earlier). Versions whose JSON was trimmed behind a checkpoint
-        carry no timestamp: a request before the earliest surviving
-        commit refuses rather than guessing.
+        ``timestampAsOf`` contract. A commit's timestamp is its
+        ``commitInfo.inCommitTimestamp`` when the commit carries one
+        (the In-Commit Timestamps writer feature, PROTOCOL.md: the
+        AUTHORITATIVE time; file mtimes on object stores and log copies
+        do not survive transfer and MUST be ignored for ICT commits),
+        else its log file's modification time. Either way the sequence
+        is adjusted to be strictly monotonic across versions exactly as
+        Delta does (a clock-skewed commit inherits predecessor+1ms, so
+        later versions never resolve earlier; a mixed mtime/ICT log —
+        ICT enabled mid-history — stays ordered by the same rule).
+        Versions whose JSON was trimmed behind a checkpoint carry no
+        timestamp: a request before the earliest surviving commit
+        refuses rather than guessing.
         """
         commits, _cps = self._scan()
         if not commits:
@@ -650,7 +656,10 @@ class DeltaLogReader:
         stamped: list[tuple[int, int]] = []
         prev = -1
         for v in sorted(commits):
-            raw = int(os.stat(os.path.join(self._log_dir, f"{v:020d}.json")).st_mtime * 1000)
+            p = os.path.join(self._log_dir, f"{v:020d}.json")
+            raw = self._ict_of(p)
+            if raw is None:
+                raw = int(os.stat(p).st_mtime * 1000)
             eff = max(raw, prev + 1)
             stamped.append((v, eff))
             prev = eff
@@ -661,6 +670,22 @@ class DeltaLogReader:
                 f"of {self.path} (version {stamped[0][0]} at {stamped[0][1]})"
             )
         return max(eligible)
+
+    @staticmethod
+    def _ict_of(json_path: str) -> int | None:
+        """``commitInfo.inCommitTimestamp`` of a commit file, or None.
+        ICT requires commitInfo to be the FIRST action, but foreign
+        writers put commitInfo anywhere on non-ICT tables, so the whole
+        file is scanned for it (first commitInfo wins)."""
+        with open(json_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = (a["commitInfo"] or {}).get("inCommitTimestamp")
+                    return int(ts) if ts is not None else None
+        return None
 
     def read_as_of_timestamp(self, ts_ms: int) -> DataFrame:
         return self.read(self.version_at_timestamp(ts_ms))

@@ -908,3 +908,101 @@ def test_replace_where_matches_hive_encoded_bool_partitions(spark, tmp_path):
     assert res["removed_files"] > 0, "old true-partition files must be removed"
     back = {(r.id, r.flag) for r in DeltaLogReader(spark, dest).read().collect()}
     assert back == {(2, False), (10, True)}
+
+
+# ---------------------------------------------------------------------------
+# In-Commit Timestamps (writer feature `inCommitTimestamp`)
+# ---------------------------------------------------------------------------
+def _read_commit_actions(dest, v):
+    import json
+
+    with open(os.path.join(dest, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def test_ict_stamps_every_lifecycle_commit(spark, sf_dir, tmp_path):
+    """ICT self-propagates: create, append, merge, delete all carry a
+    strictly increasing inCommitTimestamp as the FIRST action."""
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+        export_delta_merge,
+    )
+    from data_etl_pipeline_spark.tables import load as _load
+
+    base = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dest = str(tmp_path / "ict_lifecycle")
+    export_delta(base.where("o_orderkey < 300"), dest, cdf=True, ict=True)
+    export_delta_append(base.where("o_orderkey >= 300 and o_orderkey < 600"), dest)
+    export_delta_merge(
+        spark,
+        base.where("o_orderkey < 100").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        dest,
+        keys=["o_orderkey"],
+    )
+    export_delta_delete(spark, dest, "o_orderkey % 7 = 0")
+    prev = -1
+    for v in range(4):
+        actions = _read_commit_actions(dest, v)
+        assert "commitInfo" in actions[0], f"v{v}: commitInfo not first"
+        ts = actions[0]["commitInfo"]["inCommitTimestamp"]
+        assert ts > prev, f"v{v}: ICT not strictly increasing"
+        prev = ts
+    proto = next(a["protocol"] for a in _read_commit_actions(dest, 0) if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {"changeDataFeed", "inCommitTimestamp"}
+
+
+def test_non_ict_tables_unchanged(spark, sf_dir, tmp_path):
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.tables import load as _load
+
+    base = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    dest = str(tmp_path / "no_ict")
+    export_delta(base.where("o_orderkey < 200"), dest)
+    export_delta_append(base.where("o_orderkey >= 200 and o_orderkey < 400"), dest)
+    for v in range(2):
+        for a in _read_commit_actions(dest, v):
+            assert "commitInfo" not in a or "inCommitTimestamp" not in a.get(
+                "commitInfo", {}
+            )
+
+
+def test_reader_mixed_log_monotonic(spark, sf_dir, tmp_path):
+    """A log whose early commits are mtime-stamped and later commits
+    ICT-stamped must still resolve in version order (Delta's
+    clock-skew/monotonic rule applied across the boundary)."""
+    import json
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.tables import load as _load
+
+    base = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    dest = str(tmp_path / "mixed")
+    export_delta(base.where("o_orderkey < 200"), dest, ict=True)
+    export_delta_append(base.where("o_orderkey >= 200 and o_orderkey < 400"), dest)
+    # strip v0's commitInfo -> v0 falls back to mtime, v1 keeps its ICT
+    p0 = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    with open(p0) as fh:
+        keep = [ln for ln in fh if ln.strip() and "commitInfo" not in json.loads(ln)]
+    with open(p0, "w") as fh:
+        fh.writelines(keep)
+    # v0 mtime far in the future (clock skew): v1's ICT is in the past
+    # relative to it, so only the monotonic rule keeps order correct
+    far = 4_000_000_000
+    os.utime(p0, (far, far))
+    reader = DeltaLogReader(spark, dest)
+    assert reader.version_at_timestamp(far * 1000) == 0
+    assert reader.version_at_timestamp(far * 1000 + 1) == 1

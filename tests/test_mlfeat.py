@@ -117,3 +117,41 @@ def test_vocab_coverage_tight(spark, sf_dir):
     assert row.vocab_kept <= row.total_vocab
     covered = row.coverage * row.total_mass
     assert (covered - row.f_star) / row.total_mass < 0.95
+
+
+def test_sorted_neighborhood_candidate_volume_linear(spark, sf_dir):
+    """Candidate generation is <= w*n (w=3) — the whole point of SN
+    blocking — and every emitted pair respects the distance gate."""
+    from data_etl_pipeline_spark.tables import load as _load
+
+    rows = _run("sorted_neighborhood_pairs", spark, sf_dir).collect()
+    assert rows
+    n = _load(spark, sf_dir, "part").count()
+    assert sum(r.n_pairs for r in rows) <= 3 * n
+    for r in rows:
+        assert r.dist <= 4
+        assert r.name_a[:2] == r.name_b[:2]  # same block
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        _run("kaplan_meier_churn", spark, sf_dir).collect(), key=lambda r: r.t
+    )
+    assert rows
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0 < r.survival <= prev_s + 1e-9, "survival must be non-increasing"
+        assert 0 < r.n_converted < r.n_at_risk
+        if prev_risk is not None:
+            assert r.n_at_risk <= prev_risk, "risk set shrinks over time"
+        prev_s, prev_risk = r.survival, r.n_at_risk
+
+
+def test_kaplan_meier_censoring_present(spark, sf_dir):
+    """The horizon must right-censor SOME views (otherwise KM reduces to
+    a plain CDF and the estimator isn't being exercised): at-risk count
+    at the first event time exceeds total conversions."""
+    rows = _run("kaplan_meier_churn", spark, sf_dir).collect()
+    total_converted = sum(r.n_converted for r in rows)
+    max_risk = max(r.n_at_risk for r in rows)
+    assert max_risk > total_converted, "no censored subjects reached the estimator"
