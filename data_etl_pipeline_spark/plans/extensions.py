@@ -2841,6 +2841,102 @@ def delta_interop_ict_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GENERATED COLUMNS (PROTOCOL.md delta.generationExpression) driving
+# PARTITION-FILTER DERIVATION — the optimization that makes the classic
+# "partition by CAST(date_trunc('month', ts) AS DATE)" layout usable
+# without callers ever naming the partition column: a predicate on the
+# BASE timestamp derives the implied partition predicate (monotone
+# generation, strict ops weakened to inclusive). To prove it is the
+# DERIVATION pruning — not per-file stats, which a month layout would
+# satisfy anyway — the fixture STRIPS every add's stats from the log,
+# the shape foreign writers that omit stats produce. live_files counts
+# assert real pruning; the filtered read's aggregate is the oracle gate.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_interop_generated_partition_read",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="Generated-column partition pruning: a month partition derived "
+    "from the base timestamp (delta.generationExpression), partition "
+    "filters DERIVED from base-column predicates with stats stripped "
+    "from the log — pruning asserted on file counts, snapshot oracle-"
+    "checked; appends recompute the generated column and refuse "
+    "mismatched values.",
+)
+def delta_interop_generated_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        DeltaExportError,
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).where("o_orderkey < 2000")
+    gen_expr = "CAST(date_trunc('month', o_orderdate) AS DATE)"
+    dest = tempfile.mkdtemp(prefix="genpart_") + "/table"
+    export_delta(
+        base.where("o_orderkey < 1500"),
+        dest,
+        partition_by=["o_month"],
+        generated={"o_month": gen_expr},
+    )
+    # append WITHOUT the generated column: the writer must recompute it;
+    # then prove a WRONG value refuses (the protocol's enforcement rule)
+    export_delta_append(base.where("o_orderkey >= 1500"), dest)
+    bad = base.where("o_orderkey = 10").withColumn(
+        "o_month", F.expr("DATE '1970-01-01'")
+    )
+    try:
+        export_delta_append(bad, dest)
+        raise AssertionError("mismatched generated value must refuse")
+    except DeltaExportError:
+        pass
+
+    # strip every add's stats: pruning below can only come from DERIVED
+    # partition filters (foreign writers routinely omit stats)
+    log_dir = _os.path.join(dest, "_delta_log")
+    for f in sorted(_os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        p = _os.path.join(log_dir, f)
+        out = []
+        for line in open(p):
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            out.append(_json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+
+    reader = DeltaLogReader(spark, dest)
+    n_all = len(reader.live_files())
+    flt = [("o_orderdate", ">=", "1996-01-01")]
+    n_pruned = len(reader.live_files(filters=flt))
+    assert n_pruned < n_all, (n_pruned, n_all)
+    # equality on the base column prunes to (at most) one month's files
+    n_eq = len(reader.live_files(filters=[("o_orderdate", "=", "1996-06-15")]))
+    assert n_eq < n_pruned, (n_eq, n_pruned)
+    got = reader.read(filters=flt).drop("o_month")
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Delta interop, COLUMN MAPPING (mode 'name'): the fixture table stores
 # PHYSICAL column names (col-1/col-2) in its parquet files and partition
 # values — the on-disk shape any Delta table acquires after a column

@@ -302,6 +302,31 @@ def _write_commit(dest: str, version: int, actions: list[dict]) -> None:
     os.rename(tmp, commit)
 
 
+def _generation_exprs(meta: dict) -> dict[str, str]:
+    """{column -> generation expression} from the schemaString's field
+    metadata (``delta.generationExpression``, PROTOCOL.md Generated
+    Columns)."""
+    try:
+        fields = json.loads(meta["schemaString"])["fields"]
+    except (KeyError, TypeError, ValueError):
+        return {}
+    return {
+        f["name"]: (f.get("metadata") or {})["delta.generationExpression"]
+        for f in fields
+        if "delta.generationExpression" in (f.get("metadata") or {})
+    }
+
+
+def _strip_field_metadata(schema_json: str) -> str:
+    """Schema comparison key with field metadata removed — generated
+    tables carry generationExpression metadata the incoming frame's
+    schema lacks."""
+    sch = json.loads(schema_json)
+    for f in sch.get("fields", []):
+        f["metadata"] = {}
+    return json.dumps(sch, sort_keys=True)
+
+
 def export_delta(
     df: DataFrame,
     dest: str,
@@ -309,6 +334,7 @@ def export_delta(
     cdf: bool = False,
     constraints: dict[str, str] | None = None,
     ict: bool = False,
+    generated: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as a new single-commit Delta table at ``dest``.
 
@@ -341,9 +367,28 @@ def export_delta(
     file modification times — which object stores and log copies do
     not preserve. Subsequent appends/merges stamp themselves
     automatically (see ``_write_commit``).
+
+    ``generated`` declares GENERATED COLUMNS (PROTOCOL.md
+    ``delta.generationExpression``, writer version >= 4): each
+    ``{name: spark_sql_expr}`` column is materialized from the incoming
+    frame and its expression recorded in the schema's field metadata.
+    Partition a table by a generated column (the classic
+    ``CAST(date_trunc('month', ts) AS DATE)`` layout) and
+    ``DeltaLogReader`` DERIVES partition filters from predicates on the
+    BASE column — partition pruning without the caller ever naming the
+    partition column, which is the optimization that makes date-derived
+    layouts usable at 100 TB. Appends recompute missing generated
+    columns and refuse mismatched ones (the protocol's enforcement
+    rule).
     """
     dest = dest.rstrip("/")
     constraints = dict(constraints or {})
+    generated = dict(generated or {})
+    if generated:
+        from pyspark.sql import functions as _F
+
+        for name, expr in generated.items():
+            df = df.withColumn(name, _F.expr(expr))
     _validate_constraints(df, constraints)
     log_dir = os.path.join(dest, "_delta_log")
     if os.path.isdir(log_dir):
@@ -387,21 +432,32 @@ def export_delta(
             feats.append("changeDataFeed")
         if constraints:
             feats.append("checkConstraints")
+        if generated:
+            feats.append("generatedColumns")
         protocol: dict = {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
             "writerFeatures": sorted(feats),
         }
     else:
-        writer_v = 4 if cdf else (3 if constraints else 2)
+        writer_v = 4 if (cdf or generated) else (3 if constraints else 2)
         protocol = {"minReaderVersion": 1, "minWriterVersion": writer_v}
+    schema_string = df.schema.json()
+    if generated:
+        sch = json.loads(schema_string)
+        for f in sch["fields"]:
+            if f["name"] in generated:
+                f.setdefault("metadata", {})["delta.generationExpression"] = generated[
+                    f["name"]
+                ]
+        schema_string = json.dumps(sch)
     actions = [
         {"protocol": protocol},
         {
             "metaData": {
                 "id": "export-" + hashlib.md5(dest.encode()).hexdigest()[:12],
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema_string,
                 "partitionColumns": partition_by,
                 "configuration": cfg,
                 "createdTime": int(os.stat(dest).st_mtime * 1000),
@@ -484,7 +540,12 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                         p.get("minReaderVersion") == 1
                         and p.get("minWriterVersion") == 7
                         and set(p.get("writerFeatures") or [])
-                        <= {"inCommitTimestamp", "changeDataFeed", "checkConstraints"}
+                        <= {
+                            "inCommitTimestamp",
+                            "changeDataFeed",
+                            "checkConstraints",
+                            "generatedColumns",
+                        }
                         and sorted(p) == ["minReaderVersion", "minWriterVersion", "writerFeatures"]
                     )
                     if not ok:
@@ -541,7 +602,26 @@ def export_delta_append(
     meta, versions, _existing, txns = _read_own_log(dest)
     if app_id is not None and txn_version <= txns.get(app_id, -1):
         return {"version": None, "n_files": 0, "bytes": 0, "skipped": True}
-    if df.schema.json() != meta["schemaString"]:
+    gen = _generation_exprs(meta)
+    if gen:
+        from pyspark.sql import functions as _F
+
+        for name, expr in gen.items():
+            if name not in df.columns:
+                # the protocol's writer rule: absent generated columns are
+                # COMPUTED from their expression
+                df = df.withColumn(name, _F.expr(expr))
+            else:
+                # present values must EQUAL the expression (null-safe)
+                bad = df.where(f"NOT (({name}) <=> ({expr}))").count()
+                if bad:
+                    raise DeltaExportError(
+                        f"append violates generated column {name!r}: {bad} "
+                        f"row(s) disagree with {expr!r}"
+                    )
+    if _strip_field_metadata(df.schema.json()) != _strip_field_metadata(
+        meta["schemaString"]
+    ):
         raise DeltaExportError(
             "append schema differs from the exported table's schema; "
             "export a new table instead of evolving this one"

@@ -469,8 +469,92 @@ class DeltaLogReader:
             return False  # incomparable stats never justify a skip
         return False
 
+    @staticmethod
+    def _generation_map(meta: dict) -> dict[str, tuple[str, str]]:
+        """{partition_col: (base_col, kind)} for partition columns whose
+        ``delta.generationExpression`` (PROTOCOL.md Generated Columns) has
+        a recognized MONOTONIC shape — the precondition for deriving
+        partition filters from base-column predicates. Kinds: ``day``
+        (CAST(x AS DATE)), ``month``/``year``/``week`` (date_trunc cast
+        to date), ``year_int`` (year(x)). Unrecognized expressions are
+        simply not derived from (never wrong, just unpruned)."""
+        try:
+            fields = json.loads(meta["schemaString"])["fields"]
+        except (KeyError, TypeError, ValueError):
+            return {}
+        part = set(meta.get("partitionColumns") or [])
+        out: dict[str, tuple[str, str]] = {}
+        for f in fields:
+            if f.get("name") not in part:
+                continue
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if not isinstance(expr, str):
+                continue
+            e = " ".join(expr.lower().split())
+            m = re.fullmatch(r"cast\((\w+) as date\)", e)
+            if m:
+                out[f["name"]] = (m.group(1), "day")
+                continue
+            m = re.fullmatch(
+                r"cast\(date_trunc\('(year|month|week|day)', (\w+)\) as date\)", e
+            )
+            if m:
+                out[f["name"]] = (m.group(2), m.group(1))
+                continue
+            m = re.fullmatch(r"year\((\w+)\)", e)
+            if m:
+                out[f["name"]] = (m.group(1), "year_int")
+        return out
+
+    @staticmethod
+    def _derive_partition_filters(filters, gen: dict[str, tuple[str, str]]):
+        """Extra (partition_col, op, literal) filters implied by filters
+        on generated columns' BASE columns. For a monotone non-decreasing
+        generation g: c = v implies g(c) = g(v); c < v implies
+        g(c) <= g(v); c > v implies g(c) >= g(v) — strict ops weaken to
+        inclusive ones. Date literals serialize as ISO strings, whose
+        lexicographic order is chronological, matching the Hive partition
+        value strings the log stores."""
+        import datetime as _dt
+
+        def as_date(v):
+            if isinstance(v, _dt.datetime):
+                return v.date()
+            if isinstance(v, _dt.date):
+                return v
+            if isinstance(v, str):
+                try:
+                    return _dt.date.fromisoformat(v[:10])
+                except ValueError:
+                    return None
+            return None
+
+        weaken = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+        derived = []
+        for col, op, v in filters:
+            if op not in weaken:
+                continue
+            for pcol, (base, kind) in gen.items():
+                if base != col:
+                    continue
+                d = as_date(v)
+                if d is None:
+                    continue
+                if kind == "year_int":
+                    derived.append((pcol, weaken[op], d.year))
+                    continue
+                if kind == "month":
+                    d = d.replace(day=1)
+                elif kind == "year":
+                    d = d.replace(month=1, day=1)
+                elif kind == "week":
+                    d = d - _dt.timedelta(days=d.weekday())
+                derived.append((pcol, weaken[op], d.isoformat()))
+        return derived
+
     def _prune_adds(
-        self, adds: list[dict], filters, part_cols: list[str], phys: dict
+        self, adds: list[dict], filters, part_cols: list[str], phys: dict,
+        gen: dict[str, tuple[str, str]] | None = None,
     ) -> list[dict]:
         """Drop add files whose footer stats (Delta per-file ``stats``
         JSON) or partition literals PROVE no row can match every filter —
@@ -478,7 +562,14 @@ class DeltaLogReader:
         stats never skip; the same predicates are ALWAYS re-applied in the
         plan, so skipping is a pure pruning optimization whose worst case
         is reading a file the filter then empties (comparison predicates
-        never match NULL, so null partition values are skippable)."""
+        never match NULL, so null partition values are skippable).
+
+        ``gen`` (from ``_generation_map``) additionally derives partition
+        filters from base-column predicates — pruning a generated-layout
+        table even when its files carry no stats at all (foreign writers
+        routinely omit them)."""
+        if gen:
+            filters = list(filters) + self._derive_partition_filters(filters, gen)
         out = []
         for add in adds:
             stats = None
@@ -527,7 +618,7 @@ class DeltaLogReader:
         meta, adds = self._replay(version)
         _schema, part_cols, phys, *_rest = self._schema_plan(meta)
         if filters:
-            adds = self._prune_adds(adds, filters, part_cols, phys)
+            adds = self._prune_adds(adds, filters, part_cols, phys, self._generation_map(meta))
         return sorted(unquote(a["path"]) for a in adds)
 
     # -- snapshot read ------------------------------------------------------
@@ -573,7 +664,7 @@ class DeltaLogReader:
         }
         cond = None
         if filters:
-            adds = self._prune_adds(adds, filters, part_cols, phys)
+            adds = self._prune_adds(adds, filters, part_cols, phys, self._generation_map(meta))
             for col, op, v in filters:
                 c = ops[op](F.col(col), F.lit(v))
                 cond = c if cond is None else cond & c

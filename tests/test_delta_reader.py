@@ -1023,3 +1023,65 @@ class TestColumnPruning:
         out = DeltaLogReader(spark, tbl).read(columns=["val"])
         assert out.columns == ["val"]
         assert sorted(r["val"] for r in out.collect()) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# Generated-column partition-filter derivation
+# ---------------------------------------------------------------------------
+def test_generation_map_recognizes_monotone_shapes():
+    import json as _json
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    def meta_for(expr, name="g"):
+        fields = [
+            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+            {
+                "name": name,
+                "type": "date",
+                "nullable": True,
+                "metadata": {"delta.generationExpression": expr},
+            },
+        ]
+        return {
+            "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [name],
+        }
+
+    gm = DeltaLogReader._generation_map
+    assert gm(meta_for("CAST(ts AS DATE)")) == {"g": ("ts", "day")}
+    assert gm(meta_for("CAST(date_trunc('month', ts) AS DATE)")) == {
+        "g": ("ts", "month")
+    }
+    assert gm(meta_for("cast(DATE_TRUNC('week',   ts) as date)")) == {
+        "g": ("ts", "week")
+    }
+    assert gm(meta_for("year(ts)")) == {"g": ("ts", "year_int")}
+    # unrecognized (non-monotone or unknown) shapes derive nothing
+    assert gm(meta_for("month(ts)")) == {}
+    assert gm(meta_for("ts + interval 1 day")) == {}
+    # a generated NON-partition column derives nothing
+    m = meta_for("CAST(ts AS DATE)")
+    m["partitionColumns"] = []
+    assert gm(m) == {}
+
+
+def test_derive_partition_filters_ops_and_boundaries():
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    d = DeltaLogReader._derive_partition_filters
+    gen = {"m": ("ts", "month")}
+    # strict ops weaken to inclusive: 1996-03-15 < means month <= 1996-03
+    assert d([("ts", "<", "1996-03-15")], gen) == [("m", "<=", "1996-03-01")]
+    assert d([("ts", ">", "1996-03-15 23:00:00")], gen) == [("m", ">=", "1996-03-01")]
+    assert d([("ts", "=", "1996-03-15")], gen) == [("m", "=", "1996-03-01")]
+    # week truncation: Monday of the ISO week
+    wk = {"w": ("ts", "week")}
+    assert d([("ts", "=", "2024-01-07")], wk) == [("w", "=", "2024-01-01")]  # Sunday
+    assert d([("ts", "=", "2024-01-08")], wk) == [("w", "=", "2024-01-08")]  # Monday
+    # year_int derives an integer literal
+    yr = {"y": ("ts", "year_int")}
+    assert d([("ts", ">=", "1997-06-01")], yr) == [("y", ">=", 1997)]
+    # filters on other columns and unparseable literals derive nothing
+    assert d([("other", "=", "1996-03-15")], gen) == []
+    assert d([("ts", "=", "not-a-date")], gen) == []
