@@ -4292,3 +4292,129 @@ def delta_export_check_constraints(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 pyspark.sql.datasource API): the
+# batch-results JSONL layout as a first-class format with one
+# InputPartition per shard file and pushFilters() pruning whole files
+# on shard predicates (sources/pysource.py). The fixture derives rows
+# from orders with engine-portable hashing so the oracle recomputes the
+# identical shard assignment in SQL; pushdown is asserted both at the
+# planner surface (reader partitions shrink) and end-to-end through
+# spark.sql.python.filterPushdown.enabled.
+# ---------------------------------------------------------------------------
+@query(
+    "pysource_batch_results",
+    sql="""
+    WITH src AS (
+        SELECT 'o-' || CAST(o_orderkey AS VARCHAR) AS custom_id,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+               o_orderkey % 1000 AS n_tokens
+        FROM orders WHERE o_orderkey < 800
+    )
+    SELECT (('0x' || substr(md5(custom_id), 1, 8))::BIGINT % 4) AS shard,
+           status, COUNT(*) AS n,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM src GROUP BY 1, 2
+    """,
+    doc="Spark 4 Python Data Source: batch-results JSONL as a native "
+    "format - per-shard-file InputPartitions (executor-local parsing), "
+    "pushFilters() file skipping on shard predicates, registered via "
+    "spark.dataSource.register. Oracle recomputes the md5 shard "
+    "assignment in SQL.",
+)
+def pysource_batch_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from data_etl_pipeline_spark.sources import pysource
+
+    rows = [
+        (
+            f"o-{r.o_orderkey}",
+            "error" if r.o_orderkey % 7 == 0 else "ok",
+            int(r.o_orderkey % 1000),
+            f"resp-{r.o_orderkey}",
+        )
+        for r in load(spark, sf_dir, "orders")
+        .where("o_orderkey < 800")
+        .select("o_orderkey")
+        .collect()  # bounded: < 800 ids by construction
+    ]
+    d = tempfile.mkdtemp(prefix="pysrc_results_")
+    pysource.write_result_fixture(rows, d, n_shards=4)
+
+    # planner-surface proof: a pushed shard equality prunes to ONE file
+    probe = pysource.BatchResultsReader({"path": d})
+    leftover = list(probe.pushFilters([EqualTo(("shard",), 2)]))
+    assert leftover == [] and [p.shard for p in probe.partitions()] == [2]
+
+    pysource.register(spark)
+
+    def fresh() -> DataFrame:
+        # one relation per use: pushdown mutates the relation's reader at
+        # planning time, so a filtered probe must not share its relation
+        # with the full-scan aggregate
+        return spark.read.format("batch_results").option("path", d).load()
+
+    # end-to-end: the same pruning runs inside Spark's planner (the
+    # session enables spark.sql.python.filterPushdown.enabled), and the
+    # full read agrees with the fixture row count
+    assert fresh().where("shard = 2").count() == sum(
+        1
+        for cid, *_ in rows
+        if int(__import__("hashlib").md5(cid.encode()).hexdigest()[:8], 16) % 4 == 2
+    )
+    return fresh().groupBy("shard", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass observed metrics (df.observe): data-quality counters ride
+# the SAME job as the business aggregate — zero extra scans, which at
+# 100 TB is the difference between "audited" and "audited at double
+# cost". The in-query assert recomputes the counters with a second
+# (test-only) pass and cross-checks the Observation values Spark
+# collected as accumulator-style metrics during the one action.
+# ---------------------------------------------------------------------------
+@query(
+    "observed_quality_metrics",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="df.observe() quality counters (row count, high-value count, "
+    "null-key count) collected during the SAME action as the status "
+    "rollup - no second scan; Observation values cross-checked in-query "
+    "against an independent recomputation.",
+)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = load(spark, sf_dir, "orders")
+    obs = Observation("order_quality")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") > 100000).cast("long")).alias("n_high_value"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+    )
+    agg = observed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    local = agg.collect()  # ONE action: rollup computed, metrics observed
+    m = obs.get
+    want_rows = sum(r.n for r in local)
+    want_high = orders.where("o_totalprice > 100000").count()  # audit-only pass
+    assert m["n_rows"] == want_rows, (m, want_rows)
+    assert m["n_high_value"] == want_high, (m, want_high)
+    assert m["n_null_cust"] == 0, m
+    return agg

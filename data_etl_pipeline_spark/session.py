@@ -32,6 +32,11 @@ def get_spark(app_name: str = "data_etl_pipeline_spark", cpus: int | None = None
         # streaming casts to TIMESTAMP at the watermark boundary only).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source API (Spark 4): let custom sources implementing
+        # pushFilters() prune at the source (sources/pysource.py skips whole
+        # shard files). Only affects Python data sources; off by default in
+        # 4.1 purely for rollout caution.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,172 @@
+"""Custom PySpark DataSource (Spark 4 Python Data Source API) for the
+batch-results JSONL layout — the engine's S10 surface re-expressed as a
+first-class ``spark.read.format(...)`` source.
+
+The reference polls batch-job result files (JSONL, one response object
+per line; SURVEY S10) and its pipeline consumes them as a table. The
+existing ``sources/jsonl.py`` reads them with DataFrame primitives; this
+module registers the same layout as a NATIVE Spark source through the
+official ``pyspark.sql.datasource`` API, which buys three things the
+ad-hoc reader cannot express:
+
+  * PARTITIONED SCANS: one ``InputPartition`` per shard file, so a
+    directory of N files reads with N-way parallelism and executor-local
+    line parsing (``read`` runs on executors, never the driver);
+  * FILTER PUSHDOWN (``pushFilters``, Spark 4.1): predicates on the
+    ``shard`` column prune whole FILES before a byte is read — the
+    file-skipping shape every lakehouse source implements, here at the
+    Python source boundary (equality, range and IN filters accepted;
+    everything else is returned for Spark to evaluate post-scan);
+  * SQL/format ergonomics: ``spark.read.format("batch_results")`` works
+    anywhere a built-in format does, including SQL ``CREATE TABLE ...
+    USING batch_results`` in a real deployment.
+
+Shard files are named ``part-<shard>.jsonl``; the shard id is also a
+column (the source derives it from the file name, so a pushed filter and
+the column always agree). Scale note: ``partitions()`` lists the
+directory on the driver — O(files) names, no file contents — and each
+executor parses only its own shard's lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_SCHEMA = (
+    "shard int, custom_id string, status string, n_tokens bigint, body string"
+)
+
+
+def write_result_fixture(rows, out_dir: str, n_shards: int = 4) -> list[str]:
+    """Deterministic batch-results fixture: rows = (custom_id, status,
+    n_tokens, body); shard = stable hash of custom_id. Driver-side by
+    design — it builds small test/demo inputs, not production data."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards: dict[int, list[str]] = {s: [] for s in range(n_shards)}
+    for cid, status, n_tokens, body in rows:
+        s = int(hashlib.md5(str(cid).encode()).hexdigest()[:8], 16) % n_shards
+        shards[s].append(
+            json.dumps(
+                {"custom_id": cid, "status": status, "n_tokens": n_tokens, "body": body}
+            )
+        )
+    paths = []
+    for s, lines in shards.items():
+        p = os.path.join(out_dir, f"part-{s}.jsonl")
+        with open(p, "w") as fh:
+            fh.write("\n".join(sorted(lines)) + ("\n" if lines else ""))
+        paths.append(p)
+    return sorted(paths)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str, shard: int):
+        self.path = path
+        self.shard = shard
+
+
+class BatchResultsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("batch_results requires .option('path', <dir>)")
+        # shard bounds narrowed by pushed filters; None = unbounded
+        self._eq: set[int] | None = None
+        self._lo: int | None = None
+        self._lo_strict = False
+        self._hi: int | None = None
+        self._hi_strict = False
+
+    # -- filter pushdown ----------------------------------------------------
+    def pushFilters(self, filters: list[Filter]):
+        """Accept shard-column comparisons (whole-file pruning); return
+        every other filter for Spark to evaluate after the scan."""
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("shard",):
+                if isinstance(f, EqualTo):
+                    vals = {int(f.value)}
+                    self._eq = vals if self._eq is None else (self._eq & vals)
+                    continue
+                if isinstance(f, In):
+                    vals = {int(v) for v in f.value}
+                    self._eq = vals if self._eq is None else (self._eq & vals)
+                    continue
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    v = int(f.value)
+                    if self._lo is None or v >= self._lo:
+                        self._lo, self._lo_strict = v, isinstance(f, GreaterThan)
+                    continue
+                if isinstance(f, (LessThan, LessThanOrEqual)):
+                    v = int(f.value)
+                    if self._hi is None or v <= self._hi:
+                        self._hi, self._hi_strict = v, isinstance(f, LessThan)
+                    continue
+            yield f  # unsupported: Spark evaluates it post-scan
+
+    def _keep_shard(self, s: int) -> bool:
+        if self._eq is not None and s not in self._eq:
+            return False
+        if self._lo is not None and (s < self._lo or (self._lo_strict and s == self._lo)):
+            return False
+        if self._hi is not None and (s > self._hi or (self._hi_strict and s == self._hi)):
+            return False
+        return True
+
+    # -- scan planning / execution -------------------------------------------
+    def partitions(self):
+        parts = []
+        for f in sorted(os.listdir(self.path)):
+            if not (f.startswith("part-") and f.endswith(".jsonl")):
+                continue
+            shard = int(f[len("part-") : -len(".jsonl")])
+            if self._keep_shard(shard):
+                parts.append(_ShardPartition(os.path.join(self.path, f), shard))
+        return parts
+
+    def read(self, partition: _ShardPartition):
+        with open(partition.path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                yield (
+                    partition.shard,
+                    d.get("custom_id"),
+                    d.get("status"),
+                    d.get("n_tokens"),
+                    d.get("body"),
+                )
+
+
+class BatchResultsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "batch_results"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> BatchResultsReader:
+        return BatchResultsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the batch_results format."""
+    spark.dataSource.register(BatchResultsDataSource)

@@ -1,0 +1,82 @@
+"""Python Data Source (sources/pysource.py): partition planning, filter
+pushdown semantics, and end-to-end reads through the registered format."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    StringStartsWith,
+)
+
+from data_etl_pipeline_spark.sources import pysource
+
+ROWS = [(f"id-{i}", "ok" if i % 3 else "bad", i, f"b{i}") for i in range(30)]
+
+
+def _reader(tmp_path, n_shards=4):
+    d = str(tmp_path / "results")
+    pysource.write_result_fixture(ROWS, d, n_shards=n_shards)
+    return pysource.BatchResultsReader({"path": d}), d
+
+
+def test_partitions_one_per_shard_file(tmp_path):
+    r, _ = _reader(tmp_path)
+    assert sorted(p.shard for p in r.partitions()) == [0, 1, 2, 3]
+
+
+def test_pushdown_equality_and_in(tmp_path):
+    r, _ = _reader(tmp_path)
+    assert list(r.pushFilters([EqualTo(("shard",), 1)])) == []
+    assert [p.shard for p in r.partitions()] == [1]
+    r2, _ = _reader(tmp_path)
+    assert list(r2.pushFilters([In(("shard",), (0, 3))])) == []
+    assert [p.shard for p in r2.partitions()] == [0, 3]
+    # intersecting equality with IN narrows further
+    r3, _ = _reader(tmp_path)
+    assert list(r3.pushFilters([In(("shard",), (0, 3)), EqualTo(("shard",), 3)])) == []
+    assert [p.shard for p in r3.partitions()] == [3]
+
+
+def test_pushdown_ranges_strict_and_inclusive(tmp_path):
+    r, _ = _reader(tmp_path)
+    assert list(r.pushFilters([GreaterThan(("shard",), 0), LessThan(("shard",), 3)])) == []
+    assert [p.shard for p in r.partitions()] == [1, 2]
+    r2, _ = _reader(tmp_path)
+    assert list(r2.pushFilters([GreaterThanOrEqual(("shard",), 2)])) == []
+    assert [p.shard for p in r2.partitions()] == [2, 3]
+
+
+def test_unsupported_filters_returned_to_spark(tmp_path):
+    r, _ = _reader(tmp_path)
+    unsupported = [
+        StringStartsWith(("custom_id",), "id-1"),
+        IsNotNull(("status",)),
+        EqualTo(("status",), "ok"),  # supported column is shard only
+    ]
+    back = list(r.pushFilters([EqualTo(("shard",), 2), *unsupported]))
+    assert back == unsupported  # same objects, same order
+    assert [p.shard for p in r.partitions()] == [2]
+
+
+def test_end_to_end_read_and_values(spark, tmp_path):
+    _, d = _reader(tmp_path)
+    pysource.register(spark)
+    df = spark.read.format("batch_results").option("path", d).load()
+    got = {(r.custom_id): (r.shard, r.status, r.n_tokens, r.body) for r in df.collect()}
+    assert len(got) == len(ROWS)
+    import hashlib
+
+    for cid, status, n, body in ROWS:
+        shard = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 4
+        assert got[cid] == (shard, status, n, body)
+
+
+def test_contradictory_pushdown_reads_nothing(tmp_path):
+    r, _ = _reader(tmp_path)
+    list(r.pushFilters([EqualTo(("shard",), 1), EqualTo(("shard",), 2)]))
+    assert r.partitions() == []
