@@ -4418,3 +4418,93 @@ def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert m["n_high_value"] == want_high, (m, want_high)
     assert m["n_null_cust"] == 0, m
     return agg
+
+
+# ---------------------------------------------------------------------------
+# STREAMING over the custom Python data source (Spark 4
+# SimpleDataSourceStreamReader): result files LAND over time and each
+# micro-batch reads exactly the files new since the committed offset —
+# the queue-poll shape (SURVEY S6) through the official source API
+# instead of a file-source workaround. Files arrive in two waves with a
+# processAllAvailable barrier between them, and the epoch layout must
+# prove the second wave rode a LATER micro-batch (offset tracking, not
+# one big read). Oracle recomputes the final table from orders.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_pysource_ingest",
+    sql="""
+    WITH src AS (
+        SELECT 'o-' || CAST(o_orderkey AS VARCHAR) AS custom_id,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+               o_orderkey % 1000 AS n_tokens
+        FROM orders WHERE o_orderkey < 800
+    )
+    SELECT (('0x' || substr(md5(custom_id), 1, 8))::BIGINT % 4) AS shard,
+           status, COUNT(*) AS n,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM src GROUP BY 1, 2
+    """,
+    doc="Streaming ingest through the Spark 4 Python data source's "
+    "SimpleDataSourceStreamReader: per-micro-batch offsets over landed "
+    "shard files (two arrival waves, later wave proven to ride a later "
+    "epoch), foreachBatch parquet sink, final state oracle-checked "
+    "against orders.",
+)
+def stream_pysource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from data_etl_pipeline_spark.sources import pysource
+
+    rows = [
+        (
+            f"o-{r.o_orderkey}",
+            "error" if r.o_orderkey % 7 == 0 else "ok",
+            int(r.o_orderkey % 1000),
+            f"resp-{r.o_orderkey}",
+        )
+        for r in load(spark, sf_dir, "orders")
+        .where("o_orderkey < 800")
+        .select("o_orderkey")
+        .collect()  # bounded: < 800 ids by construction
+    ]
+    staging = tempfile.mkdtemp(prefix="pysrc_staging_")
+    pysource.write_result_fixture(rows, staging, n_shards=4)
+    live = tempfile.mkdtemp(prefix="pysrc_live_")
+    sink = tempfile.mkdtemp(prefix="pysrc_sink_")
+
+    def land(shards):
+        for s in shards:
+            shutil.copy(
+                _os.path.join(staging, f"part-{s}.jsonl"),
+                _os.path.join(live, f"part-{s}.jsonl"),
+            )
+
+    pysource.register(spark)
+    land([0, 1])
+    stream = spark.readStream.format("batch_results").option("path", live).load()
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.take(1):
+            batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = stream.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+        land([2, 3])  # second wave: must ride a LATER micro-batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    epochs = sorted(r.epoch for r in got.select("epoch").distinct().collect())
+    assert len(epochs) >= 2, f"second wave did not ride a later epoch: {epochs}"
+    first_shards = {
+        r.shard for r in got.where(F.col("epoch") == epochs[0]).select("shard").distinct().collect()
+    }
+    assert first_shards <= {0, 1}, first_shards
+    return got.groupBy("shard", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -925,3 +925,83 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BUCKETED co-located join — the storage-level contract SCALE.md
+# prescribes for the 100 TB fact-fact join (bucketBy(4096, orderkey)
+# on both fact tables => join-time shuffle disappears forever). This
+# query materializes both sides bucketed+sorted by the join key
+# (repartitioned to one file per bucket so the sort elides too), forces
+# a SortMergeJoin, and asserts the physical plan contains NO Exchange —
+# then asserts the UNBUCKETED twin of the same join DOES shuffle, so
+# the assert demonstrably measures bucketing and not plan luck. The
+# oracle checks the join's values; the plan asserts check its cost.
+# ---------------------------------------------------------------------------
+@query(
+    "bucketed_join_no_shuffle",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey < 3000
+    GROUP BY 1
+    """,
+    doc="Hive-bucketed fact-fact join: both sides bucketBy(8, key) + "
+    "sortBy, one file per bucket; SortMergeJoin planned with ZERO "
+    "Exchange (plan-asserted), while the unbucketed twin's plan shuffles "
+    "both sides (also asserted) - the storage contract that removes the "
+    "join shuffle at 100 TB.",
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:10]
+    base_dir = tempfile.mkdtemp(prefix="bucketed_")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where("o_orderkey < 3000")
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where("l_orderkey < 3000")
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+    def publish(df: DataFrame, key: str, name: str) -> DataFrame:
+        # one write task per bucket (hash-aligned repartition) => one file
+        # per bucket => Spark trusts the sort order and elides sorts too
+        (
+            df.repartition(8, key)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base_dir}/{name}")
+            .mode("overwrite")
+            .saveAsTable(f"{name}_{tag}")
+        )
+        return spark.table(f"{name}_{tag}")
+
+    to, tl = publish(o, "o_orderkey", "b_orders"), publish(li, "l_orderkey", "b_lineitem")
+
+    def plan_of(df: DataFrame) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    joined = tl.hint("merge").join(to, tl.l_orderkey == to.o_orderkey)
+    bucketed_plan = plan_of(joined)
+    assert "SortMergeJoin" in bucketed_plan, bucketed_plan
+    assert "Exchange" not in bucketed_plan, bucketed_plan
+    # the unbucketed twin of the SAME join must shuffle — proving the
+    # assert above measures bucketing, not accidental plan shape
+    plain = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    assert "Exchange" in plan_of(plain)
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

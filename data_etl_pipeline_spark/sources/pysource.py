@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _SCHEMA = (
@@ -166,7 +167,73 @@ class BatchResultsDataSource(DataSource):
     def reader(self, schema) -> BatchResultsReader:
         return BatchResultsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "BatchResultsStreamReader":
+        return BatchResultsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the batch_results format."""
     spark.dataSource.register(BatchResultsDataSource)
+
+
+class BatchResultsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the batch_results source (Spark 4
+    SimpleDataSourceStreamReader): the queue-poll shape of SURVEY S6 —
+    result files LAND over time; each micro-batch reads exactly the
+    files that appeared since the last committed offset.
+
+    Offset contract: ``{"files": [sorted names consumed so far]}``.
+    ``read(start)`` scans the directory, takes every tracked file not in
+    the offset, and returns (rows, nextOffset); ``readBetweenOffsets``
+    replays the difference DETERMINISTICALLY after a failure — files are
+    immutable once placed, so replayed batches are byte-identical, which
+    is what makes the source exactly-once composable with an idempotent
+    sink. The driver holds O(files) names; rows never touch the driver.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("batch_results stream requires .option('path', <dir>)")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        )
+
+    def _rows_of(self, names):
+        for name in names:
+            shard = int(name[len("part-") : -len(".jsonl")])
+            with open(os.path.join(self.path, name)) as fh:
+                for line in fh:
+                    if line.strip():
+                        d = json.loads(line)
+                        yield (
+                            shard,
+                            d.get("custom_id"),
+                            d.get("status"),
+                            d.get("n_tokens"),
+                            d.get("body"),
+                        )
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = self._listing()
+        fresh = [f for f in now if f not in seen]
+        # materialized, not a generator: Spark's prefetcher pickles the
+        # batch for replay caching (micro-batches here are file-bounded)
+        return iter(list(self._rows_of(fresh))), {"files": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        return iter(
+            list(self._rows_of([f for f in end.get("files", []) if f not in seen]))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to release

@@ -80,3 +80,42 @@ def test_contradictory_pushdown_reads_nothing(tmp_path):
     r, _ = _reader(tmp_path)
     list(r.pushFilters([EqualTo(("shard",), 1), EqualTo(("shard",), 2)]))
     assert r.partitions() == []
+
+
+def test_stream_reader_offsets_and_replay(tmp_path):
+    """read() advances the offset by exactly the landed files;
+    readBetweenOffsets replays the identical rows (immutable files =>
+    deterministic replay, the exactly-once precondition)."""
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    pysource.write_result_fixture(ROWS, staging)
+    import os
+
+    os.makedirs(live)
+    r = pysource.BatchResultsStreamReader({"path": live})
+    o0 = r.initialOffset()
+    rows0, o1 = r.read(o0)
+    assert list(rows0) == [] and o1 == {"files": []}
+
+    shutil.copy(f"{staging}/part-0.jsonl", f"{live}/part-0.jsonl")
+    shutil.copy(f"{staging}/part-1.jsonl", f"{live}/part-1.jsonl")
+    rows1, o2 = r.read(o1)
+    batch1 = sorted(rows1)
+    assert sorted(o2["files"]) == ["part-0.jsonl", "part-1.jsonl"]
+    assert batch1 and {t[0] for t in batch1} == {0, 1}
+
+    shutil.copy(f"{staging}/part-3.jsonl", f"{live}/part-3.jsonl")
+    rows2, o3 = r.read(o2)
+    batch2 = sorted(rows2)
+    assert {t[0] for t in batch2} == {3}
+    # failure replay: between-offsets re-read is byte-identical
+    assert sorted(r.readBetweenOffsets(o2, o3)) == batch2
+    assert sorted(r.readBetweenOffsets(o1, o2)) == batch1
+    # totals: nothing lost, nothing duplicated
+    assert len(batch1) + len(batch2) == sum(
+        1
+        for cid, *_ in ROWS
+        if int(__import__("hashlib").md5(cid.encode()).hexdigest()[:8], 16) % 4 != 2
+    )
