@@ -70,7 +70,15 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # cms_user_frequencies, supplier_geohash_cells,
 # chi2_token_selection, supplier_geo_neighbor_pairs,
 # stream_cdf_delta_mirror, video_header_info, walk_forward_folds,
-# delta_export_check_constraints, and any after
+# delta_export_check_constraints,
+# plus the round-7 second-session additions:
+# target_encode_kfold, rfm_customer_segments, feature_hashing_signed,
+# seasonal_anomaly_events, ldiversity_audit, vocab_coverage_prune,
+# bpe_top_pairs, stream_stream_left_outer, delta_interop_ict_read,
+# sorted_neighborhood_pairs, kaplan_meier_churn,
+# delta_interop_generated_partition_read, pysource_batch_results,
+# observed_quality_metrics, bucketed_join_no_shuffle,
+# stream_pysource_ingest, and any after
 # them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
