@@ -1178,3 +1178,52 @@ def ann_topk_ivf_pq(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "l2_dist")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k MOST similar corpus vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (easy random
+    negatives are already far away; see e.g. SimCSE/DPR training).
+
+    Same linear broadcast-scan shape as ann_topk_bruteforce with the
+    label inequality applied BEFORE the per-query top-k window, so k
+    survivors per query is still all that shuffles. At 100 TB compose
+    the candidate stage with the IVF probe (cells prune WHICH vectors)
+    and keep this exact scoring as the rerank."""
+    e = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+    q = e.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("lbl").alias("q_label"),
+    )
+    dot = _DOT.format(a="qv", b="v")
+    sim = F.round(F.expr(dot) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col(id_col)) & (F.col("q_label") != F.col("lbl")),
+    ).select(
+        "q_id",
+        "q_label",
+        F.col(id_col).alias("neg_id"),
+        F.col("lbl").alias("neg_label"),
+        sim.alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "q_label", "neg_id", "neg_label", "rank", "cosine_sim")
+    )

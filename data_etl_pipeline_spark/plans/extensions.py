@@ -4508,3 +4508,70 @@ def stream_pysource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoint WRITER roundtrip (PROTOCOL.md "V2 Checkpoint Spec") —
+# the writer-side twin of delta_interop_v2_checkpoint_read: protocol
+# upgrade commit (readerFeatures [v2Checkpoint] — readers must be told
+# before a V2 checkpoint may exist), UUID manifest with sidecar
+# actions, adds range-split across _sidecars/ parquet files, log
+# TRIMMED so the subsequent read can only come from the manifest. The
+# layout exists for 100 TB state: sidecars load as a plain multi-file
+# parquet scan and an incremental checkpointer rewrites only changed
+# parts. Deterministic UUID (md5 of dest@version) => reproducible runs.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_v2_checkpoint_roundtrip",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY 1
+    """,
+    doc="V2 UUID checkpoint writer: protocol-upgrade commit, JSON "
+    "manifest + 2 parquet sidecars under _sidecars/, log trimmed - the "
+    "snapshot read back through DeltaLogReader can only replay from the "
+    "manifest; layout and sidecar split asserted in-query.",
+)
+def delta_export_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        checkpoint_export_v2,
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="v2cp_write_") + "/table"
+    export_delta(base.where(k < 500).repartition(3), dest)
+    export_delta_append(base.where((k >= 500) & (k < 900)).repartition(2), dest)
+    export_delta_append(base.where((k >= 900) & (k < 1200)).repartition(2), dest)
+    cp_v = checkpoint_export_v2(spark, dest, n_sidecars=2, trim=True)
+    assert cp_v == 3  # upgrade commit follows the three data commits
+
+    log_dir = _os.path.join(dest, "_delta_log")
+    names = sorted(_os.listdir(log_dir))
+    # plain commit files are exactly %020d.json (25 chars); the manifest
+    # also ends .json but carries the .checkpoint.<uuid> infix
+    assert not any(
+        len(n) == 25 and n.endswith(".json") and n[:20].isdigit() for n in names
+    ), names
+    manifest = [n for n in names if ".checkpoint." in n and n.endswith(".json")]
+    assert len(manifest) == 1 and manifest[0].startswith(f"{cp_v:020d}."), names
+    sidecars = sorted(_os.listdir(_os.path.join(log_dir, "_sidecars")))
+    assert len(sidecars) == 2, sidecars
+
+    reader = DeltaLogReader(spark, dest)
+    assert len(reader.live_files()) == 7  # 3 + 2 + 2 files, all live
+    got = reader.read()
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -3242,3 +3242,42 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "cap", alloc.alias("alloc"),
         (F.col("i") <= F.col("istar")).alias("keeps_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): per query, the
+# k most-similar vectors whose LABEL differs — the negatives that move
+# a contrastive loss. Label inequality applies before the per-query
+# top-k window, so only k survivors per query shuffle; at 100 TB the
+# candidate stage composes with the IVF probe and this scoring stays as
+# the exact rerank.
+# ---------------------------------------------------------------------------
+@query(
+    "hard_negative_mining",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM e),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, norm AS qnorm
+          FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q_id, q_label, n.vec_id AS neg_id, n.label AS neg_label,
+               ROUND({_DOT_SQL.format(a='qv', b='n.v')} / (qnorm * n.norm), 6)
+                   AS cosine_sim
+        FROM n JOIN q ON q_id != n.vec_id AND q_label != n.label
+    )
+    SELECT q_id, q_label, neg_id, neg_label, rank, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine_sim DESC, neg_id) AS rank
+        FROM scored) t
+    WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: top-5 "
+    "most-similar DIFFERENT-label vectors per query, label filter "
+    "before the top-k window (k survivors per query shuffle); exact "
+    "rerank stage of an IVF-pruned pipeline at scale.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negatives(
+        load(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )

@@ -1316,3 +1316,135 @@ def export_delta_zorder(
     version = versions[-1] + 1
     _write_commit(dest, version, [*actions, *adds])
     return {"version": version, "rewritten_files": len(removed), "new_files": len(adds)}
+
+
+def checkpoint_export_v2(
+    spark, dest: str, n_sidecars: int = 2, trim: bool = False
+) -> int:
+    """Write a V2 UUID-named checkpoint (PROTOCOL.md "V2 Checkpoint
+    Spec") for a table this module exported — the writer-side twin of
+    ``DeltaLogReader._load_checkpoint_v2``.
+
+    Exactly as delta-spark does when the feature is enabled, this first
+    commits a PROTOCOL UPGRADE (minReaderVersion 3 + readerFeatures
+    [v2Checkpoint], writer side lifted to table features) — readers must
+    be told V2 checkpoints exist before one appears — then writes:
+
+      * ``_sidecars/<uuid>-<k>.parquet``: the add actions, range-split
+        into ``n_sidecars`` files. At 100 TB this is the layout's whole
+        point: checkpoint state splits across many sidecars that readers
+        load as a normal multi-file parquet scan, and an incremental
+        checkpointer rewrites only CHANGED sidecars;
+      * ``<version>.checkpoint.<uuid>.json``: the manifest carrying
+        protocol, metaData, and one ``sidecar`` action per part file;
+      * ``_last_checkpoint`` naming the new version.
+
+    ``trim=True`` deletes the JSON commits the checkpoint covers (the
+    log half of VACUUM). The table becomes read-only to this module's
+    text-log append path afterwards — which checkpointed tables already
+    are — while any v2Checkpoint-capable reader (including
+    ``DeltaLogReader``) replays from the manifest. Returns the
+    checkpoint version. The UUID is derived deterministically from
+    (dest, version) so re-runs reproduce the same layout byte-for-byte.
+    """
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files, _txns = _read_own_log(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    # protocol upgrade commit: the reader-visible declaration that V2
+    # checkpoints exist. Writer features mirror what the table uses.
+    old_feats: list[str] = []
+    cfg = dict(meta.get("configuration") or {})
+    if cfg.get("delta.enableChangeDataFeed") == "true":
+        old_feats.append("changeDataFeed")
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        old_feats.append("checkConstraints")
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        old_feats.append("inCommitTimestamp")
+    if _generation_exprs(meta):
+        old_feats.append("generatedColumns")
+    upgrade = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": sorted({"v2Checkpoint", *old_feats}),
+        }
+    }
+    head = versions[-1] + 1
+    _write_commit(dest, head, [upgrade])
+
+    uid = hashlib.md5(f"{dest}@{head}".encode()).hexdigest()
+    uuid_str = f"{uid[:8]}-{uid[8:12]}-{uid[12:16]}-{uid[16:20]}-{uid[20:32]}"
+    add_struct = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    sc_schema = T.StructType([T.StructField("add", add_struct)])
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    ordered = sorted(files)
+    n_sidecars = max(1, min(n_sidecars, len(ordered) or 1))
+    chunk = -(-len(ordered) // n_sidecars) if ordered else 1
+    sidecar_names = []
+    for k in range(n_sidecars):
+        part = ordered[k * chunk : (k + 1) * chunk]
+        rows = [
+            ((files[p]["path"], dict(files[p].get("partitionValues") or {}),
+              int(files[p].get("size") or 0),
+              int(files[p].get("modificationTime") or 0),
+              bool(files[p].get("dataChange", True))),)
+            for p in part
+        ]
+        name = f"{uuid_str}-{k:03d}.parquet"
+        tmp = os.path.join(dest, f"_sctmp{k}")
+        spark.createDataFrame(rows, sc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, pf), os.path.join(side_dir, name))
+        import shutil
+
+        shutil.rmtree(tmp)
+        sidecar_names.append(name)
+
+    manifest = os.path.join(log_dir, f"{head:020d}.checkpoint.{uuid_str}.json")
+    mtmp = manifest + ".tmp"
+    with open(mtmp, "w") as fh:
+        fh.write(json.dumps(upgrade) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": meta["id"],
+                        "format": meta.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": meta["schemaString"],
+                        "partitionColumns": list(meta.get("partitionColumns") or []),
+                        "configuration": cfg,
+                    }
+                }
+            )
+            + "\n"
+        )
+        for name in sidecar_names:
+            fh.write(json.dumps({"sidecar": {"path": name}}) + "\n")
+    os.rename(mtmp, manifest)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    lc_tmp = lc + ".tmp"
+    with open(lc_tmp, "w") as fh:
+        fh.write(json.dumps({"version": head, "size": len(ordered) + 2}))
+    os.rename(lc_tmp, lc)
+    if trim:
+        for v in [*versions, head]:
+            p = os.path.join(log_dir, f"{v:020d}.json")
+            if os.path.isfile(p):
+                os.remove(p)
+    return head

@@ -1006,3 +1006,44 @@ def test_reader_mixed_log_monotonic(spark, sf_dir, tmp_path):
     reader = DeltaLogReader(spark, dest)
     assert reader.version_at_timestamp(far * 1000) == 0
     assert reader.version_at_timestamp(far * 1000 + 1) == 1
+
+
+def test_v2_checkpoint_preserves_writer_features_and_travel(spark, sf_dir, tmp_path):
+    """The upgrade protocol must carry the table's existing writer
+    features; post-trim version reads at the checkpoint head work, and
+    pre-checkpoint time travel refuses (commits are gone)."""
+    import json
+
+    import pytest
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        checkpoint_export_v2,
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.tables import load as _load
+
+    base = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    dest = str(tmp_path / "t")
+    export_delta(base.where("o_orderkey < 300"), dest, cdf=True, ict=True)
+    export_delta_append(base.where("o_orderkey >= 300 and o_orderkey < 600"), dest)
+    v = checkpoint_export_v2(spark, dest, n_sidecars=3, trim=True)
+    log_dir = os.path.join(dest, "_delta_log")
+    manifest = next(
+        os.path.join(log_dir, n)
+        for n in os.listdir(log_dir)
+        if ".checkpoint." in n and n.endswith(".json")
+    )
+    with open(manifest) as fh:
+        proto = json.loads(fh.readline())["protocol"]
+    assert proto["readerFeatures"] == ["v2Checkpoint"]
+    assert set(proto["writerFeatures"]) >= {
+        "changeDataFeed",
+        "inCommitTimestamp",
+        "v2Checkpoint",
+    }
+    reader = DeltaLogReader(spark, dest)
+    assert reader.read(version=v).count() == base.where("o_orderkey < 600").count()
+    with pytest.raises(Exception):
+        reader.read(version=0)  # pre-checkpoint commits were trimmed

@@ -155,3 +155,19 @@ def test_kaplan_meier_censoring_present(spark, sf_dir):
     total_converted = sum(r.n_converted for r in rows)
     max_risk = max(r.n_at_risk for r in rows)
     assert max_risk > total_converted, "no censored subjects reached the estimator"
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    """Every mined negative has a different label than its query, ranks
+    are dense 1..k, and similarity is non-increasing within a query."""
+    rows = _run("hard_negative_mining", spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.q_label != r.neg_label
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine_sim for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
