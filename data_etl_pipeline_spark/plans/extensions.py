@@ -4575,3 +4575,107 @@ def delta_export_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> Da
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta SCHEMA EVOLUTION (add nullable column): a metaData-only commit
+# appends the field (latest metaData wins at replay, PROTOCOL.md);
+# pre-evolution data files lack the column and surface NULL because the
+# scan schema comes from table metadata, not file footers — no rewrite
+# of a single existing byte, which is why add-nullable is THE safe
+# evolution at 100 TB. Appends after evolution must carry the new
+# schema; the old schema refuses (asserted).
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_schema_evolution",
+    sql="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey >= 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(CASE WHEN o_orderkey >= 600
+                         THEN CAST(o_orderkey % 5 AS BIGINT) END) AS BIGINT)
+               AS flag_sum
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY 1
+    """,
+    doc="Add-nullable-column schema evolution via a metaData-only "
+    "commit: pre-evolution files surface NULL (no data rewritten), "
+    "post-evolution appends populate the column, old-schema appends "
+    "refuse; merged snapshot oracle-checked.",
+)
+def delta_export_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        DeltaExportError,
+        export_delta,
+        export_delta_append,
+        export_delta_evolve_add_column,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="evolve_") + "/table"
+    export_delta(base.where(k < 600), dest)
+    v = export_delta_evolve_add_column(spark, dest, "prio_flag", "bigint")
+    assert v == 1
+    # old-schema append must now refuse
+    try:
+        export_delta_append(base.where((k >= 600) & (k < 1000)), dest)
+        raise AssertionError("old-schema append must refuse after evolution")
+    except DeltaExportError:
+        pass
+    evolved = base.where((k >= 600) & (k < 1000)).withColumn(
+        "prio_flag", (k % 5).cast("bigint")
+    )
+    export_delta_append(evolved, dest)
+    got = DeltaLogReader(spark, dest).read()
+    # pre-evolution rows surface NULL for the new column
+    assert got.where((k < 600) & F.col("prio_flag").isNotNull()).take(1) == []
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("prio_flag").isNotNull().cast("int")).cast("bigint").alias(
+            "n_flagged"
+        ),
+        F.sum("prio_flag").cast("bigint").alias("flag_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark — bounded-state streaming dedup, all
+# three semantics in one deterministic run (streaming/windows.py):
+# within-state duplicates DROP, retries below the watermark are LATE
+# DATA (never reach dedup), and a re-sent key with a fresh stamp after
+# state expiry RE-EMITS exactly once — the trade exact dedup refuses in
+# exchange for unbounded state. Oracle = first arrivals of everything
+# plus the provably-expired day-1 re-emissions.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_within_watermark",
+    sql="""
+    WITH d1 AS (
+        SELECT floor(epoch(MAX(ts)))::BIGINT AS mx FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+    )
+    SELECT event_type,
+           CAST(COUNT(*)
+                + COUNT(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01'
+                              AND floor(epoch(ts))::BIGINT
+                                  < (SELECT mx FROM d1) - 3600
+                             THEN 1 END) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Bounded-state streaming dedup (dropDuplicatesWithinWatermark): "
+    "three-batch fixture proving within-state drop, late-data filtering "
+    "of original-stamp retries, and exactly-once re-emission of "
+    "fresh-stamp retries after watermark expiry; state bounded by the "
+    "watermark horizon.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import (
+        run_stream_dedup_within_watermark,
+    )
+
+    return run_stream_dedup_within_watermark(spark, sf_dir)

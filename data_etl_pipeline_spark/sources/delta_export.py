@@ -1448,3 +1448,43 @@ def checkpoint_export_v2(
             if os.path.isfile(p):
                 os.remove(p)
     return head
+
+
+def export_delta_evolve_add_column(
+    spark, dest: str, name: str, sql_type: str
+) -> int:
+    """SCHEMA EVOLUTION, the one shape that is always safe: append a new
+    NULLABLE column to an exported table's schema via a metaData-only
+    commit (PROTOCOL.md: the latest metaData wins at replay). Existing
+    data files simply lack the column and every Delta reader — including
+    ``DeltaLogReader`` — surfaces NULL for their rows, because the scan
+    schema comes from the table metadata, not the file footers. Later
+    appends must carry the evolved schema (the exporter's exact-schema
+    rule continues to hold, now against the NEW schema).
+
+    Renames, drops, and type changes remain refused: they require column
+    mapping to be correct, and half-supporting them corrupts. Returns
+    the commit version.
+    """
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, _files, _txns = _read_own_log(dest)
+    sch = json.loads(meta["schemaString"])
+    if any(f["name"] == name for f in sch["fields"]):
+        raise DeltaExportError(f"column {name!r} already exists")
+    # validate + canonicalize the type through Spark's own parser
+    field_t = T._parse_datatype_string(sql_type)
+    sch["fields"].append(
+        {
+            "name": name,
+            "type": json.loads(field_t.json()),
+            "nullable": True,
+            "metadata": {},
+        }
+    )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(sch)
+    version = versions[-1] + 1
+    _write_commit(dest, version, [{"metaData": new_meta}])
+    return version

@@ -17,6 +17,7 @@ equivalence is testable hermetically.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -355,3 +356,72 @@ def run_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return _align_ts_cols(spark, sf_dir, spark.table(name), ["window_start"])
+
+
+def run_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-STATE sibling of
+    run_stream_dedup_counts' exact dedup, exercising all three of the
+    API's behaviors in one deterministic three-batch run:
+
+      batch 1: day-1 events (first arrivals — all emitted);
+      batch 2: the rest of the month (advances the watermark; at this
+        batch's end, day-1 state older than max(day1) - delay expires);
+      batch 3: every day-1 event RE-SENT with a fresh timestamp
+        (ts + 30 days — the retried-with-new-stamp shape; a retry that
+        keeps its ORIGINAL stamp is simply late data below the watermark
+        and is dropped before dedup ever sees it), plus a redelivery of
+        the last-30-minutes rows at their original stamps.
+
+    Outcome: re-stamped day-1 keys whose state expired re-emit exactly
+    once; the two day-1 keys still in state (ts >= max(day1) - 2*delay)
+    and the tail rows are dropped as within-state duplicates. State is
+    bounded by the watermark horizon — the property exact dedup gives up.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    day1 = ev.where(F.to_date("ts") == "2024-01-01")
+    rest = ev.where(F.to_date("ts") != "2024-01-01")
+    mx = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    tail30 = ev.where(F.unix_timestamp("ts") > mx - 1800)
+    restamped = day1.withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
+
+    src = tempfile.mkdtemp(prefix="wm_dedup_src_")
+    for df in [day1, rest, restamped.unionByName(tail30)]:
+        df.coalesce(1).write.mode("append").parquet(src)
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    for i, p in enumerate(
+        sorted(parts, key=lambda f: os.path.getmtime(os.path.join(src, f)))
+    ):
+        os.utime(os.path.join(src, p), (1_600_000_000 + i * 10,) * 2)
+
+    dedup = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = tempfile.mkdtemp(prefix="wm_dedup_sink_")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.take(1):
+            batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = dedup.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    # the re-emission wave must be its own epoch, sized exactly to the
+    # keys the batch-2 watermark expired (ts < max(day1) - 2*delay)
+    d1max = day1.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    want_reemit = day1.where(F.unix_timestamp("ts") < d1max - 3600).count()
+    epochs = sorted(r.epoch for r in got.select("epoch").distinct().collect())
+    assert len(epochs) == 3, epochs
+    n3 = got.where(F.col("epoch") == epochs[-1]).count()
+    assert n3 == want_reemit, (n3, want_reemit)
+    return got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
