@@ -262,3 +262,68 @@ def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DYNAMIC-GAP sessionization: Spark's session_window accepts a
+# PER-EVENT gap expression — a purchase holds a session open for 2
+# hours, a view for 30 minutes — which no fixed-gap formulation can
+# express. Physical shape is identical to the fixed-gap sessions (one
+# user-key exchange, map-side session merge). The oracle restates the
+# semantics from first principles: each event owns the half-open
+# interval [ts, ts+gap); overlapping intervals merge per user; a new
+# session starts exactly when an event's start reaches the running max
+# of previous interval ends (pure timestamp arithmetic, no floats).
+# ---------------------------------------------------------------------------
+@query(
+    "dynamic_gap_sessions",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 2 HOUR
+                         ELSE INTERVAL 30 MINUTE END AS fin
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, fin,
+               MAX(fin) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_end
+        FROM e
+    ),
+    f AS (
+        SELECT user_id,
+               SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, fin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM o
+    ),
+    s AS (SELECT user_id, sid, COUNT(*) AS n FROM f GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM s GROUP BY 1
+    """,
+    doc="Per-event dynamic gap sessionization (purchase holds 2h, view "
+    "30m) via session_window's gap EXPRESSION; one user-key exchange "
+    "with map-side session merge; oracle merges half-open per-event "
+    "intervals with a running-max island scan in pure timestamp "
+    "arithmetic.",
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("30 minutes")
+    )
+    s = ev.groupBy("user_id", F.session_window("ts", gap).alias("sw")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )

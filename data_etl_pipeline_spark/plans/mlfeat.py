@@ -683,3 +683,146 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv.alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010) — multi-word keyphrases,
+# complementing the single-term TF-IDF ranking and the PMI bigram
+# collocations: candidate phrases are maximal stopword-free token runs
+# (length <= 4); each word's degree accumulates the lengths of the
+# phrases it appears in, its frequency counts its phrase occurrences;
+# the phrase score is the sum of member word deg/freq ratios. All
+# scoring is INTEGER micro-units (round(1e6 * deg / freq) summed as
+# BIGINT), so double-summation order cannot move a rank in either
+# engine. Distributed shape: one corpus scan -> token stream with a
+# per-doc running stopword count as the phrase id (one doc-key window)
+# -> two vocabulary-sized aggregates. No UDFs anywhere.
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = (
+    "the,a,an,and,or,of,to,in,on,for,with,is,are,was,were,be,as,at,by,it,"
+    "this,that,from,but,not,have,has,had,they,their,there,which,will,would"
+)
+
+
+@query(
+    "rake_keyphrases",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, u.pos, u.tok,
+               CASE WHEN list_contains(string_split('{_RAKE_STOPS}', ','), u.tok)
+                    THEN 1 ELSE 0 END AS stop
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ), LATERAL (
+            SELECT unnest([{{'tok': l[i], 'pos': i}}
+                           for i in range(1, len(l) + 1)], recursive := true)
+        ) AS u
+    ),
+    marked AS (
+        -- window BEFORE the stopword filter (WHERE in the same SELECT
+        -- would run first and zero out every stop count)
+        SELECT doc_id, pos, tok, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM toks
+    ),
+    nonstop AS (SELECT doc_id, pos, tok, pid FROM marked WHERE stop = 0),
+    phrases AS (
+        SELECT doc_id, pid,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM nonstop GROUP BY 1, 2
+    ),
+    keep AS (SELECT * FROM phrases WHERE plen <= 4),
+    members AS (
+        SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM keep
+    ),
+    wstats AS (
+        SELECT w, CAST(SUM(plen) AS BIGINT) AS deg, COUNT(*) AS freq
+        FROM members GROUP BY 1
+    ),
+    wscore AS (
+        SELECT w, CAST(round(1000000.0 * deg / freq) AS BIGINT) AS mu
+        FROM wstats
+    ),
+    pdistinct AS (
+        SELECT phrase, COUNT(*) AS n_occurrences FROM keep GROUP BY 1
+    ),
+    pscore AS (
+        SELECT p.phrase, p.n_occurrences,
+               CAST(SUM(ws.mu) AS BIGINT) AS score_micro
+        FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+              FROM (SELECT DISTINCT phrase FROM keep)) pw
+        JOIN wscore ws ON ws.w = pw.w
+        JOIN pdistinct p ON p.phrase = pw.phrase
+        GROUP BY 1, 2
+    )
+    SELECT phrase, n_occurrences, score_micro FROM pscore
+    ORDER BY score_micro DESC, phrase ASC LIMIT 10
+    """,
+    doc="RAKE keyphrase extraction: maximal stopword-free runs (<=4 "
+    "tokens) as candidates, word degree/frequency stats from two "
+    "vocabulary-sized aggregates, phrase scores as order-free integer "
+    "micro-unit sums; top-10 deterministic ranking.",
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = _RAKE_STOPS.split(",")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+        ).alias("pos", "tok"),
+    ).withColumn(
+        "stop", F.col("tok").isin(stops).cast("int")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn("pid", F.sum("stop").over(wdoc)).where(
+        F.col("stop") == 0
+    )
+    phrases = (
+        marked.groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ", F.expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)")
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(F.col("plen") <= 4)
+    )
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.sum("plen").cast("bigint").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+        .select(
+            "w",
+            F.round(1000000.0 * F.col("deg") / F.col("freq"))
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    pdistinct = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pw = (
+        phrases.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("mu").cast("bigint").alias("score_micro"))
+        .join(pdistinct, "phrase")
+    )
+    return (
+        pscore.select("phrase", "n_occurrences", "score_micro")
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(10)
+    )

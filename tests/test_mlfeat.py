@@ -171,3 +171,45 @@ def test_hard_negatives_exclude_own_label(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cosine_sim for r in rs]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_rake_phrases_are_stopword_free_runs(spark, sf_dir):
+    rows = _run("rake_keyphrases", spark, sf_dir).collect()
+    assert len(rows) == 10
+    stops = set(
+        "the,a,an,and,or,of,to,in,on,for,with,is,are,was,were,be,as,at,by,it,"
+        "this,that,from,but,not,have,has,had,they,their,there,which,will,would".split(",")
+    )
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= 4
+        assert not (set(words) & stops), r.phrase
+        assert r.n_occurrences >= 1 and r.score_micro > 0
+    # deterministic ranking: strictly ordered by (score desc, phrase asc)
+    key = [(-r.score_micro, r.phrase) for r in rows]
+    assert key == sorted(key)
+
+
+def test_dynamic_gap_sessions_bounds(spark, sf_dir):
+    """Per user: sessions <= events; a 2h-purchase-gap merge can never
+    produce MORE sessions than the fixed 30m formulation."""
+    from pyspark.sql import functions as F
+    from data_etl_pipeline_spark.tables import load as _load
+
+    rows = _run("dynamic_gap_sessions", spark, sf_dir).collect()
+    assert rows
+    got = {r.user_id: r for r in rows}
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    fixed = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+    )
+    for r in fixed.collect():
+        g = got[r.user_id]
+        assert g.n_sessions <= r["count"], (r.user_id, g.n_sessions, r["count"])
+        assert g.max_session_events <= g.n_events
+        assert g.n_sessions <= g.n_events
