@@ -1005,3 +1005,111 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the general form behind
+# ROLLUP/CUBE (both already covered): an ARBITRARY set of grouping
+# combinations computed in ONE pass via Expand before the partial
+# aggregate (subtotals never cost one scan per level), with
+# grouping_id() disambiguating which combination produced each row —
+# the marker every BI layer keys on, since NULL-as-subtotal is
+# ambiguous when the column itself is nullable.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_priority_status",
+    sql="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+    doc="Arbitrary GROUPING SETS (status / priority / both / grand "
+    "total) in ONE Expand+aggregate pass, grouping_id disambiguating "
+    "subtotal rows from genuine NULL groups.",
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# AQE runtime join re-planning, demonstrated: a join whose build side
+# is small ONLY AFTER a selective filter (statically sized near the
+# full table, so the initial plan is a SortMergeJoin) gets re-planned
+# to a BroadcastHashJoin from RUNTIME shuffle statistics — the exact
+# mechanism that makes shuffle-partition counts and broadcast
+# thresholds soft targets at 1000 executors. Asserted on the ADAPTIVE
+# executed plan after the action; the static plan is asserted to have
+# started as SMJ so the check cannot pass vacuously.
+# ---------------------------------------------------------------------------
+@query(
+    "aqe_runtime_broadcast_join",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9900
+    GROUP BY 1
+    """,
+    doc="AQE converts a statically-planned SortMergeJoin to a broadcast "
+    "join from runtime shuffle sizes (selective dim filter); both the "
+    "static SMJ start and the adaptive BHJ finish are asserted.",
+)
+def aqe_runtime_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9900)
+
+    def agg() -> DataFrame:
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        return j.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    # THE two knobs this query demonstrates (scoped save/restore): the
+    # STATIC threshold off => the planner must pick SortMergeJoin (an
+    # explicit `merge` hint would instead BIND AQE too — user hints are
+    # honored through re-planning, so that formulation can never convert);
+    # the ADAPTIVE threshold on => runtime shuffle sizes may re-plan to
+    # broadcast once the filtered dim turns out tiny.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        df = agg()
+        static_plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in static_plan, static_plan
+        df.collect()  # run, so AQE finalizes the adaptive plan
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg()
