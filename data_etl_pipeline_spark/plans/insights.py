@@ -634,3 +634,101 @@ def supplier_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.sqrt(d2) <= 20.0)
         .select("s_a", "s_b", F.round(F.sqrt(d2), 6).alias("dist_deg"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem's numeric columns — the
+# profiling pass before any feature selection. Neither engine's builtin
+# corr() is used: their streaming accumulations differ in the last
+# bits, so both sides compute the SAME closed form from exact DECIMAL
+# power sums (sum x, sum y, sum xy, sum x^2, sum y^2 — one map-side-
+# combinable aggregate, order-free by exactness), then evaluate
+# r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) once per
+# pair in doubles. One scan, one one-row frame, 3 output rows.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_correlation_matrix",
+    sql="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+               SUM(CAST(l_discount AS DECIMAL(18,4))) AS sd,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+               SUM(CAST(l_discount AS DECIMAL(18,4))
+                   * CAST(l_discount AS DECIMAL(18,4))) AS sdd,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,4))) AS sqd,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,4))) AS spd
+        FROM lineitem
+    )
+    SELECT p.col_a, p.col_b,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+    FROM s, LATERAL (VALUES
+        ('quantity', 'extendedprice', CAST(sq AS DOUBLE), CAST(sp AS DOUBLE),
+         CAST(sqp AS DOUBLE), CAST(sqq AS DOUBLE), CAST(spp AS DOUBLE)),
+        ('quantity', 'discount', CAST(sq AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(sqd AS DOUBLE), CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE)),
+        ('extendedprice', 'discount', CAST(sp AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(spd AS DOUBLE), CAST(spp AS DOUBLE), CAST(sdd AS DOUBLE))
+    ) AS p(col_a, col_b, sx, sy, sxy, sxx, syy)
+    """,
+    doc="Pearson correlation matrix from exact DECIMAL power sums (one "
+    "map-side-combinable aggregate; engine-builtin corr() deliberately "
+    "avoided - streaming accumulations differ in the last bits); closed "
+    "form evaluated once per pair on a one-row frame.",
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+    pairs = [
+        ("quantity", "extendedprice", "sq", "sp", "sqp", "sqq", "spp"),
+        ("quantity", "discount", "sq", "sd", "sqd", "sqq", "sdd"),
+        ("extendedprice", "discount", "sp", "sd", "spd", "spp", "sdd"),
+    ]
+
+    def r_of(sx: str, sy: str, sxy: str, sxx: str, syy: str) -> F.Column:
+        n = F.col("n").cast("double")
+        x, y = F.col(sx).cast("double"), F.col(sy).cast("double")
+        xy = F.col(sxy).cast("double")
+        xx, yy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        return F.round(
+            (n * xy - x * y) / F.sqrt((n * xx - x * x) * (n * yy - y * y)), 6
+        )
+
+    # ONE explode over the one-row power-sum frame — a union of selects
+    # would re-execute the aggregate (and the scan) once per pair
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                r_of(sx, sy, sxy, sxx, syy).alias("r"),
+            )
+            for a, b, sx, sy, sxy, sxx, syy in pairs
+        ]
+    )
+    return s.select(F.explode(structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.r"
+    )

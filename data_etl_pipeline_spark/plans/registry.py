@@ -81,7 +81,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # stream_pysource_ingest, delta_export_v2_checkpoint_roundtrip,
 # hard_negative_mining, delta_export_schema_evolution,
 # stream_dedup_within_watermark, dynamic_gap_sessions, rake_keyphrases,
-# grouping_sets_priority_status, aqe_runtime_broadcast_join, and any after
+# grouping_sets_priority_status, aqe_runtime_broadcast_join,
+# lineitem_correlation_matrix, and any after
 # them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
