@@ -732,3 +732,151 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(structs).alias("p")).select(
         "p.col_a", "p.col_b", "p.r"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test between customer segments' order
+# prices — the robust "did this source's distribution drift?" check
+# (sibling of source_token_kl, which needs a binned model; KS needs
+# none). Distributed form follows the level-frame discipline: prices
+# quantize to 1000-unit levels (bounded level count at any row count),
+# per-(level, segment) counts roll up once, the two CDFs are cumulative
+# sums over the LEVEL frame, and D = max |cdf_a - cdf_b| — max is
+# order-free, so no double-summation hazard exists anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_two_sample_price",
+    sql="""
+    WITH j AS (
+        SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS lev,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END AS grp
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    lv AS (
+        SELECT lev,
+               COUNT(CASE WHEN grp = 'a' THEN 1 END) AS na,
+               COUNT(CASE WHEN grp = 'b' THEN 1 END) AS nb
+        FROM j GROUP BY 1
+    ),
+    c AS (
+        SELECT SUM(na) OVER (ORDER BY lev) AS ca,
+               SUM(nb) OVER (ORDER BY lev) AS cb,
+               SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        FROM lv
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+           ROUND(MAX(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)),
+                 6) AS d_stat
+    FROM c
+    """,
+    doc="Two-sample Kolmogorov-Smirnov D between segments' price "
+    "distributions: 1000-unit price levels (bounded level frame), one "
+    "grouped count, CDFs as level-frame cumsums, D as an order-free "
+    "max of |cdf diffs|.",
+)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("lev"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "a").otherwise("b").alias("grp"),
+    )
+    lv = j.groupBy("lev").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("na"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("nb"),
+    )
+    wcum = W.orderBy("lev").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    c = lv.select(
+        F.sum("na").over(wcum).alias("ca"),
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return c.agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.round(F.max(diff), 6).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association between order status and priority — the
+# categorical counterpart of the correlation matrix. Chi-square from
+# one contingency aggregate; every per-cell term is computed in DOUBLE
+# with the identical expression shape in both engines, ROUNDED to 6
+# decimals, and accumulated as exact DECIMAL — the rounding step is
+# what makes the 15-term sum order-free. Expected counts ride the
+# row/column marginal windows on the 15-row contingency frame.
+# ---------------------------------------------------------------------------
+@query(
+    "cramers_v_status_priority",
+    sql="""
+    WITH ct AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT s, p, o,
+               SUM(o) OVER (PARTITION BY s) AS rs,
+               SUM(o) OVER (PARTITION BY p) AS cs,
+               SUM(o) OVER () AS n
+        FROM ct
+    ),
+    terms AS (
+        SELECT n,
+               CAST(ROUND(
+                   pow(CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * cs / n, 2)
+                   / (CAST(rs AS DOUBLE) * cs / n), 6) AS DECIMAL(18,6))
+                   AS t,
+               (SELECT COUNT(DISTINCT s) FROM ct) AS nr,
+               (SELECT COUNT(DISTINCT p) FROM ct) AS nc
+        FROM m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+           ROUND(sqrt(CAST(SUM(t) AS DOUBLE)
+                      / (MAX(n) * least(MAX(nr) - 1, MAX(nc) - 1))), 6) AS v
+    FROM terms
+    """,
+    doc="Cramér's V between status and priority: one contingency "
+    "aggregate, marginals as windows on the 15-row frame, per-cell "
+    "chi-square terms rounded to 6dp then DECIMAL-summed so the "
+    "accumulation is order-free in both engines.",
+)
+def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ct = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = ct.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(W.partitionBy("s")).alias("rs"),
+        F.sum("o").over(W.partitionBy("p")).alias("cs"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("rs").cast("double") * F.col("cs") / F.col("n")
+    t = F.round(F.pow(F.col("o").cast("double") - e, 2) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    nr = ct.select(F.countDistinct("s")).first()[0]
+    nc = ct.select(F.countDistinct("p")).first()[0]
+    chi2 = F.sum("t").cast("double")
+    return (
+        m.withColumn("t", t)
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(chi2 / (F.max("n") * min(nr - 1, nc - 1))), 6
+            ).alias("v"),
+        )
+    )

@@ -82,7 +82,8 @@ def query(name: str, sql: str | None, doc: str = "", headline: bool = False):
 # hard_negative_mining, delta_export_schema_evolution,
 # stream_dedup_within_watermark, dynamic_gap_sessions, rake_keyphrases,
 # grouping_sets_priority_status, aqe_runtime_broadcast_join,
-# lineitem_correlation_matrix, and any after
+# lineitem_correlation_matrix, ks_two_sample_price,
+# cramers_v_status_priority, and any after
 # them —
 # note doc_minhash_signatures/doc_exact_dedup/doc_dedup_clusters etc.
 # re-prove the round-7 total-shingle-expression fix THIS round since
