@@ -285,7 +285,7 @@ def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     o AS (
-        SELECT user_id, ts, fin,
+        SELECT user_id, event_id, ts, fin,
                MAX(fin) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING) AS prev_end
@@ -295,7 +295,7 @@ def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
                         THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, fin
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS sid
         FROM o

@@ -395,18 +395,22 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM levels
     ),
     boundary AS (
+        -- integer-exact 95% target: 20*cum >= 19*total avoids the
+        -- double product 0.95*total whose last ulp could pick a
+        -- different boundary level than the oracle
         SELECT * FROM cum
-        WHERE cum_mass >= 0.95 * total_mass
-          AND (cum_mass - mass) < 0.95 * total_mass
+        WHERE 20 * cum_mass >= 19 * total_mass
+          AND 20 * (cum_mass - mass) < 19 * total_mass
     )
     SELECT CAST(total_vocab AS BIGINT) AS total_vocab,
            CAST(total_mass AS BIGINT) AS total_mass,
            CAST(f AS BIGINT) AS f_star,
            CAST((cum_toks - n_toks)
-                + CAST(ceil((0.95 * total_mass - (cum_mass - mass)) / f)
-                       AS BIGINT) AS BIGINT) AS vocab_kept,
+                + (19 * total_mass - 20 * (cum_mass - mass) + 20 * f - 1)
+                  // (20 * f) AS BIGINT) AS vocab_kept,
            ROUND(CAST((cum_mass - mass)
-                      + f * ceil((0.95 * total_mass - (cum_mass - mass)) / f)
+                      + f * ((19 * total_mass - 20 * (cum_mass - mass)
+                              + 20 * f - 1) // (20 * f))
                       AS DOUBLE) / total_mass, 6) AS coverage
     FROM boundary
     """,
@@ -437,12 +441,19 @@ def vocab_coverage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mass").over(wall).alias("total_mass"),
         F.sum("n_toks").over(wall).alias("total_vocab"),
     )
-    target = 0.95 * F.col("total_mass")
+    # Integer-exact 95% target (20*cum >= 19*total) and integer ceiling
+    # division for the boundary-level token count — no double product
+    # rides the comparison on either engine, so the selected boundary
+    # frequency level is bit-identical to the oracle's by construction.
     boundary = cum.where(
-        (F.col("cum_mass") >= target) & ((F.col("cum_mass") - F.col("mass")) < target)
+        (F.lit(20) * F.col("cum_mass") >= F.lit(19) * F.col("total_mass"))
+        & (
+            F.lit(20) * (F.col("cum_mass") - F.col("mass"))
+            < F.lit(19) * F.col("total_mass")
+        )
     )
-    need = F.ceil(
-        (target - (F.col("cum_mass") - F.col("mass"))) / F.col("f")
+    need = F.expr(
+        "(19 * total_mass - 20 * (cum_mass - mass) + 20 * f - 1) div (20 * f)"
     ).cast("bigint")
     return boundary.select(
         F.col("total_vocab").cast("bigint").alias("total_vocab"),

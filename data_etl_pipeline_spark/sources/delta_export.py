@@ -1342,10 +1342,14 @@ def checkpoint_export_v2(
     ``trim=True`` deletes the JSON commits the checkpoint covers (the
     log half of VACUUM). The table becomes read-only to this module's
     text-log append path afterwards — which checkpointed tables already
-    are — while any v2Checkpoint-capable reader (including
-    ``DeltaLogReader``) replays from the manifest. Returns the
-    checkpoint version. The UUID is derived deterministically from
-    (dest, version) so re-runs reproduce the same layout byte-for-byte.
+    are — while ``DeltaLogReader`` replays from the manifest. Sidecar
+    actions carry the protocol-required ``sizeInBytes`` (plus
+    ``modificationTime``) and ``_last_checkpoint`` the v2 summary
+    fields, but interop with delta-spark's v2 reader is untested here
+    (no delta-spark in this environment) — the verified replay contract
+    is this module's own reader. Returns the checkpoint version. The
+    UUID is derived deterministically from (dest, version) so re-runs
+    reproduce the same sidecar layout byte-for-byte.
     """
     from pyspark.sql import types as T
 
@@ -1434,13 +1438,42 @@ def checkpoint_export_v2(
             )
             + "\n"
         )
+        total_sidecar_bytes = 0
         for name in sidecar_names:
-            fh.write(json.dumps({"sidecar": {"path": name}}) + "\n")
+            st = os.stat(os.path.join(side_dir, name))
+            total_sidecar_bytes += st.st_size
+            # PROTOCOL.md marks sizeInBytes required on the sidecar
+            # action; modificationTime is optional but cheap from the
+            # same stat call.
+            fh.write(
+                json.dumps(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": st.st_size,
+                            "modificationTime": int(st.st_mtime * 1000),
+                        }
+                    }
+                )
+                + "\n"
+            )
     os.rename(mtmp, manifest)
     lc = os.path.join(log_dir, "_last_checkpoint")
     lc_tmp = lc + ".tmp"
     with open(lc_tmp, "w") as fh:
-        fh.write(json.dumps({"version": head, "size": len(ordered) + 2}))
+        fh.write(
+            json.dumps(
+                {
+                    "version": head,
+                    "size": len(ordered) + 2,
+                    "sizeInBytes": total_sidecar_bytes
+                    + os.stat(manifest).st_size,
+                    "numOfAddFiles": len(ordered),
+                    "checkpointSchema": None,
+                    "tags": None,
+                }
+            )
+        )
     os.rename(lc_tmp, lc)
     if trim:
         for v in [*versions, head]:

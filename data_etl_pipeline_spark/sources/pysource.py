@@ -111,13 +111,20 @@ class BatchResultsReader(DataSourceReader):
                     continue
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     v = int(f.value)
-                    if self._lo is None or v >= self._lo:
+                    # Replace the bound only when strictly tighter; on an
+                    # equal bound OR the strictness so `shard > 5 AND
+                    # shard >= 5` keeps the strict exclusion of 5.
+                    if self._lo is None or v > self._lo:
                         self._lo, self._lo_strict = v, isinstance(f, GreaterThan)
+                    elif v == self._lo:
+                        self._lo_strict = self._lo_strict or isinstance(f, GreaterThan)
                     continue
                 if isinstance(f, (LessThan, LessThanOrEqual)):
                     v = int(f.value)
-                    if self._hi is None or v <= self._hi:
+                    if self._hi is None or v < self._hi:
                         self._hi, self._hi_strict = v, isinstance(f, LessThan)
+                    elif v == self._hi:
+                        self._hi_strict = self._hi_strict or isinstance(f, LessThan)
                     continue
             yield f  # unsupported: Spark evaluates it post-scan
 

@@ -10,6 +10,7 @@ from pyspark.sql.datasource import (
     In,
     IsNotNull,
     LessThan,
+    LessThanOrEqual,
     StringStartsWith,
 )
 
@@ -49,6 +50,32 @@ def test_pushdown_ranges_strict_and_inclusive(tmp_path):
     r2, _ = _reader(tmp_path)
     assert list(r2.pushFilters([GreaterThanOrEqual(("shard",), 2)])) == []
     assert [p.shard for p in r2.partitions()] == [2, 3]
+
+
+def test_pushdown_equal_bound_keeps_strictness(tmp_path):
+    # `shard > 1 AND shard >= 1`: both filters are consumed, so the
+    # reader must honor the STRICTER of the two — shard 1 is excluded.
+    # (Regression: the >= used to overwrite the strict flag.)
+    r, _ = _reader(tmp_path)
+    assert (
+        list(r.pushFilters([GreaterThan(("shard",), 1), GreaterThanOrEqual(("shard",), 1)]))
+        == []
+    )
+    assert [p.shard for p in r.partitions()] == [2, 3]
+    # order-independent: >= first, then >
+    r2, _ = _reader(tmp_path)
+    assert (
+        list(r2.pushFilters([GreaterThanOrEqual(("shard",), 1), GreaterThan(("shard",), 1)]))
+        == []
+    )
+    assert [p.shard for p in r2.partitions()] == [2, 3]
+    # same on the upper bound: shard < 2 AND shard <= 2 excludes 2
+    r3, _ = _reader(tmp_path)
+    assert (
+        list(r3.pushFilters([LessThanOrEqual(("shard",), 2), LessThan(("shard",), 2)]))
+        == []
+    )
+    assert [p.shard for p in r3.partitions()] == [0, 1]
 
 
 def test_unsupported_filters_returned_to_spark(tmp_path):
