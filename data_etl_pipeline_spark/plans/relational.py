@@ -1103,7 +1103,7 @@ def aqe_runtime_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             df._jdf.queryExecution(), "formatted"
         )
         assert "SortMergeJoin" in static_plan, static_plan
-        df.collect()  # run, so AQE finalizes the adaptive plan
+        rows = df.collect()  # run, so AQE finalizes the adaptive plan
         final_plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in final_plan, final_plan[:2000]
     finally:
@@ -1112,4 +1112,117 @@ def aqe_runtime_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return agg()
+    # The join ran exactly once (inside the conf scope, where the AQE
+    # assertion is valid); hand back its materialized result — a
+    # status-grouped frame of at most a few rows — rather than
+    # re-building and re-executing the aggregate.
+    return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split, demonstrated: a fact-fact SortMergeJoin whose
+# probe side funnels ~80% of its rows through ONE join key — the hot
+# partition that, at 1000 executors, turns a 5-minute stage into the
+# one straggler the whole job waits on. With skew handling on, AQE
+# measures the finished shuffle, splits the oversized partition into
+# advisory-sized slices, and duplicates the matching build rows per
+# slice — runtime salting with no query rewrite. The executed plan is
+# asserted to carry the skew marker, and a control run with skew
+# handling OFF is asserted NOT to, so the check cannot pass vacuously.
+# This is the third plan-asserted runtime contract (after the bucketed
+# zero-shuffle join and the AQE runtime-broadcast conversion) that the
+# 100 TB story leans on.
+# ---------------------------------------------------------------------------
+@query(
+    "aqe_skew_join_split",
+    sql="""
+    WITH lk AS (
+        SELECT CASE WHEN l_partkey % 10 < 8 THEN 0
+                    ELSE l_partkey % 1000 END AS k,
+               l_extendedprice
+        FROM lineitem
+    ),
+    pk AS (SELECT p_partkey % 1000 AS k FROM part)
+    SELECT CASE WHEN lk.k = 0 THEN 'hot' ELSE 'cold' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lk JOIN pk ON lk.k = pk.k
+    GROUP BY 1
+    """,
+    doc="Deliberately skewed fact-fact join (80% of probe rows on one "
+    "key); AQE splits the hot shuffle partition into advisory-sized "
+    "slices at runtime (skew=true asserted on the executed plan, and "
+    "asserted ABSENT in a control run with skew handling off); oracle "
+    "proves output equality.",
+    round_added=8,
+)
+def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OptimizeSkewedJoin splits a hot reduce partition at MAP-TASK
+    # boundaries, and only when the join inputs are Sort directly over
+    # an ENSURE_REQUIREMENTS shuffle. Hence two shape constraints here:
+    # the round-robin repartition gives the probe side multiple mappers
+    # (the sf fixture is one parquet row group = one map task, an
+    # unsplittable single chunk; a 100 TB scan has thousands of map
+    # tasks naturally), and the build side stays a raw projection — an
+    # aggregate between Sort and the shuffle stage defeats the rule's
+    # pattern match.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_partkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_partkey") % 1000)
+            .alias("k"),
+            "l_extendedprice",
+        )
+        .repartition(16)
+    )
+    pk = load(spark, sf_dir, "part").select((F.col("p_partkey") % 1000).alias("k"))
+
+    def agg() -> DataFrame:
+        j = li.join(pk, "k")
+        return j.groupBy(
+            F.when(F.col("k") == 0, F.lit("hot")).otherwise(F.lit("cold")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    # Scoped knobs: broadcast off on BOTH planners (the build side is
+    # tiny — a broadcast join has no skew to split, so the demo must
+    # stay a SortMergeJoin); skew thresholds lowered to test-data scale
+    # (the defaults target 256 MB partitions).
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        df = agg()
+        rows = df.collect()  # AQE finalizes the adaptive plan
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+        # control: same join with skew handling off must NOT carry the
+        # marker — proves the assertion tests AQE's decision, not a
+        # string that happens to always print
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        ctl = agg()
+        ctl_rows = ctl.collect()
+        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in ctl_plan, ctl_plan[:2000]
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, df.schema)
