@@ -4578,6 +4578,75 @@ def delta_export_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> Da
 
 
 # ---------------------------------------------------------------------------
+# INCREMENTAL V2 checkpoint: advancing the checkpoint after an append
+# rewrites ONLY the changed sidecars — unchanged ones are carried into
+# the new manifest by reference. At 100 TB a checkpoint is millions of
+# add rows; re-serializing all of them per checkpoint is O(table),
+# while this is O(changed ranges). Reuse is asserted file-for-file
+# in-query (the new manifest names the OLD sidecar parquet files), and
+# the reader replays from the new manifest with commits still present,
+# proving the two checkpoints coexist and the newest wins.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_v2_checkpoint_incremental",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY 1
+    """,
+    doc="Incremental V2 checkpointer: append after a 2-sidecar v2 "
+    "checkpoint, advance the checkpoint, and the new manifest reuses "
+    "BOTH old sidecar files by reference plus one fresh sidecar for the "
+    "appended files (asserted name-for-name); snapshot read back "
+    "through DeltaLogReader from the newest manifest, oracle-checked.",
+    round_added=8,
+)
+def delta_export_v2_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        checkpoint_export_v2,
+        checkpoint_export_v2_incremental,
+        export_delta,
+        export_delta_append,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="v2cp_incr_") + "/table"
+    export_delta(base.where(k < 500).repartition(3), dest)
+    export_delta_append(base.where((k >= 500) & (k < 900)).repartition(2), dest)
+    cp1 = checkpoint_export_v2(spark, dest, n_sidecars=2)  # upgrade commit = v2
+    assert cp1 == 2
+    side_dir = _os.path.join(dest, "_delta_log", "_sidecars")
+    old_sidecars = sorted(_os.listdir(side_dir))
+    assert len(old_sidecars) == 2, old_sidecars
+
+    # append AFTER the checkpoint (the untrimmed text log still replays)
+    export_delta_append(base.where((k >= 900) & (k < 1200)).repartition(2), dest)
+
+    inc = checkpoint_export_v2_incremental(spark, dest)
+    assert inc["version"] == 3, inc
+    # the at-scale contract: BOTH previous sidecars carried by reference,
+    # exactly one fresh sidecar holding the appended files
+    assert sorted(inc["reused"]) == old_sidecars, inc
+    assert inc["rewritten"] == 1 and len(inc["sidecars"]) == 3, inc
+
+    reader = DeltaLogReader(spark, dest)
+    assert len(reader.live_files()) == 7  # 3 + 2 + 2, all live
+    got = reader.read()
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Delta SCHEMA EVOLUTION (add nullable column): a metaData-only commit
 # appends the field (latest metaData wins at replay, PROTOCOL.md);
 # pre-evolution data files lack the column and surface NULL because the

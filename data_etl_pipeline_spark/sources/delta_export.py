@@ -493,15 +493,33 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
     if not os.path.isdir(log_dir):
         raise DeltaExportError(f"{dest} has no _delta_log")
     versions = sorted(
-        int(f[:20]) for f in os.listdir(log_dir) if f.endswith(".json") and f[:20].isdigit()
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        # V2 manifests ({v}.checkpoint.{uuid}.json) also end .json with a
+        # digit prefix but are checkpoint state, not commits
+        if f.endswith(".json") and f[:20].isdigit() and ".checkpoint." not in f
     )
     cps = sorted(
         int(f[:20])
         for f in os.listdir(log_dir)
         if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
     )
-    if not versions and not cps:
+    v2_manifests = [
+        f
+        for f in os.listdir(log_dir)
+        if ".checkpoint." in f and f.endswith(".json") and f[:20].isdigit()
+    ]
+    if not versions and not cps and not v2_manifests:
         raise DeltaExportError(f"{dest} has an empty _delta_log")
+    if v2_manifests and versions != list(range(len(versions))):
+        # a TRIMMED v2 checkpoint: state lives only in parquet sidecars,
+        # which this text-log path cannot replay
+        raise DeltaExportError(
+            f"{dest} is v2-checkpointed and trimmed; use DeltaLogReader "
+            "for reads — text-log appends need the full JSON history"
+        )
+    if not versions:
+        raise DeltaExportError(f"{dest} has no JSON commits to replay")
     meta = None
     files: dict[str, dict] = {}
     txns: dict[str, int] = {}
@@ -547,6 +565,28 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
                             "generatedColumns",
                         }
                         and sorted(p) == ["minReaderVersion", "minWriterVersion", "writerFeatures"]
+                    ) or (
+                        # the v2Checkpoint upgrade THIS module's
+                        # checkpoint_export_v2 writes: appends to an
+                        # untrimmed v2-checkpointed table stay text-replayable
+                        p.get("minReaderVersion") == 3
+                        and p.get("minWriterVersion") == 7
+                        and list(p.get("readerFeatures") or []) == ["v2Checkpoint"]
+                        and set(p.get("writerFeatures") or [])
+                        <= {
+                            "v2Checkpoint",
+                            "inCommitTimestamp",
+                            "changeDataFeed",
+                            "checkConstraints",
+                            "generatedColumns",
+                        }
+                        and sorted(p)
+                        == [
+                            "minReaderVersion",
+                            "minWriterVersion",
+                            "readerFeatures",
+                            "writerFeatures",
+                        ]
                     )
                     if not ok:
                         raise DeltaExportError(
@@ -1377,8 +1417,13 @@ def checkpoint_export_v2(
             "writerFeatures": sorted({"v2Checkpoint", *old_feats}),
         }
     }
-    head = versions[-1] + 1
-    _write_commit(dest, head, [upgrade])
+    if _stored_protocol_is_v2(dest):
+        # already upgraded by an earlier checkpoint_export_v2: checkpoint
+        # the current head, no duplicate protocol commit
+        head = versions[-1]
+    else:
+        head = versions[-1] + 1
+        _write_commit(dest, head, [upgrade])
 
     uid = hashlib.md5(f"{dest}@{head}".encode()).hexdigest()
     uuid_str = f"{uid[:8]}-{uid[8:12]}-{uid[12:16]}-{uid[16:20]}-{uid[20:32]}"
@@ -1481,6 +1526,245 @@ def checkpoint_export_v2(
             if os.path.isfile(p):
                 os.remove(p)
     return head
+
+
+def _stored_protocol_is_v2(dest: str) -> bool:
+    """True when a JSON commit already carries the v2Checkpoint protocol
+    upgrade this module writes."""
+    log_dir = os.path.join(dest, "_delta_log")
+    is_v2 = False
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f[:20].isdigit() and ".checkpoint." not in f):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    is_v2 = "v2Checkpoint" in (a["protocol"].get("readerFeatures") or [])
+    return is_v2
+
+
+def _latest_v2_manifest(dest: str) -> tuple[int, str] | None:
+    """(version, absolute path) of the newest V2 UUID manifest, or None."""
+    log_dir = os.path.join(dest, "_delta_log")
+    best: tuple[int, str] | None = None
+    for f in os.listdir(log_dir):
+        if ".checkpoint." in f and f.endswith(".json") and f[:20].isdigit():
+            v = int(f[:20])
+            if best is None or v > best[0]:
+                best = (v, os.path.join(log_dir, f))
+    return best
+
+
+def checkpoint_export_v2_incremental(spark, dest: str) -> dict:
+    """Advance a table's V2 checkpoint to the current head REWRITING ONLY
+    CHANGED SIDECARS — the at-scale contract checkpoint_export_v2's
+    docstring promises. Each previous sidecar owns the set of data files
+    it recorded; a sidecar whose add set is byte-for-byte unchanged
+    since the last checkpoint is carried into the new manifest BY
+    REFERENCE (the old parquet file, untouched on disk). A sidecar that
+    lost or changed a file (CoW delete, OPTIMIZE) is rewritten with its
+    surviving members — or dropped when none survive — and files new
+    since the last checkpoint form one fresh sidecar. So a pure append
+    reuses ALL previous sidecars plus one new file, and checkpoint cost
+    is O(changed sidecars), not O(table) — at 100 TB the difference
+    between re-serializing millions of add rows per checkpoint and
+    writing the one range an append created. (Sidecar membership is a
+    writer choice; readers union whatever the manifest names, so
+    set-based ownership is as valid as range splits and is stable under
+    Spark's randomized part-file names.)
+
+    Requires an untrimmed table previously checkpointed by
+    ``checkpoint_export_v2`` (the text log must still replay). Returns
+    ``{"version", "reused", "rewritten", "sidecars"}`` where ``reused``
+    lists carried-forward sidecar file names and ``sidecars`` the new
+    manifest's full ordered list.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    dest = dest.rstrip("/")
+    meta, versions, files, _txns = _read_own_log(dest)
+    prev = _latest_v2_manifest(dest)
+    if prev is None:
+        raise DeltaExportError(
+            f"{dest} has no V2 checkpoint; run checkpoint_export_v2 first"
+        )
+    prev_v, prev_manifest = prev
+    head = versions[-1]
+    if head == prev_v:
+        raise DeltaExportError(
+            f"{dest}: no commits after checkpoint version {prev_v}; "
+            "nothing to advance"
+        )
+    log_dir = os.path.join(dest, "_delta_log")
+    side_dir = os.path.join(log_dir, "_sidecars")
+
+    # previous sidecar layout: ordered names + each one's add rows as
+    # comparable tuples
+    prev_sidecars: list[str] = []
+    with open(prev_manifest) as fh:
+        for line in fh:
+            if line.strip():
+                a = json.loads(line)
+                if "sidecar" in a and a["sidecar"].get("path"):
+                    prev_sidecars.append(a["sidecar"]["path"])
+
+    def add_key(add: dict) -> tuple:
+        return (
+            add["path"],
+            int(add.get("size") or 0),
+            int(add.get("modificationTime") or 0),
+            bool(add.get("dataChange", True)),
+            tuple(sorted((add.get("partitionValues") or {}).items())),
+        )
+
+    prev_rows: list[tuple[str, list[tuple]]] = []  # (name, sorted add keys)
+    for name in prev_sidecars:
+        tbl = pq.read_table(os.path.join(side_dir, name)).to_pylist()
+        keys = sorted(add_key(r["add"]) for r in tbl if r.get("add"))
+        prev_rows.append((name, keys))
+
+    # group the CURRENT file list by which old sidecar owned each path;
+    # paths no old sidecar recorded are new since the last checkpoint
+    ordered = sorted(files)
+    owner: dict[str, int] = {}
+    for idx, (_name, keys) in enumerate(prev_rows):
+        for key in keys:
+            owner[key[0]] = idx
+    buckets: list[list[str]] = [[] for _ in prev_rows]
+    fresh: list[str] = []
+    for p in ordered:
+        if p in owner:
+            buckets[owner[p]].append(p)
+        else:
+            fresh.append(p)
+
+    uid = hashlib.md5(f"{dest}@{head}".encode()).hexdigest()
+    uuid_str = f"{uid[:8]}-{uid[8:12]}-{uid[12:16]}-{uid[16:20]}-{uid[20:32]}"
+    add_struct = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    sc_schema = T.StructType([T.StructField("add", add_struct)])
+
+    def write_sidecar(part: list[str], k: int) -> str:
+        rows = [
+            ((files[p]["path"], dict(files[p].get("partitionValues") or {}),
+              int(files[p].get("size") or 0),
+              int(files[p].get("modificationTime") or 0),
+              bool(files[p].get("dataChange", True))),)
+            for p in part
+        ]
+        name = f"{uuid_str}-{k:03d}.parquet"
+        tmp = os.path.join(dest, f"_sctmp{k}")
+        spark.createDataFrame(rows, sc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, pf), os.path.join(side_dir, name))
+        import shutil
+
+        shutil.rmtree(tmp)
+        return name
+
+    reused: list[str] = []
+    out_names: list[str] = []
+    k = 0
+    for (old_name, old_keys), part in zip(prev_rows, buckets):
+        if sorted(add_key(files[p]) for p in part) == old_keys:
+            reused.append(old_name)
+            out_names.append(old_name)
+        elif part:  # dirty: rewrite with the surviving members
+            out_names.append(write_sidecar(part, k))
+            k += 1
+        # else: every file the old sidecar owned is gone — drop it
+    if fresh:
+        out_names.append(write_sidecar(fresh, k))
+
+    # manifest at the new head: protocol (already upgraded — enforced by
+    # _read_own_log accepting it), metaData, one sidecar action per group
+    cfg = dict(meta.get("configuration") or {})
+    old_feats: list[str] = []
+    if cfg.get("delta.enableChangeDataFeed") == "true":
+        old_feats.append("changeDataFeed")
+    if any(k2.startswith("delta.constraints.") for k2 in cfg):
+        old_feats.append("checkConstraints")
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        old_feats.append("inCommitTimestamp")
+    if _generation_exprs(meta):
+        old_feats.append("generatedColumns")
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": sorted({"v2Checkpoint", *old_feats}),
+    }
+    manifest = os.path.join(log_dir, f"{head:020d}.checkpoint.{uuid_str}.json")
+    mtmp = manifest + ".tmp"
+    total_sidecar_bytes = 0
+    with open(mtmp, "w") as fh:
+        fh.write(json.dumps({"protocol": protocol}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": meta["id"],
+                        "format": meta.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": meta["schemaString"],
+                        "partitionColumns": list(meta.get("partitionColumns") or []),
+                        "configuration": cfg,
+                    }
+                }
+            )
+            + "\n"
+        )
+        for name in out_names:
+            st = os.stat(os.path.join(side_dir, name))
+            total_sidecar_bytes += st.st_size
+            fh.write(
+                json.dumps(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": st.st_size,
+                            "modificationTime": int(st.st_mtime * 1000),
+                        }
+                    }
+                )
+                + "\n"
+            )
+    os.rename(mtmp, manifest)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    lc_tmp = lc + ".tmp"
+    with open(lc_tmp, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "version": head,
+                    "size": len(ordered) + 2,
+                    "sizeInBytes": total_sidecar_bytes + os.stat(manifest).st_size,
+                    "numOfAddFiles": len(ordered),
+                    "checkpointSchema": None,
+                    "tags": None,
+                }
+            )
+        )
+    os.rename(lc_tmp, lc)
+    return {
+        "version": head,
+        "reused": reused,
+        "rewritten": len(out_names) - len(reused),
+        "sidecars": out_names,
+    }
 
 
 def export_delta_evolve_add_column(

@@ -1047,3 +1047,128 @@ def test_v2_checkpoint_preserves_writer_features_and_travel(spark, sf_dir, tmp_p
     assert reader.read(version=v).count() == base.where("o_orderkey < 600").count()
     with pytest.raises(Exception):
         reader.read(version=0)  # pre-checkpoint commits were trimmed
+
+
+class TestV2CheckpointIncremental:
+    """Incremental V2 checkpointer: unchanged sidecars carry forward by
+    reference; only dirty groups rewrite; refusal edges."""
+
+    def _table(self, spark, tmp_path, name="incr"):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            export_delta,
+            export_delta_append,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "id long, val double"
+        )
+        dest = str(tmp_path / name)
+        export_delta(df.where("id < 20").repartition(3), dest)
+        export_delta_append(df.where("id >= 20").repartition(2), dest)
+        v = checkpoint_export_v2(spark, dest, n_sidecars=2)
+        assert v == 2
+        return dest, df
+
+    def test_pure_append_reuses_all_old_sidecars(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2_incremental,
+            export_delta_append,
+        )
+
+        dest, _ = self._table(spark, tmp_path)
+        side_dir = os.path.join(dest, "_delta_log", "_sidecars")
+        old = sorted(os.listdir(side_dir))
+        old_stat = {n: os.stat(os.path.join(side_dir, n)).st_mtime_ns for n in old}
+        export_delta_append(
+            spark.createDataFrame([(100, 1.0), (101, 2.0)], "id long, val double")
+            .repartition(1),
+            dest,
+        )
+        inc = checkpoint_export_v2_incremental(spark, dest)
+        assert sorted(inc["reused"]) == old
+        assert inc["rewritten"] == 1 and len(inc["sidecars"]) == 3
+        # carried forward BY REFERENCE: the old parquet files untouched
+        for n in old:
+            assert os.stat(os.path.join(side_dir, n)).st_mtime_ns == old_stat[n]
+        reader = DeltaLogReader(spark, dest)
+        assert reader.read().count() == 42
+
+    def test_cow_delete_rewrites_only_owning_sidecar(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2_incremental,
+            export_delta_delete,
+        )
+
+        dest, _ = self._table(spark, tmp_path)
+        side_dir = os.path.join(dest, "_delta_log", "_sidecars")
+        old = sorted(os.listdir(side_dir))
+        # find which sidecar owns the file(s) holding id=5, then delete
+        # those rows: only owners of rewritten files may be dirtied
+        owners = {
+            n: {r["add"]["path"] for r in pq.read_table(
+                os.path.join(side_dir, n)).to_pylist() if r.get("add")}
+            for n in old
+        }
+        export_delta_delete(spark, dest, "id = 5")
+        inc = checkpoint_export_v2_incremental(spark, dest)
+        # at least one old sidecar reused (the delete touched one data
+        # file; the other group's add set is untouched)
+        assert inc["reused"], inc
+        for n in inc["reused"]:
+            assert n in owners
+        reader = DeltaLogReader(spark, dest)
+        got = {r.id for r in reader.read().collect()}
+        assert 5 not in got and len(got) == 39
+
+    def test_refuses_without_checkpoint_or_new_commits(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2_incremental,
+            export_delta,
+            export_delta_append,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, val double")
+        dest = str(tmp_path / "nocp")
+        export_delta(df, dest)
+        with pytest.raises(DeltaExportError, match="no V2 checkpoint"):
+            checkpoint_export_v2_incremental(spark, dest)
+        dest2, _ = self._table(spark, tmp_path, "nonew")
+        with pytest.raises(DeltaExportError, match="no commits after"):
+            checkpoint_export_v2_incremental(spark, dest2)
+
+    def test_append_refuses_after_trimmed_v2(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            export_delta,
+            export_delta_append,
+        )
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                                   "id long, val double")
+        dest = str(tmp_path / "trimmed")
+        export_delta(df, dest)
+        checkpoint_export_v2(spark, dest, n_sidecars=1, trim=True)
+        with pytest.raises(DeltaExportError, match="trimmed"):
+            export_delta_append(df, dest)
+
+    def test_second_checkpoint_skips_duplicate_upgrade(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            export_delta_append,
+        )
+
+        dest, _ = self._table(spark, tmp_path, "dup")
+        export_delta_append(
+            spark.createDataFrame([(200, 9.0)], "id long, val double"), dest
+        )
+        v = checkpoint_export_v2(spark, dest, n_sidecars=2)  # full, not incr
+        assert v == 3  # checkpoints the head; no second protocol commit
+        log_dir = os.path.join(dest, "_delta_log")
+        commits = sorted(
+            n for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:20].isdigit() and ".checkpoint." not in n
+        )
+        assert [int(n[:20]) for n in commits] == [0, 1, 2, 3]
