@@ -74,6 +74,73 @@ def rebalance_to_uniform(
     )
 
 
+def temperature_mix_weights(
+    df: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source mixing weights, the multilingual/multi-
+    domain pretraining staple (mT5/XLM-R style): sample source s with
+
+        w_s = n_s^alpha / sum_t n_t^alpha,   alpha = alpha_num/alpha_den
+
+    alpha < 1 flattens the mix (up-samples small sources), alpha = 1 is
+    natural, alpha = 0 uniform. Returns one row per source: token mass,
+    natural share, temperature weight, and the resulting up/down-sampling
+    boost (weight / natural share).
+
+    Only alpha = 1/2 (sqrt) is supported — IEEE-754 sqrt is correctly
+    rounded, so sqrt(bigint) is BIT-IDENTICAL across engines, while
+    pow(x, 0.25) etc. is not so guaranteed. Oracle determinism: each
+    sqrt is rounded to 6 decimals and accumulated as DECIMAL(28,6), so
+    the denominator is order-free exact; the final ratios divide one
+    exact decimal by another in double and round to 6.
+
+    Scale shape: ONE map-side-combinable aggregate collapses the corpus
+    to |sources| rows; every window below runs on that bounded frame.
+    """
+    if (alpha_num, alpha_den) != (1, 2):
+        raise ValueError(
+            "temperature_mix_weights supports alpha=1/2 only (IEEE sqrt "
+            "is the one fractional power with a bit-exact cross-engine "
+            "contract)"
+        )
+    from pyspark.sql import Window as W
+
+    per_source = (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    q = F.round(F.sqrt(F.col("source_tokens").cast("double")), 6).cast(
+        "decimal(28,6)"
+    )
+    wall = W.partitionBy()  # O(sources) rows — bounded pre-aggregated frame
+    scored = per_source.select(
+        "source",
+        "source_tokens",
+        q.alias("q"),
+        F.sum("source_tokens").over(wall).alias("total_tokens"),
+        F.sum(q).over(wall).alias("total_q"),
+    )
+    natural = F.col("source_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    weight = F.col("q").cast("double") / F.col("total_q").cast("double")
+    return scored.select(
+        "source",
+        "source_tokens",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight / natural, 6).alias("boost"),
+    ).orderBy("source")
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: str,

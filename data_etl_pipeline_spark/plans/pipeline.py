@@ -363,6 +363,51 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-based source mixing (mT5/XLM-R style): sample source s
+# proportional to n_s^alpha, alpha = 1/2 — up-samples small sources
+# without letting any source dominate. Only sqrt is offered because
+# IEEE-754 sqrt is correctly rounded (bit-identical across engines);
+# each sqrt is rounded to 6 decimals and DECIMAL-summed so the
+# normalizing denominator is order-free exact. One map-side-combinable
+# aggregate collapses the corpus to |sources| rows; the global windows
+# run on that bounded frame only.
+# ---------------------------------------------------------------------------
+@query(
+    "source_temperature_mix",
+    sql="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                 AS source_tokens
+      FROM documents GROUP BY source),
+    scored AS (
+      SELECT source, source_tokens,
+             CAST(ROUND(sqrt(CAST(source_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS q,
+             SUM(source_tokens) OVER () AS total_tokens,
+             SUM(CAST(ROUND(sqrt(CAST(source_tokens AS DOUBLE)), 6)
+                      AS DECIMAL(28,6))) OVER () AS total_q
+      FROM per_source)
+    SELECT source, source_tokens,
+           ROUND(CAST(source_tokens AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE), 6) AS natural_share,
+           ROUND(CAST(q AS DOUBLE) / CAST(total_q AS DOUBLE), 6) AS mix_weight,
+           ROUND((CAST(q AS DOUBLE) / CAST(total_q AS DOUBLE))
+                 / (CAST(source_tokens AS DOUBLE)
+                    / CAST(total_tokens AS DOUBLE)), 6) AS boost
+    FROM scored ORDER BY source
+    """,
+    doc="Temperature mixing weights w_s ∝ n_s^(1/2) per source with the "
+    "natural share and resulting up/down-sampling boost; sqrt is the one "
+    "fractional power with a bit-exact cross-engine contract, and the "
+    "denominator is an order-free DECIMAL sum of rounded sqrts.",
+    round_added=8,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture.temperature_mix_weights(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup pairs
 # ---------------------------------------------------------------------------
 @query(

@@ -29,3 +29,22 @@ def test_weighted_sample_plan_is_partial_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # a global Sort + Exchange would be the 100 TB anti-pattern
     assert "Sort " not in plan
+
+
+def test_temperature_mix_flattens_toward_small_sources(spark, sf_dir):
+    import pytest
+
+    from data_etl_pipeline_spark.operators.mixture import temperature_mix_weights
+
+    rows = temperature_mix_weights(load(spark, sf_dir, "documents")).collect()
+    assert len(rows) >= 2
+    # weights and shares each normalize to 1 (to rounding)
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    # alpha < 1 up-samples the smallest source and down-samples the largest
+    by_tokens = sorted(rows, key=lambda r: r.source_tokens)
+    assert by_tokens[0].boost >= 1.0
+    assert by_tokens[-1].boost <= 1.0
+    # sqrt is the only supported temperature
+    with pytest.raises(ValueError, match="alpha=1/2"):
+        temperature_mix_weights(load(spark, sf_dir, "documents"), 1, 4)
