@@ -1172,3 +1172,56 @@ class TestV2CheckpointIncremental:
             if n.endswith(".json") and n[:20].isdigit() and ".checkpoint." not in n
         )
         assert [int(n[:20]) for n in commits] == [0, 1, 2, 3]
+
+
+class TestV2IncrementalProperty:
+    """Property: under ANY sequence of appends/deletes after a V2
+    checkpoint, advancing the checkpoint incrementally (a) replays to
+    exactly the expected live rows, (b) reuses only sidecar files that
+    existed before, and (c) accounts for every manifest entry as either
+    reused or freshly written."""
+
+    def test_random_append_delete_sequences(self, spark, tmp_path):
+        import random
+
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            checkpoint_export_v2_incremental,
+            export_delta,
+            export_delta_append,
+            export_delta_delete,
+        )
+
+        rng = random.Random(80_08)
+        for trial in range(3):
+            dest = str(tmp_path / f"prop{trial}")
+            live = set(range(30))
+            df = spark.createDataFrame(
+                [(i, float(i)) for i in sorted(live)], "id long, val double"
+            )
+            export_delta(df.repartition(3), dest)
+            checkpoint_export_v2(spark, dest, n_sidecars=3)
+            next_id = 100 * (trial + 1)
+            for _step in range(rng.randint(1, 3)):
+                if rng.random() < 0.6 or not live:
+                    new = [(next_id + j, float(j)) for j in range(rng.randint(1, 4))]
+                    export_delta_append(
+                        spark.createDataFrame(new, "id long, val double")
+                        .repartition(1),
+                        dest,
+                    )
+                    live |= {i for i, _ in new}
+                    next_id += 10
+                else:
+                    victim = rng.choice(sorted(live))
+                    export_delta_delete(spark, dest, f"id = {victim}")
+                    live.discard(victim)
+            side_dir = os.path.join(dest, "_delta_log", "_sidecars")
+            before = set(os.listdir(side_dir))
+            inc = checkpoint_export_v2_incremental(spark, dest)
+            assert set(inc["reused"]) <= before  # (b)
+            assert len(inc["reused"]) + inc["rewritten"] == len(inc["sidecars"])  # (c)
+            got = {
+                r.id for r in DeltaLogReader(spark, dest).read().collect()
+            }
+            assert got == live, (trial, sorted(got ^ live))  # (a)
