@@ -94,3 +94,95 @@ def pack_sequences(
         "n_tokens",
         (F.col("bin") * F.lit(n_shards) + F.col("shard")).cast("long").alias("bin"),
     )
+
+
+def packing_state(packed: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Per-(source, shard) packer state — (last_bin, last_fill) of the
+    stream's final, possibly partial bin — recovered from a
+    ``pack_sequences`` output. O(|bins|) work: one shard-key window to
+    find each stream's last local bin, one aggregate for its fill.
+    """
+    local = (F.col("bin") / n_shards).cast("long")
+    shard = F.pmod(F.col("bin"), F.lit(n_shards)).cast("long")
+    from pyspark.sql import Window as W
+
+    g = packed.select(
+        "source", shard.alias("shard"), local.alias("local_bin"), "n_tokens"
+    )
+    w = W.partitionBy("source", "shard")
+    return (
+        g.withColumn("last_bin", F.max("local_bin").over(w))
+        .where(F.col("local_bin") == F.col("last_bin"))
+        .groupBy("source", "shard", "last_bin")
+        .agg(F.sum("n_tokens").alias("last_fill"))
+    )
+
+
+def pack_sequences_incremental(
+    df_new: DataFrame,
+    state: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Pack a NEW batch continuing each (source, shard) stream from its
+    persisted ``packing_state`` — the first new document tops up the
+    stream's partial final bin if it fits; streams absent from the state
+    start at bin 0. Because greedy first-fit is PREFIX-STABLE (packer
+    state after a prefix is exactly the mid-stream state), incremental
+    packing of id-ordered batches reproduces the full re-pack
+    bit-for-bit — proven by the oracle of the composed query, which
+    packs the whole corpus in one recursive pass. At 100 TB this is the
+    difference between re-packing the corpus per ingest tick and packing
+    O(batch) with an O(|streams|) state join.
+
+    Requires every id in ``df_new`` to sort after the already-packed ids
+    within its stream (append-only ingest); out-of-order ids would pack
+    validly but no longer match a full re-pack.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sized = df_new.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    st = state.select(
+        "source",
+        "shard",
+        F.col("last_bin").cast("long").alias("state_bin"),
+        F.col("last_fill").cast("long").alias("state_fill"),
+    )
+    joined = sized.join(st, ["source", "shard"], "left").na.fill(
+        {"state_bin": 0, "state_fill": 0}
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        b = int(pdf["state_bin"].iloc[0])
+        fill = int(pdf["state_fill"].iloc[0])
+        bins: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b += 1
+                fill = 0
+            fill += t
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf.drop(columns=["state_bin", "state_fill"])
+
+    packed = joined.groupBy("source", "shard").applyInPandas(
+        pack, "source string, doc_id long, n_tokens long, shard long, bin long"
+    )
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.col("bin") * F.lit(n_shards) + F.col("shard")).cast("long").alias("bin"),
+    )

@@ -327,6 +327,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# INCREMENTAL sequence packing: pack the first batch, persist only the
+# per-stream packer state (last bin + fill, O(|streams|) rows), then
+# pack the next id-ordered batch CONTINUING each stream's partial bin.
+# Greedy first-fit is prefix-stable, so the union of the two incremental
+# packs must equal the full one-shot re-pack bit-for-bit — and the
+# oracle IS the full re-pack (same recursive CTE as sequence_packing),
+# so the hash gate itself proves the equivalence. At 100 TB: per-tick
+# cost O(batch) + an O(|streams|) state join, never a corpus re-pack.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_sequence_packing",
+    sql="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source, ((doc_id % 8) + 8) % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, ((doc_id % 8) + 8) % 8
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM w WHERE rn = 1
+      UNION ALL
+      SELECT w.doc_id, w.source, w.shard, w.n_tokens, w.rn,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + w.n_tokens > 256 THEN w.n_tokens
+                  ELSE p.fill + w.n_tokens END
+      FROM p JOIN w ON w.source = p.source AND w.shard = p.shard
+                   AND w.rn = p.rn + 1)
+    SELECT source, doc_id, n_tokens, bin * 8 + shard AS bin FROM p
+    """,
+    doc="Append-only ingest packing: batch 1 packs, only (last_bin, "
+    "last_fill) per (source, shard) persists, batch 2 continues each "
+    "stream's partial bin — prefix-stability makes the union equal the "
+    "full re-pack, which is exactly what the oracle computes.",
+    round_added=8,
+)
+def incremental_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    batch1 = docs.where(F.col("doc_id") < 100)
+    batch2 = docs.where(F.col("doc_id") >= 100)
+    p1 = packing.pack_sequences(batch1, capacity=256, n_shards=8)
+    st = packing.packing_state(p1, n_shards=8)
+    p2 = packing.pack_sequences_incremental(
+        batch2, st, capacity=256, n_shards=8
+    )
+    return p1.unionByName(p2)
+
+
+# ---------------------------------------------------------------------------
 # Domain-mixture resampling toward a uniform per-source token share.
 # Integer-only keep threshold so both engines decide identically at the
 # boundary (see operators/mixture.py).

@@ -311,3 +311,67 @@ class TestSequencePacking:
             out.groupBy("bin").agg(F.sum("n_tokens").alias("tot")).collect()
         )
         assert all(r["tot"] <= 20 for r in per_bin)
+
+
+class TestIncrementalPacking:
+    """pack_sequences_incremental: prefix-stability against the one-shot
+    pack under adversarial shapes — forced continuations, oversize docs,
+    streams born in the second batch."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_incremental_equals_full_repack(self, spark):
+        from data_etl_pipeline_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_incremental,
+            packing_state,
+        )
+
+        words = lambda n: " ".join(["w"] * n)  # noqa: E731
+        rows = (
+            # source a: partial bin at the split (3+4=7 of 10, then 2 fits)
+            [(1, "a", words(3)), (2, "a", words(4)), (11, "a", words(2)),
+             (12, "a", words(9))]
+            # source b: oversize doc alone in a bin, both sides of the split
+            + [(3, "b", words(25)), (13, "b", words(1)), (14, "b", words(25))]
+            # source c: exists ONLY in the new batch (no state row)
+            + [(15, "c", words(6)), (16, "c", words(6))]
+        )
+        full = self._docs(spark, rows)
+        batch1 = full.where("doc_id < 10")
+        batch2 = full.where("doc_id >= 10")
+        p1 = pack_sequences(batch1, capacity=10, n_shards=1)
+        st = packing_state(p1, n_shards=1)
+        p2 = pack_sequences_incremental(batch2, st, capacity=10, n_shards=1)
+        got = {
+            (r.source, r.doc_id): (r.n_tokens, r.bin)
+            for r in p1.unionByName(p2).collect()
+        }
+        want = {
+            (r.source, r.doc_id): (r.n_tokens, r.bin)
+            for r in pack_sequences(full, capacity=10, n_shards=1).collect()
+        }
+        assert got == want
+        # the continuation actually happened: doc 11 topped up doc 1+2's bin
+        assert got[("a", 11)][1] == got[("a", 1)][1]
+        # and the state frame is O(streams): one row per (source, shard)
+        assert st.count() == 2  # sources a, b in batch1
+
+    def test_incremental_sharded_matches_full(self, spark, sf_dir):
+        from data_etl_pipeline_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_incremental,
+            packing_state,
+        )
+        from data_etl_pipeline_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        p1 = pack_sequences(docs.where("doc_id < 25"), capacity=64, n_shards=8)
+        st = packing_state(p1, n_shards=8)
+        p2 = pack_sequences_incremental(
+            docs.where("doc_id >= 25"), st, capacity=64, n_shards=8
+        )
+        got = sorted(map(tuple, p1.unionByName(p2).collect()))
+        want = sorted(map(tuple, pack_sequences(docs, capacity=64, n_shards=8).collect()))
+        assert got == want
