@@ -511,15 +511,14 @@ def _read_own_log(dest: str) -> tuple[dict, list[int], dict[str, dict], dict[str
     ]
     if not versions and not cps and not v2_manifests:
         raise DeltaExportError(f"{dest} has an empty _delta_log")
-    if v2_manifests and versions != list(range(len(versions))):
-        # a TRIMMED v2 checkpoint: state lives only in parquet sidecars,
-        # which this text-log path cannot replay
+    if v2_manifests and (not versions or versions != list(range(len(versions)))):
+        # a TRIMMED v2 checkpoint (fully trimmed -> no commits at all;
+        # partially trimmed -> commits no longer start at 0): state lives
+        # only in parquet sidecars, which this text-log path cannot replay
         raise DeltaExportError(
             f"{dest} is v2-checkpointed and trimmed; use DeltaLogReader "
             "for reads — text-log appends need the full JSON history"
         )
-    if not versions:
-        raise DeltaExportError(f"{dest} has no JSON commits to replay")
     meta = None
     files: dict[str, dict] = {}
     txns: dict[str, int] = {}

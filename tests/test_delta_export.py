@@ -1148,10 +1148,13 @@ class TestV2CheckpointIncremental:
 
         df = spark.createDataFrame([(i, float(i)) for i in range(10)],
                                    "id long, val double")
-        dest = str(tmp_path / "trimmed")
+        # dest name deliberately does NOT contain 'trimmed': pytest.raises
+        # match= searches the WHOLE message including the path, so a
+        # path named after the expectation can green-light a wrong error
+        dest = str(tmp_path / "tv2")
         export_delta(df, dest)
         checkpoint_export_v2(spark, dest, n_sidecars=1, trim=True)
-        with pytest.raises(DeltaExportError, match="trimmed"):
+        with pytest.raises(DeltaExportError, match="v2-checkpointed and trimmed"):
             export_delta_append(df, dest)
 
     def test_second_checkpoint_skips_duplicate_upgrade(self, spark, tmp_path):
