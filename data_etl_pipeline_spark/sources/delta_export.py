@@ -1580,6 +1580,12 @@ def checkpoint_export_v2_incremental(spark, dest: str) -> dict:
     ``{"version", "reused", "rewritten", "sidecars"}`` where ``reused``
     lists carried-forward sidecar file names and ``sidecars`` the new
     manifest's full ordered list.
+
+    Known bound: sidecar files superseded by a rewrite linger in
+    ``_sidecars/`` (readers only load what the newest manifest names, so
+    they are inert; disk growth is O(rewrites), reclaimable by deleting
+    any sidecar no manifest references — the same referenced-set rule
+    ``export_delta_vacuum`` applies to data files).
     """
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
