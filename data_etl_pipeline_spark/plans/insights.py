@@ -880,3 +880,135 @@ def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the industry-standard drift score between
+# a reference period and a current period, complementing KS (E170): KS
+# takes the single worst CDF gap, PSI weights EVERY decile's shift by
+# its log-ratio, catching broad reshaping that one crossing point hides.
+# Bins are the REFERENCE deciles via exact interpolated percentiles (the
+# E146 boundary pattern — no global NTILE sort; one aggregate to a
+# one-row boundary frame broadcast back), bin assignment is 9 boundary
+# compares in codegen, and counts get add-one smoothing so an empty
+# current-period bin contributes a large-but-finite term instead of an
+# infinity. Each term is ONE left-associative double expression rounded
+# to 6 decimals (the E133 PMI contract — ln is not correctly-rounded
+# cross-engine, round(6) absorbs the ulps), and the total is an
+# order-free DECIMAL sum of the rounded terms (the E171 pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "psi_price_drift",
+    sql="""
+    WITH src AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS p,
+               o_orderdate >= TIMESTAMP '1999-01-01' AS is_cur
+        FROM orders
+    ),
+    q AS (
+        SELECT quantile_cont(p, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+        FROM src WHERE NOT is_cur
+    ),
+    binned AS (
+        SELECT is_cur,
+               CAST(p >= b[1] AS INT) + CAST(p >= b[2] AS INT)
+             + CAST(p >= b[3] AS INT) + CAST(p >= b[4] AS INT)
+             + CAST(p >= b[5] AS INT) + CAST(p >= b[6] AS INT)
+             + CAST(p >= b[7] AS INT) + CAST(p >= b[8] AS INT)
+             + CAST(p >= b[9] AS INT) AS bin
+        FROM src, q
+    ),
+    counts AS (
+        SELECT bin,
+               COUNT(CASE WHEN NOT is_cur THEN 1 END) AS n_ref,
+               COUNT(CASE WHEN is_cur THEN 1 END) AS n_cur
+        FROM binned GROUP BY 1
+    ),
+    filled AS (
+        SELECT t.bin,
+               CAST(COALESCE(c.n_ref, 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur,
+               SUM(COALESCE(c.n_ref, 0)) OVER () AS t_ref,
+               SUM(COALESCE(c.n_cur, 0)) OVER () AS t_cur
+        FROM (SELECT unnest(range(0, 10)) AS bin) t
+        LEFT JOIN counts c ON t.bin = c.bin
+    ),
+    terms AS (
+        SELECT bin, n_ref, n_cur,
+               ROUND((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)
+                      - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+                     * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))
+                          / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))),
+                     6) AS psi_term
+        FROM filled
+    )
+    SELECT bin, n_ref, n_cur, psi_term,
+           CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               AS psi_total
+    FROM terms ORDER BY bin
+    """,
+    doc="Population Stability Index between pre/post-1999 price "
+    "distributions: reference-decile bins from exact percentiles (one "
+    "boundary frame broadcast, no global sort), add-one smoothing for "
+    "empty bins, per-bin terms rounded to 6 then DECIMAL-summed "
+    "order-free; 10-row output with the total on every row.",
+    round_added=8,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("p"),
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).alias(
+            "is_cur"
+        ),
+    )
+    q = src.where(~F.col("is_cur")).agg(
+        F.expr(
+            "percentile(p, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("b")
+    )
+    bin_expr = sum(
+        (F.col("p") >= F.col("b")[i]).cast("int") for i in range(9)
+    )
+    binned = src.crossJoin(F.broadcast(q)).select(
+        "is_cur", bin_expr.alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(~F.col("is_cur"), 1)).alias("n_ref"),
+        F.count(F.when(F.col("is_cur"), 1)).alias("n_cur"),
+    )
+    bins = F.broadcast(
+        load(spark, sf_dir, "orders")
+        .sparkSession.range(0, 10)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    wall = W.partitionBy()  # 10-row frame
+    filled = (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.sum("n_ref").over(wall).alias("t_ref"),
+            F.sum("n_cur").over(wall).alias("t_cur"),
+        )
+    )
+    pc = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
+    pr = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
+    term = F.round((pc - pr) * F.log(pc / pr), 6)
+    terms = filled.select("bin", "n_ref", "n_cur", term.alias("psi_term"))
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.sum(F.col("psi_term").cast("decimal(18,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("psi_total"),
+    ).orderBy("bin")
