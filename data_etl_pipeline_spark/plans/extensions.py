@@ -1716,12 +1716,21 @@ def delta_interop_column_mapping_id_read(spark: SparkSession, sf_dir: str) -> Da
     )
     tbl = tempfile.mkdtemp(prefix="delta_cmid_")
     os.makedirs(os.path.join(tbl, "_delta_log"))
+    # scoped: the field-id write conf must not leak into the caller's
+    # session (same isolation rule the reader applies on its read side)
+    saved = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    phys = base.select(
-        F.col("o_orderkey").alias("col-9f2a", metadata={"parquet.field.id": 1}),
-        F.col("o_totalprice").alias("col-77b1", metadata={"parquet.field.id": 2}),
-    )
-    _write_single_parquet(phys, tbl, "f.parquet")
+    try:
+        phys = base.select(
+            F.col("o_orderkey").alias("col-9f2a", metadata={"parquet.field.id": 1}),
+            F.col("o_totalprice").alias("col-77b1", metadata={"parquet.field.id": 2}),
+        )
+        _write_single_parquet(phys, tbl, "f.parquet")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", saved)
     schema_fields = [
         {
             "name": "o_orderkey",
