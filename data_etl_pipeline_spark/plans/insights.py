@@ -1012,3 +1012,73 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi_total"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING twin of E176: online drift monitoring — daily PSI of the
+# event-value distribution against a static week-1 reference, computed
+# by a Structured Streaming query (stream-side: 4 codegen boundary
+# compares + a watermark-bounded (day, bin) count; PSI math on the
+# drained O(days x 5) frame). The reference boundaries are one bounded
+# 4-scalar collect — the baseline pin every monitoring system makes.
+# Oracle recomputes the same daily PSI from the raw table, which a
+# fully drained complete-mode stream must equal.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_psi_drift",
+    sql="""
+    WITH ref AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE ts < TIMESTAMP '2024-01-08'
+    ),
+    q AS (SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS b FROM ref),
+    rbin AS (
+        SELECT CAST(v >= b[1] AS INT) + CAST(v >= b[2] AS INT)
+             + CAST(v >= b[3] AS INT) + CAST(v >= b[4] AS INT) AS bin
+        FROM ref, q
+    ),
+    rc AS (SELECT bin, COUNT(*) AS r FROM rbin GROUP BY 1),
+    nref AS (SELECT COUNT(*) AS nr FROM ref),
+    cur AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(CAST(value AS DOUBLE) >= b[1] AS INT)
+             + CAST(CAST(value AS DOUBLE) >= b[2] AS INT)
+             + CAST(CAST(value AS DOUBLE) >= b[3] AS INT)
+             + CAST(CAST(value AS DOUBLE) >= b[4] AS INT) AS bin
+        FROM events, q WHERE ts >= TIMESTAMP '2024-01-08'
+    ),
+    cc AS (SELECT day, bin, COUNT(*) AS c FROM cur GROUP BY 1, 2),
+    grid AS (
+        SELECT d.day, b.bin
+        FROM (SELECT DISTINCT day FROM cc) d
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS bin) b
+    ),
+    filled AS (
+        SELECT g.day, g.bin, COALESCE(cc.c, 0) AS c,
+               SUM(COALESCE(cc.c, 0)) OVER (PARTITION BY g.day) AS n_day
+        FROM grid g LEFT JOIN cc ON g.day = cc.day AND g.bin = cc.bin
+    ),
+    terms AS (
+        SELECT day, n_day,
+               ROUND((CAST(c + 1 AS DOUBLE) / (n_day + 5)
+                      - CAST(COALESCE(rc.r, 0) + 1 AS DOUBLE) / (nr + 5))
+                     * ln((CAST(c + 1 AS DOUBLE) / (n_day + 5))
+                          / (CAST(COALESCE(rc.r, 0) + 1 AS DOUBLE) / (nr + 5))),
+                     6) AS t
+        FROM filled LEFT JOIN rc USING (bin), nref
+    )
+    SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    doc="Daily PSI drift of event values vs a static week-1 reference "
+    "over Structured Streaming: boundary compares + watermark-bounded "
+    "(day, bin) counts stream-side, smoothed log-ratio terms rounded(6) "
+    "and DECIMAL-summed on the drained frame; drained stream == batch "
+    "oracle.",
+    round_added=8,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import run_stream_psi_drift
+
+    return run_stream_psi_drift(spark, sf_dir)

@@ -425,3 +425,90 @@ def run_stream_dedup_within_watermark(
     n3 = got.where(F.col("epoch") == epochs[-1]).count()
     assert n3 == want_reemit, (n3, want_reemit)
     return got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE drift monitoring: daily PSI of the event-value distribution
+    against a static week-1 reference, computed over a stream.
+
+    The reference quintile boundaries come from ONE exact-percentile
+    aggregate on the static batch table (a 1-row, 4-scalar result — the
+    bounded collect every monitoring system makes when it pins a
+    baseline); the stream assigns each event its bin with four codegen
+    compares against those literals and runs a watermark-bounded
+    (day-window, bin) count. PSI math — add-one smoothing, per-bin terms
+    rounded to 6, order-free DECIMAL total per day — happens on the
+    drained O(days x 5) frame. Batch twin contract: a fully drained
+    complete-mode stream produces exactly the batch counts, so the
+    oracle recomputes the same PSI from the raw table.
+    """
+    name = f"psi_{uuid.uuid4().hex[:8]}"
+    ref = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    b = ref.agg(
+        F.expr("percentile(v, array(0.2, 0.4, 0.6, 0.8))").alias("b")
+    ).first()["b"]
+    ref_counts = {
+        int(r["bin"]): r["c"]
+        for r in ref.select(
+            sum((F.col("v") >= F.lit(float(q))).cast("int") for q in b).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_ref = sum(ref_counts.values())
+
+    monitored = _events_stream(spark, sf_dir).where(
+        F.col("ts") >= F.lit("2024-01-08").cast("timestamp")
+    )
+    bin_expr = sum(
+        (F.col("value").cast("double") >= F.lit(float(q))).cast("int") for q in b
+    )
+    agg = (
+        monitored.withColumn("bin", bin_expr)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 day").getField("start").alias("w"), F.col("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = spark.table(name).select(
+        F.to_date("w").alias("day"), "bin", "c"
+    )
+
+    # batch post-processing on the O(days x 5) drained frame
+    days = drained.select("day").distinct()
+    bins = spark.range(0, 5).select(F.col("id").cast("int").alias("bin"))
+    grid = days.crossJoin(F.broadcast(bins))
+    from pyspark.sql import Window as W
+
+    wday = W.partitionBy("day")
+    filled = (
+        grid.join(drained, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .select("day", "bin", "c", F.sum("c").over(wday).alias("n_day"))
+    )
+    r_exprs = F.create_map(
+        *[x for k in range(5) for x in (F.lit(k), F.lit(ref_counts.get(k, 0)))]
+    )
+    pc = (F.col("c") + 1).cast("double") / (F.col("n_day") + 5)
+    pr = (r_exprs[F.col("bin")] + 1).cast("double") / F.lit(float(n_ref + 5))
+    term = F.round((pc - pr) * F.log(pc / pr), 6)
+    return (
+        filled.withColumn("t", term.cast("decimal(18,6)"))
+        .groupBy("day")
+        .agg(
+            F.max("n_day").cast("bigint").alias("n_events"),
+            F.sum("t").cast("double").alias("psi"),
+        )
+        .orderBy("day")
+    )
