@@ -40,7 +40,9 @@ REGISTRY = os.path.join(REPO, "data_etl_pipeline_spark", "plans", "registry.py")
 FRONT_SIZE = 50
 
 # Judge-named carry-overs that must lead the next front regardless of the
-# mechanical order. Clear entries once they have a driver row.
+# mechanical order. A pin deactivates AUTOMATICALLY once the query has a
+# driver row (order_names filters on `latest`), so satisfied pins are
+# inert — prune them here for readability, not correctness.
 PINS: list[str] = [
     "ivm_join_view",  # VERDICT r7 "Next round" item 1: must lead round 8
 ]
@@ -85,8 +87,11 @@ def order_names(
     round_added: dict[str, int],
     pins: list[str],
 ) -> list[str]:
-    """Pure ordering rule (unit-testable without Spark or the registry)."""
-    pinned = [n for n in pins if n in names]
+    """Pure ordering rule (unit-testable without Spark or the registry).
+    A pin is active only while its query has NO driver row — once tested,
+    it rejoins the mechanical order instead of displacing never-tested
+    queries from the window."""
+    pinned = [n for n in pins if n in names and n not in latest]
     rest = [n for n in names if n not in set(pinned)]
     never = sorted(
         (n for n in rest if n not in latest),

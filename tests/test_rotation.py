@@ -37,9 +37,18 @@ def test_order_new_queries_do_not_jump_the_queue():
 
 def test_order_pins_lead_and_missing_pins_ignored():
     names = ["x", "y", "z"]
-    latest = {"x": 2, "y": 9, "z": 4}
+    latest = {"x": 2, "z": 4}  # y never driver-tested -> pin active
     got = rot.order_names(names, latest, {}, pins=["y", "not_declared"])
     assert got == ["y", "x", "z"]
+
+
+def test_satisfied_pin_deactivates():
+    # once the pinned query HAS a driver row it rejoins the mechanical
+    # order instead of displacing never-tested queries from the window
+    names = ["x", "y", "z"]
+    latest = {"x": 2, "y": 9, "z": 4}
+    got = rot.order_names(names, latest, {}, pins=["y"])
+    assert got == ["x", "z", "y"]  # stalest-first; y is freshest
 
 
 def test_order_stale_ties_break_alphabetically():
