@@ -149,3 +149,72 @@ def test_interval_join_falls_back_to_shuffled_join_past_broadcast(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_adversarial_boundaries_match_bruteforce(spark):
+    """Randomized bulk equivalence vs the naive theta join, with the
+    boundary shapes the fixture never produces: points exactly at
+    interval starts/ends and 1 microsecond either side, zero-length
+    intervals, reversed (end < start) intervals, pre-1970 timestamps
+    (negative epoch micros exercise trunc-vs-floor div), and intervals
+    spanning many buckets. Both closed modes."""
+    import random
+
+    rng = random.Random(88)
+    base = 1_700_000_000_000_000  # 2023-11, micros
+
+    def ts(us):
+        return datetime.utcfromtimestamp(us / 1_000_000)
+
+    ivals = []
+    for i in range(40):
+        kind = i % 5
+        if kind == 0:  # normal
+            s = base + rng.randrange(-10**9, 10**9)
+            e = s + rng.randrange(1, 10**8)
+        elif kind == 1:  # zero-length
+            s = base + rng.randrange(-10**9, 10**9)
+            e = s
+        elif kind == 2:  # reversed
+            e = base + rng.randrange(-10**9, 10**9)
+            s = e + rng.randrange(1, 10**7)
+        elif kind == 3:  # pre-1970
+            s = -rng.randrange(10**8, 10**9)
+            e = s + rng.randrange(1, 10**8)
+        else:  # many-bucket span
+            s = base + rng.randrange(-10**9, 0)
+            e = s + rng.randrange(10**9, 3 * 10**9)
+        ivals.append((i, ts(s), ts(e), s, e))
+
+    pts = []
+    pid = 0
+    for (i, _s, _e, s_us, e_us) in ivals[:20]:
+        for off in (0, 1, -1):
+            for anchor in (s_us, e_us):
+                pts.append((pid, ts(anchor + off)))
+                pid += 1
+    for _ in range(60):  # plus uniform randoms incl. negatives
+        pts.append((pid, ts(rng.randrange(-(10**9), base + 2 * 10**9))))
+        pid += 1
+
+    pdf = spark.createDataFrame(pts, "pid long, p_ts timestamp")
+    idf = spark.createDataFrame(
+        [(i, a, b) for i, a, b, _, _ in ivals], "iid long, start timestamp, end timestamp"
+    )
+    for closed, upper in (("left", "<"), ("both", "<=")):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(
+                pdf, idf, "p_ts", "start", "end", bucket_width_s=3600, closed=closed
+            ).collect()
+        )
+        want = sorted(
+            (r.pid, r.iid)
+            for r in pdf.join(
+                idf,
+                (F.col("start") <= F.col("p_ts"))
+                & F.expr(f"p_ts {upper} end"),
+            ).collect()
+        )
+        assert got == want, (closed, len(got), len(want))
+        assert got  # non-vacuous: boundary construction guarantees matches
