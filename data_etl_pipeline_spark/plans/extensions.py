@@ -4368,18 +4368,36 @@ def pysource_batch_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the full-scan aggregate
         return spark.read.format("batch_results").option("path", d).load()
 
-    # end-to-end: the same pruning runs inside Spark's planner (the
-    # session enables spark.sql.python.filterPushdown.enabled), and the
-    # full read agrees with the fixture row count
-    assert fresh().where("shard = 2").count() == sum(
-        1
-        for cid, *_ in rows
-        if int(__import__("hashlib").md5(cid.encode()).hexdigest()[:8], 16) % 4 == 2
-    )
-    return fresh().groupBy("shard", "status").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    )
+    # Scoped knob: Spark 4.1 REFUSES to plan a Python source that
+    # implements pushFilters() unless this conf is on (it defaults to
+    # false and the caller's session may not set it — the repo factory
+    # does, a vanilla session does not). Every action on this source
+    # must run inside the scope, so the tiny (shard × status ≤ 8 row)
+    # aggregate is materialized here and returned as a local frame.
+    knob = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(knob, None)
+    try:
+        spark.conf.set(knob, "true")
+        # end-to-end: the same pruning runs inside Spark's planner, and
+        # the full read agrees with the fixture row count
+        assert fresh().where("shard = 2").count() == sum(
+            1
+            for cid, *_ in rows
+            if int(__import__("hashlib").md5(cid.encode()).hexdigest()[:8], 16) % 4
+            == 2
+        )
+        agg = fresh().groupBy("shard", "status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        out = agg.collect()  # bounded: 4 shards × 2 statuses
+        schema = agg.schema
+    finally:
+        if saved is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, saved)
+    return spark.createDataFrame(out, schema)
 
 
 # ---------------------------------------------------------------------------
