@@ -978,9 +978,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_cur"), 1)).alias("n_cur"),
     )
     bins = F.broadcast(
-        load(spark, sf_dir, "orders")
-        .sparkSession.range(0, 10)
-        .select(F.col("id").cast("int").alias("bin"))
+        spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
     )
     wall = W.partitionBy()  # 10-row frame
     filled = (

@@ -1618,12 +1618,16 @@ def checkpoint_export_v2_incremental(spark, dest: str) -> dict:
                     prev_sidecars.append(a["sidecar"]["path"])
 
     def add_key(add: dict) -> tuple:
+        # partitionValues arrives as a dict from the JSON log but as a
+        # list of (k, v) tuples when the sidecar parquet's MAP column is
+        # read back through pyarrow — dict() normalizes both shapes
+        pv = add.get("partitionValues") or {}
         return (
             add["path"],
             int(add.get("size") or 0),
             int(add.get("modificationTime") or 0),
             bool(add.get("dataChange", True)),
-            tuple(sorted((add.get("partitionValues") or {}).items())),
+            tuple(sorted(dict(pv).items())),
         )
 
     prev_rows: list[tuple[str, list[tuple]]] = []  # (name, sorted add keys)

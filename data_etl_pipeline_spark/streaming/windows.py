@@ -17,6 +17,7 @@ equivalence is testable hermetically.
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 import uuid
@@ -435,12 +436,19 @@ def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the static batch table (a 1-row, 4-scalar result — the
     bounded collect every monitoring system makes when it pins a
     baseline); the stream assigns each event its bin with four codegen
-    compares against those literals and runs a watermark-bounded
-    (day-window, bin) count. PSI math — add-one smoothing, per-bin terms
-    rounded to 6, order-free DECIMAL total per day — happens on the
-    drained O(days x 5) frame. Batch twin contract: a fully drained
-    complete-mode stream produces exactly the batch counts, so the
-    oracle recomputes the same PSI from the raw table.
+    compares against those literals and runs an APPEND-mode
+    (day-window, bin) count, so the watermark genuinely evicts closed
+    windows: state is bounded by the watermark horizon, not the stream
+    length (the earlier complete-mode draft retained every window —
+    ADVICE r8). A far-future flush sentinel rides as the final
+    micro-batch so the last real day's windows emit before the file
+    stream drains (same pattern as ss_join.append_flush_sentinel); the
+    in-query assert proves each (window, bin) emitted exactly once. PSI
+    math — add-one smoothing, per-bin terms rounded to 6, order-free
+    DECIMAL total per day — happens on the drained O(days x 5) frame.
+    Batch twin contract: a flushed append-mode stream produces exactly
+    the batch counts, so the oracle recomputes the same PSI from the
+    raw table.
     """
     name = f"psi_{uuid.uuid4().hex[:8]}"
     ref = (
@@ -462,28 +470,80 @@ def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     n_ref = sum(ref_counts.values())
 
-    monitored = _events_stream(spark, sf_dir).where(
-        F.col("ts") >= F.lit("2024-01-08").cast("timestamp")
+    # stage the monitored slice as a micro-batched file source plus a
+    # far-future sentinel event (ts = max + 30 days) as the LAST batch:
+    # append mode only emits a window once the watermark passes its end,
+    # so without the sentinel the final day's windows would sit in state
+    # forever when the file stream drains
+    mon_batch = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        .select("ts", F.col("value").cast("double").alias("value"))
+    )
+    src = tempfile.mkdtemp(prefix="psi_stream_src_")
+    mon_batch.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):  # keep only data files in the source dir
+        if not extra.endswith(".parquet"):
+            os.remove(os.path.join(src, extra))
+    # pin mtimes ascending in ts order (FileStreamSource replays oldest
+    # mtime first); the sentinel below gets a later mtime so it is the
+    # LAST micro-batch — fresh write mtimes would sort AFTER it
+    import pyarrow.parquet as pq
+
+    parts = []
+    for f in sorted(os.listdir(src)):
+        p = os.path.join(src, f)
+        vals = pq.read_table(p, columns=["ts"])["ts"].to_pylist()
+        if not vals:
+            os.remove(p)  # empty range partition: one fewer micro-batch
+            continue
+        parts.append((min(vals), p))
+    for i, (_, p) in enumerate(sorted(parts)):
+        os.utime(p, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    max_ts = mon_batch.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame([(max_ts, 0.0)], "ts timestamp, value double").select(
+        (F.col("ts") + F.expr("interval 30 days")).alias("ts"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="psi_sentinel_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(src, "zz_sentinel.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (1_600_100_000, 1_600_100_000))  # after every real batch
+    sentinel_day = (max_ts + datetime.timedelta(days=30)).date()
+
+    monitored = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
     )
     bin_expr = sum(
-        (F.col("value").cast("double") >= F.lit(float(q))).cast("int") for q in b
+        (F.col("value") >= F.lit(float(q))).cast("int") for q in b
     )
     agg = (
         monitored.withColumn("bin", bin_expr)
         .withWatermark("ts", "2 hours")
-        .groupBy(
-            F.window("ts", "1 day").getField("start").alias("w"), F.col("bin")
-        )
+        # append mode requires the event-time WINDOW STRUCT in the
+        # grouping (extracting .start pre-agg severs the event-time
+        # attribute and Spark refuses the output mode)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win").getField("start").alias("w"), "bin", "c")
     )
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    drained = spark.table(name).select(
-        F.to_date("w").alias("day"), "bin", "c"
+    drained = (
+        spark.table(name)
+        .select(F.to_date("w").alias("day"), "bin", "c")
+        .where(F.col("day") != F.lit(sentinel_day))
     )
+    # append-mode contract: each closed (window, bin) emitted exactly once
+    n_all = spark.table(name).count()
+    n_distinct = spark.table(name).select("w", "bin").distinct().count()
+    assert n_all == n_distinct, (n_all, n_distinct)
 
     # batch post-processing on the O(days x 5) drained frame
     days = drained.select("day").distinct()

@@ -1123,6 +1123,40 @@ class TestV2CheckpointIncremental:
         got = {r.id for r in reader.read().collect()}
         assert 5 not in got and len(got) == 39
 
+    def test_partitioned_table_roundtrip(self, spark, tmp_path):
+        """Non-empty partitionValues: the sidecar parquet's MAP column
+        reads back through pyarrow as a list of (k, v) tuples, not a
+        dict — add_key must normalize both shapes or the comparison
+        crashes (ADVICE r8). Also proves reuse still works when every
+        add row carries partition values."""
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            checkpoint_export_v2_incremental,
+            export_delta,
+            export_delta_append,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)], "id long, k long, val double"
+        )
+        dest = str(tmp_path / "partd")
+        export_delta(df.where("id < 20"), dest, partition_by=["k"])
+        export_delta_append(df.where("id >= 20"), dest)
+        assert checkpoint_export_v2(spark, dest, n_sidecars=2) == 2
+        side_dir = os.path.join(dest, "_delta_log", "_sidecars")
+        old = sorted(os.listdir(side_dir))
+        export_delta_append(
+            spark.createDataFrame([(100, 1, 1.0)], "id long, k long, val double"),
+            dest,
+        )
+        inc = checkpoint_export_v2_incremental(spark, dest)
+        assert sorted(inc["reused"]) == old  # pure append: all carried
+        reader = DeltaLogReader(spark, dest)
+        got = reader.read()
+        assert got.count() == 31
+        # partition values survive the incremental manifest round trip
+        assert got.where("k = 1").count() == 10 + 1
+
     def test_refuses_without_checkpoint_or_new_commits(self, spark, tmp_path):
         from data_etl_pipeline_spark.sources.delta_export import (
             checkpoint_export_v2_incremental,
