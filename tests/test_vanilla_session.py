@@ -1,0 +1,57 @@
+"""Vanilla-session parity gate (scripts/vanilla_parity.py).
+
+tests/conftest.py builds its SparkSession through the repo factory, so
+the whole suite inherits every session.py conf — which is how the
+round-8 `pysource_batch_results` failure (query depends on
+spark.sql.python.filterPushdown.enabled; the driver's session doesn't
+set it) stayed invisible to 800 green tests. This gate runs the most
+conf-sensitive queries through a DEFAULT-conf session in a SEPARATE
+process (its own JVM — it cannot inherit the suite's session), against
+the same DuckDB oracle.
+
+Representatives, one per conf class:
+- pysource_batch_results / stream_pysource_ingest — Python data source
+  pushdown conf (the r8 failure class, batch + streaming legs)
+- aqe_skew_join_split — scoped AQE knobs must save/restore correctly
+  from DEFAULT values, not from the factory's
+- stream_psi_drift — streaming watermarks + timestamp semantics without
+  the factory's UTC/NTZ pins
+- event_type_hourly_gap_fill — timestamp arithmetic under default
+  parquet timestamp inference
+- doc_chunks_bpe — Arrow-batched pandas UDF seam without the factory's
+  Arrow conf
+
+The full front-50 sweep runs out-of-band (scripts/vanilla_parity.py,
+part of the round checklist); this in-suite subset keeps CI time sane.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "vanilla_parity.py")
+
+REPRESENTATIVES = [
+    "pysource_batch_results",
+    "stream_pysource_ingest",
+    "aqe_skew_join_split",
+    "stream_psi_drift",
+    "event_type_hourly_gap_fill",
+    "doc_chunks_bpe",
+]
+
+
+def test_conf_sensitive_queries_pass_under_default_session():
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "/root/testdata/sf0.001", *REPRESENTATIVES],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert f"{len(REPRESENTATIVES)}/{len(REPRESENTATIVES)} queries match" in out.stdout
