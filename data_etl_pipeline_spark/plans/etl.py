@@ -337,6 +337,29 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_rocksdb_state",
+    sql="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="stream_dedup_event_counts under the RocksDB state store "
+    "provider (scoped to the stream; conf read at stream start): state "
+    "spills to local disk instead of executor heap, the knob that keeps "
+    "exact dedup alive when replay state outgrows memory. The in-query "
+    "assert requires rocksdb* custom metrics on the executed dedup "
+    "operator's progress, so a silent fallback to the HDFS-backed heap "
+    "store fails loudly.",
+    round_added=9,
+)
+def stream_dedup_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import (
+        run_stream_dedup_counts_rocksdb,
+    )
+
+    return run_stream_dedup_counts_rocksdb(spark, sf_dir)
+
+
+@query(
     "stream_deferred_extraction",
     sql=_DEFERRED_SQL,
     doc="The deferred pipeline under Structured Streaming: overlapping "

@@ -285,6 +285,70 @@ def run_stream_dedup_counts(
     return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def run_stream_dedup_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_stream_dedup_counts under the ROCKSDB state store provider —
+    the 100 TB streaming-state proof. The default HDFS-backed provider
+    keeps every state row on the executor HEAP: exact dedup over a
+    billion-id replay, or any watermark horizon that buffers more than
+    a few GB per partition, OOMs executors long before CPU is the
+    bottleneck. RocksDB spills state to local SSD with an in-memory
+    block cache, so state size is bounded by disk, not heap — the
+    provider Spark itself recommends for large state.
+
+    The provider conf is read at STREAM START, so it is scoped
+    save/restore around the query (the driver's session keeps its
+    default); the in-query assert reads the executed query's progress
+    and requires rocksdb* custom metrics on the dedup state operator —
+    proof the store actually ran RocksDB, not a conf that silently
+    fell back. Results are oracle-checked equal to the batch distinct
+    counts, same as the heap-store twin.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tempfile.mkdtemp(prefix="rocksdb_dedup_src_")
+    # three files -> three micro-batches: full, full redelivery, 1/3 slice
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    sink = tempfile.mkdtemp(prefix="rocksdb_dedup_sink_")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    knob = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(knob, None)
+    try:
+        spark.conf.set(
+            knob,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        dedup = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+        )
+        q = dedup.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+    finally:
+        if saved is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, saved)
+    # provider proof from the EXECUTED query, not the conf: the dedup
+    # state operator must report RocksDB-specific custom metrics
+    metrics = progress["stateOperators"][0]["customMetrics"]
+    rocks = [k for k in metrics if k.startswith("rocksdb")]
+    assert rocks, sorted(metrics)
+    survivors = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def run_stream_merge_versioned(
     spark: SparkSession, sf_dir: str, table_path: str | None = None
 ) -> DataFrame:
