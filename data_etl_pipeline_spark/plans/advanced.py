@@ -153,6 +153,15 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_first_seen(spark, sf_dir)
 
 
+# NOTE: streaming/stateful.py also implements the profile operator on
+# transformWithStateInPandas (Spark 4's typed-state successor API), but
+# its Python worker needs the `protobuf` runtime, which this container
+# lacks — so it is NOT a declared query (a driver row could never run).
+# tests/test_stateful_twstate.py runs it when protobuf is importable and
+# skips otherwise; the oracle contract is the same COUNT/COUNT DISTINCT/
+# MAX-per-user rollup.
+
+
 # ---------------------------------------------------------------------------
 # ROLLUP grouping sets — subtotals + grand total in one pass (partial
 # aggregation applies per grouping set; one shuffle). The reference has no
@@ -804,6 +813,38 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
         )
         .json(out)
+    )
+    return _roundtrip_agg(back)
+
+
+@query(
+    "xml_roundtrip_agg",
+    sql=_ROUNDTRIP_SQL.format(rem=3),
+    doc="XML source/sink round-trip (SURVEY S12 family): Spark 4's "
+    "built-in XML format — write slice as XML with a pinned rowTag and "
+    "NTZ timestamp format, read back with explicit schema, aggregate; "
+    "a lossy text codec (timestamps, float text form, escaping) would "
+    "hash-mismatch.",
+    round_added=9,
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    out = f"{tempfile.gettempdir()}/xml_rt_{_uuid.uuid4().hex[:8]}"
+    sliced = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 3)
+    sliced.write.mode("overwrite").format("xml").option("rowTag", "order").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+        )
+        .load(out)
     )
     return _roundtrip_agg(back)
 
