@@ -1226,3 +1226,100 @@ def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning — the fourth plan-asserted runtime contract
+# (after bucketed zero-shuffle E159, AQE broadcast conversion E168, AQE
+# skew split E172). The dim side (top-5 revenue months) is DATA-DERIVED,
+# so no static filter can prune the month-partitioned fact scan; DPP
+# injects the dim's month set into the fact's PartitionFilters at
+# runtime and the scan skips every other partition's files entirely. At
+# 100 TB this is the difference between scanning 5/84 months and all of
+# them whenever a fact joins a selective dim on the partition key.
+# ---------------------------------------------------------------------------
+@query(
+    "dpp_partition_pruned_join",
+    sql="""
+    WITH fact AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS mon, o_totalprice
+        FROM orders
+    ),
+    top_months AS (
+        SELECT mon
+        FROM fact
+        GROUP BY mon
+        ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, mon
+        LIMIT 5
+    )
+    SELECT f.mon, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM fact f JOIN top_months t ON f.mon = t.mon
+    GROUP BY f.mon
+    """,
+    doc="Dynamic partition pruning, plan-asserted: orders staged as a "
+    "month-partitioned parquet table, joined to a data-derived dim "
+    "(top-5 revenue months, exact-decimal ranking with a mon "
+    "tie-break) that no static filter can express; the executed fact "
+    "scan must carry dynamicpruningexpression in PartitionFilters, the "
+    "DPP-disabled control must not, and both produce identical rows.",
+    round_added=9,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"), "o_totalprice"
+    )
+    fact_dir = tempfile.mkdtemp(prefix="dpp_fact_")
+    orders.write.mode("overwrite").partitionBy("mon").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # top-5 via rank-then-FILTER, not ORDER BY ... LIMIT: Spark's
+    # PartitionPruning rule only injects the runtime subquery when the
+    # dim side carries a likely-selective Filter predicate — a Limit
+    # does not qualify. The global window is over O(months) rows.
+    top_months = (
+        orders.groupBy("mon")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("rev").desc(), F.col("mon"))),
+        )
+        .where(F.col("rk") <= 5)
+        .select("mon")
+    )
+
+    def agg() -> DataFrame:
+        return (
+            fact.join(top_months, "mon")
+            .groupBy("mon")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
+    knob = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    saved = spark.conf.get(knob, None)
+    try:
+        spark.conf.set(knob, "true")
+        df = agg()
+        rows = df.collect()  # bounded: 5 months
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+        # control: DPP off must drop the runtime filter but not change
+        # results — proves the assertion tests the optimizer's decision
+        spark.conf.set(knob, "false")
+        ctl = agg()
+        ctl_rows = ctl.collect()
+        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" not in ctl_plan.lower(), ctl_plan[:2000]
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
+    finally:
+        if saved is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, saved)
+    return spark.createDataFrame(rows, df.schema)
