@@ -1080,101 +1080,3 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.windows import run_stream_psi_drift
 
     return run_stream_psi_drift(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# Fixed-iteration PageRank — the iterative-graph-algorithm family. Edges:
-# suppliers co-occurring in the same order (lineitem self-join on
-# l_orderkey, fan-out bounded by lines-per-order, ~7 in TPC-H — never a
-# corpus cross join). Each of the 3 power-method iterations is ONE
-# edge-join + grouped sum whose rank frame is O(|suppliers|), tiny next
-# to the edge table; the edge table is computed once and reused across
-# iterations. Co-occurrence edges are symmetric, so every node has
-# out-edges and the dangling-mass term vanishes. Ranks rounded to 6 in
-# both engines (order-free up to fp error far below the rounding grain).
-# ---------------------------------------------------------------------------
-_PAGERANK_SQL = """
-    WITH pairs AS (
-        SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
-               CAST(COUNT(*) AS DOUBLE) AS w
-        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey <> b.l_suppkey
-        GROUP BY 1, 2
-    ),
-    outw AS (SELECT src, SUM(w) AS out_w FROM pairs GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM pairs),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
-    r1 AS (
-        SELECT p.dst AS node,
-               0.15 / (SELECT n FROM nn)
-               + 0.85 * SUM(r0.r * p.w / o.out_w) AS r
-        FROM pairs p JOIN r0 ON r0.node = p.src JOIN outw o ON o.src = p.src
-        GROUP BY p.dst
-    ),
-    r2 AS (
-        SELECT p.dst AS node,
-               0.15 / (SELECT n FROM nn)
-               + 0.85 * SUM(r1.r * p.w / o.out_w) AS r
-        FROM pairs p JOIN r1 ON r1.node = p.src JOIN outw o ON o.src = p.src
-        GROUP BY p.dst
-    ),
-    r3 AS (
-        SELECT p.dst AS node,
-               0.15 / (SELECT n FROM nn)
-               + 0.85 * SUM(r2.r * p.w / o.out_w) AS r
-        FROM pairs p JOIN r2 ON r2.node = p.src JOIN outw o ON o.src = p.src
-        GROUP BY p.dst
-    )
-    SELECT CAST(node AS BIGINT) AS s_suppkey, ROUND(r, 6) AS pagerank
-    FROM r3
-"""
-
-
-@query(
-    "supplier_pagerank",
-    sql=_PAGERANK_SQL,
-    doc="Fixed-iteration (3x, d=0.85) PageRank over the supplier "
-    "co-occurrence graph: lineitem self-join on l_orderkey builds "
-    "weighted edges (fan-out bounded by lines-per-order), then each "
-    "power-method step is one edge-join + grouped sum on an "
-    "O(|suppliers|) rank frame; symmetric edges eliminate dangling "
-    "mass. All nodes returned (no top-k: near-tied fp ranks must not "
-    "decide membership), rounded(6) both engines.",
-    round_added=9,
-)
-def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    # edge table reused by all three iterations: materialize once
-    pairs = pairs.localCheckpoint(eager=True)
-    outw = pairs.groupBy("src").agg(F.sum("w").alias("out_w"))
-    trans = pairs.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    )
-    nodes = pairs.select(F.col("src").alias("node")).distinct()
-    n = float(nodes.count())  # bounded: one scalar, |suppliers|
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(3):
-        ranks = (
-            trans.join(ranks, trans["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (F.lit(0.15 / n) + F.lit(0.85) * F.sum(F.col("r") * F.col("p"))).alias(
-                    "r"
-                )
-            )
-        )
-    return ranks.select(
-        F.col("node").cast("bigint").alias("s_suppkey"),
-        F.round("r", 6).alias("pagerank"),
-    )
