@@ -4775,3 +4775,260 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return run_stream_dedup_within_watermark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# PARTITIONED incremental V2 checkpoint: the Hive-partitioned twin of
+# delta_export_v2_checkpoint_incremental. Every sidecar add row now
+# carries NON-EMPTY partitionValues, which pyarrow round-trips as a
+# list of (k, v) tuples rather than a dict — the shape the incremental
+# checkpointer's add_key normalizes (sources/delta_export.py:1625).
+# A partition-local CoW delete after the first checkpoint dirties only
+# the sidecar(s) owning o_orderstatus=P files (sorted Hive paths
+# cluster by directory), so the advance proves the full reuse/rewrite/
+# fresh mix on a partitioned table: at 100 TB this is the everyday
+# shape — checkpoint state is dominated by one hot partition's churn
+# while every cold partition's sidecar is carried by reference.
+# ---------------------------------------------------------------------------
+@query(
+    "delta_export_v2_checkpoint_partitioned",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1200
+      AND NOT (o_orderstatus = 'P' AND o_orderkey < 300)
+    GROUP BY 1
+    """,
+    doc="Incremental V2 checkpoint over a Hive-partitioned table: "
+    "sidecar add rows carry non-empty partitionValues (pyarrow MAP "
+    "round-trip shape asserted), a partition-local CoW delete dirties "
+    "only the P-owning sidecar, and the advance reuses the clean "
+    "sidecar by reference while rewriting the dirty one; snapshot read "
+    "back through DeltaLogReader with partition values re-attached, "
+    "oracle-checked.",
+    round_added=9,
+)
+def delta_export_v2_checkpoint_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        checkpoint_export_v2,
+        checkpoint_export_v2_incremental,
+        export_delta,
+        export_delta_append,
+        export_delta_delete,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dest = tempfile.mkdtemp(prefix="v2cp_part_") + "/table"
+    export_delta(
+        base.where(k < 500).repartition(2), dest, partition_by=["o_orderstatus"]
+    )
+    export_delta_append(base.where((k >= 500) & (k < 900)).repartition(2), dest)
+    cp1 = checkpoint_export_v2(spark, dest, n_sidecars=2)
+    assert cp1 == 2  # upgrade commit follows the two data commits
+    side_dir = _os.path.join(dest, "_delta_log", "_sidecars")
+    old_sidecars = sorted(_os.listdir(side_dir))
+    assert len(old_sidecars) == 2, old_sidecars
+    # the MAP column comes back from pyarrow as [(k, v)] tuples, NOT a
+    # dict — assert the partitioned shape is actually present so the
+    # incremental advance below exercises the normalization path
+    rows = pq.read_table(_os.path.join(side_dir, old_sidecars[0])).to_pylist()
+    assert rows and all(
+        dict(r["add"]["partitionValues"]).get("o_orderstatus") for r in rows
+    ), rows[:2]
+
+    # partition-local CoW delete AFTER the checkpoint: only files under
+    # o_orderstatus=P/ can be rewritten, so the F/O-owning sidecar stays
+    # byte-for-byte clean and must be carried by reference
+    export_delta_delete(spark, dest, "o_orderstatus = 'P' AND o_orderkey < 300")
+    export_delta_append(base.where((k >= 900) & (k < 1200)).repartition(2), dest)
+
+    inc = checkpoint_export_v2_incremental(spark, dest)
+    assert inc["version"] == 4, inc  # 0,1 data; 2 upgrade; 3 delete; 4 append
+    assert inc["reused"], inc  # >=1 cold sidecar carried by reference
+    assert inc["rewritten"] >= 1, inc  # the hot (P-owning) sidecar re-split
+
+    reader = DeltaLogReader(spark, dest)
+    got = reader.read()
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table reconciliation: verify a 100 TB replica against its
+# source WITHOUT comparing every row across the wire. Phase 1 reduces
+# each side to one (count, bit_xor, bounded-sum) checksum row per hash
+# bucket — a full scan but a 64-row shuffle per side — and only buckets
+# whose checksums disagree are drilled in phase 2, where a keyed
+# full-outer join over JUST those buckets classifies every divergence as
+# changed / deleted / inserted. The fixture drifts the replica
+# deterministically (md5-keyed priority rewrites, deletes, inserts) so
+# both engines build identical sides; the in-query assert proves the
+# checksum pass actually pruned (some buckets clean, some dirty). At
+# scale the bucket id would be a stored column/partition key so the
+# phase-2 rescan prunes at the file level; the checksum trio is
+# order-independent (xor + count + sum of 30-bit residues), so partial
+# aggregation needs no sort and the sum stays far from int64 overflow
+# below ~2^33 rows per bucket.
+# ---------------------------------------------------------------------------
+_TDIFF_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_TDIFF_ROW = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, o_orderpriority)"
+)
+
+
+@query(
+    "table_diff_bucket_checksums",
+    sql=f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             {_TDIFF_H.format(x="CAST(o_orderkey AS VARCHAR)")} AS kh
+      FROM orders WHERE o_orderkey < 3000),
+    lrows AS (
+      SELECT o_orderkey, kh % 64 AS bucket,
+             {_TDIFF_H.format(x=_TDIFF_ROW)} AS rh
+      FROM src),
+    rsrc AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN kh % 97 = 0 THEN '9-DRIFT' ELSE o_orderpriority END
+                 AS o_orderpriority
+      FROM src WHERE kh % 131 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, '0-NEW'
+      FROM src WHERE kh % 151 = 0),
+    rrows AS (
+      SELECT o_orderkey,
+             {_TDIFF_H.format(x="CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+             {_TDIFF_H.format(x=_TDIFF_ROW)} AS rh
+      FROM rsrc),
+    lsum AS (SELECT bucket, COUNT(*) AS n, bit_xor(rh) AS x,
+                    SUM(rh % 1000000007) AS s
+             FROM lrows GROUP BY 1),
+    rsum AS (SELECT bucket, COUNT(*) AS n, bit_xor(rh) AS x,
+                    SUM(rh % 1000000007) AS s
+             FROM rrows GROUP BY 1),
+    diffb AS (
+      SELECT COALESCE(l.bucket, r.bucket) AS bucket
+      FROM lsum l FULL JOIN rsum r ON l.bucket = r.bucket
+      WHERE l.n IS DISTINCT FROM r.n OR l.x IS DISTINCT FROM r.x
+         OR l.s IS DISTINCT FROM r.s)
+    SELECT COALESCE(l.bucket, r.bucket) AS bucket,
+           COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'deleted'
+                WHEN l.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'changed' END AS change
+    FROM lrows l FULL JOIN rrows r ON l.o_orderkey = r.o_orderkey
+    WHERE COALESCE(l.bucket, r.bucket) IN (SELECT bucket FROM diffb)
+      AND (l.o_orderkey IS NULL OR r.o_orderkey IS NULL OR l.rh <> r.rh)
+    """,
+    doc="Two-phase Merkle-style table diff: per-bucket (count, bit_xor, "
+    "bounded-sum) checksums locate divergent buckets in one 64-row "
+    "shuffle per side, then a keyed full-outer join over ONLY those "
+    "buckets classifies changed/deleted/inserted rows; checksum pruning "
+    "asserted in-query (clean buckets exist and are skipped).",
+    round_added=9,
+)
+def table_diff_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kh = "cast(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) as bigint)"
+    row = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, o_orderpriority)"
+    )
+    rh = f"cast(conv(substr(md5({row}), 1, 15), 16, 10) as bigint)"
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.expr(kh).alias("kh"),
+        )
+    )
+    left = src.select(
+        "o_orderkey",
+        (F.col("kh") % 64).alias("bucket"),
+        F.expr(rh).alias("rh"),
+    )
+    # deterministic replica drift, identical in the oracle: priority
+    # rewrites on kh%97, deletes on kh%131, inserts on kh%151
+    drifted = src.where(F.col("kh") % 131 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(F.col("kh") % 97 == 0, F.lit("9-DRIFT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    inserted = src.where(F.col("kh") % 151 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        F.lit("0-NEW").alias("o_orderpriority"),
+    )
+    right = (
+        drifted.unionByName(inserted)
+        .select(
+            "o_orderkey",
+            (F.expr(kh) % 64).alias("bucket"),
+            F.expr(rh).alias("rh"),
+        )
+    )
+
+    def checksums(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(rh)").alias("x"),
+            F.sum(F.col("rh") % 1000000007).alias("s"),
+        )
+
+    lsum, rsum = checksums(left), checksums(right)
+    diffb = (
+        lsum.alias("l")
+        .join(rsum.alias("r"), F.col("l.bucket") == F.col("r.bucket"), "full_outer")
+        .where(
+            ~F.col("l.n").eqNullSafe(F.col("r.n"))
+            | ~F.col("l.x").eqNullSafe(F.col("r.x"))
+            | ~F.col("l.s").eqNullSafe(F.col("r.s"))
+        )
+        .select(F.coalesce(F.col("l.bucket"), F.col("r.bucket")).alias("bucket"))
+    )
+    dirty = sorted(r["bucket"] for r in diffb.collect())  # bounded: <= 64 rows
+    # the whole point: SOME buckets diverge, MOST verify clean and are
+    # never drilled — phase 2 touches a strict subset of the key space
+    assert 0 < len(dirty) < 64, dirty
+
+    l2 = left.where(F.col("bucket").isin(dirty)).alias("l")
+    r2 = right.where(F.col("bucket").isin(dirty)).alias("r")
+    return (
+        l2.join(r2, F.col("l.o_orderkey") == F.col("r.o_orderkey"), "full_outer")
+        .where(
+            F.col("l.o_orderkey").isNull()
+            | F.col("r.o_orderkey").isNull()
+            | (F.col("l.rh") != F.col("r.rh"))
+        )
+        .select(
+            F.coalesce(F.col("l.bucket"), F.col("r.bucket")).alias("bucket"),
+            F.coalesce(F.col("l.o_orderkey"), F.col("r.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("r.o_orderkey").isNull(), F.lit("deleted"))
+            .when(F.col("l.o_orderkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
