@@ -1323,3 +1323,74 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(knob, saved)
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Exchange reuse — the fifth plan-asserted runtime contract (after
+# bucketed zero-shuffle E159, AQE broadcast conversion E168, AQE skew
+# split E172, DPP E181). When the same aggregate subtree feeds two
+# consumers (the classic "compare every group against every other
+# group" self-join), Catalyst computes the scan + shuffle + aggregate
+# ONCE and wires the second consumer to a ReusedExchange node. At
+# 100 TB that is the difference between one fact-table pass and two —
+# free, but only if the two subtrees stay byte-identical, which is why
+# the contract deserves an assertion: a refactor that perturbs one side
+# (an extra projection, a different column order) silently doubles the
+# scan. The control run with spark.sql.exchange.reuse=false proves the
+# assertion tracks the optimizer's decision, not a constant string.
+# ---------------------------------------------------------------------------
+@query(
+    "reused_exchange_self_join",
+    sql="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT a.o_orderpriority AS low_prio, b.o_orderpriority AS high_prio,
+           CAST(b.rev - a.rev AS DOUBLE) AS rev_gap
+    FROM agg a JOIN agg b ON a.rev < b.rev
+    """,
+    doc="Self-joined aggregate (every priority paired with every "
+    "higher-revenue priority): the scan+shuffle+aggregate subtree is "
+    "computed once and the second consumer reads a ReusedExchange "
+    "(asserted on the executed plan; asserted absent in a "
+    "spark.sql.exchange.reuse=false control with identical rows) — one "
+    "fact pass instead of two.",
+    round_added=9,
+)
+def reused_exchange_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+
+    def pairs() -> DataFrame:
+        a, b = agg.alias("a"), agg.alias("b")
+        # comparison on the exact DECIMAL — no float order sensitivity
+        return a.join(b, F.col("a.rev") < F.col("b.rev")).select(
+            F.col("a.o_orderpriority").alias("low_prio"),
+            F.col("b.o_orderpriority").alias("high_prio"),
+            (F.col("b.rev") - F.col("a.rev")).cast("double").alias("rev_gap"),
+        )
+
+    knob = "spark.sql.exchange.reuse"
+    saved = spark.conf.get(knob, None)
+    try:
+        spark.conf.set(knob, "true")
+        df = pairs()
+        rows = df.collect()  # bounded: O(priorities^2) = 10 rows
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan[:2000]
+        spark.conf.set(knob, "false")
+        ctl = pairs()
+        ctl_rows = ctl.collect()
+        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" not in ctl_plan, ctl_plan[:2000]
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
+    finally:
+        if saved is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, saved)
+    return spark.createDataFrame(rows, df.schema)
