@@ -1262,3 +1262,73 @@ class TestV2IncrementalProperty:
                 r.id for r in DeltaLogReader(spark, dest).read().collect()
             }
             assert got == live, (trial, sorted(got ^ live))  # (a)
+
+    def test_random_sequences_partitioned(self, spark, tmp_path):
+        """The random append/delete property over a PARTITIONED table:
+        every sidecar add row carries non-empty partitionValues, so each
+        incremental advance exercises the pyarrow tuple-list MAP
+        normalization in add_key on arbitrary reuse/rewrite mixes —
+        not just the pure-append and single-delete shapes the pointed
+        tests pin. Partition-scoped deletes must leave the other
+        partitions' sidecars eligible for reuse whenever sidecar
+        ownership happens to align with partition directories."""
+        import random
+
+        from data_etl_pipeline_spark.sources.delta_export import (
+            checkpoint_export_v2,
+            checkpoint_export_v2_incremental,
+            export_delta,
+            export_delta_append,
+            export_delta_delete,
+        )
+
+        rng = random.Random(90_09)
+        for trial in range(3):
+            dest = str(tmp_path / f"pprop{trial}")
+            live = set(range(40))
+            df = spark.createDataFrame(
+                [(i, str(i % 4), float(i)) for i in sorted(live)],
+                "id long, p string, val double",
+            )
+            export_delta(df.repartition(2), dest, partition_by=["p"])
+            checkpoint_export_v2(spark, dest, n_sidecars=3)
+            next_id = 200 * (trial + 1)
+            for _step in range(rng.randint(1, 3)):
+                roll = rng.random()
+                if roll < 0.5 or not live:
+                    new = [
+                        (next_id + j, str((next_id + j) % 4), float(j))
+                        for j in range(rng.randint(1, 4))
+                    ]
+                    export_delta_append(
+                        spark.createDataFrame(
+                            new, "id long, p string, val double"
+                        ).repartition(1),
+                        dest,
+                    )
+                    live |= {i for i, _, _ in new}
+                    next_id += 10
+                elif roll < 0.75:
+                    # partition-scoped delete (predicate on the partition col)
+                    part = rng.choice(["0", "1", "2", "3"])
+                    victims = {i for i in live if i % 4 == int(part) and i % 3 == 0}
+                    export_delta_delete(
+                        spark, dest, f"p = '{part}' AND id % 3 = 0"
+                    )
+                    live -= victims
+                else:
+                    victim = rng.choice(sorted(live))
+                    export_delta_delete(spark, dest, f"id = {victim}")
+                    live.discard(victim)
+            side_dir = os.path.join(dest, "_delta_log", "_sidecars")
+            before = set(os.listdir(side_dir))
+            inc = checkpoint_export_v2_incremental(spark, dest)
+            assert set(inc["reused"]) <= before
+            assert len(inc["reused"]) + inc["rewritten"] == len(inc["sidecars"])
+            got = DeltaLogReader(spark, dest).read()
+            ids = {r.id for r in got.collect()}
+            assert ids == live, (trial, sorted(ids ^ live))
+            # partition values re-attach correctly from the new manifest
+            assert {r.p for r in got.select("p").distinct().collect()} == {
+                str(i % 4) for i in live
+            }
