@@ -4839,12 +4839,14 @@ def delta_export_v2_checkpoint_partitioned(spark: SparkSession, sf_dir: str) -> 
     old_sidecars = sorted(_os.listdir(side_dir))
     assert len(old_sidecars) == 2, old_sidecars
     # the MAP column comes back from pyarrow as [(k, v)] tuples, NOT a
-    # dict — assert the partitioned shape is actually present so the
-    # incremental advance below exercises the normalization path
-    rows = pq.read_table(_os.path.join(side_dir, old_sidecars[0])).to_pylist()
-    assert rows and all(
-        dict(r["add"]["partitionValues"]).get("o_orderstatus") for r in rows
-    ), rows[:2]
+    # dict — assert the partitioned shape is actually present in EVERY
+    # sidecar (incl. the P-owning one the incremental advance rewrites)
+    # so the advance below exercises the normalization path
+    for sc in old_sidecars:
+        rows = pq.read_table(_os.path.join(side_dir, sc)).to_pylist()
+        assert rows and all(
+            dict(r["add"]["partitionValues"]).get("o_orderstatus") for r in rows
+        ), (sc, rows[:2])
 
     # partition-local CoW delete AFTER the checkpoint: only files under
     # o_orderstatus=P/ can be rewritten, so the F/O-owning sidecar stays

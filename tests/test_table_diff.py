@@ -9,6 +9,8 @@ pruning at all — an independent formulation that cannot share the bug.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.plans.registry import QUERIES, _ensure_loaded
@@ -85,10 +87,11 @@ def test_changed_rows_stay_in_their_bucket(spark, sf_dir):
     that makes per-bucket checksum comparison sound for updates."""
     _ensure_loaded()
     rows = QUERIES["table_diff_bucket_checksums"].fn(spark, sf_dir).collect()
-    for r in rows:
-        if r["change"] == "changed":
-            # recompute the key-hash bucket independently
-            got_bucket = r["bucket"]
-            df = spark.createDataFrame([(r["o_orderkey"],)], "o_orderkey long")
-            want = df.select((F.expr(KH) % 64).alias("b")).first()["b"]
-            assert got_bucket == want
+    changed = [r for r in rows if r["change"] == "changed"]
+    assert changed  # the fixture guarantees in-place updates exist
+    for r in changed:
+        # recompute the key-hash bucket independently, in pure Python —
+        # md5 of the DECIMAL-STRING key, first 15 hex digits, mod 64
+        # (one hashlib call per row, not one Spark job per row)
+        want = int(hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:15], 16) % 64
+        assert r["bucket"] == want
