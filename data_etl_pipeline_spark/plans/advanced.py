@@ -153,13 +153,40 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_first_seen(spark, sf_dir)
 
 
-# NOTE: streaming/stateful.py also implements the profile operator on
+@query(
+    "stream_user_profile_state",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Arbitrary-stateful per-user profile (applyInPandasWithState: one "
+    "state tuple per user accreting n_events / distinct-type set / last_ts "
+    "across three ts-ordered micro-batches); every emitted field is "
+    "monotone per user, so the max-per-user drain equals the final state "
+    "and the batch COUNT/COUNT DISTINCT/MAX oracle checks it exactly. "
+    "Unblocked twin of the transformWithState operator below.",
+    round_added=10,
+)
+def stream_user_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.stateful import (
+        run_stream_user_profile_apws,
+    )
+
+    return run_stream_user_profile_apws(spark, sf_dir)
+
+
+# NOTE: streaming/stateful.py ALSO implements the profile operator above on
 # transformWithStateInPandas (Spark 4's typed-state successor API), but
 # its Python worker needs the `protobuf` runtime, which this container
-# lacks — so it is NOT a declared query (a driver row could never run).
-# tests/test_stateful_twstate.py runs it when protobuf is importable and
-# skips otherwise; the oracle contract is the same COUNT/COUNT DISTINCT/
-# MAX-per-user rollup.
+# lacks — so that variant is NOT a declared query (a driver row could
+# never run). tests/test_stateful_twstate.py runs it when protobuf is
+# importable and skips otherwise; the oracle contract is the same
+# COUNT/COUNT DISTINCT/MAX-per-user rollup the declared
+# applyInPandasWithState twin proves.
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,141 @@ def run_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _ts_ordered_batch_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int, prefix: str
+) -> str:
+    """Write events into ``n_batches`` ts-range parquet files whose mtimes
+    follow ts order, so ``maxFilesPerTrigger=1`` replays the table as
+    ts-ordered micro-batches — the arrival order the profile operators'
+    monotone-emission contract assumes."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from data_etl_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    src = tempfile.mkdtemp(prefix=prefix)
+    ev.repartitionByRange(n_batches, "ts").write.mode("overwrite").parquet(src)
+    parts = []
+    for f in sorted(os.listdir(src)):
+        p = os.path.join(src, f)
+        if not f.endswith(".parquet"):
+            os.remove(p)
+            continue
+        vals = pq.read_table(p, columns=["ts"])["ts"].to_pylist()
+        if not vals:
+            os.remove(p)
+            continue
+        parts.append((min(vals), p))
+    for i, (_, p) in enumerate(sorted(parts)):
+        os.utime(p, (1_600_000_000 + i * 10,) * 2)
+    return src
+
+
+# ---------------------------------------------------------------------------
+# Per-user profile on applyInPandasWithState — the SAME operator the
+# transformWithState variant below implements, on the arbitrary-stateful
+# API this container CAN execute (applyInPandasWithState predates the
+# protobuf StateMessage worker protocol that blocks transformWithState
+# here). Reference semantics: ST4's stateful progression
+# (extraction_node.py:127-159) — a per-key profile that accretes across
+# arrivals. State per user is one tuple (n_events, distinct-type set
+# joined on \x1f, last_ts); every emitted field is monotone nondecreasing
+# per user, so max-per-user over the drained update-mode emissions
+# reconstructs the final state exactly and the batch oracle checks it as
+# COUNT(*) / COUNT(DISTINCT event_type) / MAX(ts) per user.
+#
+# Scale notes: state is one short tuple per user in the state store
+# (RocksDB-capable, see windows.py:288), bounded by (users x distinct
+# types), not stream length; each micro-batch touches only the keys it
+# contains. The HDFS heap provider suffices here — unlike
+# transformWithState there are no typed-state column families.
+# ---------------------------------------------------------------------------
+
+PROFILE_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("seen_types", StringType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _profile_accrete(key, pdf_iter, state: GroupState):
+    n, seen, last = 0, set(), None
+    if state.exists:
+        n, joined, last = state.get
+        if joined:
+            seen = set(joined.split(_SEP))
+    batch = pd.concat(list(pdf_iter), ignore_index=True)
+    n += len(batch)
+    # NaN stays out of the distinct-type set (COUNT(DISTINCT) semantics)
+    seen.update(batch["event_type"].dropna().tolist())
+    mx = batch["ts"].max().to_pydatetime()
+    if last is None or last < mx:
+        last = mx
+    state.update((n, _SEP.join(sorted(seen)), last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_types": [len(seen)],
+            "last_ts": [last],
+        }
+    )
+
+
+def run_stream_user_profile_apws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via ``applyInPandasWithState`` over three
+    ts-ordered micro-batches; drained update-mode emissions rolled up by
+    max-per-user (every field monotone) to the final state."""
+    from data_etl_pipeline_spark.streaming.windows import _align_ts_cols
+
+    from pyspark.sql import functions as F
+
+    src = _ts_ordered_batch_dir(spark, sf_dir, n_batches=3, prefix="apws_src_")
+    name = f"apws_{uuid.uuid4().hex[:8]}"
+    profiles = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _profile_accrete,
+            outputStructType=TW_OUTPUT_SCHEMA,
+            stateStructType=PROFILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = profiles.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # the operator's point is CROSS-batch state: prove the stream
+        # actually ran as multiple micro-batches, not one collapsed batch
+        n_batches = q.lastProgress["batchId"] + 1
+        assert n_batches >= 3, q.lastProgress
+    finally:
+        q.stop()
+    drained = spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    return _align_ts_cols(spark, sf_dir, drained, ["last_ts"])
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4): the successor API to applyInPandasWithState
 # above — typed state variables (ValueState / ListState / MapState, each
@@ -183,36 +318,7 @@ def run_stream_user_profile_twstate(spark: SparkSession, sf_dir: str) -> DataFra
             "transformWithStateInPandas needs the protobuf runtime for its "
             "state-protocol messages; not available in this environment"
         ) from e
-    import os
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from data_etl_pipeline_spark.tables import load
-
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_type",
-    )
-    src = tempfile.mkdtemp(prefix="twstate_src_")
-    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
-    import pyarrow.parquet as pq
-
-    parts = []
-    for f in sorted(os.listdir(src)):
-        p = os.path.join(src, f)
-        if not f.endswith(".parquet"):
-            os.remove(p)
-            continue
-        vals = pq.read_table(p, columns=["ts"])["ts"].to_pylist()
-        if not vals:
-            os.remove(p)
-            continue
-        parts.append((min(vals), p))
-    for i, (_, p) in enumerate(sorted(parts)):
-        os.utime(p, (1_600_000_000 + i * 10,) * 2)
+    src = _ts_ordered_batch_dir(spark, sf_dir, n_batches=3, prefix="twstate_src_")
 
     name = f"twstate_{uuid.uuid4().hex[:8]}"
     knob = "spark.sql.streaming.stateStore.providerClass"
