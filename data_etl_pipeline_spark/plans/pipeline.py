@@ -959,6 +959,88 @@ def event_props_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_variant_shred",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type AS cat,
+           value AS score,
+           UPPER(event_type) AS nested_up,
+           CAST(event_id AS VARCHAR) AS tag1,
+           COALESCE(CASE WHEN event_id % 5 = 0 THEN user_id END, -1) AS opt
+    FROM events
+    """,
+    doc="Native VARIANT (Spark 4) sibling of event_props_json_shred: the "
+    "same semi-structured event-properties document goes through "
+    "parse_json into a VARIANT column and is shredded with variant_get / "
+    "try_variant_get — typed scalar reads, a nested-object path, an "
+    "array-index path, and absent-key -> NULL (try_variant_get), with "
+    "corpus-wide schema inference via schema_of_variant_agg asserted "
+    "in-query. The oracle computes the expected projection straight from "
+    "the base columns, so the hash gate pins every extracted type. "
+    "Scale note vs the E101 map pass: VARIANT stores each document as a "
+    "binary (metadata, value) pair with per-field offsets, so a "
+    "variant_get touches only the requested field instead of "
+    "materializing the full key->string map per row; with shredded "
+    "VARIANT parquet storage the scan prunes untouched fields at the "
+    "column level, where the from_json map pass must always decode the "
+    "whole object per row.",
+    round_added=10,
+)
+def event_props_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    doc = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.col("event_type").alias("cat"),
+                F.col("value").alias("score"),
+                F.struct(F.upper("event_type").alias("up")).alias("nested"),
+                F.array(F.col("event_type"), F.col("event_id").cast("string")).alias(
+                    "tags"
+                ),
+                # to_json drops NULL struct fields, so `opt` is ABSENT (not
+                # null) for 4/5 of rows — the absent-key path try_variant_get
+                # must map to NULL
+                F.when(F.pmod("event_id", F.lit(5)) == 0, F.col("user_id")).alias(
+                    "opt"
+                ),
+            )
+        ).alias("doc"),
+    )
+    v = doc.select("event_id", F.parse_json("doc").alias("v"))
+
+    # corpus-wide schema inference: the VARIANT twin of E101's
+    # explode+groupBy inference pass is one agg over the binary encoding
+    inferred = v.select(F.schema_of_variant_agg("v").alias("s")).first()["s"]
+    # the variant encoding parses plain decimal literals as DECIMAL (spec
+    # behavior, unlike from_json's DOUBLE) — so `score` infers as
+    # DECIMAL(p,2) at 2-dp data and the shred below casts it back to the
+    # bit-identical double
+    for field in ("k: BIGINT", "cat: STRING", "score: DECIMAL", "nested: OBJECT"):
+        assert field in inferred, inferred
+    # graceful type mismatch: reading the BIGINT field as an array yields
+    # NULL for every row under try_variant_get (variant_get would raise)
+    bad = v.select(
+        F.try_variant_get("v", "$.k", "array<bigint>").alias("b")
+    ).where(F.col("b").isNotNull())
+    assert bad.count() == 0
+
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.variant_get("v", "$.cat", "string").alias("cat"),
+        F.variant_get("v", "$.score", "double").alias("score"),
+        F.variant_get("v", "$.nested.up", "string").alias("nested_up"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        F.coalesce(
+            F.try_variant_get("v", "$.opt", "bigint"), F.lit(-1).cast("long")
+        ).alias("opt"),
+    )
+
+
+@query(
     "doc_lang_id",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
