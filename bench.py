@@ -35,23 +35,35 @@ def main() -> None:
     # total anchors against judge single-run numbers so future rounds can
     # tell sandbox noise from a plan regression without a re-run.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    timings_cold: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for spec in headline:
-        runs: list[float] = []
-        for i in range(repeats):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings_cold[spec.name] = round(runs[0], 3)
-        timings[spec.name] = round(min(runs), 3)
-        # per-query spread (max-min across the warm repeats, i.e. runs
-        # after the cold first one when there are >= 3): the r5->r6 trend
-        # question "sandbox noise or plan regression?" needs the
-        # within-run variance recorded next to the point estimate
-        warm = runs[1:] if len(runs) >= 3 else runs
-        spread[spec.name] = round(max(warm) - min(warm), 3)
+
+    def run_tier(specs):
+        timings: dict[str, float] = {}
+        timings_cold: dict[str, float] = {}
+        spread: dict[str, float] = {}
+        for spec in specs:
+            runs: list[float] = []
+            for i in range(repeats):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings_cold[spec.name] = round(runs[0], 3)
+            timings[spec.name] = round(min(runs), 3)
+            # per-query spread (max-min across the warm repeats, i.e. runs
+            # after the cold first one when there are >= 3): the r5->r6 trend
+            # question "sandbox noise or plan regression?" needs the
+            # within-run variance recorded next to the point estimate
+            warm = runs[1:] if len(runs) >= 3 else runs
+            spread[spec.name] = round(max(warm) - min(warm), 3)
+        return timings, timings_cold, spread
+
+    timings, timings_cold, spread = run_tier(headline)
+    # tier 2 (round 10): heavies from the modern surface — Delta CDF
+    # lifecycle, semantic dedup, suffix-array repeated substrings, Merkle
+    # table diff — reported as a SEPARATE total so `value` stays
+    # comparable with the r1-anchored trend while the engine's center of
+    # mass is also watched per-round
+    tier2 = [s for s in QUERIES.values() if s.headline2]
+    timings2, timings2_cold, spread2 = run_tier(tier2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +76,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": timings_cold,
                 "queries_spread": spread,
+                "value_tier2": round(sum(timings2.values()), 3),
+                "cold_value_tier2": round(sum(timings2_cold.values()), 3),
+                "queries_tier2": timings2,
+                "queries_tier2_cold": timings2_cold,
+                "queries_tier2_spread": spread2,
                 "repeats": repeats,
                 "sf": sf,
             }

@@ -3598,7 +3598,6 @@ def event_type_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the pruned frame hash-matches a from-scratch recompute.",
 )
 def delta_interop_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re as _re
     import tempfile
 
     from data_etl_pipeline_spark.sources.delta_export import export_delta
@@ -3615,12 +3614,10 @@ def delta_interop_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         filters=[("o_orderkey", ">=", 300)],
     )
     assert back.columns == ["o_orderstatus", "o_totalprice"]
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted"
-    )
-    rs = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert rs is not None, plan
-    scanned = rs.group(1)
+    from data_etl_pipeline_spark.plans.planassert import read_schema
+
+    scanned = read_schema(back)
+    assert scanned, scanned
     for col in ("o_custkey", "o_orderdate", "o_orderpriority"):
         assert col not in scanned, scanned
     assert "o_totalprice" in scanned and "o_orderkey" in scanned, scanned
@@ -3952,6 +3949,7 @@ def delta_interop_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "delta_cdf_materialized_view",
+    headline2=True,
     sql="""
     WITH final AS (
         SELECT o_orderstatus,
@@ -4893,6 +4891,7 @@ _TDIFF_ROW = (
 
 @query(
     "table_diff_bucket_checksums",
+    headline2=True,
     sql=f"""
     WITH src AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

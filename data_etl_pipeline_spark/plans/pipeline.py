@@ -2176,6 +2176,7 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "doc_repeated_substrings",
+    headline2=True,
     sql="""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     occ AS (
@@ -2308,6 +2309,7 @@ def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "semantic_dedup",
+    headline2=True,
     sql=f"""
     WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     d1 AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 25 = 0),

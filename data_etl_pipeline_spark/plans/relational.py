@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 from data_etl_pipeline_spark.plans.registry import query
 from data_etl_pipeline_spark.tables import load
 
@@ -986,10 +987,7 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     to, tl = publish(o, "o_orderkey", "b_orders"), publish(li, "l_orderkey", "b_lineitem")
 
-    def plan_of(df: DataFrame) -> str:
-        return df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+    from data_etl_pipeline_spark.plans.planassert import formatted_plan as plan_of
 
     joined = tl.hint("merge").join(to, tl.l_orderkey == to.o_orderkey)
     bucketed_plan = plan_of(joined)
@@ -1099,12 +1097,10 @@ def aqe_runtime_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
     try:
         df = agg()
-        static_plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        static_plan = formatted_plan(df)
         assert "SortMergeJoin" in static_plan, static_plan
         rows = df.collect()  # run, so AQE finalizes the adaptive plan
-        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        final_plan = executed_plan(df)
         assert "BroadcastHashJoin" in final_plan, final_plan[:2000]
     finally:
         for k, v in saved.items():
@@ -1208,7 +1204,7 @@ def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(k, v)
         df = agg()
         rows = df.collect()  # AQE finalizes the adaptive plan
-        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        final_plan = executed_plan(df)
         assert "skew=true" in final_plan, final_plan[:2000]
         # control: same join with skew handling off must NOT carry the
         # marker — proves the assertion tests AQE's decision, not a
@@ -1216,7 +1212,7 @@ def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         ctl = agg()
         ctl_rows = ctl.collect()
-        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        ctl_plan = executed_plan(ctl)
         assert "skew=true" not in ctl_plan, ctl_plan[:2000]
         assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
     finally:
@@ -1307,14 +1303,14 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(knob, "true")
         df = agg()
         rows = df.collect()  # bounded: 5 months
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = executed_plan(df)
         assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
         # control: DPP off must drop the runtime filter but not change
         # results — proves the assertion tests the optimizer's decision
         spark.conf.set(knob, "false")
         ctl = agg()
         ctl_rows = ctl.collect()
-        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        ctl_plan = executed_plan(ctl)
         assert "dynamicpruningexpression" not in ctl_plan.lower(), ctl_plan[:2000]
         assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
     finally:
@@ -1380,12 +1376,12 @@ def reused_exchange_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(knob, "true")
         df = pairs()
         rows = df.collect()  # bounded: O(priorities^2) = 10 rows
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = executed_plan(df)
         assert "ReusedExchange" in plan, plan[:2000]
         spark.conf.set(knob, "false")
         ctl = pairs()
         ctl_rows = ctl.collect()
-        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        ctl_plan = executed_plan(ctl)
         assert "ReusedExchange" not in ctl_plan, ctl_plan[:2000]
         assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
     finally:

@@ -7,6 +7,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.asof import asof_join
+from data_etl_pipeline_spark.plans.planassert import formatted_plan
 
 
 def _ts(s: str) -> datetime:
@@ -226,7 +227,7 @@ class TestAsofVariants:
             left, right, on="k", left_ts="t", right_ts="t",
             payload_cols=["val"], tiebreak="val", direction="nearest",
         )
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        plan = formatted_plan(df)
         # both running matches share the one exchange on _k: the detail
         # section lists exactly one Exchange node and two Window nodes
         # (two in-partition sort orders, one shuffle)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators import dedup
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def _docs(spark, rows):
@@ -270,7 +271,7 @@ class TestBoilerplateRemoval:
 
         docs = spark.createDataFrame([(0, "a b c d e f g")], "doc_id long, text string")
         df = remove_boilerplate_spans(docs)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        plan = formatted_plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.sources.delta_export import DeltaExportError, export_delta
 from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+from data_etl_pipeline_spark.plans.planassert import formatted_plan
 
 
 def test_roundtrip_partitioned(spark, tmp_path):
@@ -313,9 +314,7 @@ class TestTail:
     def test_tail_is_one_scan_branch(self, spark, tmp_path):
         dest = self._grown(spark, tmp_path)
         df = DeltaLogReader(spark, dest).tail(0)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(df)
         # ONE parquet scan node for ALL tailed commits (formatted explain
         # prints each node twice: tree + detail); the file->version map is
         # an in-memory LocalTableScan broadcast

@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import types as T
 
+from data_etl_pipeline_spark.plans.planassert import formatted_plan
 from data_etl_pipeline_spark.sources.delta_reader import (
     DeltaLogReader,
     DeltaProtocolError,
@@ -806,9 +807,7 @@ class TestFileBasedDeletionVectors:
         _log(tbl, 0, actions)
         df = DeltaLogReader(spark, tbl).read()
         assert df.count() == 22 * 3  # row 0 dead in every file
-        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(df)
         # one parquet scan of the DV files, one anti-join — not 22
         # (formatted explain prints each node in the tree AND a detail
         # block, so count the per-operator detail lines)
@@ -959,9 +958,7 @@ class TestColumnPruning:
         assert out.columns == ["id"]
         assert sorted(r["id"] for r in out.collect()) == [1, 2]
         # the scan itself is pruned, not just the output
-        plan = out._sc._jvm.PythonSQLUtils.explainString(
-            out._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(out)
         import re
 
         rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)

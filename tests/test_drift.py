@@ -9,6 +9,7 @@ import random
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.drift import cusum_scores
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def _recurrence(devs):
@@ -50,9 +51,7 @@ def test_injected_mean_shift_raises_score_after_shift_only(spark):
 def test_plan_is_one_exchange_two_windows(spark):
     df = spark.createDataFrame([("a", 1, 1)], "k string, i long, d long")
     out = cusum_scores(df, ["k"], ["i"], "d")
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(out)
     tree = plan.split("\n\n")[0]  # operator tree only (detail repeats nodes)
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def _quadratic(spark, left, right, max_dist):
@@ -46,6 +47,6 @@ def test_blocked_join_plan_has_no_unbounded_cross_join(spark):
     cross joins are the broadcast short buckets (bounded by construction)."""
     left = spark.createDataFrame(list(enumerate(CORPUS)), "id long, s string")
     pairs = fuzzy_match_pairs(left, left, max_dist=2)
-    plan = pairs._sc._jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(pairs)
     # every nested-loop join in the plan is a broadcast one (short bucket)
     assert "CartesianProduct" not in plan

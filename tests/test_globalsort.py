@@ -6,6 +6,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.globalsort import global_rank
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def test_matches_global_window_semantics(spark):
@@ -47,9 +48,7 @@ def test_rank_is_dense_and_unique(spark):
 def test_no_single_partition_exchange(spark):
     df = spark.range(1_000).select(F.col("id"), (F.col("id") * 7 % 997).alias("score"))
     out = global_rank(df, order_by=["score", "id"], n_partitions=8)
-    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(out)
     # the killer this operator exists to avoid: a global window's
     # Exchange SinglePartition
     assert "SinglePartition" not in plan

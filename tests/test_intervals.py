@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.intervals import interval_join
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def _ts(s: str) -> datetime:
@@ -135,9 +136,7 @@ def test_interval_join_falls_back_to_shuffled_join_past_broadcast(spark):
         out = interval_join(
             _points(spark), _intervals(spark), "p_ts", "start", "end", 600
         )
-        plan = out._sc._jvm.PythonSQLUtils.explainString(
-            out._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(out)
         assert "SortMergeJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
         # semantics unchanged under the shuffled strategy

@@ -6,13 +6,18 @@ no accidental cartesian products."""
 from __future__ import annotations
 
 from data_etl_pipeline_spark.plans.registry import QUERIES, _ensure_loaded
+from data_etl_pipeline_spark.plans.planassert import (
+    executed_plan,
+    formatted_plan,
+    optimized_plan,
+)
 
 _ensure_loaded()
 
 
 def _plan(spark, sf_dir, name) -> str:
     df = QUERIES[name].fn(spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    return formatted_plan(df)
 
 
 def test_projection_pushdown_reaches_scan(spark, sf_dir):
@@ -50,7 +55,7 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # codegen markers only appear in the FINAL adaptive plan, so execute first
     df = QUERIES["pricing_summary"].fn(spark, sf_dir)
     df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
+    final = executed_plan(df)
     # '*(n)' prefixes mark WholeStageCodegen stages in the executed plan
     assert "*(1)" in final and "*(2)" in final
 
@@ -58,7 +63,7 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 def test_dedup_single_scan(spark, sf_dir):
     # the inverted-index jaccard reads the corpus exactly once
     df = QUERIES["doc_ngram_jaccard_pairs"].fn(spark, sf_dir)
-    simple = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    simple = formatted_plan(df, "simple")
     assert simple.count("FileScan parquet") == 1
 
 
@@ -191,9 +196,7 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         [("1-URGENT", 1), ("3-MEDIUM", 3)], "o_orderpriority string, rank int"
     ).where("rank = 1")
     joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
-    plan = joined._sc._jvm.PythonSQLUtils.explainString(
-        joined._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
 
 
@@ -227,7 +230,7 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         )
         lineitem = load(spark, sf_dir, "lineitem")
         j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        plan = optimized_plan(j)
         assert "might_contain" in plan
     finally:
         for k, v in saved.items():

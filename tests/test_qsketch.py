@@ -10,6 +10,7 @@ from data_etl_pipeline_spark.operators.qsketch import (
     quantiles_from_sketch,
 )
 from data_etl_pipeline_spark.tables import load
+from data_etl_pipeline_spark.plans.planassert import formatted_plan
 
 
 def test_estimates_within_decade_relative_error(spark, sf_dir):
@@ -56,9 +57,7 @@ def test_bucket_count_bounded_and_zero_negative_handling(spark):
 
 def test_sketch_plan_is_single_shuffle(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        quantile_sketch(li, "l_extendedprice")._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(quantile_sketch(li, "l_extendedprice"))
     assert plan.count("Exchange (") == 1  # one groupBy on < 900 keys
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators.mixture import weighted_sample_topk
 from data_etl_pipeline_spark.tables import load
+from data_etl_pipeline_spark.plans.planassert import executed_plan
 
 
 def test_weighted_sample_is_biased_toward_heavy_rows(spark, sf_dir):
@@ -25,7 +26,7 @@ def test_weighted_sample_plan_is_partial_topk_not_global_sort(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
-    plan = weighted_sample_topk(docs, weight_col="n_chars", k=10)._jdf.queryExecution().executedPlan().toString()
+    plan = executed_plan(weighted_sample_topk(docs, weight_col="n_chars", k=10))
     assert "TakeOrderedAndProject" in plan
     # a global Sort + Exchange would be the 100 TB anti-pattern
     assert "Sort " not in plan

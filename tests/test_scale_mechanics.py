@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from data_etl_pipeline_spark.operators.skew import salted_set_rollup
 from data_etl_pipeline_spark.sources.bucketed import colocated_join, write_bucketed
 from data_etl_pipeline_spark.tables import load
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 class TestBucketedJoin:
@@ -29,9 +30,7 @@ class TestBucketedJoin:
             write_bucketed(orders, "b_orders", "o_orderkey", 4, sort_key="o_orderkey", path=f"{wh}/b_orders")
             write_bucketed(li, "b_lineitem", "o_orderkey", 4, sort_key="o_orderkey", path=f"{wh}/b_lineitem")
             joined = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
-            plan = joined._sc._jvm.PythonSQLUtils.explainString(
-                joined._jdf.queryExecution(), "formatted"
-            )
+            plan = formatted_plan(joined)
             assert "SortMergeJoin" in plan
             assert "Exchange" not in plan  # co-located buckets: no shuffle
             # and the join is still correct

@@ -9,6 +9,7 @@ from data_etl_pipeline_spark.operators.search import (
     build_postings,
     doc_lengths,
 )
+from data_etl_pipeline_spark.plans.planassert import formatted_plan
 
 
 @pytest.fixture()
@@ -68,9 +69,7 @@ def test_persisted_postings_skip_tokenize(corpus):
 
 def test_topk_plan_takeordered(corpus):
     out = bm25_search(corpus, ["cat"], topk=3)
-    plan = corpus.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(out)
     # the corpus-wide ordering must collapse to TakeOrderedAndProject —
     # never a full global sort feeding the bounded rank window
     assert "TakeOrderedAndProject" in plan
@@ -90,9 +89,7 @@ def test_persisted_index_probe_plan_has_no_tokenize(spark, corpus, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "bm25idx"))
     t.write(build_postings(corpus), cluster_by=["term"])
     out = bm25_search(corpus, ["cat"], topk=3, postings=t.read())
-    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(out)
     assert "split(lower(" not in plan
     got = {r["doc_id"] for r in out.collect()}
     want = {r["doc_id"] for r in bm25_search(corpus, ["cat"], topk=3).collect()}

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from data_etl_pipeline_spark.operators.shred import infer_json_schema, json_shred
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def test_inference_lattice(spark):
@@ -63,7 +64,5 @@ def test_schema_reuse_across_batches(spark):
 def test_plan_has_no_udf_and_one_inference_shuffle(spark):
     df = spark.createDataFrame([(0, '{"a": 1}')], "id long, doc string")
     shredded = json_shred(df, "doc", ["id"])
-    plan = shredded._sc._jvm.PythonSQLUtils.explainString(
-        shredded._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(shredded)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.operators import similarity
 from data_etl_pipeline_spark.tables import load
+from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
 
 
 def _topk_sets(df):
@@ -59,7 +60,7 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     ev.write.mode("overwrite").partitionBy("day").parquet(out)
 
     back = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
-    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(back)
     # partition filters are applied at planning: one partition dir survives
     assert "PartitionFilters" in plan
     n_days = ev.select("day").distinct().count()
@@ -165,7 +166,7 @@ def test_persisted_lsh_index_probe_has_no_hyperplane_eval(spark, sf_dir, tmp_pat
     similarity.build_lsh_index(emb, idx)
 
     probe = similarity.lsh_probe_persisted(idx.read(), n_queries=10, k=3)
-    plan = probe._sc._jvm.PythonSQLUtils.explainString(probe._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(probe)
     # a hyperplane evaluation would embed the seeded literals in the plan
     planes = similarity.lsh_hyperplanes(64, 12, 8, 7)
     lit = f"{planes[0][0][0]:.6f}"
@@ -224,7 +225,7 @@ def test_persisted_ivf_index_probe_never_reassigns_corpus(spark, sf_dir, tmp_pat
     similarity.build_ivf_index(emb, idx, stride=25)
 
     probe = similarity.ivf_probe_persisted(idx.read(), n_queries=10, k=3, stride=25, nprobe=2)
-    plan = probe._sc._jvm.PythonSQLUtils.explainString(probe._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(probe)
     assert "max_by" not in plan  # the assignment reducer lives on the build path
     assert "ivf-index" in plan   # scans the persisted table files
 
@@ -266,7 +267,7 @@ def test_lsh_near_dup_pairs_finds_exact_dups_without_self_join(spark, sf_dir):
     for r in rows:
         assert r["vec_b"] == r["vec_a"] + 100000
         assert r["cosine_sim"] == 1.0
-    plan = pairs._sc._jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(pairs)
     assert "Join" not in plan, "pair mining must not self-join the corpus"
 
 
@@ -299,10 +300,7 @@ def test_random_projection_plan_has_no_shuffle(spark, sf_dir):
     from data_etl_pipeline_spark.operators.similarity import random_projection
     from data_etl_pipeline_spark.tables import load
 
-    plan = (
-        random_projection(load(spark, sf_dir, "embeddings"))
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    plan = executed_plan(random_projection(load(spark, sf_dir, "embeddings")))
     assert "Exchange" not in plan
 
 
@@ -525,7 +523,7 @@ class TestPQ:
     def test_pq_plan_broadcasts_and_never_materializes_a_cross_join(self, spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         df = similarity.ann_topk_pq_rerank(emb, n_queries=10, k=5, candidates=50)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         # codebook, distance-table, candidate and query joins are all
         # broadcast — a shuffled join on this shape means the corpus is
@@ -575,7 +573,7 @@ class TestIVFPQ:
     def test_plan_broadcasts_everywhere(self, spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         df = similarity.ann_topk_ivf_pq(emb, n_queries=10, k=5)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
