@@ -137,3 +137,61 @@ def pagerank_fixed_point(
         )
     edges.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph via DEGREE-ORDERED
+    edge orientation — the standard distributed-triangle trick (cf. Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11): orient every edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges only at each edge's SOURCE, and close the
+    wedge with an equi-join back to the oriented edge set. Each triangle is
+    found exactly once (at its lowest-degree corner).
+
+    Input: ``edges`` with columns (u, v), undirected, u < v (one row per
+    edge either way — duplicates are dropped here).
+
+    Scale shape: wedge count is sum(out_degree^2) which orientation bounds
+    by O(m^1.5) on any graph — a celebrity node of degree d contributes
+    wedges at its (lower-degree) neighbors instead of d^2 at itself, so the
+    skewed key the naive enumeration creates simply does not exist. Three
+    shuffles total (degree agg, wedge self-join key, closing equi-join);
+    no OR-joins — the closing edge's orientation is forced by carrying
+    neighbor degrees in the wedge row.
+    """
+    e = edges.select("u", "v").where(F.col("u") < F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("k"))
+        .unionByName(e.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient toward the higher (deg, id); keep the destination's degree so
+    # the wedge join below can order its two spokes without re-joining deg
+    withdeg = (
+        e.join(deg.withColumnRenamed("k", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("k", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    ed = withdeg.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    a, b = ed.alias("a"), ed.alias("b")
+    spoke_lt = (F.col("a.ddeg") < F.col("b.ddeg")) | (
+        (F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst"))
+    )
+    wedges = a.join(b, (F.col("a.src") == F.col("b.src")) & spoke_lt).select(
+        F.col("a.src").alias("apex"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("y"),
+    )
+    closing = ed.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

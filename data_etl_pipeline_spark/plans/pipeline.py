@@ -2652,6 +2652,49 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
 
 
+@query(
+    "supplier_triangle_counts",
+    sql="""
+    WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45),
+    e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    credit AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+    SELECT node, COUNT(*) AS n_triangles FROM credit GROUP BY 1
+    """,
+    doc="Per-supplier triangle counts over the high-quantity co-supply "
+    "graph (suppliers co-occurring in an order), via degree-ordered edge "
+    "orientation (operators/hierarchy.py::triangle_counts) — wedges "
+    "enumerate only at each edge's lowest-degree corner, bounding work "
+    "by O(m^1.5) and erasing celebrity-node skew; the oracle counts the "
+    "same triangles with the canonical u<v triple join. Edge build is a "
+    "per-order pair expansion (orders hold <=7 items — bounded fan-out, "
+    "never a corpus self-join).",
+    round_added=10,
+)
+def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.hierarchy import triangle_counts
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    return triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 # Flagship composition v2 — the full curation pipeline in ONE declarative
 # plan: repeated-substring gate (docs over 60% duplicated regions drop)

@@ -1390,3 +1390,128 @@ def reused_exchange_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(knob, saved)
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Native UNPIVOT (wide -> long): the inverse of the pivot pattern in
+# plans/etl.py. At 100 TB the unpivot is a zero-shuffle Expand pass —
+# each input row fans out to |metrics| rows map-side — and the grouped
+# aggregate that follows is the query's ONLY exchange, carrying
+# (flag x metric) pre-reduced rows. The wrong plan here is a UNION ALL
+# of per-metric scans (|metrics| passes over the fact table); unpivot
+# reads the fact once.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_unpivot_metrics",
+    sql="""
+    SELECT l_returnflag, metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                          l_discount, l_tax FROM lineitem)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME metric VALUE val)
+    GROUP BY 1, 2
+    """,
+    doc="Wide->long reshape via NATIVE df.unpivot (Expand pass, one scan, "
+    "zero shuffles until the grouped rollup) + per-(flag, metric) count "
+    "and exact-decimal sum; oracle is DuckDB's UNPIVOT of the same "
+    "projection. The single-scan property is asserted in-query.",
+    round_added=10,
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    out = long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    # one fact scan for all four metrics — the UNION-ALL anti-pattern
+    # would show one FileScan per metric
+    plan = formatted_plan(out, "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting): the reference
+# relational suite's hardest correlated query — an EXISTS and a NOT
+# EXISTS, both correlated on the same key with a <> on a second column.
+# The Spark-first rewrite replaces both correlated probes with ONE
+# per-order aggregate computed in a single pass: EXISTS(other supplier)
+# == n_suppliers > 1, NOT EXISTS(other LATE supplier) == n_late == 1
+# (l1 itself is late, so it is the one). At 100 TB the naive plan scans
+# the fact table three times and shuffles it twice for the two probes;
+# this form scans it once for the stats, once for the candidates, and
+# both reuse the same orderkey partitioning. The fixture has no
+# l_receiptdate/l_commitdate, so "late" := shipped > 60 days after the
+# order date. Reference parity: SURVEY §2.3 J4 (existence joins),
+# correlated-EXISTS leg.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    sql="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late,
+             o_orderstatus
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM supplier, l l1, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND l1.o_orderstatus = 'F' AND l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: doubly-correlated EXISTS / NOT EXISTS collapsed "
+    "into one per-order aggregate (distinct suppliers, distinct LATE "
+    "suppliers) — one fact pass instead of two correlated probes; "
+    "supplier+nation dims broadcast; deterministic tie-break sort.",
+    round_added=10,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+        "o_orderstatus",
+    )
+    stats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    dims = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    waiting = (
+        l.where(F.col("late") & (F.col("o_orderstatus") == "F"))
+        .join(
+            stats.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
