@@ -1227,3 +1227,54 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("q_id", "q_label", "neg_id", "neg_label", "rank", "cosine_sim")
     )
+
+
+def embedding_norms_arrow(df: DataFrame) -> DataFrame:
+    """Per-vector feature stats (dim, L2 norm, positive-component count)
+    via ``mapInArrow`` — the zero-copy Arrow-native UDF surface. The list
+    column arrives as a pyarrow ListArray; segment sums run with
+    ``np.add.reduceat`` over the flat values buffer (sequential within
+    each segment — no cumsum-difference cancellation), so NO per-row
+    Python, no pandas conversion, no object boxing anywhere.
+
+    Scale shape: pure map over Arrow record batches — zero shuffles, and
+    versus a pandas UDF the list column skips the Arrow->pandas object
+    materialization (a list column in pandas is a Python-object ndarray;
+    in Arrow it stays two flat buffers). Norm rounded to 6 decimals (the
+    registry float contract) to absorb fold-order variation vs the
+    oracle's list_sum.
+    """
+    import pyarrow as pa
+
+    out_schema = (
+        "vec_id long, dim long, l2_norm double, n_pos long"
+    )
+
+    def stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            emb = batch.column("embedding")
+            # absolute offsets into the flat values buffer (valid under
+            # slicing too; Spark hands us offset-0 fresh batches)
+            offsets = emb.offsets.to_numpy()
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            starts, ends = offsets[:-1], offsets[1:]
+            sq_sums = np.add.reduceat(vals * vals, starts)
+            pos_counts = np.add.reduceat((vals > 0).astype(np.int64), starts)
+            # reduceat on an empty segment returns the element at start;
+            # the fixture has no empty vectors but guard anyway
+            empty = ends == starts
+            sq_sums[empty] = 0.0
+            pos_counts[empty] = 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array((ends - starts).astype(np.int64)),
+                    pa.array(np.round(np.sqrt(sq_sums), 6)),
+                    pa.array(pos_counts),
+                ],
+                names=["vec_id", "dim", "l2_norm", "n_pos"],
+            )
+
+    return df.select("vec_id", "embedding").mapInArrow(stats, out_schema)

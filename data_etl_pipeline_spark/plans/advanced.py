@@ -950,9 +950,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Iterative algorithm: transitive closure of a concept hierarchy (the
-# reference's in-driver SKOS tree walk, distributed). Spark has no
-# recursive CTE — the engine's fixpoint join loop (operators/hierarchy.py)
-# is checked against DuckDB's WITH RECURSIVE on the same derived edges.
+# reference's in-driver SKOS tree walk, distributed). The engine's
+# fixpoint join loop (operators/hierarchy.py) is checked against DuckDB's
+# WITH RECURSIVE on the same derived edges; Spark 4.1's NATIVE recursive
+# CTE runs the same closure as concept_ancestor_closure_sql below.
 # ---------------------------------------------------------------------------
 @query(
     "concept_ancestor_closure",
@@ -968,8 +969,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, ancestor, MIN(depth) AS depth
     FROM anc GROUP BY node, ancestor
     """,
-    doc="Transitive closure via iterative fixpoint joins (no recursive CTE "
-    "in Spark) vs a WITH RECURSIVE oracle.",
+    doc="Transitive closure via iterative fixpoint joins (the scale path "
+    "for deep/unbounded graphs: flat lineage, empty-frontier stop) vs a "
+    "WITH RECURSIVE oracle; the native recursive-CTE twin is "
+    "concept_ancestor_closure_sql.",
 )
 def concept_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
@@ -2150,3 +2153,97 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_returnflag").alias("returnflag"), "med", "mad", "n", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4.1): the SQL-surface twin of
+# concept_ancestor_closure above. The iterative fixpoint loop stays the
+# scale path for deep/unbounded graphs (per-iteration localCheckpoint
+# keeps lineage flat and lets the driver stop on an empty frontier); the
+# recursive CTE is the declarative form for bounded hierarchies — the
+# optimizer unions the recursion levels internally, no driver loop at
+# all. Same derived edge set, same WITH RECURSIVE oracle, so the two
+# surfaces are proven equivalent against one another through DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "concept_ancestor_closure_sql",
+    sql="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey // 2 AS ancestor, 1 AS depth
+        FROM part WHERE p_partkey BETWEEN 2 AND 126
+        UNION
+        SELECT a.node, e.p_partkey // 2, a.depth + 1
+        FROM anc a JOIN part e ON a.ancestor = e.p_partkey
+        WHERE e.p_partkey BETWEEN 2 AND 126
+    )
+    SELECT node, ancestor, MIN(depth) AS depth
+    FROM anc GROUP BY node, ancestor
+    """,
+    doc="Transitive closure via Spark 4.1's NATIVE recursive CTE (WITH "
+    "RECURSIVE in spark.sql) over the same halving hierarchy as the "
+    "iterative-fixpoint twin concept_ancestor_closure — each node has "
+    "one parent, so UNION ALL recursion produces no duplicate paths and "
+    "the MIN(depth) rollup matches the oracle's UNION form exactly.",
+    round_added=10,
+)
+def concept_ancestor_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("__rc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey DIV 2 AS ancestor, 1 AS depth
+            FROM __rc_part WHERE p_partkey BETWEEN 2 AND 126
+            UNION ALL
+            SELECT a.node, e.p_partkey DIV 2, a.depth + 1
+            FROM anc a JOIN __rc_part e ON a.ancestor = e.p_partkey
+            WHERE e.p_partkey BETWEEN 2 AND 126
+        )
+        SELECT node, ancestor, CAST(MIN(depth) AS INT) AS depth
+        FROM anc GROUP BY node, ancestor
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated top-k (SQL surface): "for each dimension row, the
+# top-k correlated fact rows". Catalyst DECORRELATES the lateral subquery
+# into a WindowGroupLimit pipeline — a Partial WindowGroupLimit prunes
+# each map task's input to k rows per key BEFORE the exchange (map-side
+# top-k, same trick as operators/topk.py), then a Final pass + row_number
+# filter after the shuffle, then a broadcast join back to the dim. At
+# 100 TB the shuffle carries at most k rows per (key, map task), never
+# the fact table. The plan contract is asserted in-query.
+# ---------------------------------------------------------------------------
+@query(
+    "lateral_top_customers_per_nation",
+    sql="""
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+    doc="Per-nation top-2 customers by acctbal via a LATERAL correlated "
+    "ORDER BY ... LIMIT subquery; Catalyst decorrelates it to Partial+"
+    "Final WindowGroupLimit (map-side top-k pruning before the exchange, "
+    "asserted in-query) + broadcast dim join — the fact table never "
+    "shuffles more than k rows per key per task.",
+    round_added=10,
+)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.plans.planassert import formatted_plan
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lt_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__lt_nation")
+    out = spark.sql(
+        """
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM __lt_nation, LATERAL (
+            SELECT c_name, c_acctbal FROM __lt_customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+    plan = formatted_plan(out, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    return out

@@ -2456,6 +2456,30 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.posexplode("proj").alias("pos", "val"))
 
 
+@query(
+    "embedding_norms_arrow",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+    doc="Per-vector stats (dim, L2 norm, positive-count) via mapInArrow — "
+    "the zero-copy Arrow UDF surface: the list column stays two flat "
+    "buffers (offsets + values) and segment sums run with "
+    "np.add.reduceat; no pandas object boxing, no per-row Python, zero "
+    "shuffles. Completes the Python UDF-surface ladder next to pandas "
+    "UDFs (U5), applyInPandas (U4), mapInPandas (U3/W1) and native "
+    "UDTFs: mapInArrow is the right tier when the input is a nested "
+    "Arrow type that pandas would box to objects.",
+    round_added=10,
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms_arrow(load(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Training shard writer — the output last-mile: packed context windows are
 # assigned to a fixed number of output shards by a deterministic hash of
