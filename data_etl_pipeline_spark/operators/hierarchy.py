@@ -148,8 +148,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedge with an equi-join back to the oriented edge set. Each triangle is
     found exactly once (at its lowest-degree corner).
 
-    Input: ``edges`` with columns (u, v), undirected, u < v (one row per
-    edge either way — duplicates are dropped here).
+    Input: ``edges`` with columns (u, v), undirected — either orientation,
+    duplicates, and self-loops are all normalized away here.
 
     Scale shape: wedge count is sum(out_degree^2) which orientation bounds
     by O(m^1.5) on any graph — a celebrity node of degree d contributes
@@ -159,7 +159,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     no OR-joins — the closing edge's orientation is forced by carrying
     neighbor degrees in the wedge row.
     """
-    e = edges.select("u", "v").where(F.col("u") < F.col("v")).distinct()
+    # canonicalize: either direction accepted, self-loops dropped
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("u").alias("k"))
         .unionByName(e.select(F.col("v").alias("k")))

@@ -1260,10 +1260,15 @@ def embedding_norms_arrow(df: DataFrame) -> DataFrame:
             offsets = emb.offsets.to_numpy()
             vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
             starts, ends = offsets[:-1], offsets[1:]
-            sq_sums = np.add.reduceat(vals * vals, starts)
-            pos_counts = np.add.reduceat((vals > 0).astype(np.int64), starts)
-            # reduceat on an empty segment returns the element at start;
-            # the fixture has no empty vectors but guard anyway
+            # pad one zero so every start index (max: len(vals), for an
+            # empty trailing segment) is a valid reduceat index; the pad
+            # only ever joins the LAST segment, where +0 changes nothing
+            sq = np.append(vals * vals, 0.0)
+            pos = np.append((vals > 0).astype(np.int64), 0)
+            sq_sums = np.add.reduceat(sq, starts)
+            pos_counts = np.add.reduceat(pos, starts)
+            # reduceat on an empty segment returns the element AT start,
+            # not a zero-length sum — overwrite those
             empty = ends == starts
             sq_sums[empty] = 0.0
             pos_counts[empty] = 0
