@@ -837,3 +837,64 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified holdout split with EXACT per-stratum allocation: every source
+# contributes exactly floor(n/5) validation docs (rank * 5 <= n), chosen
+# by a deterministic content-independent hash order — rerunning on the
+# same corpus reproduces the identical split, and adding documents to one
+# source never perturbs another source's assignment. This is the split
+# discipline a training pipeline needs that df.sampleBy() cannot give:
+# sampleBy is Bernoulli per row (allocation only IN EXPECTATION, and
+# seed/partitioning-dependent), while this is exact, portable, and
+# oracle-checkable. One shuffle (the per-source window); the per-source
+# sort is bounded by the largest stratum.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_holdout_split",
+    sql="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN rn * 5 <= n THEN 'val' ELSE 'train' END AS split,
+           n_tokens
+    FROM ranked
+    """,
+    doc="Deterministic stratified holdout split, exact floor(n/5) "
+    "validation docs per source via md5-rank windows (doc-level "
+    "assignment hash-pinned, not just the aggregate); the exact-"
+    "allocation, reproducible alternative to Bernoulli sampleBy.",
+    round_added=10,
+)
+def stratified_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.functions.hashing import md5_int60
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        md5_int60("cast(doc_id as string)").alias("h"),
+    )
+    w = W.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w.orderBy("h", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.col("rn") * 5 <= F.col("n"), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "n_tokens",
+    )
