@@ -1045,6 +1045,70 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXACT mergeable distinct via Spark 4's bitmap aggregates — the third
+# point on the distinct-count design line next to the approximate HLL
+# sketch above and the two-shuffle exact groupBy-distinct: per-32768-key
+# bucket bitmaps are fixed-size (<=4 KB) partial states that OR-merge
+# associatively, so disjoint batches (days, backfills, late data) each
+# build bitmaps from ONE local scan and the union is register-wise —
+# exactly HLL's maintenance shape but with zero error. Shuffle volume is
+# O(groups x buckets-touched) bitmap rows, never O(input rows), and the
+# merge level is a second map-side-combinable aggregate. The trade vs
+# HLL: state grows with the KEY RANGE (one 4 KB bucket per 32768 ids
+# seen per group) instead of lgK-bounded — right when ids are dense
+# integers (user ids, order keys), wrong for 64-bit hash keys.
+# ---------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_customers",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+    FROM orders GROUP BY 1
+    """,
+    doc="Exact distinct ordering-customers per priority via bitmap "
+    "aggregates: two disjoint halves of orders (early/late orderdate — "
+    "an incremental-batch stand-in) each build per-(priority, 32768-key "
+    "bucket) bitmaps with bitmap_construct_agg, the halves OR-merge via "
+    "bitmap_or_agg (associative, order-free, no history rescan), and the "
+    "answer is sum(bitmap_count). In-query assert: equals the direct "
+    "one-pass countDistinct. Oracle: COUNT(DISTINCT).",
+    round_added=10,
+)
+def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderdate"
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def partial(half: DataFrame) -> DataFrame:
+        return half.groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
+
+    merged = (
+        partial(orders.where(F.col("o_orderdate") < cutoff))
+        .unionByName(partial(orders.where(F.col("o_orderdate") >= cutoff)))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    out = merged.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_customers")
+    )
+    # the merged-bitmap counts must equal the direct single-pass distinct
+    # (bounded: O(priorities) = 5 rows per side)
+    direct = {
+        r["priority"]: r["n"]
+        for r in orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    via_bitmap = {r["priority"]: r["distinct_customers"] for r in out.collect()}
+    assert via_bitmap == direct, (via_bitmap, direct)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Data-quality profiling + declarative constraint validation (the Deequ /
 # Great Expectations shape; operators/profile.py). One generic long-format
 # pass profiles any column set in a single shuffle; constraints gate an

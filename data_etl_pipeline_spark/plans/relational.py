@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from data_etl_pipeline_spark.plans.planassert import executed_plan, formatted_plan
+from data_etl_pipeline_spark.plans.planassert import (
+    executed_plan,
+    formatted_plan,
+    optimized_plan,
+)
 from data_etl_pipeline_spark.plans.registry import query
 from data_etl_pipeline_spark.tables import load
 
@@ -1515,3 +1519,94 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join injection — the SIXTH plan-asserted runtime
+# contract (after bucketed zero-shuffle E159, AQE broadcast conversion
+# E168, AQE skew split E172, DPP E181, exchange reuse E184), and the
+# optimizer-owned twin of the hand-built bloom_prejoin_revenue above:
+# when a shuffle join has a selective build side, Catalyst's
+# InjectRuntimeFilters plants a bloom_filter_agg subquery on that side
+# and a might_contain() predicate on the probe side's SCAN, so
+# non-matching fact rows die before the exchange — on a 100 TB fact
+# table that is the difference between shuffling the full table and
+# shuffling the surviving fraction, with zero query rewrite. The filter
+# lives in the OPTIMIZED LOGICAL plan (it is invisible in the physical
+# explain once rewritten), which is what the assertion reads; the
+# control run with the injection rule disabled must lose the filter and
+# keep the rows, proving the assertion tracks the optimizer's decision.
+# The 10 GB application-side threshold (always met by a real fact
+# table) is lowered in a scoped conf so the sf-test files qualify —
+# the MECHANISM is the contract being pinned.
+# ---------------------------------------------------------------------------
+@query(
+    "runtime_bloom_filter_join",
+    sql="""
+    SELECT l.l_linestatus AS status, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS big_order_value
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+    doc="Optimizer-injected runtime Bloom filter: a selective orders "
+    "build side plants a might_contain() predicate on the lineitem scan "
+    "(asserted in the optimized logical plan; asserted absent in a "
+    "runtime.bloomFilter.enabled=false control with identical rows), so "
+    "the fact exchange moves only probable matches. The manual twin is "
+    "bloom_prejoin_revenue; this one is free and survives query "
+    "rewrites.",
+    round_added=10,
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def agg() -> DataFrame:
+        orders = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_extendedprice"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("l_linestatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("big_order_value"),
+            )
+        )
+
+    knobs = {
+        # injection only targets shuffle joins; scoped off so the small
+        # sf dims don't broadcast past the rule
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # default 10 GB probe-side floor — met trivially at 100 TB,
+        # lowered so the test-scale files exercise the same rule
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        df = agg()
+        plan = optimized_plan(df)
+        assert "might_contain" in plan, plan[:2000]
+        rows = df.collect()  # bounded: O(linestatus) = 2 rows
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        ctl = agg()
+        ctl_plan = optimized_plan(ctl)
+        assert "might_contain" not in ctl_plan, ctl_plan[:2000]
+        ctl_rows = ctl.collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, ctl_rows))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, df.schema)
