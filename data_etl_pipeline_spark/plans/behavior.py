@@ -327,3 +327,87 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.max("n").cast("bigint").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic table function (UDTF over TABLE(...) PARTITION BY ... ORDER
+# BY ...) — the SQL-standard PTF surface for ordered per-key streaming
+# computation: the engine hash-partitions the input on the PARTITION BY
+# key, sorts each partition by the ORDER BY clause, and feeds one UDTF
+# INSTANCE per key the rows in order (terminate() fires at key
+# boundaries). That is exactly the execution contract a user of a
+# table-function-centric engine expects for sessionizers, gap detectors
+# and order-sensitive state machines — one exchange + sort, state
+# bounded to a single key's scan. The production tier for this shape
+# stays Arrow-batched applyInPandas (per-batch vectorization); this
+# query pins the first-class SQL surface and its partition/order
+# semantics. tests/test_udtf_surface.py covers the scalar LATERAL form;
+# this is the TABLE-argument form.
+# ---------------------------------------------------------------------------
+def _session_counter_udtf():
+    """Built lazily: @udtf wraps the class in a non-picklable handle, so
+    construction happens inside the query call, not at module import."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_sessions bigint")
+    class SessionCounter:
+        GAP_S = 90 * 60
+
+        def __init__(self):
+            self._user = None
+            self._n = 0
+            self._sessions = 0
+            self._prev = None
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            self._n += 1
+            ts = row["ts"]
+            if self._prev is None or (ts - self._prev).total_seconds() > self.GAP_S:
+                self._sessions += 1
+            self._prev = ts
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._n, self._sessions
+
+    return SessionCounter
+
+
+@query(
+    "udtf_partitioned_sessions",
+    sql="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 90 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+    doc="Per-user session counting through the SQL-standard polymorphic "
+    "table function surface: a Python UDTF consuming TABLE(events) "
+    "PARTITION BY user_id ORDER BY ts, event_id — one instance per key "
+    "fed rows in order, terminate() at the key boundary; 90-minute gap "
+    "opens a session. Oracle states the same machine as lag/cumsum "
+    "window SQL. Ties ordered by event_id in both engines; equal-ts "
+    "permutations leave the gap multiset invariant anyway.",
+    round_added=10,
+)
+def udtf_partitioned_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("session_counter_udtf", _session_counter_udtf())
+    load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).createOrReplaceTempView("udtf_sessions_events")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_sessions
+        FROM session_counter_udtf(
+            TABLE(udtf_sessions_events)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )

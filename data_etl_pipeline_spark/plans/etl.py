@@ -360,6 +360,29 @@ def stream_dedup_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "statestore_reader_audit",
+    sql="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming state opened OFFLINE as a batch table: after the "
+    "three-batch dedup replay, spark.read.format('statestore') reads the "
+    "checkpoint's key set and 'state-metadata' its operator layout "
+    "(asserted: one dedupe operator spanning batches 0-2, state rows == "
+    "distinct ids); the keys joined back to the static table reproduce "
+    "the per-type distinct counts — the state-audit / backfill-debugging "
+    "surface, no stream replay needed.",
+    round_added=10,
+)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.windows import (
+        run_statestore_reader_audit,
+    )
+
+    return run_statestore_reader_audit(spark, sf_dir)
+
+
+@query(
     "stream_deferred_extraction",
     sql=_DEFERRED_SQL,
     doc="The deferred pipeline under Structured Streaming: overlapping "

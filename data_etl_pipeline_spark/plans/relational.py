@@ -1610,3 +1610,60 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation — Spark 4's listagg ... WITHIN GROUP (the
+# SQL:2016 ordered-set aggregate; DuckDB spells it string_agg ... ORDER
+# BY). The reporting shape every catalog/roster export needs: collapse a
+# ranked group into ONE deterministic delimited string. Before listagg
+# the idiom was sort_array(collect_list(struct(rk, name))) + transform +
+# array_join — three nested expressions the optimizer cannot reason
+# about; listagg is a single aggregate with partial (map-side) buffers.
+# Determinism contract: the WITHIN GROUP order key (rk) is made unique
+# per group by the row_number tie-break below, so both engines emit the
+# identical string.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_top_customer_roster",
+    sql="""
+    WITH ranked AS (
+        SELECT n_name, c_name,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name AS nation,
+           string_agg(c_name, ',' ORDER BY rk) AS top_customers,
+           COUNT(*) AS n_top
+    FROM ranked WHERE rk <= 3 GROUP BY n_name
+    """,
+    doc="Per-nation roster of the 3 highest-balance customers collapsed "
+    "into one ordered CSV via listagg WITHIN GROUP (ORDER BY rk) — the "
+    "ordered-set aggregate replacing the sort_array(collect_list(...)) "
+    "idiom; rank ties broken by custkey so the string is deterministic "
+    "in both engines. Map-side top-k pruning bounds the aggregate input "
+    "at 3 rows per nation.",
+    round_added=10,
+)
+def nation_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_name", "c_acctbal", "c_custkey")
+    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    ranked = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_nationkey").orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 3)
+    )
+    return ranked.groupBy(F.col("n_name").alias("nation")).agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rk)").alias(
+            "top_customers"
+        ),
+        F.count(F.lit(1)).alias("n_top"),
+    )

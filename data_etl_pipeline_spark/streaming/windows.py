@@ -349,6 +349,74 @@ def run_stream_dedup_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFra
     return survivors.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def run_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER: after the same three-micro-batch dedup replay
+    as run_stream_dedup_counts, the checkpoint's state is opened as a
+    plain batch DataFrame via ``spark.read.format("statestore")`` (plus
+    ``state-metadata`` for the operator layout) — Spark 4's offline
+    window into streaming state. The dedup operator's state keys ARE the
+    distinct ids it has absorbed, so joining them back to the static
+    event table reproduces the per-type distinct counts the oracle
+    computes — proving the checkpoint holds exactly the deduped key set,
+    with no replay of the stream.
+
+    Why this matters at 100 TB: streaming state is otherwise a black box
+    inside executor stores; the reader turns every checkpoint into a
+    queryable table for state AUDITS (this query), backfill debugging
+    ("which keys does the operator think it has seen?"), state
+    right-sizing, and offline migration — each partition's state files
+    are read directly, so the scan parallelism is the operator's
+    numPartitions, and options like snapshotStartBatchId replay a
+    bounded changelog suffix instead of the whole store.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tempfile.mkdtemp(prefix="ssreader_src_")
+    # three files -> three micro-batches: full, full redelivery, 1/3 slice
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = tempfile.mkdtemp(prefix="ssreader_ckpt_")
+    sink = tempfile.mkdtemp(prefix="ssreader_sink_")
+    dedup = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # operator layout from the checkpoint alone: one dedupe operator,
+    # state spanning all three replayed batches
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1 and meta[0]["operatorName"] == "dedupe", meta
+    assert meta[0]["minBatchId"] == 0 and meta[0]["maxBatchId"] == 2, meta
+
+    state_ids = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(F.col("key.event_id").alias("event_id"))
+    )
+    # the dedup state must hold EXACTLY the distinct ids (bounded: two
+    # scalar counts)
+    n_state = state_ids.count()
+    n_distinct = ev.select("event_id").distinct().count()
+    assert n_state == n_distinct, (n_state, n_distinct)
+    return state_ids.join(ev, "event_id").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def run_stream_merge_versioned(
     spark: SparkSession, sf_dir: str, table_path: str | None = None
 ) -> DataFrame:
