@@ -1078,7 +1078,13 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", "o_orderdate"
     )
-    cutoff = F.lit("1995-01-01").cast("date")
+    # mid-range cutoff: the fixture's orderdates span 1995..2001, so both
+    # halves are guaranteed non-empty (asserted below — an empty half
+    # would make the merge claim vacuous)
+    cutoff = F.lit("1998-01-01").cast("date")
+    early = orders.where(F.col("o_orderdate") < cutoff)
+    late = orders.where(F.col("o_orderdate") >= cutoff)
+    assert not early.isEmpty() and not late.isEmpty()
 
     def partial(half: DataFrame) -> DataFrame:
         return half.groupBy(
@@ -1087,8 +1093,8 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
 
     merged = (
-        partial(orders.where(F.col("o_orderdate") < cutoff))
-        .unionByName(partial(orders.where(F.col("o_orderdate") >= cutoff)))
+        partial(early)
+        .unionByName(partial(late))
         .groupBy("o_orderpriority", "bucket")
         .agg(F.bitmap_or_agg("bm").alias("bm"))
     )
