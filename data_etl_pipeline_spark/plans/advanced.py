@@ -2247,3 +2247,67 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     plan = formatted_plan(out, "simple")
     assert "WindowGroupLimit" in plan, plan
     return out
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0's |> operators) — the linear query-language
+# surface: each stage consumes the previous stage's table and applies
+# ONE operator (WHERE, JOIN, AGGREGATE ... GROUP BY, SELECT, ORDER BY),
+# so a pipeline reads top-to-bottom in execution order instead of
+# inside-out SQL nesting. It is pure syntax — the parser lowers the
+# chain onto the SAME logical plan as the nested form, so every
+# Catalyst optimization (pushdown, broadcast, partial aggregation)
+# applies unchanged; the in-query cross-check collects the equivalent
+# DataFrame-API plan and asserts row-identical output (bounded:
+# O(segments) rows). For a user coming from an engine whose query
+# language is a linear operator chain, this IS the familiar surface.
+# ---------------------------------------------------------------------------
+@query(
+    "pipe_syntax_segment_revenue",
+    sql="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="Per-segment revenue written in Spark 4 SQL pipe syntax (FROM "
+    "|> WHERE |> JOIN |> AGGREGATE ... GROUP BY |> SELECT): a linear "
+    "operator chain the parser lowers onto the same Catalyst plan as "
+    "nested SQL — asserted by cross-checking row-identical output "
+    "against the DataFrame-API formulation in-query. Oracle states the "
+    "classic nested form.",
+    round_added=10,
+)
+def pipe_syntax_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("pipe_orders")
+    cust.createOrReplaceTempView("pipe_customer")
+    df = spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderdate >= DATE '1997-01-01'
+        |> JOIN pipe_customer ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS revenue
+           GROUP BY c_mktsegment AS segment
+        |> SELECT segment, n_orders, revenue
+        """
+    )
+    dataframe_form = (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, dataframe_form.collect())
+    )
+    return df
