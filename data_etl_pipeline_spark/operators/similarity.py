@@ -219,18 +219,42 @@ def lsh_hyperplanes(
     return [[[float(x) for x in row] for row in tbl] for tbl in planes]
 
 
-def _lsh_code_expr(planes_t: list[list[float]]) -> str:
-    """SQL expr for one table's integer sign code: bit j set iff
-    dot(v, hyperplane_j) >= 0 (sequential double fold, oracle-identical)."""
-    terms = []
-    for j, h in enumerate(planes_t):
-        arr = "array(" + ",".join(f"{x:.6f}D" for x in h) + ")"
-        dot = (
-            f"aggregate(zip_with(v, {arr}, (x, y) -> cast(x as double) * y), "
-            "cast(0.0 as double), (acc, w) -> acc + w)"
+def _planes_literal(planes: list[list[list[float]]]) -> str:
+    """One nested array<array<array<double>>> literal holding EVERY
+    table's hyperplanes.  Shape matters more than content here: a single
+    foldable literal constant-folds into ONE Literal node in the executed
+    plan, where the previous per-(table, bit) inline arrays produced a
+    ~6k-node expression tree whose string rendering (SparkPlanInfo builds
+    a plan description for the SQLExecutionStart listener event on EVERY
+    action) cost multiple seconds per job — dominating iterative callers
+    like semantic_dedup's cluster loop with driver-side stalls."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(f"{x:.6f}D" for x in h) + ")" for h in tbl)
+            + ")"
+            for tbl in planes
         )
-        terms.append(f"IF({dot} >= 0.0, {1 << j}L, 0L)")
-    return "(" + " + ".join(terms) + ")"
+        + ")"
+    )
+
+
+def _lsh_code_expr(table_planes: str = "tbl") -> str:
+    """SQL expr for one table's integer sign code given ``table_planes``
+    (an array<array<double>> of that table's hyperplanes in bit order):
+    bit j set iff dot(v, hyperplane_j) >= 0.  The dot is the same
+    sequential double fold the DuckDB oracle replays, and the bit weights
+    accumulate in bit order — arithmetic identical to summing
+    IF(dot_j >= 0, 1<<j, 0) terms one by one."""
+    dot = (
+        "aggregate(zip_with(v, h, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, w) -> acc + w)"
+    )
+    return (
+        f"aggregate(transform({table_planes}, (h, j) -> "
+        f"IF({dot} >= 0.0, shiftleft(1L, j), 0L)), 0L, (code, b) -> code + b)"
+    )
 
 
 def _probe_masks(n_bits: int, probe_hamming: int) -> list[int]:
@@ -253,18 +277,14 @@ def _lsh_coded(df, vec_col: str, id_col: str, planes, dim: int, n_tables: int):
     embedding instead of letting zip_with NULL-pad and collapse all codes
     into one bucket."""
     e = _with_norm(df, vec_col, id_col)
+    assert len(planes) == n_tables, (len(planes), n_tables)
     dim_guard = (
-        f"IF(size(v) = {dim}, {{code}}, "
+        f"IF(size(v) = {dim}, {_lsh_code_expr('tbl')}, "
         f"cast(raise_error(concat('lsh dim mismatch: expected {dim}, got ', size(v))) as bigint))"
     )
-    tabs = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_id"),
-                F.expr(dim_guard.format(code=_lsh_code_expr(planes[t]))).cast("long").alias("code"),
-            )
-            for t in range(n_tables)
-        ]
+    tabs = F.expr(
+        f"transform({_planes_literal(planes)}, (tbl, t) -> "
+        f"struct(cast(t as int) as table_id, cast({dim_guard} as long) as code))"
     )
     return (
         e.select("vec_id", "v", "norm", F.explode(tabs).alias("tc"))
@@ -763,22 +783,33 @@ def random_projection(
     """
     signs = rp_signs(d_in, d_out, seed)
     scale = float(d_out) ** 0.5
+    # the full sign matrix as ONE foldable nested-array literal (see
+    # _planes_literal: a per-component inline array would leave a
+    # ~d_out*d_in-node expression tree whose per-action plan-string
+    # rendering costs real driver time); component j is the same
+    # sequential fold over row j, in the same order
+    signs_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s}.0d" for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    fold = (
+        f"aggregate(zip_with({vec_col}, srow, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
     # same loud dim contract as the LSH paths: a wrong-length embedding
     # would NULL-pad zip_with and every component would silently go NULL
-    guard = (
-        f"IF(size({vec_col}) = {d_in}, {{fold}}, "
+    guarded = (
+        f"IF(size({vec_col}) = {d_in}, {fold}, "
         f"cast(raise_error(concat('random_projection dim mismatch: expected "
         f"{d_in}, got ', size({vec_col}))) as double))"
     )
-    comps = []
-    for j in range(d_out):
-        arr = "array(" + ",".join(f"{s}.0d" for s in signs[j]) + ")"
-        fold = (
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        comps.append(F.round(F.expr(guard.format(fold=fold)) / F.lit(scale), 6))
-    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+    proj = F.expr(
+        f"transform({signs_lit}, srow -> round(({guarded}) / {scale!r}D, 6))"
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))
 
 
 def refresh_lsh_index(
