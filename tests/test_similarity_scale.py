@@ -304,6 +304,32 @@ def test_random_projection_plan_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_generated_literals_render_as_one_folded_node(spark, sf_dir):
+    """Regression for the round-10 driver stall: SparkPlanInfo string-
+    renders the executed plan on EVERY action, so generated constants
+    must constant-fold into a single Literal (which truncatedString then
+    elides) rather than a per-(table, bit) CreateArray tree (which
+    rendered every value and cost seconds of driver CPU per job —
+    SCALE.md round-10 notes).  Sentinel = the first hyperplane weight:
+    present ~96x in the old tree-shaped plan, absent once folded."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = similarity.lsh_hyperplanes(64, 12, 8, 7)
+    sentinel = f"{planes[0][0][0]:.6f}"
+
+    pairs = similarity.lsh_near_dup_pairs(emb, threshold=0.999)
+    rendered = pairs._jdf.queryExecution().executedPlan().treeString()
+    assert sentinel not in rendered, "hyperplanes did not fold to one Literal"
+    assert len(rendered) < 200_000, f"plan string blew up: {len(rendered)} chars"
+
+    proj = similarity.random_projection(emb)
+    rendered = proj._jdf.queryExecution().executedPlan().treeString()
+    # a folded Literal prints its VALUE once (one linear mkString — fine);
+    # the hazard is the per-component tree, which would also repeat the
+    # fold lambda 16x and blow the string far past this bound
+    assert rendered.count("aggregate(zip_with") <= 1
+    assert len(rendered) < 200_000, f"plan string blew up: {len(rendered)} chars"
+
+
 def test_merged_ivf_index_keeps_original_centroid_set(spark, sf_dir):
     """Regression: on an incrementally-grown index, stride-sampled DELTA
     ids must NOT surface as centroids — the probe would rank phantom
