@@ -140,6 +140,33 @@ def test_lsh_dim_mismatch_fails_loudly(spark, sf_dir):
         bad.count()
 
 
+def test_lsh_codes_match_pure_python_fold(spark, sf_dir):
+    """Bit-exactness pin for the folded-literal code path: every table's
+    sign code must equal a pure-Python sequential float64 fold over the
+    same 6-decimal-rounded hyperplanes — the arithmetic contract the
+    DuckDB oracle replays.  Guards the transform/aggregate restructuring
+    (one nested literal instead of per-(table, bit) arrays) against any
+    change in accumulation order or bit weighting."""
+    emb = load(spark, sf_dir, "embeddings").where("vec_id < 20")
+    planes = similarity.lsh_hyperplanes(64, 12, 8, 7)
+    coded = {
+        (r["vec_id"], r["table_id"]): r["code"]
+        for r in similarity._lsh_coded(emb, "embedding", "vec_id", planes, 64, 8).collect()
+    }
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(coded) == len(vecs) * 8
+    for vid, v in vecs.items():
+        for t in range(8):
+            code = 0
+            for j, h in enumerate(planes[t]):
+                acc = 0.0
+                for x, y in zip(v, h):
+                    acc += float(x) * y
+                if acc >= 0.0:
+                    code += 1 << j
+            assert coded[(vid, t)] == code, (vid, t)
+
+
 def test_cosine_pairs_guard_trips_on_oversized_input(spark, sf_dir):
     """The O(n^2) exactness baseline must fail fast past max_rows instead
     of melting a cluster — the guard that keeps it out of production
