@@ -154,10 +154,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Scale shape: wedge count is sum(out_degree^2) which orientation bounds
     by O(m^1.5) on any graph — a celebrity node of degree d contributes
     wedges at its (lower-degree) neighbors instead of d^2 at itself, so the
-    skewed key the naive enumeration creates simply does not exist. Three
-    shuffles total (degree agg, wedge self-join key, closing equi-join);
-    no OR-joins — the closing edge's orientation is forced by carrying
-    neighbor degrees in the wedge row.
+    skewed key the naive enumeration creates simply does not exist. The
+    oriented edge list is MATERIALIZED once (localCheckpoint, same flat-
+    lineage mechanics as pagerank above): it feeds three DAG branches
+    (both wedge spokes and the closing probe), and lazily each branch
+    would re-run the canonicalize+degree+orient build — ~5 redundant fact
+    scans at any scale. Downstream of the build: one wedge self-join on
+    src, one closing equi-join on (x, y), one count agg — each over the
+    orientation-bounded wedge set; no OR-joins, the closing edge's
+    orientation is forced by carrying neighbor degrees in the wedge row.
     """
     # canonicalize: either direction accepted, self-loops dropped
     e = (
@@ -185,7 +190,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
+    ).localCheckpoint()
     a, b = ed.alias("a"), ed.alias("b")
     spoke_lt = (F.col("a.ddeg") < F.col("b.ddeg")) | (
         (F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst"))

@@ -219,25 +219,27 @@ def lsh_hyperplanes(
     return [[[float(x) for x in row] for row in tbl] for tbl in planes]
 
 
+def _array_literal(data, fmt) -> str:
+    """Render nested Python lists as ONE foldable SQL array literal.
+    Shape matters more than content here: a single foldable literal
+    constant-folds into ONE Literal node in the executed plan, where
+    per-element inline arrays produce a huge expression tree whose string
+    rendering (SparkPlanInfo builds a plan description for the
+    SQLExecutionStart listener event on EVERY action) costs seconds of
+    driver time per job — the repo-wide rule is O(n) in VALUES, O(1) in
+    TREE NODES (SCALE.md round-10 notes)."""
+    if isinstance(data, (list, tuple)):
+        return "array(" + ",".join(_array_literal(x, fmt) for x in data) + ")"
+    return fmt(data)
+
+
 def _planes_literal(planes: list[list[list[float]]]) -> str:
     """One nested array<array<array<double>>> literal holding EVERY
-    table's hyperplanes.  Shape matters more than content here: a single
-    foldable literal constant-folds into ONE Literal node in the executed
-    plan, where the previous per-(table, bit) inline arrays produced a
-    ~6k-node expression tree whose string rendering (SparkPlanInfo builds
-    a plan description for the SQLExecutionStart listener event on EVERY
-    action) cost multiple seconds per job — dominating iterative callers
-    like semantic_dedup's cluster loop with driver-side stalls."""
-    return (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join("array(" + ",".join(f"{x:.6f}D" for x in h) + ")" for h in tbl)
-            + ")"
-            for tbl in planes
-        )
-        + ")"
-    )
+    table's hyperplanes (6-decimal leaves, matching the DuckDB oracle's
+    literals).  Previously per-(table, bit) inline arrays stalled
+    iterative callers like semantic_dedup's cluster loop for tens of
+    seconds per run in plan rendering alone."""
+    return _array_literal(planes, lambda x: f"{x:.6f}D")
 
 
 def _lsh_code_expr(table_planes: str = "tbl") -> str:
@@ -783,18 +785,10 @@ def random_projection(
     """
     signs = rp_signs(d_in, d_out, seed)
     scale = float(d_out) ** 0.5
-    # the full sign matrix as ONE foldable nested-array literal (see
-    # _planes_literal: a per-component inline array would leave a
-    # ~d_out*d_in-node expression tree whose per-action plan-string
-    # rendering costs real driver time); component j is the same
+    # the full sign matrix as ONE foldable nested-array literal
+    # (_array_literal: O(1) in tree nodes); component j is the same
     # sequential fold over row j, in the same order
-    signs_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{s}.0d" for s in row) + ")" for row in signs
-        )
-        + ")"
-    )
+    signs_lit = _array_literal(signs, lambda s: f"{s}.0d")
     fold = (
         f"aggregate(zip_with({vec_col}, srow, (x, y) -> cast(x as double) * y), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
@@ -1290,7 +1284,17 @@ def embedding_norms_arrow(df: DataFrame) -> DataFrame:
             # slicing too; Spark hands us offset-0 fresh batches)
             offsets = emb.offsets.to_numpy()
             vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-            starts, ends = offsets[:-1], offsets[1:]
+            starts, ends = offsets[:-1].copy(), offsets[1:].copy()
+            # a NULL list entry must stay NULL downstream (the SQL
+            # semantics: len(NULL) / list_sum(NULL) -> NULL), not collapse
+            # to an empty segment's (0, 0.0, 0); mask its outputs and
+            # neutralize its offsets (the Arrow spec does not promise
+            # meaningful offsets under null slots)
+            null_mask = None
+            if emb.null_count:
+                null_mask = ~emb.is_valid().to_numpy(zero_copy_only=False)
+                starts[null_mask] = 0
+                ends[null_mask] = 0
             # pad one zero so every start index (max: len(vals), for an
             # empty trailing segment) is a valid reduceat index; the pad
             # only ever joins the LAST segment, where +0 changes nothing
@@ -1306,9 +1310,9 @@ def embedding_norms_arrow(df: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
-                    pa.array((ends - starts).astype(np.int64)),
-                    pa.array(np.round(np.sqrt(sq_sums), 6)),
-                    pa.array(pos_counts),
+                    pa.array((ends - starts).astype(np.int64), mask=null_mask),
+                    pa.array(np.round(np.sqrt(sq_sums), 6), mask=null_mask),
+                    pa.array(pos_counts, mask=null_mask),
                 ],
                 names=["vec_id", "dim", "l2_norm", "n_pos"],
             )

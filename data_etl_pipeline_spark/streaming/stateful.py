@@ -43,25 +43,38 @@ OUTPUT_SCHEMA = StructType(
 # per-key state: the list of event_types already emitted for this user
 STATE_SCHEMA = StructType([StructField("seen_types", StringType())])
 
-_SEP = "\x1f"
+
+def _encode_set(seen: set[str]) -> str:
+    """JSON-encode a string set for a StringType state slot: unlike a
+    separator-joined string, this round-trips the empty string and values
+    containing ANY separator byte, and encodes the empty SET as '[]' —
+    distinct from a never-written slot."""
+    import json
+
+    return json.dumps(sorted(seen))
+
+
+def _decode_set(joined: str | None) -> set[str]:
+    import json
+
+    return set(json.loads(joined)) if joined is not None else set()
 
 
 def _dedup_first_seen(key, pdf_iter, state: GroupState):
     seen: set[str] = set()
     if state.exists:
         (joined,) = state.get
-        if joined:
-            seen = set(joined.split(_SEP))
+        seen = _decode_set(joined)
     batch = pd.concat(list(pdf_iter), ignore_index=True)
     # a NULL event_type would put None in the seen set and crash
-    # sorted()/join() — dedup it under an unambiguous sentinel instead
-    # (\x1e cannot appear in a real type; \x1f is the set separator)
+    # sorted() — dedup it under an unambiguous sentinel instead
+    # (\x1e cannot appear in a real type)
     batch["event_type"] = batch["event_type"].fillna("\x1enull")
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     fresh = batch[~batch["event_type"].isin(seen)]
     first = fresh.drop_duplicates(subset=["event_type"], keep="first")
     seen.update(first["event_type"].tolist())
-    state.update((_SEP.join(sorted(seen)),))
+    state.update((_encode_set(seen),))
     yield first[["user_id", "event_type", "event_id", "ts"]]
 
 
@@ -139,7 +152,7 @@ def _ts_ordered_batch_dir(
 # here). Reference semantics: ST4's stateful progression
 # (extraction_node.py:127-159) — a per-key profile that accretes across
 # arrivals. State per user is one tuple (n_events, distinct-type set
-# joined on \x1f, last_ts); every emitted field is monotone nondecreasing
+# JSON-encoded, last_ts); every emitted field is monotone nondecreasing
 # per user, so max-per-user over the drained update-mode emissions
 # reconstructs the final state exactly and the batch oracle checks it as
 # COUNT(*) / COUNT(DISTINCT event_type) / MAX(ts) per user.
@@ -164,8 +177,7 @@ def _profile_accrete(key, pdf_iter, state: GroupState):
     n, seen, last = 0, set(), None
     if state.exists:
         n, joined, last = state.get
-        if joined:
-            seen = set(joined.split(_SEP))
+        seen = _decode_set(joined)
     batch = pd.concat(list(pdf_iter), ignore_index=True)
     n += len(batch)
     # NaN stays out of the distinct-type set (COUNT(DISTINCT) semantics)
@@ -173,7 +185,7 @@ def _profile_accrete(key, pdf_iter, state: GroupState):
     mx = batch["ts"].max().to_pydatetime()
     if last is None or last < mx:
         last = mx
-    state.update((n, _SEP.join(sorted(seen)), last))
+    state.update((n, _encode_set(seen), last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

@@ -238,6 +238,38 @@ def run_stream_update_merge_windows(
     return _align_ts_cols(spark, sf_dir, tbl.read(), ["window_start"])
 
 
+def _dedup_replay_source(
+    spark: SparkSession, sf_dir: str, prefix: str, source_dir: str | None = None
+) -> str:
+    """The shared at-least-once replay fixture for every dedup-state
+    query (heap store, RocksDB twin, state-store reader audit): three
+    files -> three micro-batches — full table, full redelivery, 1/3
+    slice — with strictly increasing pinned mtimes so FileStreamSource's
+    (mtime, path) ordering is filesystem-independent."""
+    import os
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = source_dir or tempfile.mkdtemp(prefix=prefix)
+    slices = [ev, ev, ev.where(F.col("event_id") % 3 == 0)]
+    seen: set[str] = set()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in seen]
+        for f in new:
+            os.utime(os.path.join(src, f), (1_600_000_000 + i * 10,) * 2)
+        seen.update(new)
+    return src
+
+
+def _dedup_replay_stream(spark: SparkSession, src: str):
+    return (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+
+
 def run_stream_dedup_counts(
     spark: SparkSession, sf_dir: str, source_dir: str | None = None,
     sink_dir: str | None = None,
@@ -258,19 +290,8 @@ def run_stream_dedup_counts(
     trading exactness for duplicates arriving later than the allowed
     lateness. State is hash-partitioned by id across executors either way.
     """
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
-    src = source_dir or tempfile.mkdtemp(prefix="dup_events_src_")
-    # three files -> three micro-batches: full, full redelivery, 1/3 slice
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
-
-    dedup = (
-        spark.readStream.schema("event_id long, event_type string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .dropDuplicates(["event_id"])
-    )
+    src = _dedup_replay_source(spark, sf_dir, "dup_events_src_", source_dir)
+    dedup = _dedup_replay_stream(spark, src)
     sink = sink_dir or tempfile.mkdtemp(prefix="dedup_sink_")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -303,13 +324,7 @@ def run_stream_dedup_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFra
     fell back. Results are oracle-checked equal to the batch distinct
     counts, same as the heap-store twin.
     """
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
-    src = tempfile.mkdtemp(prefix="rocksdb_dedup_src_")
-    # three files -> three micro-batches: full, full redelivery, 1/3 slice
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
-
+    src = _dedup_replay_source(spark, sf_dir, "rocksdb_dedup_src_")
     sink = tempfile.mkdtemp(prefix="rocksdb_dedup_sink_")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -323,12 +338,7 @@ def run_stream_dedup_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFra
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        dedup = (
-            spark.readStream.schema("event_id long, event_type string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .dropDuplicates(["event_id"])
-        )
+        dedup = _dedup_replay_stream(spark, src)
         q = dedup.writeStream.outputMode("append").foreachBatch(write_epoch).start()
         try:
             q.processAllAvailable()
@@ -370,20 +380,10 @@ def run_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded changelog suffix instead of the whole store.
     """
     ev = load(spark, sf_dir, "events").select("event_id", "event_type")
-    src = tempfile.mkdtemp(prefix="ssreader_src_")
-    # three files -> three micro-batches: full, full redelivery, 1/3 slice
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src)
-    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
-
+    src = _dedup_replay_source(spark, sf_dir, "ssreader_src_")
     ckpt = tempfile.mkdtemp(prefix="ssreader_ckpt_")
     sink = tempfile.mkdtemp(prefix="ssreader_sink_")
-    dedup = (
-        spark.readStream.schema("event_id long, event_type string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .dropDuplicates(["event_id"])
-    )
+    dedup = _dedup_replay_stream(spark, src)
     q = (
         dedup.writeStream.outputMode("append")
         .format("parquet")

@@ -27,6 +27,24 @@ def test_norms_handle_empty_and_ragged_vectors(spark):
     assert (got[4]["dim"], got[4]["l2_norm"], got[4]["n_pos"]) == (1, 0.0, 0)
 
 
+def test_norms_keep_null_vectors_null(spark):
+    """A NULL embedding must surface as NULL stats (SQL semantics:
+    len(NULL) -> NULL), not silently collapse into the empty-list row
+    (0, 0.0, 0) — the validity bitmap is separate from the offsets."""
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, None),                # NULL list: masked, not empty
+        (3, []),                  # genuinely empty: zeros
+        (4, None),                # NULL at the tail
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in embedding_norms_arrow(df).collect()}
+    assert (got[1]["dim"], got[1]["l2_norm"], got[1]["n_pos"]) == (2, 5.0, 2)
+    assert (got[2]["dim"], got[2]["l2_norm"], got[2]["n_pos"]) == (None, None, None)
+    assert (got[3]["dim"], got[3]["l2_norm"], got[3]["n_pos"]) == (0, 0.0, 0)
+    assert (got[4]["dim"], got[4]["l2_norm"], got[4]["n_pos"]) == (None, None, None)
+
+
 def test_norms_match_python_fold_on_fixture(spark, sf_dir):
     from data_etl_pipeline_spark.tables import load
 

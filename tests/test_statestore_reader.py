@@ -9,6 +9,7 @@ did the operator know after batch N?" without replaying the stream.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -18,8 +19,17 @@ def test_statestore_batchid_time_travel(spark):
     ids = list(range(100))
     df = spark.createDataFrame([(i,) for i in ids], "k long")
     src = tempfile.mkdtemp(prefix="ss_tt_src_")
+    seen: set[str] = set()
     for m in range(3):  # three disjoint slices -> three micro-batches
         df.where(F.col("k") % 3 == m).coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders files by (mtime, path); pin strictly
+        # increasing mtimes so the slice->batch mapping never depends on
+        # filesystem timestamp granularity (same trick as
+        # streaming/stateful.py::_ts_ordered_batch_dir)
+        new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in seen]
+        assert len(new) == 1, new
+        os.utime(os.path.join(src, new[0]), (1_600_000_000 + m * 10,) * 2)
+        seen.update(new)
 
     ckpt = tempfile.mkdtemp(prefix="ss_tt_ckpt_")
     sink = tempfile.mkdtemp(prefix="ss_tt_sink_")
