@@ -522,13 +522,17 @@ def run_stream_dedup_within_watermark(
     restamped = day1.withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
 
     src = tempfile.mkdtemp(prefix="wm_dedup_src_")
-    for df in [day1, rest, restamped.unionByName(tail30)]:
+    # pin each slice's mtime AS IT IS WRITTEN: sorting freshly-written
+    # files by their own mtimes would tie on coarse-granularity
+    # filesystems and scramble the intended batch order (the watermark
+    # semantics under test are arrival-order-sensitive)
+    seen: set[str] = set()
+    for i, df in enumerate([day1, rest, restamped.unionByName(tail30)]):
         df.coalesce(1).write.mode("append").parquet(src)
-    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
-    for i, p in enumerate(
-        sorted(parts, key=lambda f: os.path.getmtime(os.path.join(src, f)))
-    ):
-        os.utime(os.path.join(src, p), (1_600_000_000 + i * 10,) * 2)
+        new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in seen]
+        for p in new:
+            os.utime(os.path.join(src, p), (1_600_000_000 + i * 10,) * 2)
+        seen.update(new)
 
     dedup = (
         spark.readStream.schema("event_id long, ts timestamp, event_type string")

@@ -104,6 +104,10 @@ class TestStatefulStreamingDedup:
             df["ts"] = df["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
         df1.to_parquet(os.path.join(d, "a.parquet"))
         df2.to_parquet(os.path.join(d, "b.parquet"))
+        # the first-seen assertion is batch-order-sensitive: pin strictly
+        # increasing mtimes (FileStreamSource replays oldest mtime first)
+        os.utime(os.path.join(d, "a.parquet"), (1_600_000_000,) * 2)
+        os.utime(os.path.join(d, "b.parquet"), (1_600_000_010,) * 2)
 
         schema = spark.read.parquet(str(d)).schema
         stream = (
