@@ -481,17 +481,19 @@ def dedup_clusters(
     from it (the cluster's canonical representative — "keep the canonical,
     drop the rest" is the standard corpus-dedup contract).
 
-    Algorithm: min-label propagation to a fixpoint. Labels start as each
-    node's own id; every iteration joins the symmetric edge list against
-    the current labels and lowers each node's label to the minimum of its
-    neighborhood. Iterations needed = graph diameter, which for near-dup
-    clusters is small (they are dense clique-ish blobs, not chains);
-    ``max_iterations`` bounds the loop and convergence is checked each
-    round (count of changed labels — an aggregate, not a collect of data
-    rows). At extreme scale the same loop is what GraphX/GraphFrames
-    connectedComponents runs (alternating large-star/small-star halves the
-    iteration count; the per-iteration shape — join + min-aggregate on the
-    node key — is identical).
+    Algorithm: min-label propagation with pointer jumping, to a fixpoint.
+    Labels start as each node's own id; every round joins the symmetric
+    edge list against the current labels and lowers each node's label to
+    the minimum of its neighborhood, then path-halves (label <-
+    min(label, label-of-label)), so rounds needed = O(log diameter) —
+    near-dup clusters are dense clique-ish blobs (2-3 rounds) and even
+    chain-shaped components converge within the default cap.
+    ``max_iterations`` bounds the loop, convergence is checked each round
+    (count of changed labels — an aggregate, not a collect of data rows),
+    and hitting the cap RAISES rather than returning split components.
+    The per-round shape — joins + min-aggregate on the node key — is the
+    same family as GraphX/GraphFrames connectedComponents'
+    large-star/small-star alternation.
 
     Each iteration localCheckpoints the label table: this truncates the
     lineage so the plan does not grow exponentially across iterations
@@ -514,35 +516,66 @@ def min_label_clusters(
     pair list; returns (doc_id, cluster) with cluster = the smallest id
     reachable from each node (singletons label themselves).  The loop
     shape and the lineage/convergence mechanics are documented on
-    dedup_clusters, which delegates here."""
+    dedup_clusters, which delegates here.
+
+    Each round combines one hop of neighbor-min propagation with one
+    POINTER JUMP (cluster <- min(cluster, cluster(cluster))) — the
+    path-halving trick that makes rounds-to-converge O(log diameter)
+    instead of O(diameter), so a 10^6-long chain (real dedup graphs at
+    corpus scale: boilerplate chains, crawl rings) needs ~20 rounds, not
+    10^6.  A label is always the id of some node in the same component
+    (propagation moves labels along edges, jumping composes them), so
+    the fixpoint is the component min — identical to the plain
+    propagation the DuckDB oracle replays recursively.  If the cap is
+    ever hit without convergence the function RAISES: silently returning
+    partially-propagated labels would split components without any
+    signal (the failure mode the cap used to hide)."""
     edges = pair_edges.unionByName(
         pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        # the changed flag rides along inside the propagation select, so
-        # convergence costs one trivial scan of the materialized checkpoint
-        # instead of re-joining new labels against old (which doubled the
-        # heavy per-iteration job count)
+        # the changed flag rides along inside the select, so convergence
+        # costs one trivial scan of the materialized checkpoint instead
+        # of re-joining new labels against old (which doubled the heavy
+        # per-iteration job count)
+        propagated = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
+            (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("hop_changed"),
+        )
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster").alias("p_cluster")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            propagated.join(parent, propagated.cluster == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
-                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("changed"),
+                F.least(F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))).alias("cluster"),
+                (
+                    F.col("hop_changed")
+                    | (F.coalesce("p_cluster", F.col("cluster")) < F.col("cluster"))
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min_label_clusters did not converge in {max_iterations} rounds "
+            "— component diameter exceeds 2^rounds; raise max_iterations"
+        )
     return labels
 
 

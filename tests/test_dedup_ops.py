@@ -111,6 +111,68 @@ class TestDedupClusters:
         out = {r["doc_id"]: r["cluster"] for r in labels.collect()}
         assert set(out.values()) == {1}
 
+    def test_deep_chain_converges_within_log_rounds(self, spark):
+        """A 300-node chain has diameter >> the 20-round cap: plain
+        one-hop propagation would silently return split components (the
+        failure the cap used to hide); the pointer-jumping rounds must
+        converge in O(log diameter) and label the whole chain 0."""
+        from pyspark.sql import functions as F
+
+        from data_etl_pipeline_spark.operators import dedup
+
+        n = 300
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        out = dedup.min_label_clusters(nodes, chain, max_iterations=20)
+        assert {r["cluster"] for r in out.collect()} == {0}
+
+    def test_nonconvergence_raises_instead_of_splitting(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from data_etl_pipeline_spark.operators import dedup
+
+        n = 64
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.min_label_clusters(nodes, chain, max_iterations=2)
+
+    def test_pointer_jump_matches_union_find_on_random_graph(self, spark):
+        """Property pin vs a pure-Python union-find on a seeded random
+        graph (mixed component shapes: chains, stars, cliques emerge)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_etl_pipeline_spark.operators import dedup
+
+        rng = random.Random(13)
+        n = 120
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+        # union-find roots are component minima because unions keep the min
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["doc_id"]: r["cluster"] for r in dedup.min_label_clusters(nodes, e).collect()}
+        assert got == want
+
 
 class TestSimhashPairs:
     def test_identical_docs_pair_at_zero(self, spark):
