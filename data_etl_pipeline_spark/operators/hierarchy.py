@@ -58,9 +58,9 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32) -> DataFrame:
     closure = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
     )
-    frontier = closure
-    for _ in range(max_depth - 1):
-        nxt = (
+
+    def next_frontier(frontier: DataFrame, closure: DataFrame) -> DataFrame:
+        return (
             frontier.join(
                 edges.select(F.col("child").alias("ancestor"), F.col("parent").alias("up")),
                 "ancestor",
@@ -78,10 +78,25 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32) -> DataFrame:
             .drop("_seen")
             .localCheckpoint(eager=True)  # truncate the growing lineage
         )
+
+    frontier = closure
+    for _ in range(max_depth - 1):
+        nxt = next_frontier(frontier, closure)
         if nxt.isEmpty():
+            frontier = None
             break
         closure = closure.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    # if the round budget ran out with a live frontier, either the
+    # hierarchy is exactly max_depth deep (fine) or deeper ancestry exists
+    # and silently returning would TRUNCATE the closure (the recursive-CTE
+    # oracle explores unbounded depth, so truncation is silent wrongness,
+    # not an approximation). One real probe round distinguishes the two.
+    if frontier is not None and not next_frontier(frontier, closure).isEmpty():
+        raise RuntimeError(
+            f"transitive_closure exceeded max_depth={max_depth} with "
+            "reachable ancestors remaining; raise max_depth"
+        )
     return closure
 
 

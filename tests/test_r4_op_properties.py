@@ -206,3 +206,24 @@ def test_transitive_closure_dedups_diamond_paths(spark):
     got = {(r.node, r.ancestor): r.depth for r in rows}
     assert got[("a", "d")] == 2
     assert got[("a", "e")] == 3
+
+
+def test_transitive_closure_depth_cap_is_loud_not_truncating(spark):
+    """A hierarchy deeper than max_depth must RAISE — silently returning
+    a truncated closure diverges from the unbounded recursive-CTE oracle
+    with no signal; a hierarchy of EXACTLY max_depth completes."""
+    import pytest
+
+    from data_etl_pipeline_spark.operators.hierarchy import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(8)], "child string, parent string"
+    )
+    # depth exactly 8 (n0 -> n8): completes at max_depth=8 with the full
+    # closure (8 + 7 + ... + 1 pairs)
+    rows = transitive_closure(chain, max_depth=8).collect()
+    assert len(rows) == 8 * 9 // 2
+    assert {r.depth for r in rows} == set(range(1, 9))
+
+    with pytest.raises(RuntimeError, match="exceeded max_depth"):
+        transitive_closure(chain, max_depth=7)
