@@ -545,10 +545,20 @@ def min_label_clusters(
         # costs one trivial scan of the materialized checkpoint instead
         # of re-joining new labels against old (which doubled the heavy
         # per-iteration job count)
-        propagated = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
-            "doc_id",
-            F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
-            (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("hop_changed"),
+        # checkpoint BEFORE the pointer-jump self-join: `propagated` feeds
+        # both sides of it, and without materialization the heavy
+        # edges-join + min-aggregate subtree would appear twice per round
+        # with only best-effort exchange reuse deduplicating the work —
+        # this pins the neighbor-min join to exactly one execution per
+        # round regardless of reuse behavior
+        propagated = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
+                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("hop_changed"),
+            )
+            .localCheckpoint()
         )
         parent = propagated.select(
             F.col("doc_id").alias("p_id"), F.col("cluster").alias("p_cluster")

@@ -1284,17 +1284,19 @@ def embedding_norms_arrow(df: DataFrame) -> DataFrame:
             # slicing too; Spark hands us offset-0 fresh batches)
             offsets = emb.offsets.to_numpy()
             vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-            starts, ends = offsets[:-1].copy(), offsets[1:].copy()
+            starts, ends = offsets[:-1], offsets[1:]
             # a NULL list entry must stay NULL downstream (the SQL
             # semantics: len(NULL) / list_sum(NULL) -> NULL), not collapse
-            # to an empty segment's (0, 0.0, 0); mask its outputs and
-            # neutralize its offsets (the Arrow spec does not promise
-            # meaningful offsets under null slots)
+            # to an empty segment's (0, 0.0, 0). Mask the OUTPUT arrays
+            # only — never the offsets: the Arrow spec requires offsets to
+            # be monotonically non-decreasing even at null slots, and
+            # np.add.reduceat silently returns a[indices[i]] (a single
+            # element, not a segment sum) wherever indices[i] >=
+            # indices[i+1], which would corrupt every valid row that
+            # immediately precedes a null within the batch.
             null_mask = None
             if emb.null_count:
                 null_mask = ~emb.is_valid().to_numpy(zero_copy_only=False)
-                starts[null_mask] = 0
-                ends[null_mask] = 0
             # pad one zero so every start index (max: len(vals), for an
             # empty trailing segment) is a valid reduceat index; the pad
             # only ever joins the LAST segment, where +0 changes nothing

@@ -55,9 +55,19 @@ def _encode_set(seen: set[str]) -> str:
 
 
 def _decode_set(joined: str | None) -> set[str]:
+    """Decode a state slot written by :func:`_encode_set`. Falls back to
+    the pre-JSON on-disk format (\\x1f-joined values) so a streaming query
+    resumed from a checkpoint written by the older codec keeps its state
+    instead of crashing in ``json.loads``; every state.update() rewrites
+    the slot in JSON, so old-format slots age out on first touch."""
     import json
 
-    return set(json.loads(joined)) if joined is not None else set()
+    if joined is None:
+        return set()
+    try:
+        return set(json.loads(joined))
+    except (json.JSONDecodeError, ValueError):
+        return set(joined.split("\x1f")) if joined else set()
 
 
 def _dedup_first_seen(key, pdf_iter, state: GroupState):

@@ -30,19 +30,31 @@ def test_norms_handle_empty_and_ragged_vectors(spark):
 def test_norms_keep_null_vectors_null(spark):
     """A NULL embedding must surface as NULL stats (SQL semantics:
     len(NULL) -> NULL), not silently collapse into the empty-list row
-    (0, 0.0, 0) — the validity bitmap is separate from the offsets."""
+    (0, 0.0, 0) — the validity bitmap is separate from the offsets.
+
+    coalesce(1) is load-bearing: all four rows must share ONE Arrow
+    batch so a VALID row immediately precedes a NULL row within the
+    batch — the layout where mutating offsets at null slots would make
+    the reduceat index array non-monotonic and silently turn the valid
+    row's segment sum into a single-element read. Under default test
+    parallelism each row lands in its own batch and that layout never
+    occurs."""
     rows = [
-        (1, [3.0, 4.0]),
+        (1, [3.0, 4.0]),          # valid row DIRECTLY before a null
         (2, None),                # NULL list: masked, not empty
-        (3, []),                  # genuinely empty: zeros
+        (3, [-1.0, 2.0, 2.0]),    # valid row DIRECTLY before a null
         (4, None),                # NULL at the tail
+        (5, []),                  # genuinely empty: zeros
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
     got = {r["vec_id"]: r for r in embedding_norms_arrow(df).collect()}
     assert (got[1]["dim"], got[1]["l2_norm"], got[1]["n_pos"]) == (2, 5.0, 2)
     assert (got[2]["dim"], got[2]["l2_norm"], got[2]["n_pos"]) == (None, None, None)
-    assert (got[3]["dim"], got[3]["l2_norm"], got[3]["n_pos"]) == (0, 0.0, 0)
+    assert (got[3]["dim"], got[3]["l2_norm"], got[3]["n_pos"]) == (3, 3.0, 2)
     assert (got[4]["dim"], got[4]["l2_norm"], got[4]["n_pos"]) == (None, None, None)
+    assert (got[5]["dim"], got[5]["l2_norm"], got[5]["n_pos"]) == (0, 0.0, 0)
 
 
 def test_norms_match_python_fold_on_fixture(spark, sf_dir):
