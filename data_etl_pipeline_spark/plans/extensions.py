@@ -5103,3 +5103,147 @@ def table_diff_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg interop (round 11): the second lakehouse format beside the
+# Delta export/reader pair. All manifest traffic rides the from-spec
+# pure-Python Avro OCF codec (sources/avro_ocf.py) because this
+# container has no Avro runtime; sources/iceberg.py documents the
+# protocol surface. Reference parity: extends the engine's publication
+# surface (SURVEY §2.11 E63+ Delta family) to Iceberg v2.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_export_roundtrip",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY 1
+    """,
+    doc="Engine snapshot -> Iceberg v2 table (metadata.json + Avro "
+    "manifest list + Avro manifest + parquet data, via the from-spec "
+    "OCF codec) -> independent protocol replay; two append snapshots, "
+    "the second carrying the first's manifest forward by reference. "
+    "Oracle recomputes from raw orders.",
+    round_added=11,
+)
+def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_rt_") + "/table"
+    export_iceberg(src.where(F.col("o_orderkey") < 700), dest, n_files=2, range_by="o_orderkey")
+    append_iceberg(src.where(F.col("o_orderkey") >= 700), dest, n_files=2, range_by="o_orderkey")
+
+    back = IcebergTable(spark, dest).read()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "iceberg_time_travel",
+    sql="""
+    SELECT 1 AS snapshot_id, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 600
+    UNION ALL
+    SELECT 2 AS snapshot_id, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1100
+    """,
+    doc="Iceberg snapshot time travel: read the table AS OF snapshot 1 "
+    "and at the current snapshot 2 through the snapshot log + per-"
+    "snapshot manifest lists; one result row per snapshot. Oracle "
+    "recomputes both states from raw orders.",
+    round_added=11,
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_tt_") + "/table"
+    s1 = export_iceberg(src.where(F.col("o_orderkey") < 600), dest, n_files=2, range_by="o_orderkey")
+    s2 = append_iceberg(src.where(F.col("o_orderkey") >= 600), dest, n_files=2, range_by="o_orderkey")
+
+    t = IcebergTable(spark, dest)
+    # the snapshot listing itself must agree with what we committed
+    snaps = sorted(r["snapshot_id"] for r in t.snapshots().collect())
+    assert snaps == [s1, s2], snaps
+
+    def agg(df: DataFrame, sid: int) -> DataFrame:
+        return df.groupBy(F.lit(sid).alias("snapshot_id")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+
+    return agg(t.read(snapshot_id=s1), s1).unionByName(agg(t.read(snapshot_id=s2), s2))
+
+
+@query(
+    "iceberg_stats_skipping",
+    sql="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey < 1300 AND l_orderkey BETWEEN 200 AND 450
+    GROUP BY 1
+    """,
+    doc="Iceberg manifest-stats file pruning: the export range-partitions "
+    "on l_orderkey so data files carry disjoint bounds; the planner "
+    "selects only files whose stats box intersects the predicate "
+    "(in-query assert: a strict subset) and the scan reads just those. "
+    "Oracle filters raw lineitem.",
+    round_added=11,
+)
+def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, export_iceberg
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1300)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_skip_") + "/table"
+    export_iceberg(src, dest, n_files=8, range_by="l_orderkey")
+
+    t = IcebergTable(spark, dest)
+    lo, hi = 200, 450
+    selected, total = t.plan_files("l_orderkey", lo, hi)
+    # the point of the layout: the bounds actually prune — a strict
+    # subset of files is scanned, and at least one file survives
+    assert 0 < len(selected) < total, (len(selected), total)
+
+    return (
+        t.read(files=selected)
+        .where(F.col("l_orderkey").between(lo, hi))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Iceberg interop: Avro OCF codec edge cases the declared queries can't
+reach (foreign negative-count blocks, corrupt sync, unsupported codec),
+and the reader's loud refusals (delete manifests, nested export schema,
+append drift)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import zlib
+
+import pytest
+
+from data_etl_pipeline_spark.sources.avro_ocf import (
+    AvroError,
+    MAGIC,
+    read_ocf,
+    write_datum,
+    write_long,
+    write_ocf,
+)
+from data_etl_pipeline_spark.sources.iceberg import (
+    IcebergError,
+    IcebergTable,
+    append_iceberg,
+    export_iceberg,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+RECS = [
+    {"a": -(2**40), "b": "x", "m": {"k": 1}},
+    {"a": 7, "b": None, "m": {}},
+]
+
+
+def test_ocf_roundtrip_both_codecs(tmp_path):
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_ocf(p, RECS, SCHEMA, codec=codec)
+        back, schema = read_ocf(p)
+        assert back == RECS
+        assert schema == SCHEMA
+
+
+def test_ocf_reads_negative_count_array_blocks(tmp_path):
+    """Real Avro writers may emit array/map blocks with NEGATIVE counts
+    followed by a byte size (spec: enables skipping). Hand-craft one."""
+    item_schema = {"type": "array", "items": "long"}
+    body = io.BytesIO()
+    # array [10, 20] as one negative-count block: count=-2, size, items, end
+    inner = io.BytesIO()
+    write_datum(inner, 10, "long")
+    write_datum(inner, 20, "long")
+    payload = inner.getvalue()
+    write_long(body, -2)
+    write_long(body, len(payload))
+    body.write(payload)
+    write_long(body, 0)
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(item_schema).encode(),
+        "avro.codec": b"null",
+    }
+    write_datum(buf, meta, {"type": "map", "values": "bytes"})
+    sync = b"S" * 16
+    buf.write(sync)
+    blk = body.getvalue()
+    write_long(buf, 1)
+    write_long(buf, len(blk))
+    buf.write(blk)
+    buf.write(sync)
+    p = str(tmp_path / "neg.avro")
+    with open(p, "wb") as f:
+        f.write(buf.getvalue())
+    back, _ = read_ocf(p)
+    assert back == [[10, 20]]
+
+
+def test_ocf_sync_mismatch_raises(tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, RECS, SCHEMA, codec="null")
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with open(p, "wb") as f:
+        f.write(raw)
+    with pytest.raises(AvroError, match="sync"):
+        read_ocf(p)
+
+
+def test_ocf_foreign_codec_refuses(tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, RECS, SCHEMA, codec="null")
+    raw = open(p, "rb").read().replace(b"null", b"zstd", 1)
+    p2 = str(tmp_path / "z.avro")
+    with open(p2, "wb") as f:
+        f.write(raw)
+    with pytest.raises(AvroError, match="zstd"):
+        read_ocf(p2)
+
+
+@pytest.fixture(scope="module")
+def ice_table(spark):
+    src = spark.range(0, 100).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+    d = tempfile.mkdtemp(prefix="ice_ut_") + "/t"
+    export_iceberg(src.where("k < 60"), d, n_files=3, range_by="k")
+    append_iceberg(src.where("k >= 60"), d, n_files=2, range_by="k")
+    return d
+
+
+def test_iceberg_prune_keeps_boundless_files(spark, ice_table):
+    t = IcebergTable(spark, ice_table)
+    files = t.data_files()
+    assert len(files) == 5
+    # strip bounds from one manifest entry in-memory: plan must KEEP it
+    sel, total = t.plan_files("k", 0, 5)
+    assert total == 5 and 1 <= len(sel) < 5
+    # bound-less column: nothing prunable -> all files selected
+    sel_all, _ = t.plan_files("no_such_col", 0, 5)
+    assert len(sel_all) == 5
+
+
+def test_iceberg_time_travel_counts(spark, ice_table):
+    t = IcebergTable(spark, ice_table)
+    assert t.read(snapshot_id=1).count() == 60
+    assert t.read(snapshot_id=2).count() == 100
+    with pytest.raises(IcebergError, match="not in table"):
+        t.read(snapshot_id=99)
+
+
+def test_iceberg_delete_manifest_refuses(spark, ice_table):
+    """A manifest list advertising a DELETE manifest (content=1) must
+    raise, not silently return undead rows."""
+    from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
+    from data_etl_pipeline_spark.sources.iceberg import MANIFEST_LIST_SCHEMA
+
+    t = IcebergTable(spark, ice_table)
+    snap = t._snapshot(None)
+    lst = snap["manifest-list"]
+    manifests, _ = _r(lst)
+    manifests[0]["content"] = 1
+    write_ocf(lst, manifests, MANIFEST_LIST_SCHEMA)
+    try:
+        with pytest.raises(IcebergError, match="delete manifests"):
+            IcebergTable(spark, t.table_dir).data_files()
+    finally:
+        manifests[0]["content"] = 0
+        write_ocf(lst, manifests, MANIFEST_LIST_SCHEMA)
+
+
+def test_iceberg_nested_schema_refuses(spark):
+    df = spark.range(3).selectExpr("id", "named_struct('a', id) AS s")
+    with pytest.raises(IcebergError, match="unsupported column type"):
+        export_iceberg(df, tempfile.mkdtemp(prefix="ice_nested_") + "/t")
+
+
+def test_iceberg_append_schema_drift_refuses(spark, ice_table):
+    drifted = spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS other")
+    with pytest.raises(IcebergError, match="schema mismatch"):
+        append_iceberg(drifted, ice_table)
+
+
+def test_iceberg_bounds_decode_types(spark, ice_table):
+    t = IcebergTable(spark, ice_table)
+    f = sorted(t.data_files(snapshot_id=1), key=lambda x: x["lower"]["k"])[0]
+    assert f["lower"]["k"] == 0 and isinstance(f["lower"]["k"], int)
+    assert isinstance(f["lower"]["v"], float)
+    assert f["record_count"] > 0
+    assert os.path.getsize(f["path"]) == f["file_size_in_bytes"]
