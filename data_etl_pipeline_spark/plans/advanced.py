@@ -2311,3 +2311,49 @@ def pipe_syntax_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         map(tuple, dataframe_form.collect())
     )
     return df
+
+
+# ---------------------------------------------------------------------------
+# Event-time state eviction (round 11): the stateful profile above keeps
+# state forever; this twin closes and EVICTS per-user episode state via
+# GroupStateTimeout.EventTimeTimeout when the watermark passes
+# last_ts + TTL, and an evicted user's next event re-opens cleanly.
+# The two closure paths (timer + inline gap split) compose to exact
+# per-user session semantics with gap = TTL, so the gaps-and-islands SQL
+# oracle checks every episode; the timeout path firing and a user
+# re-opening are asserted in-query. See streaming/stateful.py.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_profile_state_ttl",
+    sql="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END AS new_e
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS eid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS episode_start,
+           MAX(ts) AS episode_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM s GROUP BY user_id, eid
+    """,
+    doc="Watermark-driven state eviction: per-user episodes closed by "
+    "EventTimeTimeout (state removed when the watermark passes "
+    "last_ts + 24h) or an inline gap split; evicted users re-open "
+    "cleanly (asserted, with the timeout path proven to fire). Oracle: "
+    "24h gaps-and-islands.",
+    round_added=11,
+)
+def stream_profile_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.streaming.stateful import run_stream_episodes_ttl
+
+    return run_stream_episodes_ttl(spark, sf_dir, ttl_hours=24)
