@@ -91,3 +91,59 @@ def interval_join(
         .where((F.col(start_col) <= F.col(point_ts)) & upper)
         .drop("_ib")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width_s: int,
+) -> DataFrame:
+    """Join every LEFT interval to every RIGHT interval it OVERLAPS
+    (half-open: ``l_start < r_end AND r_start < l_end``) — the
+    interval×interval sibling of :func:`interval_join`.
+
+    Same bucketization, one extra wrinkle: an overlapping pair shares
+    every bucket its intersection spans, so a plain bucket equi-join
+    would emit duplicates. Instead of a distinct pass (a second shuffle
+    over the pair blow-up), each pair is CLAIMED by exactly one bucket —
+    the one containing ``greatest(l_start, r_start)``: both sides'
+    exploded ranges always cover that bucket (it lies inside both
+    intervals' spans whenever they overlap), so the pair appears there
+    and the ``bucket == bucket(greatest(starts))`` post-filter keeps
+    exactly one copy with no dedup shuffle.
+
+    Scale: both sides fan out by ceil(len/W)+1 and shuffle on the
+    time-uniform bucket key; candidates per bucket ~= concurrent
+    intervals on each side. W near the typical interval length, as for
+    interval_join.
+    """
+    if bucket_width_s < 1:
+        raise ValueError(f"bucket_width_s must be >= 1, got {bucket_width_s}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    width_us = int(bucket_width_s) * 1_000_000
+
+    def _bucket(col):
+        return F.expr(f"unix_micros(cast({col} as timestamp)) div {width_us}")
+
+    def _explode(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn("_ob", F.explode(F.sequence(_bucket(f"`{s}`"), _bucket(f"`{e}`"))))
+
+    pairs = _explode(left, l_start, l_end).join(
+        _explode(right, r_start, r_end).withColumnRenamed("_ob", "_ob_r"),
+        F.col("_ob") == F.col("_ob_r"),
+    )
+    claim = _bucket(f"greatest(`{l_start}`, `{r_start}`)")
+    return (
+        pairs.where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("_ob") == claim)
+        )
+        .drop("_ob", "_ob_r")
+    )

@@ -2357,3 +2357,76 @@ def stream_profile_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.stateful import run_stream_episodes_ttl
 
     return run_stream_episodes_ttl(spark, sf_dir, ttl_hours=24)
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval OVERLAP join (round 11): the two-sided sibling of
+# the bucketized point-in-interval join (operators/intervals.py). A pair
+# of overlapping intervals shares every bucket of its intersection, so
+# the operator claims each pair in exactly ONE bucket (the one holding
+# greatest(starts)) instead of paying a distinct shuffle over the pair
+# blow-up. Catalyst alone plans this shape as a nested-loop/cartesian.
+# Fixture: two disjoint order slices become "flights" and "incidents",
+# each [o_orderdate, +1..20 days); the oracle is DuckDB's exact range
+# join over the same derived intervals.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_overlap_bin_join",
+    sql="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key, o_orderstatus AS a_status,
+               o_orderdate AS a_start,
+               o_orderdate + INTERVAL 1 DAY * (o_orderkey % 20 + 1) AS a_end
+        FROM orders WHERE o_orderkey < 400
+    ), b AS (
+        SELECT o_orderkey AS b_key, o_orderstatus AS b_status,
+               o_orderdate AS b_start,
+               o_orderdate + INTERVAL 1 DAY * (o_orderkey % 20 + 1) AS b_end
+        FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+    )
+    SELECT a_status, b_status, COUNT(*) AS n_pairs,
+           SUM(date_diff('second', GREATEST(a_start, b_start),
+                         LEAST(a_end, b_end))) AS overlap_seconds
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    GROUP BY 1, 2
+    """,
+    doc="Bucketized interval-overlap join: both sides explode to "
+    "1-week time buckets, equi-join on the bucket, exact overlap "
+    "post-filter, one-bucket-per-pair claim (greatest-starts) instead "
+    "of a dedup shuffle. Oracle: DuckDB exact range join.",
+    round_added=11,
+)
+def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.intervals import interval_overlap_join
+
+    orders = load(spark, sf_dir, "orders")
+
+    def slice_(lo: int, hi: int, p: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias(f"{p}_key"),
+            F.col("o_orderstatus").alias(f"{p}_status"),
+            F.col("o_orderdate").alias(f"{p}_start"),
+            F.expr(
+                "timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)"
+            ).alias(f"{p}_end"),
+        )
+
+    pairs = interval_overlap_join(
+        slice_(0, 400, "a"),
+        slice_(400, 800, "b"),
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        bucket_width_s=7 * 86400,
+    )
+    return pairs.groupBy("a_status", "b_status").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "timestampdiff(SECOND, greatest(a_start, b_start), least(a_end, b_end))"
+            )
+        ).alias("overlap_seconds"),
+    )

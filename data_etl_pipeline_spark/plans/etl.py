@@ -831,3 +831,57 @@ def stream_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.windows import run_stream_hopping_counts
 
     return run_stream_hopping_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Raw-parquet footer skipping (round 11): file-level min/max pruning
+# with NO table format in the loop — the footer is the metadata
+# (sources/footerprune.py). The fixture range-partitions an orders
+# slice into 6 files so footers carry disjoint o_orderkey bounds; the
+# planner schedules only the files intersecting the predicate (in-query
+# assert: a strict subset) and Spark's row-group pushdown still applies
+# inside them. Completes the skipping ladder: footer (raw dir) ->
+# VersionedTable manifest -> Delta stats -> Iceberg manifests.
+# ---------------------------------------------------------------------------
+@query(
+    "parquet_footer_skipping",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1400 AND o_orderkey BETWEEN 300 AND 650
+    GROUP BY 1
+    """,
+    doc="Plan-time file pruning over a raw parquet directory from footer "
+    "min/max stats (no Delta/Iceberg/manifest); range-clustered layout, "
+    "strict-subset scheduling asserted in-query. Oracle filters raw "
+    "orders.",
+    round_added=11,
+)
+def parquet_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.footerprune import plan_parquet_files
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1400)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    data_dir = tempfile.mkdtemp(prefix="footer_skip_")
+    src.repartitionByRange(6, "o_orderkey").write.mode("overwrite").parquet(data_dir)
+
+    lo, hi = 300, 650
+    selected, total = plan_parquet_files(data_dir, "o_orderkey", lo, hi)
+    # the range-clustered layout must actually prune, and never to zero
+    assert 0 < len(selected) < total, (len(selected), total)
+
+    return (
+        spark.read.parquet(*selected)
+        .where(F.col("o_orderkey").between(lo, hi))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

@@ -1080,3 +1080,45 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_pipeline_spark.streaming.windows import run_stream_psi_drift
 
     return run_stream_psi_drift(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k (round 11): Spark 4's sketch-based frequent-items
+# aggregate — the one-pass, mergeable heavy-hitters path that replaces
+# a full groupBy at 100 TB when only the head matters. On a bounded
+# domain with maxItemsTracked >= the distinct count the sketch is EXACT
+# (nothing evicts), which is what makes it oracle-checkable here: the
+# in-query assert compares the sketch output against the engine's own
+# exact groupBy before returning. Complements the CMS + Misra-Gries
+# operators (trigram_heavy_hitters) with the native SQL surface.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_top_k_event_types",
+    sql="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Native approx_top_k sketch aggregate, run un-saturated "
+    "(maxItemsTracked >> distinct event types) so it is provably exact: "
+    "asserted in-query against the exact groupBy, oracle-checked "
+    "against DuckDB's.",
+    round_added=11,
+)
+def approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    sketched = (
+        ev.agg(F.expr("approx_top_k(event_type, 100, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("cnt"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {(r["event_type"], r["cnt"]) for r in sketched.collect()}  # bounded: k<=100
+    want = {(r["event_type"], r["cnt"]) for r in exact.collect()}
+    # un-saturated sketch == exact counts; a mismatch means the domain
+    # outgrew maxItemsTracked and this query's exactness claim is void
+    assert got == want, (got ^ want)
+    return sketched

@@ -898,3 +898,80 @@ def stratified_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (round 11): the storage form embedding
+# corpora actually ship at 100 TB scale (4x smaller than float32, and
+# the ANN index probes decode it on the fly). Per-vector symmetric
+# quantization: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) —
+# written as the explicit floor(+0.5) so Spark and DuckDB share one
+# rounding rule — and the reconstruction report (max abs error,
+# saturation count) is what a quantization QA gate monitors. All
+# element math runs in DOUBLE inside codegen higher-order functions
+# (transform/aggregate), all reported stats are order-free (max/count),
+# so the result is bit-stable across partitionings. Zero shuffles: pure
+# row-local map. Reference parity: extends the embedding feature family
+# (SURVEY §2.11 E190 norms) with the compression-QA operator.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_int8_quantization",
+    sql="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, xs,
+               list_max(list_transform(xs, x -> ABS(x))) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           LEN(xs) AS dim,
+           ROUND(scale, 6) AS scale,
+           ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_max(list_transform(xs,
+                   x -> ABS(x - FLOOR(x / scale + 0.5) * scale)))
+           END, 6) AS max_abs_err,
+           CASE WHEN scale = 0 THEN 0 ELSE
+               LEN(list_filter(xs,
+                   x -> ABS(FLOOR(x / scale + 0.5)) >= 127))
+           END AS n_saturated
+    FROM s
+    """,
+    doc="Per-vector symmetric int8 quantization QA: scale = max|x|/127, "
+    "round-half-up written as floor(+0.5) in both engines, max "
+    "reconstruction error and saturation count per vector; pure "
+    "codegen higher-order functions, zero shuffles.",
+    round_added=11,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.tables import load
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("xs"),
+    )
+    s = v.withColumn(
+        "scale", F.expr("array_max(transform(xs, x -> abs(x))) / 127.0D")
+    )
+    return s.select(
+        "vec_id",
+        F.size("xs").cast("long").alias("dim"),
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.expr(
+                """CASE WHEN scale = 0D THEN 0D ELSE
+                     array_max(transform(xs,
+                         x -> abs(x - floor(x / scale + 0.5D) * scale)))
+                   END"""
+            ),
+            6,
+        ).alias("max_abs_err"),
+        F.expr(
+            """CASE WHEN scale = 0D THEN 0L ELSE
+                 cast(size(filter(xs,
+                     x -> abs(floor(x / scale + 0.5D)) >= 127D)) as long)
+               END"""
+        ).alias("n_saturated"),
+    )

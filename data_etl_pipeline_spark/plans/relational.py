@@ -1667,3 +1667,119 @@ def nation_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_top"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN null semantics (round 11): the ANSI trap the J3 anti-join
+# (NOT EXISTS -> plain LeftAnti) deliberately sidesteps. `key NOT IN
+# (subquery)` is three-valued: ONE NULL in the subquery makes the
+# predicate UNKNOWN for every row and the result EMPTY. Catalyst plans
+# this as a null-aware anti join (LeftAnti with the key-OR-isnull
+# condition / NullAwareAntiJoin under BHJ) rather than the plain anti
+# join NOT EXISTS gets — both variants run here side by side and the
+# plan is asserted to contain the null-aware condition. Reference
+# parity: the reference's Mongo $nin has the same three-valued hazard
+# its query builders guard with $ne null (SURVEY J3 notes).
+# ---------------------------------------------------------------------------
+@query(
+    "not_in_null_semantics",
+    sql="""
+    SELECT 'clean_subquery' AS variant, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 900)
+    UNION ALL
+    SELECT 'null_poisoned' AS variant, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderkey % 250 = 0 THEN NULL ELSE o_custkey END
+        FROM orders WHERE o_orderkey < 900)
+    """,
+    doc="ANSI NOT IN three-valued-logic: the same subquery with one NULL "
+    "injected flips the anti-join result to empty; Spark's null-aware "
+    "anti join and DuckDB agree on both variants (plan-asserted: the "
+    "poisoned variant does NOT plan as a plain LeftAnti).",
+    round_added=11,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_nin_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_nin_orders")
+
+    clean = spark.sql(
+        """
+        SELECT 'clean_subquery' AS variant, COUNT(*) AS n_customers
+        FROM _nin_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM _nin_orders WHERE o_orderkey < 900)
+        """
+    )
+    poisoned = spark.sql(
+        """
+        SELECT 'null_poisoned' AS variant, COUNT(*) AS n_customers
+        FROM _nin_customer
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN o_orderkey % 250 = 0 THEN NULL ELSE o_custkey END
+            FROM _nin_orders WHERE o_orderkey < 900)
+        """
+    )
+    # the poisoned variant must carry the null-aware join condition —
+    # a plain anti join here would silently return the clean answer
+    plan = optimized_plan(poisoned)
+    assert "isnull" in plan.lower() or "null_aware" in plan.lower(), plan
+    return clean.unionByName(poisoned)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (round 11): `<=>` / IS NOT DISTINCT FROM treats
+# NULL as a joinable value (NULL <=> NULL is TRUE) while `=` drops those
+# rows — the join you need when the key is legitimately optional and
+# "both unknown" should still pair. EqualNullSafe remains a HASHABLE
+# join condition (asserted: no nested-loop/cartesian in the plan), so
+# the shape scales like any equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "null_safe_key_join",
+    sql="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_nationkey END AS c_nk
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS s_nk
+        FROM supplier
+    )
+    SELECT COALESCE(CAST(c_nk AS VARCHAR), 'NULL-key') AS join_key,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM c JOIN s ON c_nk IS NOT DISTINCT FROM s_nk
+    GROUP BY 1
+    """,
+    doc="Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): "
+    "NULL-keyed rows on both sides pair up instead of vanishing; the "
+    "condition stays hashable (plan-asserted: no nested-loop join).",
+    round_added=11,
+)
+def null_safe_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nk"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("s_nk"),
+    )
+    joined = c.join(s, c["c_nk"].eqNullSafe(s["s_nk"]))
+    plan = executed_plan(joined)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    return joined.groupBy(
+        F.coalesce(F.col("c_nk").cast("string"), F.lit("NULL-key")).alias("join_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )
