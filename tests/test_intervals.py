@@ -217,3 +217,73 @@ def test_adversarial_boundaries_match_bruteforce(spark):
         )
         assert got == want, (closed, len(got), len(want))
         assert got  # non-vacuous: boundary construction guarantees matches
+
+
+class TestIntervalOverlapJoin:
+    """interval×interval overlap: the one-bucket-per-pair claim must give
+    exactly the naive theta-join pairs — no duplicates when the
+    intersection spans several buckets, no misses at touching edges."""
+
+    def _sides(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00")),
+                (2, _ts("2024-01-02 12:00:00"), _ts("2024-01-02 13:00:00")),
+                (3, _ts("2024-01-05 00:00:00"), _ts("2024-01-06 00:00:00")),
+                # degenerate touch: ends exactly where b4 starts (half-open: no pair)
+                (4, _ts("2024-01-08 00:00:00"), _ts("2024-01-09 00:00:00")),
+            ],
+            "a_id long, a_start timestamp, a_end timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                # long interval spanning many buckets: pair must appear ONCE
+                (10, _ts("2023-12-30 00:00:00"), _ts("2024-01-10 00:00:00")),
+                (11, _ts("2024-01-02 12:30:00"), _ts("2024-01-02 14:00:00")),
+                (12, _ts("2024-01-09 00:00:00"), _ts("2024-01-09 06:00:00")),
+            ],
+            "b_id long, b_start timestamp, b_end timestamp",
+        )
+        return left, right
+
+    @pytest.mark.parametrize("width_s", [3600, 6 * 3600, 86400, 7 * 86400])
+    def test_matches_naive_theta_join(self, spark, width_s):
+        from data_etl_pipeline_spark.operators.intervals import interval_overlap_join
+
+        left, right = self._sides(spark)
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(
+                left, right, "a_start", "a_end", "b_start", "b_end", width_s
+            ).collect()
+        }
+        naive = {
+            (r["a_id"], r["b_id"])
+            for r in left.join(
+                right,
+                (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")),
+            ).collect()
+        }
+        assert got == naive
+        # the long b10 interval overlaps a1/a2/a3/a4 and must pair each ONCE
+        assert (1, 10) in got and (4, 12) not in got
+
+    def test_no_duplicates_even_counting(self, spark):
+        from data_etl_pipeline_spark.operators.intervals import interval_overlap_join
+
+        left, right = self._sides(spark)
+        rows = interval_overlap_join(
+            left, right, "a_start", "a_end", "b_start", "b_end", 3600
+        ).groupBy("a_id", "b_id").count().where("count > 1").count()
+        assert rows == 0
+
+    def test_column_collision_rejected(self, spark):
+        from data_etl_pipeline_spark.operators.intervals import interval_overlap_join
+
+        left, right = self._sides(spark)
+        with pytest.raises(ValueError, match="collision"):
+            interval_overlap_join(
+                left,
+                right.withColumnRenamed("b_id", "a_id"),
+                "a_start", "a_end", "b_start", "b_end", 3600,
+            )
