@@ -58,3 +58,126 @@ def test_oracle_sql_runs_on_spark_and_matches_dataframe_plan(spark, sf_dir, name
                 assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
             else:
                 assert x == y
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus dialect sweep (round 11, VERDICT r10 item 5): EVERY oracle
+# string either runs unchanged through spark.sql and row-matches DuckDB
+# on the same SQL, or names the DuckDB-only construct that blocks it.
+# The gate is the INVERSE of a skip list: a new oracle using an
+# unlisted DuckDB-only construct FAILS this test until the construct is
+# added with a reason — so the portable/dialect split is measured, not
+# asserted. (DataFrame-plan <-> DuckDB equality is the driver gate and
+# tests/test_oracle_parity.py; this closes the triangle spark.sql <->
+# DuckDB for the portable subset.)
+# ---------------------------------------------------------------------------
+
+# DuckDB-only constructs, detected lexically (regex, reason). Spark
+# equivalents noted so a reader can port a query by hand.
+DUCKDB_ONLY = [
+    (r"\bAS\s+VARCHAR\b|::\s*VARCHAR", "VARCHAR cast without length (Spark: STRING)"),
+    (r"'0x' *\|\|", "hex-string '0x..'->BIGINT cast (Spark: conv(x,16,10))"),
+    (r"\[[^\]]*\]", "list literal / subscript syntax (Spark: array()/element_at)"),
+    (r"//", "// integer division (Spark: div)"),
+    (r"\b(string_split|str_split)\b", "string_split (Spark: split)"),
+    (r"\blist_\w+\b", "list_* lambda/aggregate family (Spark: transform/filter/aggregate)"),
+    (r"\bunnest\b", "UNNEST (Spark: explode)"),
+    (r"\bepoch\b", "epoch() (Spark: unix_timestamp/unix_micros)"),
+    (r"\bquantile_cont\b", "quantile_cont (Spark: percentile)"),
+    (r"\bstrftime\b", "strftime (Spark: date_format)"),
+    (r"\bsha256\b", "sha256 (Spark: sha2(x, 256))"),
+    (r"\bregexp_matches\b", "regexp_matches (Spark: rlike)"),
+    (r"\bjson_extract_string\b", "json_extract_string (Spark: get_json_object)"),
+    (r"\bgenerate_subscripts\b", "generate_subscripts (Spark: posexplode)"),
+    (r"\barray_to_string\b", "array_to_string (Spark: array_join)"),
+    (r"\bstrlen\b", "strlen (Spark: length)"),
+    (r"\bQUALIFY\b", "QUALIFY clause (Spark: window + outer filter)"),
+    (r"\(\s*\w+(\(\w*\))?\s+ORDER\s+BY", "ordered aggregate argument min(x ORDER BY y)"),
+    (r"date_diff\('", "date_diff('unit', ...) string-unit form (Spark: timestampdiff)"),
+    (r"INTERVAL\s*\(", "parameterized INTERVAL (expr) unit (Spark: make_interval)"),
+]
+
+# residual incompatibilities no lexical detector covers cleanly
+DIALECT_SKIP = {
+    "lineitem_correlation_matrix": "expressions inside a VALUES inline table",
+    "lineitem_unpivot_metrics": "UNPIVOT clause dialect differs",
+    "nation_top_customer_roster": "listagg WITHIN GROUP dialect differs",
+    "doc_chunks_token_aware": "lenient hex-digit->INT cast in the chunk arithmetic",
+    "doc_chunks_hard_limit": "lenient hex-digit->INT cast in the chunk arithmetic",
+    "doc_chunks_bpe": "lenient hex-digit->INT cast in the chunk arithmetic",
+    "customer_triples": "lenient hex-digit->INT cast in the triple hash",
+}
+
+
+def _duckdb_only_reason(sql: str) -> str | None:
+    import re
+
+    for pat, reason in DUCKDB_ONLY:
+        if re.search(pat, sql, re.IGNORECASE):
+            return reason
+    return None
+
+
+def test_no_dead_dialect_detectors():
+    """Every detector matches at least one declared oracle string —
+    entries that stop matching anything must be pruned, so the list
+    reflects the live corpus."""
+    import re
+
+    _ensure_loaded()
+    sqls = [s.sql for s in QUERIES.values() if s.sql is not None]
+    for pat, reason in DUCKDB_ONLY:
+        assert any(re.search(pat, s, re.IGNORECASE) for s in sqls), (
+            f"dead detector: {reason}"
+        )
+
+
+def test_full_oracle_corpus_runs_on_spark_or_names_its_blocker(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    from data_etl_pipeline_spark.oracle import _canon, duckdb_connection
+
+    _ensure_loaded()
+    register_views(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    failures, n_portable, n_skipped = [], 0, 0
+    for name, spec in QUERIES.items():
+        if spec.sql is None:
+            continue
+        if name in DIALECT_SKIP or _duckdb_only_reason(spec.sql):
+            n_skipped += 1
+            continue
+        try:
+            sdf = spark.sql(spec.sql)
+            cols = [c.lower() for c in sdf.columns]
+            s_rows = _canon([tuple(r) for r in sdf.collect()], cols)
+        except Exception as e:  # unlisted dialect break -> name it
+            failures.append((name, " ".join(str(e).split())[:160]))
+            continue
+        rel = con.sql(spec.sql)
+        d_rows = _canon(rel.fetchall(), [c.lower() for c in rel.columns])
+        if len(s_rows) != len(d_rows):
+            failures.append((name, f"rowcount {len(s_rows)} vs {len(d_rows)}"))
+            continue
+        bad = None
+        for a, b in zip(s_rows, d_rows):
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                        bad = f"value {x} vs {y}"
+                elif x != y:
+                    bad = f"value {x!r} vs {y!r}"
+                if bad:
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+        else:
+            n_portable += 1
+    assert not failures, failures
+    # measured split (round 11): 147 portable / 152 dialect-gated; the
+    # floor keeps portability regressions visible
+    assert n_portable >= 140, (n_portable, n_skipped)
