@@ -2385,8 +2385,8 @@ def stream_profile_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
     )
     SELECT a_status, b_status, COUNT(*) AS n_pairs,
-           SUM(date_diff('second', GREATEST(a_start, b_start),
-                         LEAST(a_end, b_end))) AS overlap_seconds
+           CAST(SUM(date_diff('second', GREATEST(a_start, b_start),
+                              LEAST(a_end, b_end))) AS BIGINT) AS overlap_seconds
     FROM a JOIN b ON a_start < b_end AND b_start < a_end
     GROUP BY 1, 2
     """,
@@ -2428,5 +2428,5 @@ def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "timestampdiff(SECOND, greatest(a_start, b_start), least(a_end, b_end))"
             )
-        ).alias("overlap_seconds"),
+        ).cast("long").alias("overlap_seconds"),
     )
