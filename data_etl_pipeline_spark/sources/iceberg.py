@@ -470,6 +470,24 @@ def _commit_snapshot(
 
 
 def _local(path: str, table_dir: str) -> str:
+    """Resolve a metadata-referenced path to a local filesystem path.
+
+    Real Iceberg writers record absolute URIs (``file:///...``,
+    ``s3://bucket/...``); this engine's exporter records plain absolute
+    paths. Accept both local forms, refuse remote schemes loudly
+    (fetching object stores is out of scope for the local reader)."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+        # file://host/path is not supported; file:///path -> /path
+        if not path.startswith("/"):
+            raise IcebergError(f"unsupported file URI form: file://{path}")
+        return path
+    scheme = path.split("://", 1)[0] if "://" in path else None
+    if scheme:
+        raise IcebergError(
+            f"remote path scheme {scheme!r} is not supported by the local "
+            f"reader (path {path!r}); copy the table locally first"
+        )
     return path if os.path.isabs(path) else os.path.join(table_dir, path)
 
 

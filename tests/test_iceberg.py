@@ -177,3 +177,61 @@ def test_iceberg_bounds_decode_types(spark, ice_table):
     assert isinstance(f["lower"]["v"], float)
     assert f["record_count"] > 0
     assert os.path.getsize(f["path"]) == f["file_size_in_bytes"]
+
+
+def test_iceberg_foreign_layout_file_uris_and_no_hint(spark, tmp_path):
+    """Real Iceberg writers record file:// URIs and often no
+    version-hint (catalog-managed tables). Rewrite an exported table
+    into that layout and require the reader to replay it unchanged."""
+    import glob
+    import json as _json
+
+    from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
+    from data_etl_pipeline_spark.sources.iceberg import MANIFEST_LIST_SCHEMA
+
+    src = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    d = str(tmp_path / "t")
+    export_iceberg(src, d, n_files=2, range_by="k")
+
+    meta_dir = os.path.join(d, "metadata")
+    os.remove(os.path.join(meta_dir, "version-hint.text"))
+    meta_path = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))[0]
+    meta = _json.load(open(meta_path))
+    for s in meta["snapshots"]:
+        s["manifest-list"] = "file://" + s["manifest-list"]
+        manifests, _ = _r(s["manifest-list"][len("file://"):])
+        for m in manifests:
+            m["manifest_path"] = "file://" + m["manifest_path"]
+        write_ocf(s["manifest-list"][len("file://"):], manifests, MANIFEST_LIST_SCHEMA)
+    _json.dump(meta, open(meta_path, "w"))
+
+    t = IcebergTable(spark, d)
+    assert t.read().count() == 40
+    sel, total = t.plan_files("k", 0, 10)
+    assert 0 < len(sel) < total
+
+
+def test_iceberg_remote_scheme_refuses(spark, tmp_path):
+    import glob
+    import json as _json
+
+    src = spark.range(0, 5).selectExpr("id AS k")
+    d = str(tmp_path / "t")
+    export_iceberg(src, d)
+    meta_dir = os.path.join(d, "metadata")
+    meta_path = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))[0]
+    meta = _json.load(open(meta_path))
+    meta["snapshots"][0]["manifest-list"] = "s3://bucket/snap.avro"
+    _json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(IcebergError, match="remote path scheme"):
+        IcebergTable(spark, d).data_files()
+
+
+def test_iceberg_bounds_accept_plain_map_form():
+    """_from_kv must accept both the spec's array<key_value> form and a
+    permissive string-keyed map (defensive decode for foreign files)."""
+    from data_etl_pipeline_spark.sources.iceberg import _from_kv
+
+    assert _from_kv([{"key": 1, "value": b"\x01"}]) == {1: b"\x01"}
+    assert _from_kv({"1": b"\x01", "2": b"\x02"}) == {1: b"\x01", 2: b"\x02"}
+    assert _from_kv(None) == {}
