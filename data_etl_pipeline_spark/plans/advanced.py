@@ -2329,7 +2329,7 @@ def pipe_syntax_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN LAG(ts) OVER w IS NULL
-                      OR ts - LAG(ts) OVER w > INTERVAL 24 HOUR
+                      OR ts - LAG(ts) OVER w >= INTERVAL 24 HOUR
                     THEN 1 ELSE 0 END AS new_e
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2348,7 +2348,8 @@ def pipe_syntax_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Watermark-driven state eviction: per-user episodes closed by "
     "EventTimeTimeout (state removed when the watermark passes "
-    "last_ts + 24h) or an inline gap split; evicted users re-open "
+    "last_ts + 24h) or an inline gap split (>= 24h, the session_window "
+    "boundary rule); evicted users re-open "
     "cleanly (asserted, with the timeout path proven to fire). Oracle: "
     "24h gaps-and-islands.",
     round_added=11,

@@ -133,7 +133,6 @@ def write_datum(buf: io.BytesIO, datum, schema) -> None:
             raise AvroError("fixed size mismatch")
         buf.write(bytes(datum))
     elif t == "enum":
-        buf.write(b"")
         write_long(buf, schema["symbols"].index(datum))
     elif t == "array":
         if datum:
@@ -264,14 +263,21 @@ def write_ocf(
     in practice; multi-block READING is supported below)."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported write codec {codec!r}")
-    # deterministic-but-distinct sync marker derived from content position
-    sync = sync or os.urandom(16)
-    if len(sync) != 16:
+    if sync is not None and len(sync) != 16:
         raise AvroError("sync marker must be 16 bytes")
     body = io.BytesIO()
     for rec in records:
         write_datum(body, rec, schema)
     payload = body.getvalue()
+    # content-derived sync marker: re-exporting identical data yields
+    # byte-identical files (the repo's reproducibility posture); distinct
+    # content still gets a distinct marker, which is all the spec needs
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(
+            payload + json.dumps(schema, sort_keys=True).encode()
+        ).digest()
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)
         payload = comp.compress(payload) + comp.flush()

@@ -83,7 +83,7 @@ def _iceberg_schema(df: DataFrame) -> dict:
     for i, f in enumerate(df.schema.fields, start=1):
         t = f.dataType.simpleString()
         if t.startswith("decimal"):
-            ice = t.replace("decimal", "decimal").replace(",", ", ")
+            ice = t.replace(",", ", ")
         elif t in _SPARK_TO_ICEBERG:
             ice = _SPARK_TO_ICEBERG[t]
         else:
@@ -294,6 +294,15 @@ def _file_stats(local_path: str, names: list[str], ice_types: dict[str, str]):
                 return int(v)
 
             mn, mx = _us(mn), _us(mx)
+        elif t == "date":  # pyarrow dates -> days since epoch
+            import datetime as dt
+
+            def _days(v):
+                if isinstance(v, dt.date):
+                    return (v - dt.date(1970, 1, 1)).days
+                return int(v)
+
+            mn, mx = _days(mn), _days(mx)
         lo, hi = _encode_bound(mn, t), _encode_bound(mx, t)
         if lo is not None and hi is not None:
             lowers[idx[name]] = lo
@@ -476,12 +485,15 @@ def _local(path: str, table_dir: str) -> str:
     ``s3://bucket/...``); this engine's exporter records plain absolute
     paths. Accept both local forms, refuse remote schemes loudly
     (fetching object stores is out of scope for the local reader)."""
-    if path.startswith("file://"):
-        path = path[len("file://"):]
-        # file://host/path is not supported; file:///path -> /path
-        if not path.startswith("/"):
-            raise IcebergError(f"unsupported file URI form: file://{path}")
-        return path
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        # accept file:///p and Hadoop's single-slash file:/p -> /p;
+        # file://host/p (remote-host authority) is not supported
+        if rest.startswith("///"):
+            return rest[2:]
+        if rest.startswith("/") and not rest.startswith("//"):
+            return rest
+        raise IcebergError(f"unsupported file URI form: {path!r}")
     scheme = path.split("://", 1)[0] if "://" in path else None
     if scheme:
         raise IcebergError(
@@ -544,6 +556,23 @@ class IcebergTable:
             rows, "snapshot_id long, sequence_number long, timestamp_ms long, operation string"
         )
 
+    def _current_schema(self) -> dict:
+        """Current schema matched by schema-id (ids need not be dense or
+        positional); format-version 1 tables carry a single `schema`."""
+        schemas = self.meta.get("schemas")
+        if schemas:
+            sid = self.meta.get("current-schema-id", 0)
+            for sc in schemas:
+                if sc.get("schema-id", 0) == sid:
+                    return sc
+            raise IcebergError(
+                f"current-schema-id {sid} not present in schemas "
+                f"(have {[sc.get('schema-id') for sc in schemas]})"
+            )
+        if "schema" in self.meta:  # format-version 1
+            return self.meta["schema"]
+        raise IcebergError("table metadata carries no schema")
+
     def _snapshot(self, snapshot_id: int | None) -> dict:
         sid = snapshot_id if snapshot_id is not None else self.meta["current-snapshot-id"]
         for s in self.meta["snapshots"]:
@@ -556,7 +585,7 @@ class IcebergTable:
         """Live data files of a snapshot, with decoded per-column bounds."""
         snap = self._snapshot(snapshot_id)
         manifests, _ = read_ocf(_local(snap["manifest-list"], self.table_dir))
-        schema = self.meta["schemas"][self.meta["current-schema-id"]]
+        schema = self._current_schema()
         by_id = {f["id"]: (f["name"], f["type"]) for f in schema["fields"]}
         out = []
         for m in manifests:

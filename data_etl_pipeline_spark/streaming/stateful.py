@@ -65,8 +65,13 @@ def _decode_set(joined: str | None) -> set[str]:
     if joined is None:
         return set()
     try:
-        return set(json.loads(joined))
-    except (json.JSONDecodeError, ValueError):
+        decoded = json.loads(joined)
+        if not isinstance(decoded, list):
+            raise ValueError("not a JSON list")
+        return set(decoded)
+    except (json.JSONDecodeError, ValueError, TypeError):
+        # legacy slot — including one whose whole content happens to
+        # parse as a JSON scalar (e.g. a single type named "404")
         return set(joined.split("\x1f")) if joined else set()
 
 
@@ -484,7 +489,11 @@ def _make_episode_fn(ttl_seconds: int):
         prev = ts.shift(1)
         if p_last is not None:
             prev.iloc[0] = p_last
-        is_new = prev.isna() | ((ts - prev) > ttl)
+        # >= (not >): Spark's session_window treats an event at exactly
+        # last + gap as a NEW session ([start, last+gap) half-open); the
+        # operator and the SQL oracle use the same rule so all three
+        # formulations agree even on exact-boundary gaps
+        is_new = prev.isna() | ((ts - prev) >= ttl)
         ep = is_new.cumsum()  # 0 = continues the state episode (if any)
         if state.exists and bool(is_new.iloc[0]):
             # the reopening event outran the watermark: close inline

@@ -74,7 +74,7 @@ def main() -> None:
     spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     w1, r1, i1 = _stage_totals(ui, app_id)
 
-    warm = runs[1:]
+    warm = runs[1:] if len(runs) > 1 else runs
     print(
         json.dumps(
             {

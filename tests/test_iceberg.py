@@ -235,3 +235,25 @@ def test_iceberg_bounds_accept_plain_map_form():
     assert _from_kv([{"key": 1, "value": b"\x01"}]) == {1: b"\x01"}
     assert _from_kv({"1": b"\x01", "2": b"\x02"}) == {1: b"\x01", 2: b"\x02"}
     assert _from_kv(None) == {}
+
+
+def test_iceberg_date_column_bounds(spark, tmp_path):
+    """DateType columns export with days-since-epoch bounds (pyarrow
+    footer stats hand back datetime.date, not ints)."""
+    import datetime
+
+    src = spark.range(0, 30).selectExpr(
+        "id AS k", "date_add(DATE '2024-01-01', CAST(id AS INT)) AS d"
+    )
+    dpath = str(tmp_path / "t")
+    export_iceberg(src, dpath, n_files=3, range_by="k")
+    t = IcebergTable(spark, dpath)
+    files = t.data_files()
+    assert all(isinstance(f["lower"]["d"], int) for f in files)
+    base = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    assert min(f["lower"]["d"] for f in files) == base
+    assert max(f["upper"]["d"] for f in files) == base + 29
+    # pruning on the date bounds (days since epoch) works end-to-end
+    sel, total = t.plan_files("d", base, base + 4)
+    assert 0 < len(sel) < total
+    assert t.read(files=sel).where("d <= DATE '2024-01-05'").count() == 5
