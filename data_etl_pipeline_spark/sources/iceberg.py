@@ -11,10 +11,13 @@ contract (https://iceberg.apache.org/spec/) is
 
 All Avro framing goes through the from-spec pure-Python OCF codec in
 ``avro_ocf.py`` (no Avro runtime exists in this container). The exporter
-publishes engine DataFrames as spec-correct unpartitioned v2 tables —
-field-id'd schema, per-file column bounds in the manifests (serialized
-with Iceberg's single-value binary forms), append snapshots that carry
-prior manifests forward BY REFERENCE in the new manifest list — and the
+publishes engine DataFrames as spec-correct v2 tables — field-id'd
+schema, per-file column bounds in the manifests (serialized with
+Iceberg's single-value binary forms), optional IDENTITY partitioning
+(typed partition tuples in the manifest entries; the partition column
+stays in the data files, as the spec requires — partitioning is
+metadata, not Hive dirs), append snapshots that carry prior manifests
+forward BY REFERENCE in the new manifest list — and the
 reader plays the protocol back independently: version-hint ->
 metadata.json -> current (or time-travelled) snapshot -> manifest list
 -> manifests -> live data files, with min/max file pruning from the
@@ -36,6 +39,10 @@ Honest limits (loud, not silent):
     scope (same stance as the Delta reader's file-DV refusal);
   * nested schemas refuse at export (field-id mapping for nested types
     is not implemented);
+  * partition transforms other than identity refuse (bucket/truncate/
+    time transforms are not implemented), as do NULL partition values
+    and unbounded-cardinality partition columns (capped at 64 distinct
+    values per commit);
   * codecs other than null/deflate raise inside the Avro layer.
 """
 
@@ -159,7 +166,20 @@ def _kv_array(name: str, key_id: int, value_id: int) -> dict:
     }
 
 
-MANIFEST_ENTRY_SCHEMA = {
+def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """Manifest-entry Avro schema; the ``partition`` record (field-id 102)
+    carries one field per partition-spec field — empty for unpartitioned
+    tables, typed identity values otherwise (real writers do the same:
+    the r102 record's shape is per-table)."""
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": n, "type": ["null", t], "default": None, "field-id": 1000 + i}
+            for i, (n, t) in enumerate(part_fields)
+        ],
+    }
+    return {
     "type": "record",
     "name": "manifest_entry",
     "fields": [
@@ -180,7 +200,7 @@ MANIFEST_ENTRY_SCHEMA = {
                     {
                         "name": "partition",
                         "field-id": 102,
-                        "type": {"type": "record", "name": "r102", "fields": []},
+                        "type": partition_record,
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
@@ -212,7 +232,10 @@ MANIFEST_ENTRY_SCHEMA = {
             },
         },
     ],
-}
+    }
+
+
+MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema([])
 
 MANIFEST_LIST_SCHEMA = {
     "type": "record",
@@ -315,6 +338,10 @@ def _file_stats(local_path: str, names: list[str], ice_types: dict[str, str]):
 # ---------------------------------------------------------------------------
 
 
+
+# identity-partition value types the exporter supports (avro form)
+_PARTITIONABLE = {"int": "int", "long": "long", "string": "string"}
+
 def _write_data_files(
     df: DataFrame, table_dir: str, snapshot_n: int, n_files: int, range_by: str | None
 ) -> list[str]:
@@ -336,12 +363,17 @@ def export_iceberg(
     table_dir: str,
     n_files: int = 1,
     range_by: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Create a new Iceberg v2 table at ``table_dir`` holding ``df`` as
     snapshot 1. ``range_by`` range-partitions the write so data files
-    carry DISJOINT bounds on that column (the stats-skipping layout).
+    carry DISJOINT bounds on that column (the stats-skipping layout);
+    ``partition_by`` identity-partitions the table instead — each data
+    file holds exactly one partition value, recorded as a typed tuple in
+    the manifest (the partition column stays IN the data files, as the
+    Iceberg spec requires — partitioning is metadata, not Hive dirs).
     Returns the snapshot id."""
-    return _commit_snapshot(df, table_dir, n_files, range_by, first=True)
+    return _commit_snapshot(df, table_dir, n_files, range_by, partition_by, first=True)
 
 
 def append_iceberg(
@@ -352,12 +384,21 @@ def append_iceberg(
 ) -> int:
     """Append ``df`` as a new snapshot: prior manifests are carried
     forward by reference in the new manifest list; only the new files
-    get a new manifest. Returns the new snapshot id."""
-    return _commit_snapshot(df, table_dir, n_files, range_by, first=False)
+    get a new manifest. A partitioned table's spec is inherited from the
+    table metadata. Returns the new snapshot id."""
+    return _commit_snapshot(df, table_dir, n_files, range_by, None, first=False)
+
+
+_MAX_PARTITIONS_PER_COMMIT = 64
 
 
 def _commit_snapshot(
-    df: DataFrame, table_dir: str, n_files: int, range_by: str | None, first: bool
+    df: DataFrame,
+    table_dir: str,
+    n_files: int,
+    range_by: str | None,
+    partition_by: str | None,
+    first: bool,
 ) -> int:
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -368,10 +409,30 @@ def _commit_snapshot(
         table_uuid = str(uuid.uuid4())
         prior_manifests: list[dict] = []
         snapshots: list[dict] = []
+        spec_fields: list[dict] = []
+        if partition_by is not None:
+            fld = next(
+                (f for f in schema["fields"] if f["name"] == partition_by), None
+            )
+            if fld is None:
+                raise IcebergError(f"partition column {partition_by!r} not in schema")
+            if fld["type"] not in _PARTITIONABLE:
+                raise IcebergError(
+                    f"identity partitioning supports {sorted(_PARTITIONABLE)} "
+                    f"columns, not {fld['type']!r}"
+                )
+            spec_fields = [
+                {
+                    "name": partition_by,
+                    "transform": "identity",
+                    "source-id": fld["id"],
+                    "field-id": 1000,
+                }
+            ]
     else:
         prev = _load_table_metadata(table_dir)
         version = prev["_version"] + 1
-        schema = prev["schemas"][0]
+        schema = _schema_by_id(prev)
         if [f["name"] for f in schema["fields"]] != df.columns:
             raise IcebergError(
                 "append schema mismatch: table columns "
@@ -383,16 +444,79 @@ def _commit_snapshot(
         )
         prior_manifests, _ = read_ocf(_local(cur["manifest-list"], table_dir))
         snapshots = prev["snapshots"]
+        # the spec is table metadata: appends inherit it
+        spec = next(
+            sp
+            for sp in prev["partition-specs"]
+            if sp["spec-id"] == prev.get("default-spec-id", 0)
+        )
+        spec_fields = spec["fields"]
+        for sf in spec_fields:
+            if sf.get("transform") != "identity":
+                raise IcebergError(
+                    f"unsupported partition transform {sf.get('transform')!r} "
+                    "(identity only)"
+                )
 
     snapshot_id = version  # deterministic, monotone
     seq = version
     names = [f["name"] for f in schema["fields"]]
     ice_types = {f["name"]: f["type"] for f in schema["fields"]}
+    id_by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    part_avro = [
+        (
+            sf["name"],
+            _PARTITIONABLE[
+                next(f["type"] for f in schema["fields"] if f["id"] == sf["source-id"])
+            ],
+        )
+        for sf in spec_fields
+    ]
 
-    files = _write_data_files(df, table_dir, version, n_files, range_by)
+    if spec_fields:
+        # one (or more) data files per partition VALUE — every file holds
+        # exactly one partition tuple, the invariant manifests encode.
+        # Identity partitioning is for bounded-cardinality columns; the
+        # distinct collect is capped, refusing silently-unbounded specs.
+        pcol = spec_fields[0]["name"]
+        from pyspark.sql import functions as F
+
+        values = [
+            r[0]
+            for r in df.select(pcol).distinct().limit(
+                _MAX_PARTITIONS_PER_COMMIT + 1
+            ).collect()
+        ]
+        if len(values) > _MAX_PARTITIONS_PER_COMMIT:
+            raise IcebergError(
+                f"more than {_MAX_PARTITIONS_PER_COMMIT} distinct values of "
+                f"{pcol!r} in one commit — identity partitioning is for "
+                "bounded-cardinality columns; bucket or truncate first"
+            )
+        if any(v is None for v in values):
+            raise IcebergError(
+                f"NULL partition value in {pcol!r}: null partition tuples "
+                "are not supported"
+            )
+        files_with_parts: list[tuple[str, dict]] = []
+        for i, v in enumerate(sorted(values)):
+            part_dir = os.path.join(table_dir, "data", f"snap{version}", f"p{i}")
+            df.where(F.col(pcol) == v).coalesce(1).write.mode("overwrite").parquet(
+                part_dir
+            )
+            for fp in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+                files_with_parts.append((fp, {pcol: v}))
+        if not files_with_parts:
+            raise IcebergError("partitioned data write produced no parquet files")
+    else:
+        files_with_parts = [
+            (p, {})
+            for p in _write_data_files(df, table_dir, version, n_files, range_by)
+        ]
+
     entries = []
     added_rows = 0
-    for p in files:
+    for p, part_tuple in files_with_parts:
         n_rows, size, lowers, uppers = _file_stats(p, names, ice_types)
         added_rows += n_rows
         entries.append(
@@ -405,7 +529,7 @@ def _commit_snapshot(
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_tuple,
                     "record_count": n_rows,
                     "file_size_in_bytes": size,
                     "value_counts": None,
@@ -416,7 +540,7 @@ def _commit_snapshot(
             }
         )
     manifest_path = os.path.join(meta_dir, f"m{version}.avro")
-    write_ocf(manifest_path, entries, MANIFEST_ENTRY_SCHEMA)
+    write_ocf(manifest_path, entries, _manifest_entry_schema(part_avro))
 
     new_manifest = {
         "manifest_path": manifest_path,
@@ -426,7 +550,7 @@ def _commit_snapshot(
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(files),
+        "added_files_count": len(files_with_parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
         "added_rows_count": added_rows,
@@ -457,8 +581,8 @@ def _commit_snapshot(
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
@@ -476,6 +600,24 @@ def _commit_snapshot(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version))
     return snapshot_id
+
+
+def _schema_by_id(meta: dict) -> dict:
+    """Schema matched by current-schema-id (ids need not be dense or
+    positional); format-version 1 tables carry a single ``schema``."""
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = meta.get("current-schema-id", 0)
+        for sc in schemas:
+            if sc.get("schema-id", 0) == sid:
+                return sc
+        raise IcebergError(
+            f"current-schema-id {sid} not present in schemas "
+            f"(have {[sc.get('schema-id') for sc in schemas]})"
+        )
+    if "schema" in meta:  # format-version 1
+        return meta["schema"]
+    raise IcebergError("table metadata carries no schema")
 
 
 def _local(path: str, table_dir: str) -> str:
@@ -557,21 +699,7 @@ class IcebergTable:
         )
 
     def _current_schema(self) -> dict:
-        """Current schema matched by schema-id (ids need not be dense or
-        positional); format-version 1 tables carry a single `schema`."""
-        schemas = self.meta.get("schemas")
-        if schemas:
-            sid = self.meta.get("current-schema-id", 0)
-            for sc in schemas:
-                if sc.get("schema-id", 0) == sid:
-                    return sc
-            raise IcebergError(
-                f"current-schema-id {sid} not present in schemas "
-                f"(have {[sc.get('schema-id') for sc in schemas]})"
-            )
-        if "schema" in self.meta:  # format-version 1
-            return self.meta["schema"]
-        raise IcebergError("table metadata carries no schema")
+        return _schema_by_id(self.meta)
 
     def _snapshot(self, snapshot_id: int | None) -> dict:
         sid = snapshot_id if snapshot_id is not None else self.meta["current-snapshot-id"]
@@ -611,6 +739,7 @@ class IcebergTable:
                 out.append(
                     {
                         "path": dfile["file_path"],
+                        "partition": dfile.get("partition") or {},
                         "record_count": dfile["record_count"],
                         "file_size_in_bytes": dfile["file_size_in_bytes"],
                         "lower": {
@@ -640,6 +769,22 @@ class IcebergTable:
             fl, fu = f["lower"].get(column), f["upper"].get(column)
             if fl is None or fu is None or (fu >= lo and fl <= hi):
                 selected.append(f)
+        return selected, len(files)
+
+    def plan_files_by_partition(
+        self, column: str, values, snapshot_id: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Partition pruning: files whose manifest partition tuple has
+        ``column`` in ``values``. Files without that partition key are
+        KEPT (pruning never drops unknowable files). Returns
+        (selected_files, total_file_count)."""
+        values = set(values)
+        files = self.data_files(snapshot_id)
+        selected = [
+            f
+            for f in files
+            if column not in f["partition"] or f["partition"][column] in values
+        ]
         return selected, len(files)
 
     def read(

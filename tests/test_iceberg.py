@@ -257,3 +257,62 @@ def test_iceberg_date_column_bounds(spark, tmp_path):
     sel, total = t.plan_files("d", base, base + 4)
     assert 0 < len(sel) < total
     assert t.read(files=sel).where("d <= DATE '2024-01-05'").count() == 5
+
+
+class TestIdentityPartitioning:
+    """Identity-partitioned export: typed partition tuples in manifests
+    (the r102 record is per-table), the spec inherited by appends,
+    partition pruning, and the bounded-cardinality / null refusals."""
+
+    @pytest.fixture(scope="class")
+    def ptable(self, spark):
+        src = spark.range(0, 90).selectExpr(
+            "id AS k",
+            "CASE WHEN id % 3 = 0 THEN 'bronze' WHEN id % 3 = 1 THEN 'silver' "
+            "ELSE 'gold' END AS tier",
+        )
+        d = tempfile.mkdtemp(prefix="ice_part_") + "/t"
+        export_iceberg(src.where("k < 60"), d, partition_by="tier")
+        append_iceberg(src.where("k >= 60"), d)
+        return d
+
+    def test_partition_tuples_in_manifests(self, spark, ptable):
+        t = IcebergTable(spark, ptable)
+        files = t.data_files()
+        assert len(files) == 6  # 3 tiers x 2 snapshots
+        assert {f["partition"]["tier"] for f in files} == {"bronze", "silver", "gold"}
+        spec = t.meta["partition-specs"][0]["fields"]
+        assert spec[0]["transform"] == "identity" and spec[0]["name"] == "tier"
+
+    def test_roundtrip_and_partition_column_in_files(self, spark, ptable):
+        t = IcebergTable(spark, ptable)
+        back = t.read()
+        assert back.count() == 90
+        # Iceberg keeps the partition column IN the data files
+        assert back.where("tier = 'gold'").count() == 30
+
+    def test_partition_pruning_strict_subset(self, spark, ptable):
+        t = IcebergTable(spark, ptable)
+        sel, total = t.plan_files_by_partition("tier", {"gold"})
+        assert total == 6 and len(sel) == 2
+        assert t.read(files=sel).count() == 30
+        # unknown partition key keeps everything (never drop unknowable)
+        sel_all, _ = t.plan_files_by_partition("no_such", {"x"})
+        assert len(sel_all) == 6
+
+    def test_cardinality_cap_refuses(self, spark, tmp_path):
+        wide = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+        with pytest.raises(IcebergError, match="distinct values"):
+            export_iceberg(wide, str(tmp_path / "t"), partition_by="s")
+
+    def test_null_partition_value_refuses(self, spark, tmp_path):
+        df = spark.range(0, 5).selectExpr(
+            "id AS k", "CASE WHEN id = 3 THEN NULL ELSE 'a' END AS s"
+        )
+        with pytest.raises(IcebergError, match="NULL partition value"):
+            export_iceberg(df, str(tmp_path / "t"), partition_by="s")
+
+    def test_unpartitionable_type_refuses(self, spark, tmp_path):
+        df = spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        with pytest.raises(IcebergError, match="identity partitioning supports"):
+            export_iceberg(df, str(tmp_path / "t"), partition_by="v")
