@@ -45,13 +45,26 @@ REPRESENTATIVES = [
 
 
 def test_conf_sensitive_queries_pass_under_default_session():
-    out = subprocess.run(
-        [sys.executable, SCRIPT, "/root/testdata/sf0.001", *REPRESENTATIVES],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
-        timeout=900,
-    )
-    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
-    assert f"{len(REPRESENTATIVES)}/{len(REPRESENTATIVES)} queries match" in out.stdout
+    # one retry: the subprocess boots its own JVM, and on a box already
+    # saturated by the surrounding suite a first attempt can time out or
+    # flake on streaming timing — a conf-dependency bug fails BOTH
+    # attempts deterministically, which is what this gate is for
+    last = None
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, SCRIPT, "/root/testdata/sf0.001", *REPRESENTATIVES],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+            timeout=1800,
+        )
+        ok = (
+            out.returncode == 0
+            and f"{len(REPRESENTATIVES)}/{len(REPRESENTATIVES)} queries match"
+            in out.stdout
+        )
+        if ok:
+            return
+        last = out
+    raise AssertionError(last.stdout[-3000:] + last.stderr[-2000:])
