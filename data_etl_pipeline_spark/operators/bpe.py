@@ -320,22 +320,23 @@ def set_merges(ranks: dict) -> None:
     contract advertises.  Clears the memoized pretoken counts, which were
     computed under the previous table and would otherwise be served
     stale."""
-    global _RANKS
+    global _RANKS, _TOKEN_IDS
     _RANKS = dict(ranks)
-    _count_pretoken.cache_clear()
+    _TOKEN_IDS = _token_ids(_RANKS)
+    _encode_pretoken.cache_clear()
 
 
 @lru_cache(maxsize=65536)
-def _count_pretoken(pretoken: str) -> int:
+def _encode_pretoken(pretoken: str) -> tuple[str, ...]:
+    """Surviving symbol sequence of one pre-token after all ranked merges
+    — the ENCODE step (round 12); counting is its length."""
     # GPT-2 byte-encoder spells a leading space as 'Ġ' glued to nothing —
     # it is its own initial symbol and merges like any other.
     if pretoken.startswith(" "):
         symbols = ["Ġ", *pretoken[1:]]
     else:
         symbols = list(pretoken)
-    if len(symbols) < 2:
-        return len(symbols)
-    while True:
+    while len(symbols) >= 2:
         best_rank = None
         best_i = -1
         for i in range(len(symbols) - 1):
@@ -343,12 +344,68 @@ def _count_pretoken(pretoken: str) -> int:
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank, best_i = r, i
         if best_rank is None:
-            return len(symbols)
+            break
         symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
-        if len(symbols) == 1:
-            return 1
+    return tuple(symbols)
+
+
+def _count_pretoken(pretoken: str) -> int:
+    return len(_encode_pretoken(pretoken))
 
 
 def bpe_tokens(s: str) -> int:
     """Token count of ``s`` under the embedded byte-level BPE vocabulary."""
     return sum(_count_pretoken(m.group(0)) for m in _PRETOKEN.finditer(s))
+
+
+def bpe_encode(s: str) -> list[str]:
+    """Token STRINGS of ``s`` — every character of the input survives in
+    exactly one token (leading pre-token spaces spelled 'Ġ'), so
+    ``bpe_decode(bpe_encode(s)) == s`` for any text without a literal
+    'Ġ' (byte-exact losslessness, the property every training-data
+    tokenizer must keep)."""
+    out: list[str] = []
+    for m in _PRETOKEN.finditer(s):
+        out.extend(_encode_pretoken(m.group(0)))
+    return out
+
+
+def bpe_decode(tokens) -> str:
+    """Inverse of ``bpe_encode``: concatenate and un-spell the space
+    marker (the GPT-2 decode rule)."""
+    return "".join(tokens).replace("Ġ", " ")
+
+
+def _token_ids(ranks: dict) -> dict[str, int]:
+    """token string -> id. Deterministic and data-independent: a merged
+    token's id is 0x110000 + its FIRST merge rank producing that string
+    (merge order is the vocabulary order, exactly how GPT-2's vocab was
+    built); a single-character token's id is its Unicode codepoint
+    (codepoints < 0x110000 by definition, so the ranges never collide)."""
+    ids: dict[str, int] = {}
+    for (a, b), rank in ranks.items():
+        ids.setdefault(a + b, 0x110000 + rank)
+    return ids
+
+
+_TOKEN_IDS = _token_ids(_RANKS)
+
+
+def token_id(tok: str) -> int:
+    tid = _TOKEN_IDS.get(tok)
+    if tid is not None:
+        return tid
+    if len(tok) == 1:
+        return ord(tok)
+    return _fallback_id(tok)
+
+
+def _fallback_id(tok: str) -> int:
+    """Stable id for a multi-char token absent from the merge vocab
+    (possible only for foreign tables; never under the module's own
+    encode, which only builds strings via ranked merges). Derived from
+    codepoints, not hash(), so it is stable across interpreter runs."""
+    acc = 0
+    for ch in tok:
+        acc = (acc * 0x110001 + ord(ch)) % 0x7FFFFFFF
+    return 0x220000_0000 + acc

@@ -5247,3 +5247,166 @@ def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg interop, round 12: position deletes (merge-on-read, the Delta
+# DV twin), snapshot-diff incremental tailing (the Delta E92 twin), and
+# the truncate[W] partition transform with source-range pruning.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_positional_delete_read",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1200
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    GROUP BY 1
+    """,
+    doc="Iceberg v2 position deletes, merge-on-read: delete_rows_iceberg "
+    "writes a (file_path, pos) delete parquet + delete manifest (content"
+    "=1) without rewriting data files; the reader masks them with ONE "
+    "combined anti-join on the canonical (decoded path, row position) "
+    "key — the Delta deletion-vector shape (E68/E82) on the second "
+    "format. In-query asserts: the delete file is listed, and time "
+    "travel to the pre-delete snapshot still sees every row. Oracle "
+    "recomputes from raw orders with the delete predicate negated.",
+    round_added=12,
+)
+def iceberg_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        delete_rows_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_del_") + "/table"
+    s1 = export_iceberg(src, dest, n_files=4, range_by="o_orderkey")
+    s2 = delete_rows_iceberg(
+        spark, dest, "o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+    )
+
+    t = IcebergTable(spark, dest)
+    # the delete snapshot lists its position-delete file; the pre-delete
+    # snapshot is untouched (deletes live in snapshot 2's manifest list)
+    assert len(t.delete_files(s2)) == 1 and t.delete_files(s1) == []
+
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "iceberg_incremental_tail",
+    sql="""
+    SELECT 2 AS commit_snapshot, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+    UNION ALL
+    SELECT 3 AS commit_snapshot, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200
+    """,
+    doc="Iceberg snapshot-diff incremental tail: appends carry prior "
+    "manifests by reference, so the manifests a snapshot ADDED are "
+    "exactly its new files; read_tail scans them ONCE for the whole "
+    "range (broadcast path->snapshot tag join), tagging each row with "
+    "its committing snapshot — the Delta E92 incremental contract on "
+    "the second format. Oracle recomputes both increments from raw "
+    "orders.",
+    round_added=12,
+)
+def iceberg_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_tail_") + "/table"
+    s1 = export_iceberg(src.where(F.col("o_orderkey") < 400), dest, n_files=2, range_by="o_orderkey")
+    append_iceberg(
+        src.where((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 800)),
+        dest, n_files=2, range_by="o_orderkey",
+    )
+    append_iceberg(src.where(F.col("o_orderkey") >= 800), dest, n_files=3, range_by="o_orderkey")
+
+    t = IcebergTable(spark, dest)
+    # the diff covers exactly the two appended snapshots, never snap 1
+    assert sorted({sid for sid, _ in t.added_files(s1)}) == [2, 3]
+
+    return (
+        t.read_tail(s1)
+        .groupBy(F.col("_commit_snapshot").cast("int").alias("commit_snapshot"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "iceberg_truncate_partitioning",
+    sql="""
+    SELECT p_brand AS brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail
+    FROM part
+    WHERE p_brand BETWEEN 'Brand#2' AND 'Brand#4z'
+    GROUP BY 1
+    """,
+    doc="Iceberg truncate[7] partition transform: each data file holds "
+    "one truncated p_brand bucket (typed tuple in the manifest, spec "
+    "field p_brand_trunc); plan_files_by_source_range prunes on the "
+    "SOURCE column through the transform (a string bucket v can hold s "
+    "iff s[:W]=v, so it intersects [lo,hi] iff lo[:W]<=v<=hi[:W]) — "
+    "asserted a strict subset — and the scan reads only surviving "
+    "buckets. Oracle filters raw part.",
+    round_added=12,
+)
+def iceberg_truncate_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, export_iceberg
+
+    src = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    dest = tempfile.mkdtemp(prefix="ice_trunc_") + "/table"
+    export_iceberg(src, dest, partition_by="p_brand", transform="truncate[7]")
+
+    t = IcebergTable(spark, dest)
+    lo, hi = "Brand#2", "Brand#4z"
+    selected, total = t.plan_files_by_source_range("p_brand", lo, hi)
+    # the transform actually prunes: only buckets Brand#2..Brand#4 scan
+    assert 0 < len(selected) < total, (len(selected), total)
+    assert {f["partition"]["p_brand_trunc"] for f in selected} == {
+        "Brand#2", "Brand#3", "Brand#4",
+    }
+
+    return (
+        t.read(files=selected)
+        .where(F.col("p_brand").between(lo, hi))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("retail"),
+        )
+    )

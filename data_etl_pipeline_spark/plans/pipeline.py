@@ -1376,6 +1376,42 @@ def doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide BPE ENCODE (round 12): the step every training-data
+# pipeline runs last — apply the trained merge table to turn documents
+# into token-id streams (operators/bpe_encode.py). The oracle leans on
+# BPE's losslessness: decoding the emitted tokens and concatenating must
+# reproduce the raw text BYTE-EXACTLY, so DuckDB compares `text`
+# verbatim — a stronger check than the chunkers' whitespace-normalized
+# reassembly. `compressed` additionally proves merges actually fired on
+# every document (token count strictly below character count), which a
+# pass-through "one token per char" fake could not satisfy.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bpe_encode",
+    sql="""
+    SELECT doc_id, text AS reassembled, TRUE AS compressed
+    FROM documents
+    """,
+    doc="Corpus-wide BPE encode with the trained merge table "
+    "(operators/bpe.py composed vocabulary): one Arrow-batched "
+    "mapInPandas pass emits the id stream per document; losslessness "
+    "(decode == raw text, byte-exact) and compression (n_tokens < "
+    "n_chars) are oracle-checked per document. Closes the E151 loop: "
+    "train -> count -> ENCODE.",
+    round_added=12,
+)
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.bpe_encode import encode_documents
+
+    enc = encode_documents(load(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id",
+        "reassembled",
+        (F.col("n_tokens") < F.length("reassembled")).alias("compressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the LSH candidate graph.
 # Spark runs min-label propagation to a fixpoint (operators/dedup.py::
 # dedup_clusters); the oracle computes reachability with WITH RECURSIVE and

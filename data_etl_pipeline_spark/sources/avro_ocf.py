@@ -153,8 +153,14 @@ def write_datum(buf: io.BytesIO, datum, schema) -> None:
         write_datum(buf, datum, schema[idx])
     elif t == "record":
         for field in schema["fields"]:
-            if field["name"] not in datum and "default" in field:
-                write_datum(buf, field["default"], field["type"])
+            if field["name"] not in datum:
+                if "default" in field:
+                    write_datum(buf, field["default"], field["type"])
+                else:
+                    raise AvroError(
+                        f"record datum missing required field {field['name']!r} "
+                        f"(no default in schema {schema.get('name', '?')!r})"
+                    )
             else:
                 write_datum(buf, datum[field["name"]], field["type"])
     else:
@@ -190,15 +196,24 @@ def read_datum(buf: io.BytesIO, schema, named: dict | None = None):
     if t in ("int", "long"):
         return read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        raw = buf.read(4)
+        if len(raw) != 4:
+            raise AvroError("EOF reading float")
+        return struct.unpack("<f", raw)[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise AvroError("EOF reading double")
+        return struct.unpack("<d", raw)[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        raw = buf.read(schema["size"])
+        if len(raw) != schema["size"]:
+            raise AvroError("EOF reading fixed")
+        return raw
     if t == "enum":
         return schema["symbols"][read_long(buf)]
     if t == "array":

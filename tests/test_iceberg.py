@@ -122,12 +122,47 @@ def test_iceberg_prune_keeps_boundless_files(spark, ice_table):
     t = IcebergTable(spark, ice_table)
     files = t.data_files()
     assert len(files) == 5
-    # strip bounds from one manifest entry in-memory: plan must KEEP it
     sel, total = t.plan_files("k", 0, 5)
     assert total == 5 and 1 <= len(sel) < 5
     # bound-less column: nothing prunable -> all files selected
     sel_all, _ = t.plan_files("no_such_col", 0, 5)
     assert len(sel_all) == 5
+
+
+def test_iceberg_prune_keeps_entry_with_stripped_bounds(spark, ice_table):
+    """Rewrite one manifest entry with lower/upper_bounds=None on disk:
+    pruning on a REAL column must keep that file (never drop unknowable
+    files), while the other files still prune."""
+    from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
+    from data_etl_pipeline_spark.sources.iceberg import MANIFEST_ENTRY_SCHEMA
+
+    t = IcebergTable(spark, ice_table)
+    snap = t._snapshot(None)
+    manifests, _ = _r(snap["manifest-list"])
+    # pick the manifest whose files do NOT cover k in [0, 5] (the second
+    # snapshot: k >= 60) so stripping its first entry's bounds flips that
+    # file from pruned to kept
+    mpath = next(
+        m["manifest_path"] for m in manifests if m["added_snapshot_id"] == 2
+    )
+    entries, _ = _r(mpath)
+    saved = (entries[0]["data_file"]["lower_bounds"],
+             entries[0]["data_file"]["upper_bounds"])
+    victim = entries[0]["data_file"]["file_path"]
+    sel_before, _ = t.plan_files("k", 0, 5)
+    assert victim not in {f["path"] for f in sel_before}
+    entries[0]["data_file"]["lower_bounds"] = None
+    entries[0]["data_file"]["upper_bounds"] = None
+    write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
+    try:
+        sel, total = IcebergTable(spark, ice_table).plan_files("k", 0, 5)
+        assert total == 5 and victim in {f["path"] for f in sel}
+        # bounded files outside the range still prune
+        assert len(sel) == len(sel_before) + 1
+    finally:
+        entries[0]["data_file"]["lower_bounds"] = saved[0]
+        entries[0]["data_file"]["upper_bounds"] = saved[1]
+        write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
 
 
 def test_iceberg_time_travel_counts(spark, ice_table):
@@ -138,9 +173,10 @@ def test_iceberg_time_travel_counts(spark, ice_table):
         t.read(snapshot_id=99)
 
 
-def test_iceberg_delete_manifest_refuses(spark, ice_table):
-    """A manifest list advertising a DELETE manifest (content=1) must
-    raise, not silently return undead rows."""
+def test_iceberg_mislabeled_delete_manifest_refuses(spark, ice_table):
+    """A manifest list flagging a DATA manifest as a delete manifest
+    (content=1 over content=0 files) is malformed and must raise, not
+    silently return undead rows."""
     from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
     from data_etl_pipeline_spark.sources.iceberg import MANIFEST_LIST_SCHEMA
 
@@ -151,7 +187,7 @@ def test_iceberg_delete_manifest_refuses(spark, ice_table):
     manifests[0]["content"] = 1
     write_ocf(lst, manifests, MANIFEST_LIST_SCHEMA)
     try:
-        with pytest.raises(IcebergError, match="delete manifests"):
+        with pytest.raises(IcebergError, match="malformed"):
             IcebergTable(spark, t.table_dir).data_files()
     finally:
         manifests[0]["content"] = 0
@@ -316,3 +352,264 @@ class TestIdentityPartitioning:
         df = spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
         with pytest.raises(IcebergError, match="identity partitioning supports"):
             export_iceberg(df, str(tmp_path / "t"), partition_by="v")
+
+
+# ---------------------------------------------------------------------------
+# round 12: position deletes, incremental tail, truncate transform,
+# foreign-append metadata preservation, Avro truncated-input contract
+# ---------------------------------------------------------------------------
+
+
+def test_avro_truncated_primitive_raises():
+    import struct as _s
+
+    from data_etl_pipeline_spark.sources.avro_ocf import read_datum
+
+    for schema, payload in (
+        ("double", _s.pack("<f", 1.0)),  # 4 bytes where 8 needed
+        ("float", b"\x00\x00"),
+        ({"type": "fixed", "name": "f8", "size": 8}, b"\x01\x02"),
+    ):
+        with pytest.raises(AvroError, match="EOF"):
+            read_datum(io.BytesIO(payload), schema)
+
+
+def test_avro_missing_defaultless_record_field_raises():
+    buf = io.BytesIO()
+    with pytest.raises(AvroError, match="missing required field"):
+        write_datum(buf, {"b": "x", "m": {}}, SCHEMA)  # 'a' has no default
+
+
+class TestPositionDeletes:
+    @pytest.fixture(scope="class")
+    def dtable(self, spark):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 100).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+        d = tempfile.mkdtemp(prefix="ice_del_") + "/t"
+        export_iceberg(src.where("k < 60"), d, n_files=3, range_by="k")
+        append_iceberg(src.where("k >= 60"), d, n_files=2, range_by="k")
+        delete_rows_iceberg(spark, d, "k % 10 = 3")  # 10 rows across files
+        return d
+
+    def test_deleted_rows_masked(self, spark, dtable):
+        t = IcebergTable(spark, dtable)
+        back = t.read()
+        assert back.count() == 90
+        assert back.where("k % 10 = 3").count() == 0
+        assert back.where("k = 4").count() == 1  # neighbors survive
+
+    def test_time_travel_sees_undeleted(self, spark, dtable):
+        t = IcebergTable(spark, dtable)
+        # snapshots 1 and 2 predate the delete: full row sets
+        assert t.read(snapshot_id=1).count() == 60
+        assert t.read(snapshot_id=2).count() == 100
+        assert t.read(snapshot_id=3).count() == 90
+
+    def test_delete_files_listed(self, spark, dtable):
+        t = IcebergTable(spark, dtable)
+        assert t.delete_files(snapshot_id=2) == []
+        dels = t.delete_files(snapshot_id=3)
+        assert len(dels) == 1 and dels[0]["record_count"] == 10
+
+    def test_append_after_delete_not_masked(self, spark, dtable):
+        # appending rows whose keys collide with deleted keys must NOT
+        # mask them: deletes reference exact (file, pos), not values
+        src = spark.range(1000, 1003).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        )
+        sid = append_iceberg(src, dtable)
+        t = IcebergTable(spark, dtable)
+        assert t.read(snapshot_id=sid).count() == 93
+
+    def test_pruned_read_still_masks(self, spark, dtable):
+        t = IcebergTable(spark, dtable)
+        sel, total = t.plan_files("k", 0, 19)
+        assert 0 < len(sel) < total
+        got = t.read(files=sel).where("k BETWEEN 0 AND 19")
+        assert got.count() == 18  # 3 and 13 masked
+
+    def test_equality_delete_refuses(self, spark, dtable):
+        from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
+        from data_etl_pipeline_spark.sources.iceberg import (
+            MANIFEST_ENTRY_SCHEMA,
+            MANIFEST_LIST_SCHEMA,
+        )
+
+        t = IcebergTable(spark, dtable)
+        snap = t._snapshot(3)
+        manifests, _ = _r(snap["manifest-list"])
+        mpath = next(m["manifest_path"] for m in manifests if m["content"] == 1)
+        entries, _ = _r(mpath)
+        entries[0]["data_file"]["content"] = 2
+        write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
+        try:
+            with pytest.raises(IcebergError, match="equality delete"):
+                IcebergTable(spark, dtable).read(snapshot_id=3)
+        finally:
+            entries[0]["data_file"]["content"] = 1
+            write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
+
+    def test_delete_on_partitioned_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 30).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g"
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, partition_by="g")
+        with pytest.raises(IcebergError, match="unpartitioned"):
+            delete_rows_iceberg(spark, d, "k = 1")
+
+    def test_empty_delete_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 10).selectExpr("id AS k")
+        d = str(tmp_path / "t")
+        export_iceberg(src, d)
+        with pytest.raises(IcebergError, match="matched no rows"):
+            delete_rows_iceberg(spark, d, "k > 999")
+
+
+class TestIncrementalTail:
+    @pytest.fixture(scope="class")
+    def ttable(self, spark):
+        src = spark.range(0, 90).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        d = tempfile.mkdtemp(prefix="ice_tail_") + "/t"
+        export_iceberg(src.where("k < 30"), d, n_files=2, range_by="k")
+        append_iceberg(src.where("k >= 30 AND k < 60"), d, n_files=2, range_by="k")
+        append_iceberg(src.where("k >= 60"), d, n_files=3, range_by="k")
+        return d
+
+    def test_added_files_per_snapshot(self, spark, ttable):
+        t = IcebergTable(spark, ttable)
+        pairs = t.added_files(1)
+        by_sid = {}
+        for sid, f in pairs:
+            by_sid.setdefault(sid, []).append(f)
+        assert sorted(by_sid) == [2, 3]
+        assert len(by_sid[2]) == 2 and len(by_sid[3]) == 3
+        assert t.added_files(3) == []
+
+    def test_read_tail_rows_and_tags(self, spark, ttable):
+        t = IcebergTable(spark, ttable)
+        tail = t.read_tail(1)
+        assert tail.count() == 60
+        got = {
+            (r["_commit_snapshot"], r["n"])
+            for r in tail.groupby("_commit_snapshot").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert got == {(2, 30), (3, 30)}
+        # rows carry the data columns untouched
+        assert tail.where("k = 45").select("v").first()[0] == 45.0
+
+    def test_tail_nothing_after_raises(self, spark, ttable):
+        with pytest.raises(IcebergError, match="nothing to tail"):
+            IcebergTable(spark, ttable).read_tail(3)
+
+    def test_tail_refuses_delete_snapshot_in_range(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 20).selectExpr("id AS k")
+        d = str(tmp_path / "t")
+        export_iceberg(src.where("k < 10"), d)
+        delete_rows_iceberg(spark, d, "k = 1")
+        append_iceberg(src.where("k >= 10"), d)
+        with pytest.raises(IcebergError, match="'delete' snapshot"):
+            IcebergTable(spark, d).added_files(1)
+
+
+class TestTruncateTransform:
+    @pytest.fixture(scope="class")
+    def trunc_table(self, spark):
+        src = spark.range(0, 100).selectExpr(
+            "id AS k",
+            "concat('grp', CAST(id % 4 AS STRING), '_tail', CAST(id AS STRING)) AS s",
+        )
+        d = tempfile.mkdtemp(prefix="ice_trunc_") + "/t"
+        export_iceberg(src.where("k < 60"), d, partition_by="k", transform="truncate[20]")
+        append_iceberg(src.where("k >= 60"), d)  # inherits truncate spec
+        return d
+
+    def test_int_truncate_tuples(self, spark, trunc_table):
+        t = IcebergTable(spark, trunc_table)
+        files = t.data_files()
+        vals = sorted({f["partition"]["k_trunc"] for f in files})
+        assert vals == [0, 20, 40, 60, 80]
+        spec = t.meta["partition-specs"][0]["fields"][0]
+        assert spec["transform"] == "truncate[20]" and spec["name"] == "k_trunc"
+
+    def test_roundtrip(self, spark, trunc_table):
+        assert IcebergTable(spark, trunc_table).read().count() == 100
+
+    def test_source_range_pruning(self, spark, trunc_table):
+        t = IcebergTable(spark, trunc_table)
+        sel, total = t.plan_files_by_source_range("k", 25, 45)
+        # buckets 20 and 40 intersect [25, 45]
+        assert total == 5 and {f["partition"]["k_trunc"] for f in sel} == {20, 40}
+        assert t.read(files=sel).where("k BETWEEN 25 AND 45").count() == 21
+        # boundary: bucket 20 covers [20, 39]; lo=40 excludes it
+        sel2, _ = t.plan_files_by_source_range("k", 40, 41)
+        assert {f["partition"]["k_trunc"] for f in sel2} == {40}
+
+    def test_string_truncate_and_pruning(self, spark, tmp_path):
+        src = spark.range(0, 80).selectExpr(
+            "id AS k",
+            "concat('grp', CAST(id % 4 AS STRING), '_tail', CAST(id AS STRING)) AS s",
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, partition_by="s", transform="truncate[4]")
+        t = IcebergTable(spark, d)
+        vals = sorted({f["partition"]["s_trunc"] for f in t.data_files()})
+        assert vals == ["grp0", "grp1", "grp2", "grp3"]
+        sel, total = t.plan_files_by_source_range("s", "grp1", "grp2zzz")
+        assert total == 4 and {f["partition"]["s_trunc"] for f in sel} == {"grp1", "grp2"}
+        assert t.read(files=sel).count() == 40
+
+    def test_unknown_transform_refuses(self, spark, tmp_path):
+        with pytest.raises(IcebergError, match="unsupported partition transform"):
+            export_iceberg(
+                spark.range(3).selectExpr("id AS k"),
+                str(tmp_path / "t"),
+                partition_by="k",
+                transform="bucket[16]",
+            )
+
+
+def test_iceberg_append_preserves_foreign_metadata(spark, tmp_path):
+    """Appending to a table whose current-schema-id != 0 and whose
+    snapshot ids are sparse must PRESERVE prior schemas / ids and pick
+    non-colliding snapshot ids + sequence numbers (round-12 advice)."""
+    import glob as _g
+    import json as _json
+
+    src = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    d = str(tmp_path / "t")
+    export_iceberg(src.where("k < 10"), d)
+
+    # rewrite as a foreign table: schema under id 7, snapshot id 41, seq 5
+    meta_path = _g.glob(os.path.join(d, "metadata", "v*.metadata.json"))[0]
+    meta = _json.load(open(meta_path))
+    meta["schemas"][0]["schema-id"] = 7
+    meta["current-schema-id"] = 7
+    meta["snapshots"][0]["snapshot-id"] = 41
+    meta["snapshots"][0]["sequence-number"] = 5
+    meta["last-sequence-number"] = 5
+    meta["current-snapshot-id"] = 41
+    meta["snapshot-log"] = [
+        {"snapshot-id": 41, "timestamp-ms": meta["snapshots"][0]["timestamp-ms"]}
+    ]
+    _json.dump(meta, open(meta_path, "w"))
+
+    sid = append_iceberg(src.where("k >= 10"), d)
+    assert sid == 42  # max(41) + 1, not metadata-file-version 2
+    t = IcebergTable(spark, d)
+    assert t.read().count() == 20
+    assert t.read(snapshot_id=41).count() == 10
+    assert t.meta["current-schema-id"] == 7
+    assert [s.get("schema-id") for s in t.meta["schemas"]] == [7]
+    new_snap = t._snapshot(42)
+    assert new_snap["sequence-number"] == 6
+    # the incremental tail works across the foreign boundary
+    assert t.read_tail(41).count() == 10
