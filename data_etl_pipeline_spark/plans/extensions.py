@@ -5410,3 +5410,162 @@ def iceberg_truncate_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("retail"),
         )
     )
+
+
+@query(
+    "iceberg_year_partitioning",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="Iceberg time-transform partitioning: year(o_orderdate) buckets "
+    "(int years from 1970, the spec definition) recorded as typed "
+    "partition tuples; range pruning maps the predicate bounds through "
+    "the transform (monotone, so t(lo) <= v <= t(hi)) — asserted a "
+    "strict subset — and only surviving year buckets scan. Oracle "
+    "filters raw orders.",
+    round_added=12,
+)
+def iceberg_year_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, export_iceberg
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_year_") + "/table"
+    export_iceberg(src, dest, partition_by="o_orderdate", transform="year")
+
+    t = IcebergTable(spark, dest)
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 12, 31)
+    selected, total = t.plan_files_by_source_range("o_orderdate", lo, hi)
+    assert 0 < len(selected) < total, (len(selected), total)
+    assert {f["partition"]["o_orderdate_year"] for f in selected} == {26, 27}
+
+    return (
+        t.read(files=selected)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "iceberg_bucket_pruned_lookup",
+    sql="""
+    SELECT o_orderkey, o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 33, 42, 58)
+    """,
+    doc="Iceberg bucket[8] partition transform with the from-spec "
+    "murmur3_x86_32 (seed 0, longs as 8-byte little-endian; spec "
+    "appendix-B vectors unit-tested): a point-lookup IN-list prunes to "
+    "at most |keys| of the 8 buckets via plan_files_by_source_values "
+    "(asserted strict subset); range pruning on a bucketed column "
+    "refuses, as hashing is not order-preserving. Oracle filters raw "
+    "orders.",
+    round_added=12,
+)
+def iceberg_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, export_iceberg
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_bucket_") + "/table"
+    export_iceberg(src, dest, partition_by="o_orderkey", transform="bucket[8]")
+
+    t = IcebergTable(spark, dest)
+    keys = [1, 7, 33, 42, 58]
+    selected, total = t.plan_files_by_source_values("o_orderkey", keys)
+    assert 0 < len(selected) <= len(keys) < total, (len(selected), total)
+
+    return (
+        t.read(files=selected)
+        .where(F.col("o_orderkey").isin(keys))
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        )
+    )
+
+
+@query(
+    "iceberg_compact_expire",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1200
+      AND NOT (o_orderstatus = 'O' AND o_orderkey % 9 = 4)
+    GROUP BY 1
+    """,
+    doc="Iceberg lifecycle maintenance (the OPTIMIZE+VACUUM twin of the "
+    "versioned table's and Delta's): compact_iceberg materializes the "
+    "position-deleted content into one fresh file under a REPLACE "
+    "snapshot carrying no prior manifest references, then "
+    "expire_snapshots_iceberg physically reclaims every file reachable "
+    "only from expired snapshots (asserted: all 4 data files + the "
+    "delete file removed, read content invariant). Oracle recomputes "
+    "the surviving content from raw orders.",
+    round_added=12,
+)
+def iceberg_compact_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        compact_iceberg,
+        delete_rows_iceberg,
+        expire_snapshots_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_gc_") + "/table"
+    export_iceberg(src, dest, n_files=4, range_by="o_orderkey")
+    delete_rows_iceberg(spark, dest, "o_orderstatus = 'O' AND o_orderkey % 9 = 4")
+    old_files = [
+        f["path"] for f in IcebergTable(spark, dest).data_files()
+    ] + [f["path"] for f in IcebergTable(spark, dest).delete_files()]
+    compact_iceberg(spark, dest)
+    res = expire_snapshots_iceberg(dest, keep_last=1)
+    # 4 data files + 1 position-delete file physically reclaimed
+    assert res["files_removed"] == 5 and res["expired_snapshots"] == [1, 2]
+    assert all(not _os.path.exists(p) for p in old_files)
+
+    return (
+        IcebergTable(spark, dest)
+        .read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

@@ -62,10 +62,13 @@ Honest limits (loud, not silent):
     manifests would need the table's partition record shape);
   * nested schemas refuse at export (field-id mapping for nested types
     is not implemented);
-  * partition transforms other than identity/truncate refuse (bucket/
-    time transforms are not implemented), as do NULL partition values
-    and unbounded-cardinality partition columns (capped at 64 distinct
-    values per commit);
+  * partition transforms other than identity / truncate[W] / bucket[N]
+    (from-spec murmur3_x86_32, seed 0) / year / month / day refuse
+    ('hour' and 'void' are not implemented), as do NULL partition
+    values and unbounded-cardinality partition columns (capped at 64
+    distinct buckets per commit); bucket[N] refuses RANGE pruning (not
+    order-preserving — point lookups prune via
+    plan_files_by_source_values);
   * ``read_tail`` refuses non-append snapshots in the tailed range
     (delete/replace/overwrite snapshots are not representable as
     inserts — the same stance as the Delta tail's refusal, E92);
@@ -367,45 +370,172 @@ def _file_stats(local_path: str, names: list[str], ice_types: dict[str, str]):
 
 
 
-# partition value types the exporter supports (avro form); identity and
-# truncate[W] both keep the source's primitive type
+# partition value types the exporter supports for the VALUE-typed
+# transforms (identity/truncate/bucket keep or hash the source primitive)
 _PARTITIONABLE = {"int": "int", "long": "long", "string": "string"}
+# source types the TIME transforms accept (partition value is always int)
+_TIME_SOURCES = {"date", "timestamp", "timestamptz"}
 
 _TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 
 
 def _parse_transform(transform: str) -> tuple[str, int | None]:
-    """'identity' -> ('identity', None); 'truncate[W]' -> ('truncate', W).
-    Anything else (bucket/day/hour/...) refuses loudly."""
-    if transform == "identity":
-        return "identity", None
+    """'identity' -> ('identity', None); 'truncate[W]' -> ('truncate', W);
+    'bucket[N]' -> ('bucket', N); 'year'/'month'/'day' -> (kind, None).
+    Anything else ('hour', 'void', unknown) refuses loudly."""
+    if transform in ("identity", "year", "month", "day"):
+        return transform, None
     m = _TRUNCATE_RE.match(transform)
     if m and int(m.group(1)) > 0:
         return "truncate", int(m.group(1))
+    m = _BUCKET_RE.match(transform)
+    if m and int(m.group(1)) > 0:
+        return "bucket", int(m.group(1))
     raise IcebergError(
         f"unsupported partition transform {transform!r} "
-        "(identity and truncate[W] only; bucket/time transforms are not "
-        "implemented)"
+        "(identity, truncate[W], bucket[N], year, month, day only)"
     )
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit from the public reference algorithm —
+    Iceberg's bucket transform hash (spec appendix B: seed 0, ints/longs
+    hashed as 8-byte little-endian, strings as UTF-8 bytes). Spec test
+    vectors covered in tests/test_iceberg.py (hash(34)=2017239379,
+    hash("iceberg")=1210000089)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int, ice_type: str) -> int:
+    """The spec's bucket transform: (murmur3(bytes) & Int.MaxValue) % N,
+    ints/longs promoted to 8-byte little-endian, strings UTF-8."""
+    if ice_type in ("int", "long"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise IcebergError(f"bucket transform unsupported on {ice_type!r}")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
 
 
 def _transform_expr(kind: str, w: int | None, col: str, ice_type: str):
     """The Spark expression computing a partition value from its source
     column, matching the Iceberg spec's transform definitions: int/long
     truncate floors to a multiple of W (``v - (((v % W) + W) % W)``, i.e.
-    pmod); string truncate keeps the first W characters."""
+    pmod); string truncate keeps the first W characters; year/month/day
+    count from the 1970 epoch; bucket is the murmur3 hash mod N (a
+    vectorized pandas UDF — Spark's built-in hash() is murmur3 with seed
+    42, not the spec's seed 0, so the spec hash must run in Python; it
+    prices as an export-time cost only, reads never re-hash)."""
     if kind == "identity":
         return F.col(col)
-    if ice_type == "string":
-        return F.substring(F.col(col), 1, w)
-    return (F.col(col) - F.pmod(F.col(col), F.lit(w))).cast(
-        "int" if ice_type == "int" else "long"
-    )
+    if kind == "truncate":
+        if ice_type == "string":
+            return F.substring(F.col(col), 1, w)
+        return (F.col(col) - F.pmod(F.col(col), F.lit(w))).cast(
+            "int" if ice_type == "int" else "long"
+        )
+    if kind == "year":
+        return (F.year(F.col(col)) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return (
+            (F.year(F.col(col)) - F.lit(1970)) * 12 + F.month(F.col(col)) - 1
+        ).cast("int")
+    if kind == "day":
+        return F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01")).cast("int")
+    if kind == "bucket":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import pandas as pd
+
+            return pd.Series(
+                [None if v is None else iceberg_bucket(v, w, ice_type) for v in s],
+                dtype="Int32",
+            )
+
+        return _bucket(F.col(col))
+    raise IcebergError(f"no expression for transform kind {kind!r}")
+
+
+def _py_transform(kind: str, w: int | None, value, ice_type: str):
+    """Driver-side transform of a single SOURCE value — what pruning
+    needs to map predicate bounds/points into partition-value space."""
+    import datetime as dt
+
+    if kind == "identity":
+        return value
+    if kind == "truncate":
+        if ice_type == "string":
+            return str(value)[:w]
+        return int(value) - (int(value) % w)
+    if kind == "bucket":
+        return iceberg_bucket(value, w, ice_type)
+    if isinstance(value, dt.datetime):
+        value = value.date()
+    if not isinstance(value, dt.date):
+        raise IcebergError(
+            f"time-transform pruning needs a date/datetime bound, got {value!r}"
+        )
+    if kind == "year":
+        return value.year - 1970
+    if kind == "month":
+        return (value.year - 1970) * 12 + value.month - 1
+    if kind == "day":
+        return (value - dt.date(1970, 1, 1)).days
+    raise IcebergError(f"no python transform for kind {kind!r}")
 
 
 def _spec_field_name(kind: str, col: str) -> str:
     # the Iceberg Java writers' naming convention
-    return col if kind == "identity" else f"{col}_trunc"
+    if kind == "identity":
+        return col
+    return f"{col}_{'trunc' if kind == 'truncate' else kind}"
+
+
+def _partition_value_avro(kind: str, src_type: str) -> str:
+    """Validate (transform kind, source type) and return the partition
+    VALUE's avro type: identity/truncate keep the source primitive,
+    bucket and the time transforms produce int."""
+    if kind in ("year", "month", "day"):
+        if src_type not in _TIME_SOURCES:
+            raise IcebergError(
+                f"{kind} transform needs a {sorted(_TIME_SOURCES)} column, "
+                f"not {src_type!r}"
+            )
+        return "int"
+    if src_type not in _PARTITIONABLE:
+        raise IcebergError(
+            f"{kind} partitioning supports {sorted(_PARTITIONABLE)} "
+            f"columns, not {src_type!r}"
+        )
+    return "int" if kind == "bucket" else _PARTITIONABLE[src_type]
 
 def _write_data_files(
     df: DataFrame, table_dir: str, snapshot_n: int, n_files: int, range_by: str | None
@@ -636,11 +766,7 @@ def _commit_snapshot(
         fld = next((f for f in schema["fields"] if f["name"] == partition_by), None)
         if fld is None:
             raise IcebergError(f"partition column {partition_by!r} not in schema")
-        if fld["type"] not in _PARTITIONABLE:
-            raise IcebergError(
-                f"identity partitioning supports {sorted(_PARTITIONABLE)} "
-                f"columns, not {fld['type']!r}"
-            )
+        _partition_value_avro(kind, fld["type"])  # validates the pairing
         ctx.partition_specs = [
             {
                 "spec-id": 0,
@@ -675,12 +801,7 @@ def _commit_snapshot(
             raise IcebergError(
                 f"partition spec source-id {sf['source-id']} not in schema"
             )
-        if src["type"] not in _PARTITIONABLE:
-            raise IcebergError(
-                f"identity partitioning supports {sorted(_PARTITIONABLE)} "
-                f"columns, not {src['type']!r}"
-            )
-        part_avro.append((sf["name"], _PARTITIONABLE[src["type"]]))
+        part_avro.append((sf["name"], _partition_value_avro(kind, src["type"])))
         part_transforms.append((sf["name"], src["name"], w, kind))
 
     if spec_fields:
@@ -840,6 +961,116 @@ def delete_rows_iceberg(spark: SparkSession, table_dir: str, predicate: str) -> 
         0,
         {"deleted-records": str(n_deleted)},
     )
+
+
+def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> int:
+    """Compaction (the OPTIMIZE twin of the versioned table's rewrite and
+    Delta's OPTIMIZE): materialize the table's CURRENT logical content —
+    position deletes applied — into ``n_files`` fresh data files and
+    commit a REPLACE snapshot whose manifest list carries ONLY the new
+    manifest (no carried references: that is what makes the old files
+    reclaimable by ``expire_snapshots_iceberg``). Time travel to prior
+    snapshots keeps working until they are expired; ``read_tail`` refuses
+    ranges crossing the replace, as the spec's semantics require (a
+    rewrite is not representable as inserts). Refuses partitioned tables
+    (the rewrite would need per-partition file assignment)."""
+    ctx = _CommitCtx(table_dir, None, first=False)
+    if ctx.spec_fields():
+        raise IcebergError(
+            "compact_iceberg supports unpartitioned tables only "
+            "(partitioned rewrites are not implemented)"
+        )
+    content = IcebergTable(spark, table_dir).read()  # deletes applied
+    files = _write_data_files(content, table_dir, ctx.version, n_files, None)
+    names = [f["name"] for f in ctx.schema["fields"]]
+    ice_types = {f["name"]: f["type"] for f in ctx.schema["fields"]}
+    entries = []
+    total_rows = 0
+    for p in files:
+        e, n_rows = _data_entry(p, {}, ctx.snapshot_id, names, ice_types)
+        total_rows += n_rows
+        entries.append(e)
+    manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
+    write_ocf(manifest_path, entries, _manifest_entry_schema([]))
+    new_manifest = _manifest_list_entry(manifest_path, ctx, 0, len(files), total_rows)
+    return ctx.publish([new_manifest], "replace", total_rows)
+
+
+def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
+    """Snapshot expiry + orphan-file cleanup — the Iceberg lifecycle twin
+    of the versioned table's VACUUM (and of Delta's retention cleanup):
+    keep the newest ``keep_last`` snapshots, drop the rest from the
+    snapshot log, and physically remove every manifest list, manifest,
+    and data/delete file referenced ONLY by expired snapshots. Kept
+    snapshots keep working verbatim because appends carry prior
+    manifests by reference — a file still reachable from any kept
+    snapshot's manifest list is never touched.
+
+    Scale: pure metadata work, O(manifests + files) driver-side set
+    arithmetic; no data bytes are read. Returns
+    {"expired_snapshots", "files_removed", "manifests_removed"}.
+
+    Refuses keep_last < 1 (expiring the current snapshot would orphan
+    the table)."""
+    if keep_last < 1:
+        raise IcebergError("keep_last must be >= 1 (the current snapshot stays)")
+    prev = _load_table_metadata(table_dir)
+    snaps = sorted(prev["snapshots"], key=lambda s: s.get("sequence-number", 0))
+    if len(snaps) <= keep_last:
+        return {"expired_snapshots": [], "files_removed": 0, "manifests_removed": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    if prev["current-snapshot-id"] not in {s["snapshot-id"] for s in kept}:
+        raise IcebergError(
+            "refusing to expire the current snapshot "
+            f"({prev['current-snapshot-id']}) — it must be among the newest "
+            f"{keep_last}"
+        )
+
+    def _reach(snapshot_set):
+        lists, manifests, files = set(), set(), set()
+        for s in snapshot_set:
+            lp = _local(s["manifest-list"], table_dir)
+            lists.add(lp)
+            entries, _ = read_ocf(lp)
+            for m in entries:
+                mp = _local(m["manifest_path"], table_dir)
+                manifests.add(mp)
+                for e in read_ocf(mp)[0]:
+                    files.add(_local(e["data_file"]["file_path"], table_dir))
+        return lists, manifests, files
+
+    k_lists, k_manifests, k_files = _reach(kept)
+    e_lists, e_manifests, e_files = _reach(expired)
+    removed_files = removed_manifests = 0
+    for p in sorted(e_files - k_files):
+        if os.path.exists(p):
+            os.remove(p)
+            removed_files += 1
+    for p in sorted((e_manifests - k_manifests) | (e_lists - k_lists)):
+        if os.path.exists(p):
+            os.remove(p)
+            removed_manifests += 1
+
+    version = prev["_version"] + 1
+    meta = {k: v for k, v in prev.items() if not k.startswith("_")}
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+        for s in kept
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {
+        "expired_snapshots": [s["snapshot-id"] for s in expired],
+        "files_removed": removed_files,
+        "manifests_removed": removed_manifests,
+    }
 
 
 def _schema_by_id(meta: dict) -> dict:
@@ -1065,45 +1296,77 @@ class IcebergTable:
         ]
         return selected, len(files)
 
-    def plan_files_by_source_range(
-        self, column: str, lo, hi, snapshot_id: int | None = None
-    ) -> tuple[list[dict], int]:
-        """Transform-aware partition pruning on the SOURCE column: files
-        whose partition value (under the spec's identity/truncate[W]
-        transform of ``column``) could hold rows in [lo, hi]. truncate[W]
-        on ints covers [v, v+W-1]; on strings a file with prefix v can
-        hold s iff s[:W] == v, so it intersects [lo, hi] iff
-        lo[:W] <= v <= hi[:W]. Files without the partition key are KEPT
-        (pruning never drops unknowable files)."""
+    def _spec_transform_for(self, column: str) -> tuple[str, str, int | None, str] | None:
+        """(partition field name, kind, width, source ice type) of the
+        default-spec field transforming ``column``, or None."""
         specs = self.meta.get("partition-specs") or [
             {"spec-id": 0, "fields": self.meta.get("partition-spec", [])}
         ]
         sid = self.meta.get("default-spec-id", 0)
         spec_fields = next(sp for sp in specs if sp["spec-id"] == sid)["fields"]
-        src_by_id = {f["id"]: f["name"] for f in self._current_schema()["fields"]}
-        matching = [
-            (sf["name"], _parse_transform(sf.get("transform", "identity")))
-            for sf in spec_fields
-            if src_by_id.get(sf["source-id"]) == column
-        ]
+        src_by_id = {
+            f["id"]: (f["name"], f["type"]) for f in self._current_schema()["fields"]
+        }
+        for sf in spec_fields:
+            name, ice_type = src_by_id.get(sf["source-id"], (None, None))
+            if name == column:
+                kind, w = _parse_transform(sf.get("transform", "identity"))
+                return sf["name"], kind, w, ice_type
+        return None
+
+    def plan_files_by_source_range(
+        self, column: str, lo, hi, snapshot_id: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Transform-aware partition pruning on the SOURCE column: files
+        whose partition value could hold rows in [lo, hi]. Every
+        supported range transform (identity, truncate[W], year, month,
+        day) is MONOTONE, so a bucket v intersects [lo, hi] iff
+        t(lo) <= v <= t(hi) — one rule for all of them (for truncate
+        this is equivalent to the [v, v+W-1] / prefix interval check
+        because v is itself a transform image). bucket[N] is not
+        monotone and refuses here; use ``plan_files_by_source_values``
+        for point predicates. Files without the partition key are KEPT
+        (pruning never drops unknowable files)."""
+        match = self._spec_transform_for(column)
         files = self.data_files(snapshot_id)
-        if not matching:
+        if match is None:
             return files, len(files)
-        pname, (kind, w) = matching[0]
-        selected = []
-        for f in files:
-            v = f["partition"].get(pname)
-            if v is None:
-                selected.append(f)
-            elif kind == "identity":
-                if lo <= v <= hi:
-                    selected.append(f)
-            elif isinstance(v, str):
-                if str(lo)[:w] <= v <= str(hi)[:w]:
-                    selected.append(f)
-            else:
-                if v <= hi and v + w - 1 >= lo:
-                    selected.append(f)
+        pname, kind, w, ice_type = match
+        if kind == "bucket":
+            raise IcebergError(
+                "bucket[N] is not order-preserving — range predicates "
+                "cannot prune it; use plan_files_by_source_values for "
+                "point lookups"
+            )
+        tlo = _py_transform(kind, w, lo, ice_type)
+        thi = _py_transform(kind, w, hi, ice_type)
+        selected = [
+            f
+            for f in files
+            if f["partition"].get(pname) is None
+            or tlo <= f["partition"][pname] <= thi
+        ]
+        return selected, len(files)
+
+    def plan_files_by_source_values(
+        self, column: str, values, snapshot_id: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Point-predicate partition pruning on the SOURCE column: files
+        whose partition value is the transform image of any of
+        ``values`` — the pruning shape bucket[N] exists for (an IN-list
+        of keys maps to at most len(values) of the N buckets). Works for
+        every transform kind; unknowable files are kept."""
+        match = self._spec_transform_for(column)
+        files = self.data_files(snapshot_id)
+        if match is None:
+            return files, len(files)
+        pname, kind, w, ice_type = match
+        images = {_py_transform(kind, w, v, ice_type) for v in values}
+        selected = [
+            f
+            for f in files
+            if f["partition"].get(pname) is None or f["partition"][pname] in images
+        ]
         return selected, len(files)
 
     def added_files(self, after_snapshot_id: int) -> list[tuple[int, dict]]:

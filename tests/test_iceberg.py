@@ -568,13 +568,14 @@ class TestTruncateTransform:
         assert t.read(files=sel).count() == 40
 
     def test_unknown_transform_refuses(self, spark, tmp_path):
-        with pytest.raises(IcebergError, match="unsupported partition transform"):
-            export_iceberg(
-                spark.range(3).selectExpr("id AS k"),
-                str(tmp_path / "t"),
-                partition_by="k",
-                transform="bucket[16]",
-            )
+        for bad in ("hour", "void", "truncate[0]", "bucket[0]", "nonsense"):
+            with pytest.raises(IcebergError, match="unsupported partition transform"):
+                export_iceberg(
+                    spark.range(3).selectExpr("id AS k"),
+                    str(tmp_path / f"t_{bad}"),
+                    partition_by="k",
+                    transform=bad,
+                )
 
 
 def test_iceberg_append_preserves_foreign_metadata(spark, tmp_path):
@@ -613,3 +614,234 @@ def test_iceberg_append_preserves_foreign_metadata(spark, tmp_path):
     assert new_snap["sequence-number"] == 6
     # the incremental tail works across the foreign boundary
     assert t.read_tail(41).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# round 12, second tranche: murmur3/bucket + time transforms + expiry
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's appendix-B bucket hash examples (public test
+    vectors): hash(34 as long LE bytes) and hash('iceberg' utf-8)."""
+    from data_etl_pipeline_spark.sources.iceberg import iceberg_bucket, murmur3_32
+
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+    # bucket = (hash & Int.MaxValue) % N
+    assert iceberg_bucket(34, 16, "long") == (2017239379 & 0x7FFFFFFF) % 16
+    assert iceberg_bucket("iceberg", 16, "string") == (1210000089 & 0x7FFFFFFF) % 16
+
+
+class TestBucketTransform:
+    @pytest.fixture(scope="class")
+    def btable(self, spark):
+        src = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        d = tempfile.mkdtemp(prefix="ice_bucket_") + "/t"
+        export_iceberg(src.where("k < 120"), d, partition_by="k", transform="bucket[8]")
+        append_iceberg(src.where("k >= 120"), d)  # inherits the bucket spec
+        return d
+
+    def test_bucket_tuples_match_spec_hash(self, spark, btable):
+        from data_etl_pipeline_spark.sources.iceberg import iceberg_bucket
+
+        t = IcebergTable(spark, btable)
+        files = t.data_files()
+        assert {f["partition"]["k_bucket"] for f in files} <= set(range(8))
+        # every file's rows actually hash into its declared bucket
+        for f in files[:3]:
+            rows = spark.read.parquet(f["path"]).collect()
+            assert {iceberg_bucket(r["k"], 8, "long") for r in rows} == {
+                f["partition"]["k_bucket"]
+            }
+
+    def test_roundtrip(self, spark, btable):
+        assert IcebergTable(spark, btable).read().count() == 200
+
+    def test_point_lookup_pruning(self, spark, btable):
+        t = IcebergTable(spark, btable)
+        sel, total = t.plan_files_by_source_values("k", {7, 42})
+        assert len(sel) < total  # at most 2 buckets x 2 snapshots survive
+        got = t.read(files=sel).where("k IN (7, 42)")
+        assert got.count() == 2
+
+    def test_range_pruning_refuses(self, spark, btable):
+        with pytest.raises(IcebergError, match="not order-preserving"):
+            IcebergTable(spark, btable).plan_files_by_source_range("k", 0, 10)
+
+
+class TestTimeTransforms:
+    @pytest.fixture(scope="class")
+    def ytable(self, spark):
+        src = spark.range(0, 48).selectExpr(
+            "id AS k",
+            "add_months(DATE '1994-01-15', CAST(id AS INT)) AS d",  # 4 years
+        )
+        d = tempfile.mkdtemp(prefix="ice_year_") + "/t"
+        export_iceberg(src, d, partition_by="d", transform="year")
+        return d
+
+    def test_year_tuples(self, spark, ytable):
+        t = IcebergTable(spark, ytable)
+        vals = sorted({f["partition"]["d_year"] for f in t.data_files()})
+        assert vals == [24, 25, 26, 27]  # 1994..1997 - 1970
+        assert t.read().count() == 48
+
+    def test_year_range_pruning(self, spark, ytable):
+        import datetime
+
+        t = IcebergTable(spark, ytable)
+        sel, total = t.plan_files_by_source_range(
+            "d", datetime.date(1995, 3, 1), datetime.date(1996, 7, 1)
+        )
+        assert total == 4 and {f["partition"]["d_year"] for f in sel} == {25, 26}
+        assert (
+            t.read(files=sel)
+            .where("d BETWEEN DATE '1995-03-01' AND DATE '1996-07-01'")
+            .count()
+            == 16
+        )
+
+    def test_month_transform(self, spark, tmp_path):
+        import datetime
+
+        src = spark.range(0, 10).selectExpr(
+            "id AS k", "add_months(DATE '1970-01-10', CAST(id AS INT)) AS d"
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, partition_by="d", transform="month")
+        t = IcebergTable(spark, d)
+        assert sorted({f["partition"]["d_month"] for f in t.data_files()}) == list(range(10))
+        sel, _ = t.plan_files_by_source_values("d", {datetime.date(1970, 4, 10)})
+        assert len(sel) == 1 and t.read(files=sel).count() == 1
+
+    def test_day_transform_on_timestamp(self, spark, tmp_path):
+        src = spark.range(0, 5).selectExpr(
+            "id AS k",
+            "timestamp_ntz '2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts",
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, partition_by="ts", transform="day")
+        t = IcebergTable(spark, d)
+        import datetime
+
+        base = (datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)).days
+        assert sorted({f["partition"]["ts_day"] for f in t.data_files()}) == [
+            base + i for i in range(5)
+        ]
+
+    def test_time_transform_on_non_temporal_refuses(self, spark, tmp_path):
+        with pytest.raises(IcebergError, match="year transform needs"):
+            export_iceberg(
+                spark.range(3).selectExpr("id AS k"),
+                str(tmp_path / "t"),
+                partition_by="k",
+                transform="year",
+            )
+
+
+class TestExpireSnapshots:
+    def _mk(self, spark, base):
+        src = spark.range(0, 90).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        d = str(base / "t")
+        export_iceberg(src.where("k < 30"), d, n_files=2, range_by="k")
+        append_iceberg(src.where("k >= 30 AND k < 60"), d, n_files=2, range_by="k")
+        append_iceberg(src.where("k >= 60"), d, n_files=2, range_by="k")
+        return d
+
+    def test_expire_keeps_current_reachable_files(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import expire_snapshots_iceberg
+
+        d = self._mk(spark, tmp_path)
+        before = IcebergTable(spark, d)
+        files_before = {f["path"] for f in before.data_files()}
+        res = expire_snapshots_iceberg(d, keep_last=1)
+        assert res["expired_snapshots"] == [1, 2]
+        # appends carry manifests by reference: every data file is still
+        # reachable from snapshot 3, so NOTHING is deleted
+        assert res["files_removed"] == 0
+        t = IcebergTable(spark, d)
+        assert {f["path"] for f in t.data_files()} == files_before
+        assert t.read().count() == 90
+        with pytest.raises(IcebergError, match="not in table"):
+            t.read(snapshot_id=1)
+
+    def test_expire_reclaims_compaction_orphans(self, spark, tmp_path):
+        """After compact_iceberg (replace snapshot, no carried manifest
+        references), expiry physically reclaims the old files."""
+        from data_etl_pipeline_spark.sources.iceberg import (
+            compact_iceberg,
+            expire_snapshots_iceberg,
+        )
+
+        d = self._mk(spark, tmp_path)
+        t = IcebergTable(spark, d)
+        old_files = {f["path"] for f in t.data_files(snapshot_id=3)}
+        sid = compact_iceberg(spark, d)
+        assert sid == 4
+        # pre-expiry: both old and new snapshots readable (time travel)
+        t4 = IcebergTable(spark, d)
+        assert t4.read(snapshot_id=3).count() == 90
+        assert t4.read(snapshot_id=4).count() == 90
+        assert len(t4.data_files(snapshot_id=4)) == 1
+        # the tail refuses a range crossing the replace snapshot
+        with pytest.raises(IcebergError, match="'replace' snapshot"):
+            t4.added_files(2)
+
+        res = expire_snapshots_iceberg(d, keep_last=1)
+        assert res["expired_snapshots"] == [1, 2, 3]
+        assert res["files_removed"] == len(old_files) == 6
+        assert res["manifests_removed"] > 0
+        t2 = IcebergTable(spark, d)
+        assert t2.read().count() == 90
+        assert all(not os.path.exists(p) for p in old_files)
+
+    def test_compact_materializes_position_deletes(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            compact_iceberg,
+            delete_rows_iceberg,
+            expire_snapshots_iceberg,
+        )
+
+        src = spark.range(0, 50).selectExpr("id AS k")
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, n_files=2, range_by="k")
+        delete_rows_iceberg(spark, d, "k % 5 = 0")
+        sid = compact_iceberg(spark, d)
+        t = IcebergTable(spark, d)
+        assert t.read(snapshot_id=sid).count() == 40
+        # compaction materialized the deletes: no delete files remain
+        assert t.delete_files(sid) == []
+        res = expire_snapshots_iceberg(d, keep_last=1)
+        # 2 data files + 1 position-delete file reclaimed
+        assert res["files_removed"] == 3
+        assert IcebergTable(spark, d).read().where("k % 5 = 0").count() == 0
+
+    def test_compact_partitioned_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import compact_iceberg
+
+        src = spark.range(0, 20).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g"
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d, partition_by="g")
+        with pytest.raises(IcebergError, match="unpartitioned"):
+            compact_iceberg(spark, d)
+
+    def test_expire_refuses_zero_keep(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import expire_snapshots_iceberg
+
+        d = self._mk(spark, tmp_path)
+        with pytest.raises(IcebergError, match="keep_last"):
+            expire_snapshots_iceberg(d, keep_last=0)
+
+    def test_expire_noop_when_nothing_to_expire(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import expire_snapshots_iceberg
+
+        d = self._mk(spark, tmp_path)
+        res = expire_snapshots_iceberg(d, keep_last=5)
+        assert res == {
+            "expired_snapshots": [],
+            "files_removed": 0,
+            "manifests_removed": 0,
+        }
