@@ -5569,3 +5569,63 @@ def iceberg_compact_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "iceberg_equality_delete_upsert",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 1200
+      AND (o_orderkey % 11 <> 3 OR o_orderkey < 600)
+    GROUP BY 1
+    """,
+    doc="Iceberg v2 EQUALITY deletes as the upsert building block: "
+    "delete_rows_iceberg(equality_by=[o_orderkey]) writes the distinct "
+    "deleted keys (content=2, equality_ids recorded); rows re-appended "
+    "AFTER the delete carry the very same keys and survive ONLY because "
+    "the reader applies the spec's sequence rule (mask data files with "
+    "seq strictly below the delete's) — without it the re-insert would "
+    "vanish and the oracle hash would fail. Null-safe key equality, "
+    "seq tags via broadcast. Oracle recomputes the surviving set from "
+    "raw orders.",
+    round_added=12,
+)
+def iceberg_equality_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        delete_rows_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_eq_") + "/table"
+    export_iceberg(src, dest, n_files=4, range_by="o_orderkey")
+    delete_rows_iceberg(spark, dest, "o_orderkey % 11 = 3", equality_by=["o_orderkey"])
+    # the upsert: re-insert a subset of the deleted keys AFTER the delete
+    append_iceberg(
+        src.where((F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") < 600)),
+        dest,
+    )
+
+    t = IcebergTable(spark, dest)
+    dels = t.delete_files()
+    assert len(dels) == 1 and dels[0]["content"] == 2
+    assert dels[0]["equality_ids"] == [1]  # o_orderkey's field id
+
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

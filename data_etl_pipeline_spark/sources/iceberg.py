@@ -54,12 +54,17 @@ user of a production Iceberg table hits, per the r11 verdict):
     read in ONE scan with a broadcast (path -> snapshot) tag join —
     the Delta E92 contract applied to the second format.
 
+Equality deletes (data-file ``content=2``, round 12 second tranche) are
+read AND written too: the delete file holds distinct key tuples
+(``equality_ids`` recording their field ids), and masking applies only
+to data files whose sequence number is strictly below the delete's —
+the spec rule that makes re-appending a deleted key an upsert.
+
 Honest limits (loud, not silent):
-  * EQUALITY delete files (data-file ``content=2``) raise — masking by
-    value predicates needs the delete schema's field-id projection;
-    position deletes cover what Spark/Flink writers emit by default;
   * ``delete_rows_iceberg`` refuses partitioned tables (delete
     manifests would need the table's partition record shape);
+  * an equality delete file without ``equality_ids`` is malformed and
+    raises;
   * nested schemas refuse at export (field-id mapping for nested types
     is not implemented);
   * partition transforms other than identity / truncate[W] / bucket[N]
@@ -258,6 +263,15 @@ def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
                         "type": ["null", _kv_array("k129_v130", 129, 130)],
                         "default": None,
                         "field-id": 128,
+                    },
+                    {
+                        "name": "equality_ids",
+                        "type": [
+                            "null",
+                            {"type": "array", "items": "int", "element-id": 136},
+                        ],
+                        "default": None,
+                        "field-id": 135,
                     },
                 ],
             },
@@ -871,19 +885,29 @@ def _canon_path_col(col):
     )
 
 
-def delete_rows_iceberg(spark: SparkSession, table_dir: str, predicate: str) -> int:
-    """Commit an Iceberg v2 POSITION-DELETE snapshot: rows of the current
-    snapshot matching ``predicate`` (a SQL boolean expression over the
-    table's columns) are masked by a position-delete parquet file of
-    ``(file_path, pos)`` rows (spec: delete files, content=1), referenced
-    from a delete manifest in the new snapshot's manifest list. Data
-    files are never rewritten — this is merge-on-read, the same shape as
-    the Delta deletion-vector write path.
+def delete_rows_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    equality_by: list[str] | None = None,
+) -> int:
+    """Commit an Iceberg v2 DELETE snapshot — merge-on-read, data files
+    never rewritten (the Delta deletion-vector write shape):
 
-    Scale: the position scan is ONE distributed pass over the table's
-    data files projecting only ``_metadata`` columns plus the predicate's
-    inputs; the (file -> recorded path) mapping joins through a broadcast
-    bounded by file count. Returns the new snapshot id.
+    * default (``equality_by=None``): a POSITION delete — rows of the
+      current snapshot matching ``predicate`` are masked by a
+      spec-sorted parquet file of ``(file_path, pos)`` rows (content=1);
+    * ``equality_by=[cols]``: an EQUALITY delete — the DISTINCT
+      ``equality_by`` tuples of matching rows are written as the delete
+      file (content=2, ``equality_ids`` recording their field ids); the
+      reader masks data files whose sequence number is STRICTLY BELOW
+      the delete's, so rows re-appended later with the same key survive
+      (the spec's upsert building block).
+
+    Scale: one distributed pass over the table's data files; the
+    (file -> recorded path) mapping joins through a broadcast bounded by
+    file count; an equality delete's cardinality is the distinct key
+    count, usually tiny. Returns the new snapshot id.
 
     Refuses partitioned tables (delete manifests would need the table's
     partition record shape) and predicates matching zero rows (an empty
@@ -900,27 +924,43 @@ def delete_rows_iceberg(spark: SparkSession, table_dir: str, predicate: str) -> 
     mapping = [
         (os.path.abspath(_local(f["path"], table_dir)), f["path"]) for f in data
     ]
-    map_df = F.broadcast(
-        spark.createDataFrame(mapping, "__cf string, file_path string")
-    )
-    positions = (
-        spark.read.parquet(*[c for c, _ in mapping])
-        .where(F.expr(predicate))
-        .select(
-            _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
-        .join(map_df, "__cf")
-        .select("file_path", "pos")
-    )
     out_dir = os.path.join(table_dir, "data", f"snap{ctx.version}-deletes")
-    # the spec requires position deletes sorted by (file_path, pos)
-    positions.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    equality_ids = None
+    if equality_by is None:
+        map_df = F.broadcast(
+            spark.createDataFrame(mapping, "__cf string, file_path string")
+        )
+        rows = (
+            spark.read.parquet(*[c for c, _ in mapping])
+            .where(F.expr(predicate))
+            .select(
+                _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .join(map_df, "__cf")
+            .select("file_path", "pos")
+        )
+        # the spec requires position deletes sorted by (file_path, pos)
+        rows = rows.coalesce(1).sortWithinPartitions("file_path", "pos")
+        content = 1
+    else:
+        id_by_name = {f["name"]: f["id"] for f in ctx.schema["fields"]}
+        missing = [c for c in equality_by if c not in id_by_name]
+        if missing:
+            raise IcebergError(f"equality_by columns {missing} not in schema")
+        equality_ids = [id_by_name[c] for c in equality_by]
+        rows = (
+            spark.read.parquet(*[c for c, _ in mapping])
+            .where(F.expr(predicate))
+            .select(*equality_by)
+            .distinct()
+            .coalesce(1)
+        )
+        content = 2
+    rows.write.mode("overwrite").parquet(out_dir)
     dfiles = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     if not dfiles:
-        raise IcebergError("position-delete write produced no parquet files")
+        raise IcebergError("delete write produced no parquet files")
     entries = []
     n_deleted = 0
     for p in dfiles:
@@ -933,7 +973,7 @@ def delete_rows_iceberg(spark: SparkSession, table_dir: str, predicate: str) -> 
                 "sequence_number": None,
                 "file_sequence_number": None,
                 "data_file": {
-                    "content": 1,  # POSITION DELETES
+                    "content": content,  # 1=position deletes, 2=equality
                     "file_path": p,
                     "file_format": "PARQUET",
                     "partition": {},
@@ -943,6 +983,7 @@ def delete_rows_iceberg(spark: SparkSession, table_dir: str, predicate: str) -> 
                     "null_value_counts": None,
                     "lower_bounds": None,
                     "upper_bounds": None,
+                    "equality_ids": equality_ids,
                 },
             }
         )
@@ -1212,12 +1253,12 @@ class IcebergTable:
     def _manifest_entries(
         self, snapshot_id: int | None = None
     ) -> tuple[list[dict], list[dict]]:
-        """(data_files, position_delete_files) of a snapshot, decoded.
-
-        Equality delete files (data-file content=2) refuse loudly —
-        masking by value predicate needs the delete schema's field-id
-        projection; position deletes (content=1) are what Spark/Flink
-        writers emit by default and are fully applied by ``read``."""
+        """(data_files, delete_files) of a snapshot, decoded. Each dict
+        carries ``seq`` (the entry's data sequence number, inherited from
+        its manifest-list entry when the manifest entry holds null — the
+        spec's inheritance rule); delete dicts additionally carry
+        ``content`` (1=position, 2=equality) and, for equality deletes,
+        the ``equality_ids`` field-id list."""
         snap = self._snapshot(snapshot_id)
         manifests, _ = read_ocf(_local(snap["manifest-list"], self.table_dir))
         by_id = self._by_id()
@@ -1235,26 +1276,34 @@ class IcebergTable:
                     continue
                 dfile = e["data_file"]
                 fcontent = dfile.get("content", 0)
+                decoded = self._decode_file(dfile, by_id)
+                decoded["seq"] = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else m.get("sequence_number", 0)
+                )
                 if mcontent == 0:
                     if fcontent != 0:
                         raise IcebergError(
                             f"data manifest carries a content={fcontent} file "
                             "(malformed table)"
                         )
-                    data.append(self._decode_file(dfile, by_id))
+                    data.append(decoded)
                 else:
-                    if fcontent == 2:
-                        raise IcebergError(
-                            "equality delete files are not supported (position "
-                            "deletes only — equality masking needs the delete "
-                            "schema's field-id projection)"
-                        )
-                    if fcontent != 1:
+                    if fcontent not in (1, 2):
                         raise IcebergError(
                             f"delete manifest carries a content={fcontent} file "
                             "(malformed table)"
                         )
-                    deletes.append(self._decode_file(dfile, by_id))
+                    decoded["content"] = fcontent
+                    if fcontent == 2:
+                        ids = dfile.get("equality_ids")
+                        if not ids:
+                            raise IcebergError(
+                                "equality delete file carries no equality_ids"
+                            )
+                        decoded["equality_ids"] = list(ids)
+                    deletes.append(decoded)
         return data, deletes
 
     def data_files(self, snapshot_id: int | None = None) -> list[dict]:
@@ -1262,7 +1311,7 @@ class IcebergTable:
         return self._manifest_entries(snapshot_id)[0]
 
     def delete_files(self, snapshot_id: int | None = None) -> list[dict]:
-        """Live position-delete files of a snapshot."""
+        """Live delete files of a snapshot (position and equality)."""
         return self._manifest_entries(snapshot_id)[1]
 
     def plan_files(
@@ -1440,9 +1489,17 @@ class IcebergTable:
         self, snapshot_id: int | None = None, files: list[dict] | None = None
     ) -> DataFrame:
         """Scan a snapshot's (optionally pre-pruned) data files, masking
-        position deletes with ONE combined anti-join on the canonical
-        (decoded path, row position) key — the same single-plan-branch
-        shape as the Delta reader's deletion-vector masking."""
+        deletes merge-on-read:
+
+        * POSITION deletes: ONE combined anti-join on the canonical
+          (decoded path, row position) key — the same single-plan-branch
+          shape as the Delta reader's deletion-vector masking;
+        * EQUALITY deletes: one anti-join per distinct equality-id set
+          (normally one), null-safe on the key columns and restricted to
+          data files whose sequence number is STRICTLY BELOW the
+          delete's (the spec rule that lets re-appended keys survive) —
+          the sequence number rides a broadcast path->seq tag, so the
+          join stays hash-shaped with the inequality as a residual."""
         data, deletes = self._manifest_entries(snapshot_id)
         chosen = files if files is not None else data
         paths = [_local(f["path"], self.table_dir) for f in chosen]
@@ -1452,25 +1509,67 @@ class IcebergTable:
         if not deletes:
             return df
         cols = df.columns
-        dels = (
-            self.spark.read.parquet(
-                *[_local(d["path"], self.table_dir) for d in deletes]
-            )
-            .select(
-                _canon_path_col(F.col("file_path")).alias("__cf"),
-                F.col("pos").cast("long").alias("__ri"),
-            )
-        )
-        # the combined key set is bounded by total delete cardinality;
-        # hint broadcast only while clearly small, let AQE decide beyond
-        if sum(d["record_count"] for d in deletes) <= 1_000_000:
-            dels = F.broadcast(dels)
-        return (
-            df.select(
+        pos_dels = [d for d in deletes if d["content"] == 1]
+        eq_dels = [d for d in deletes if d["content"] == 2]
+        need_meta = bool(pos_dels) or bool(eq_dels)
+        if need_meta:
+            df = df.select(
                 "*",
                 _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
-            .join(dels, ["__cf", "__ri"], "left_anti")
-            .select(*cols)
-        )
+        if pos_dels:
+            dels = self.spark.read.parquet(
+                *[_local(d["path"], self.table_dir) for d in pos_dels]
+            ).select(
+                _canon_path_col(F.col("file_path")).alias("__cf"),
+                F.col("pos").cast("long").alias("__ri"),
+            )
+            # the combined key set is bounded by total delete cardinality;
+            # hint broadcast only while clearly small, AQE decides beyond
+            if sum(d["record_count"] for d in pos_dels) <= 1_000_000:
+                dels = F.broadcast(dels)
+            df = df.join(dels, ["__cf", "__ri"], "left_anti")
+        if eq_dels:
+            # per-file data sequence numbers ride a broadcast tag join
+            seq_map = F.broadcast(
+                self.spark.createDataFrame(
+                    [
+                        (os.path.abspath(_local(f["path"], self.table_dir)),
+                         f.get("seq", 0))
+                        for f in chosen
+                    ],
+                    "__cf string, __fseq long",
+                )
+            )
+            df = df.join(seq_map, "__cf", "left")
+            by_id = self._by_id()
+            groups: dict[tuple, list[dict]] = {}
+            for d in eq_dels:
+                groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+            for ids, dfiles_group in sorted(groups.items()):
+                names = []
+                for i in ids:
+                    if i not in by_id:
+                        raise IcebergError(
+                            f"equality delete references unknown field id {i}"
+                        )
+                    names.append(by_id[i][0])
+                per_file = [
+                    self.spark.read.parquet(_local(d["path"], self.table_dir))
+                    .select(*names)
+                    .withColumn("__dseq", F.lit(d["seq"]).cast("long"))
+                    for d in dfiles_group
+                ]
+                dels = per_file[0]
+                for extra in per_file[1:]:
+                    dels = dels.unionByName(extra)
+                if sum(d["record_count"] for d in dfiles_group) <= 1_000_000:
+                    dels = F.broadcast(dels)
+                left, right = df.alias("d"), dels.alias("x")
+                cond = F.col("d.__fseq") < F.col("x.__dseq")
+                for c in names:
+                    # spec: null values compare EQUAL in equality deletes
+                    cond = F.col(f"d.{c}").eqNullSafe(F.col(f"x.{c}")) & cond
+                df = left.join(right, cond, "left_anti")
+        return df.select(*cols)

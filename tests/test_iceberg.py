@@ -429,7 +429,8 @@ class TestPositionDeletes:
         got = t.read(files=sel).where("k BETWEEN 0 AND 19")
         assert got.count() == 18  # 3 and 13 masked
 
-    def test_equality_delete_refuses(self, spark, dtable):
+    def test_equality_delete_without_ids_refuses(self, spark, dtable):
+        """content=2 with no equality_ids is malformed, not maskable."""
         from data_etl_pipeline_spark.sources.avro_ocf import read_ocf as _r
         from data_etl_pipeline_spark.sources.iceberg import (
             MANIFEST_ENTRY_SCHEMA,
@@ -444,7 +445,7 @@ class TestPositionDeletes:
         entries[0]["data_file"]["content"] = 2
         write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
         try:
-            with pytest.raises(IcebergError, match="equality delete"):
+            with pytest.raises(IcebergError, match="no equality_ids"):
                 IcebergTable(spark, dtable).read(snapshot_id=3)
         finally:
             entries[0]["data_file"]["content"] = 1
@@ -845,3 +846,76 @@ class TestExpireSnapshots:
             "files_removed": 0,
             "manifests_removed": 0,
         }
+
+
+class TestEqualityDeletes:
+    @pytest.fixture(scope="class")
+    def etable(self, spark):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 100).selectExpr("id AS k", "CAST(id * 3 AS DOUBLE) AS v")
+        d = tempfile.mkdtemp(prefix="ice_eq_") + "/t"
+        export_iceberg(src.where("k < 80"), d, n_files=3, range_by="k")
+        delete_rows_iceberg(spark, d, "k % 10 = 4", equality_by=["k"])
+        # re-append three previously-deleted keys AFTER the delete: the
+        # spec's seq rule (data seq < delete seq) must let them survive
+        append_iceberg(
+            src.where("k IN (4, 14, 24)").selectExpr("k", "v * 10 AS v"), d
+        )
+        return d
+
+    def test_equality_masking_and_upsert_survival(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        back = t.read()
+        # 80 - 8 deleted (4,14,...,74) + 3 re-appended = 75
+        assert back.count() == 75
+        # re-appended rows carry the NEW values (the old ones are masked)
+        got = {r["k"]: r["v"] for r in back.where("k IN (4, 14, 24)").collect()}
+        assert got == {4: 120.0, 14: 420.0, 24: 720.0}
+        assert back.where("k = 34").count() == 0  # not re-appended: gone
+
+    def test_time_travel_pre_delete(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        assert t.read(snapshot_id=1).count() == 80
+
+    def test_delete_files_carry_ids(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        dels = t.delete_files()
+        assert len(dels) == 1 and dels[0]["content"] == 2
+        assert dels[0]["equality_ids"] == [1]  # field id of k
+        assert dels[0]["record_count"] == 8
+
+    def test_compact_materializes_equality_deletes(self, spark, etable):
+        from data_etl_pipeline_spark.sources.iceberg import compact_iceberg
+
+        import shutil
+
+        d = etable + "_copy"
+        shutil.copytree(etable, d)
+        sid = compact_iceberg(spark, d)
+        t = IcebergTable(spark, d)
+        assert t.read(snapshot_id=sid).count() == 75
+        assert t.delete_files(sid) == []
+
+    def test_unknown_equality_column_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 10).selectExpr("id AS k")
+        d = str(tmp_path / "t")
+        export_iceberg(src, d)
+        with pytest.raises(IcebergError, match="not in schema"):
+            delete_rows_iceberg(spark, d, "k = 1", equality_by=["nope"])
+
+    def test_null_keys_compare_equal(self, spark, tmp_path):
+        """Spec: equality deletes match NULL keys null-safely."""
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        src = spark.range(0, 10).selectExpr(
+            "id AS k", "CASE WHEN id >= 8 THEN NULL ELSE CAST(id AS STRING) END AS g"
+        )
+        d = str(tmp_path / "t")
+        export_iceberg(src, d)
+        delete_rows_iceberg(spark, d, "g IS NULL", equality_by=["g"])
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 8
+        assert t.read().where("g IS NULL").count() == 0
