@@ -5629,3 +5629,81 @@ def iceberg_equality_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "iceberg_nested_roundtrip",
+    sql="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 1500
+    GROUP BY 1, 2
+    """,
+    doc="Iceberg nested-schema export (closes the r11 primitives-only "
+    "refusal): struct/list/map columns carry spec-correct UNIQUE field "
+    "ids (pre-order fresh-id assignment; element-id / key-id / value-id "
+    "for collections, last-column-id = max id) through metadata.json; "
+    "the replay reads nested values back intact and the aggregation "
+    "consumes struct members. Top-level primitive bounds still prune; "
+    "nested columns refuse as partition sources. Oracle recomputes from "
+    "raw orders.",
+    round_added=12,
+)
+def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, export_iceberg
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.array("o_totalprice").alias("prices"),
+            F.create_map(F.lit("price"), F.col("o_totalprice")).alias("kv"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="ice_nested_") + "/table"
+    export_iceberg(src, dest, n_files=3, range_by="o_orderkey")
+
+    t = IcebergTable(spark, dest)
+    # field ids are unique across the nested tree (spec requirement)
+    import json as _json
+    import os as _os
+
+    meta = _json.load(
+        open(_os.path.join(dest, "metadata", "v1.metadata.json"))
+    )
+
+    def _ids(node, out):
+        if isinstance(node, dict):
+            out += [node[k] for k in ("id", "element-id", "key-id", "value-id") if k in node]
+            for k in ("fields", "type", "element", "key", "value"):
+                if k in node:
+                    _ids(node[k], out)
+        elif isinstance(node, list):
+            for v in node:
+                _ids(v, out)
+
+    ids: list = []
+    _ids(meta["schemas"][0]["fields"], ids)
+    assert len(ids) == len(set(ids)) and meta["last-column-id"] == max(ids)
+
+    back = t.read()
+    return (
+        back.groupBy(
+            F.col("meta.status").alias("status"),
+            F.col("meta.priority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.element_at(F.col("kv"), "price").cast("decimal(18,2)")
+            ).cast("double").alias("total"),
+        )
+    )

@@ -65,8 +65,10 @@ Honest limits (loud, not silent):
     manifests would need the table's partition record shape);
   * an equality delete file without ``equality_ids`` is malformed and
     raises;
-  * nested schemas refuse at export (field-id mapping for nested types
-    is not implemented);
+  * nested struct/list/map columns export with spec-correct unique
+    field ids (round 12), but cannot be partition sources or equality
+    keys, and carry no column bounds (footer stats for nested paths are
+    skipped — pruning keeps such files);
   * partition transforms other than identity / truncate[W] / bucket[N]
     (from-spec murmur3_x86_32, seed 0) / year / month / day refuse
     ('hour' and 'void' are not implemented), as do NULL partition
@@ -122,22 +124,90 @@ _SPARK_TO_ICEBERG = {
 
 
 def _iceberg_schema(df: DataFrame) -> dict:
+    """Spark schema -> Iceberg schema JSON with UNIQUE field ids assigned
+    pre-order (each field numbered when visited, nested types recursed
+    immediately) — the same fresh-id discipline Iceberg's own
+    SchemaParser applies. Nested structs, lists (element-id), and maps
+    (key-id/value-id) all carry spec-correct ids (round 12; primitives
+    only was the r11 refusal)."""
+    from pyspark.sql import types as T
+
+    counter = {"next": 1}
+
+    def take() -> int:
+        i = counter["next"]
+        counter["next"] += 1
+        return i
+
+    def convert(dt) -> object:
+        s = dt.simpleString()
+        if s.startswith("decimal"):
+            return s.replace(",", ", ")
+        if s in _SPARK_TO_ICEBERG:
+            return _SPARK_TO_ICEBERG[s]
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = take()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": False,
+                        "type": convert(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = take()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": convert(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = take(), take()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": convert(dt.keyType),
+                "value-id": vid,
+                "value": convert(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        raise IcebergError(
+            f"unsupported column type {s!r} for Iceberg export"
+        )
+
     fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        t = f.dataType.simpleString()
-        if t.startswith("decimal"):
-            ice = t.replace(",", ", ")
-        elif t in _SPARK_TO_ICEBERG:
-            ice = _SPARK_TO_ICEBERG[t]
-        else:
-            raise IcebergError(
-                f"unsupported column type {t!r} for Iceberg export "
-                "(primitive columns only; nested field-id mapping not implemented)"
-            )
+    for f in df.schema.fields:
+        fid = take()
         fields.append(
-            {"id": i, "name": f.name, "required": False, "type": ice}
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": convert(f.dataType),
+            }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _max_field_id(node) -> int:
+    """Highest field id anywhere in an Iceberg schema JSON tree (struct
+    field ids, list element-ids, map key/value-ids)."""
+    if isinstance(node, dict):
+        own = [node[k] for k in ("id", "element-id", "key-id", "value-id") if k in node]
+        kids = [
+            _max_field_id(v)
+            for k, v in node.items()
+            if k in ("fields", "type", "element", "key", "value")
+        ]
+        return max(own + kids + [0])
+    if isinstance(node, list):
+        return max([_max_field_id(v) for v in node] + [0])
+    return 0
 
 
 # Iceberg single-value binary serialization (spec appendix D) for the
@@ -544,10 +614,11 @@ def _partition_value_avro(kind: str, src_type: str) -> str:
                 f"not {src_type!r}"
             )
         return "int"
-    if src_type not in _PARTITIONABLE:
+    if not isinstance(src_type, str) or src_type not in _PARTITIONABLE:
         raise IcebergError(
             f"{kind} partitioning supports {sorted(_PARTITIONABLE)} "
-            f"columns, not {src_type!r}"
+            f"columns, not {src_type!r} (nested types cannot be partition "
+            "sources)"
         )
     return "int" if kind == "bucket" else _PARTITIONABLE[src_type]
 
@@ -687,9 +758,10 @@ class _CommitCtx:
                 "schema-id": self.current_schema_id,
             }
         ]
-        names = [f["name"] for f in self.schema["fields"]]
         last_col = (
-            self.prev.get("last-column-id", len(names)) if self.prev else len(names)
+            self.prev.get("last-column-id", _max_field_id(self.schema))
+            if self.prev
+            else _max_field_id(self.schema)
         )
         meta = {
             "format-version": 2,

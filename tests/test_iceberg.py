@@ -194,10 +194,52 @@ def test_iceberg_mislabeled_delete_manifest_refuses(spark, ice_table):
         write_ocf(lst, manifests, MANIFEST_LIST_SCHEMA)
 
 
-def test_iceberg_nested_schema_refuses(spark):
-    df = spark.range(3).selectExpr("id", "named_struct('a', id) AS s")
-    with pytest.raises(IcebergError, match="unsupported column type"):
-        export_iceberg(df, tempfile.mkdtemp(prefix="ice_nested_") + "/t")
+def test_iceberg_nested_schema_roundtrip(spark, tmp_path):
+    """Nested struct/list/map columns export with spec-correct unique
+    field ids (pre-order fresh-id assignment) and replay byte-equal."""
+    import json as _json
+
+    df = spark.range(0, 20).selectExpr(
+        "id AS k",
+        "named_struct('a', id, 'b', CAST(id AS STRING)) AS s",
+        "array(id, id * 2) AS arr",
+        "map(CAST(id AS STRING), id) AS m",
+    )
+    d = str(tmp_path / "t")
+    export_iceberg(df, d, n_files=2, range_by="k")
+    t = IcebergTable(spark, d)
+    back = t.read()
+    assert back.count() == 20
+    assert back.where("s.a = 7").select("s.b").first()[0] == "7"
+    assert back.where("k = 3").select("arr").first()[0] == [3, 6]
+    assert back.where("k = 5").select("m").first()[0] == {"5": 5}
+    # ids unique across the whole tree, last-column-id = max id
+    meta_path = os.path.join(d, "metadata", "v1.metadata.json")
+    meta = _json.load(open(meta_path))
+    schema = meta["schemas"][0]
+
+    def collect_ids(node, out):
+        if isinstance(node, dict):
+            for key in ("id", "element-id", "key-id", "value-id"):
+                if key in node:
+                    out.append(node[key])
+            for key in ("fields", "type", "element", "key", "value"):
+                if key in node:
+                    collect_ids(node[key], out)
+        elif isinstance(node, list):
+            for v in node:
+                collect_ids(v, out)
+
+    ids: list[int] = []
+    collect_ids(schema["fields"], ids)
+    assert len(ids) == len(set(ids)) == 9  # k, s, s.a, s.b, arr, elem, m, key, value
+    assert meta["last-column-id"] == max(ids)
+    # bounds on the top-level primitive still prune
+    sel, total = t.plan_files("k", 0, 5)
+    assert 0 < len(sel) < total
+    # partitioning by a nested-typed column refuses loudly
+    with pytest.raises(IcebergError, match="partitioning supports"):
+        export_iceberg(df, str(tmp_path / "t2"), partition_by="s")
 
 
 def test_iceberg_append_schema_drift_refuses(spark, ice_table):
