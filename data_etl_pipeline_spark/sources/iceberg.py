@@ -61,8 +61,9 @@ to data files whose sequence number is strictly below the delete's —
 the spec rule that makes re-appending a deleted key an upsert.
 
 Honest limits (loud, not silent):
-  * ``delete_rows_iceberg`` refuses partitioned tables (delete
-    manifests would need the table's partition record shape);
+  * ``compact_iceberg`` refuses partitioned tables (the rewrite would
+    need per-partition file assignment); deletes on partitioned tables
+    work (global delete manifests under a dedicated unpartitioned spec);
   * an equality delete file without ``equality_ids`` is malformed and
     raises;
   * nested struct/list/map columns export with spec-correct unique
@@ -466,9 +467,9 @@ _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 
 def _parse_transform(transform: str) -> tuple[str, int | None]:
     """'identity' -> ('identity', None); 'truncate[W]' -> ('truncate', W);
-    'bucket[N]' -> ('bucket', N); 'year'/'month'/'day' -> (kind, None).
-    Anything else ('hour', 'void', unknown) refuses loudly."""
-    if transform in ("identity", "year", "month", "day"):
+    'bucket[N]' -> ('bucket', N); 'year'/'month'/'day'/'hour' ->
+    (kind, None). Anything else ('void', unknown) refuses loudly."""
+    if transform in ("identity", "year", "month", "day", "hour"):
         return transform, None
     m = _TRUNCATE_RE.match(transform)
     if m and int(m.group(1)) > 0:
@@ -478,7 +479,7 @@ def _parse_transform(transform: str) -> tuple[str, int | None]:
         return "bucket", int(m.group(1))
     raise IcebergError(
         f"unsupported partition transform {transform!r} "
-        "(identity, truncate[W], bucket[N], year, month, day only)"
+        "(identity, truncate[W], bucket[N], year, month, day, hour only)"
     )
 
 
@@ -552,6 +553,10 @@ def _transform_expr(kind: str, w: int | None, col: str, ice_type: str):
         ).cast("int")
     if kind == "day":
         return F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01")).cast("int")
+    if kind == "hour":
+        # epoch seconds via unix_timestamp (session tz is the engine's
+        # pinned UTC, matching the spec's UTC hour boundaries)
+        return F.floor(F.unix_timestamp(F.col(col)) / 3600).cast("int")
     if kind == "bucket":
         from pyspark.sql.functions import pandas_udf
 
@@ -581,6 +586,13 @@ def _py_transform(kind: str, w: int | None, value, ice_type: str):
         return int(value) - (int(value) % w)
     if kind == "bucket":
         return iceberg_bucket(value, w, ice_type)
+    if kind == "hour":
+        if not isinstance(value, dt.datetime):
+            raise IcebergError(
+                f"hour-transform pruning needs a datetime bound, got {value!r}"
+            )
+        epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        return int((value - epoch).total_seconds() // 3600)
     if isinstance(value, dt.datetime):
         value = value.date()
     if not isinstance(value, dt.date):
@@ -607,10 +619,13 @@ def _partition_value_avro(kind: str, src_type: str) -> str:
     """Validate (transform kind, source type) and return the partition
     VALUE's avro type: identity/truncate keep the source primitive,
     bucket and the time transforms produce int."""
-    if kind in ("year", "month", "day"):
-        if src_type not in _TIME_SOURCES:
+    if kind in ("year", "month", "day", "hour"):
+        allowed = (
+            _TIME_SOURCES - {"date"} if kind == "hour" else _TIME_SOURCES
+        )
+        if not isinstance(src_type, str) or src_type not in allowed:
             raise IcebergError(
-                f"{kind} transform needs a {sorted(_TIME_SOURCES)} column, "
+                f"{kind} transform needs a {sorted(allowed)} column, "
                 f"not {src_type!r}"
             )
         return "int"
@@ -818,11 +833,12 @@ def _data_entry(path: str, part_tuple: dict, snapshot_id: int,
 
 
 def _manifest_list_entry(manifest_path: str, ctx: _CommitCtx, content: int,
-                         n_files: int, n_rows: int) -> dict:
+                         n_files: int, n_rows: int,
+                         spec_id: int | None = None) -> dict:
     return {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": ctx.default_spec_id,
+        "partition_spec_id": ctx.default_spec_id if spec_id is None else spec_id,
         "content": content,
         "sequence_number": ctx.seq,
         "min_sequence_number": ctx.seq,
@@ -981,15 +997,26 @@ def delete_rows_iceberg(
     file count; an equality delete's cardinality is the distinct key
     count, usually tiny. Returns the new snapshot id.
 
-    Refuses partitioned tables (delete manifests would need the table's
-    partition record shape) and predicates matching zero rows (an empty
-    delete commit is a sign of caller error, not a no-op to hide)."""
+    Partitioned tables are supported too (round 12 close-out): the
+    delete manifest is written under a dedicated UNPARTITIONED spec —
+    global deletes, spec-legal, applied by path+pos / key regardless of
+    which partition a row lives in. Predicates matching zero rows refuse
+    (an empty delete commit is a sign of caller error, not a no-op to
+    hide)."""
     ctx = _CommitCtx(table_dir, None, first=False)
+    delete_spec_id = ctx.default_spec_id
     if ctx.spec_fields():
-        raise IcebergError(
-            "delete_rows_iceberg supports unpartitioned tables only "
-            "(delete manifests for partitioned specs are not implemented)"
+        # find-or-add an unpartitioned spec for the delete manifest
+        empty = next(
+            (sp for sp in ctx.partition_specs if not sp["fields"]), None
         )
+        if empty is None:
+            empty = {
+                "spec-id": max(sp["spec-id"] for sp in ctx.partition_specs) + 1,
+                "fields": [],
+            }
+            ctx.partition_specs = ctx.partition_specs + [empty]
+        delete_spec_id = empty["spec-id"]
     table = IcebergTable(spark, table_dir)
     data = table.data_files()
     # canonical local path -> manifest-recorded path (bounded by file count)
@@ -1066,7 +1093,9 @@ def delete_rows_iceberg(
         )
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}-deletes.avro")
     write_ocf(manifest_path, entries, _manifest_entry_schema([]))
-    delete_manifest = _manifest_list_entry(manifest_path, ctx, 1, len(dfiles), 0)
+    delete_manifest = _manifest_list_entry(
+        manifest_path, ctx, 1, len(dfiles), 0, spec_id=delete_spec_id
+    )
     delete_manifest["deleted_rows_count"] = n_deleted
     return ctx.publish(
         [delete_manifest] + ctx.prior_manifests,

@@ -493,7 +493,11 @@ class TestPositionDeletes:
             entries[0]["data_file"]["content"] = 1
             write_ocf(mpath, entries, MANIFEST_ENTRY_SCHEMA)
 
-    def test_delete_on_partitioned_refuses(self, spark, tmp_path):
+    def test_delete_on_partitioned_table(self, spark, tmp_path):
+        """Deletes on a partitioned table ride a dedicated UNPARTITIONED
+        spec for the delete manifest (global deletes, spec-legal)."""
+        import json as _json
+
         from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
 
         src = spark.range(0, 30).selectExpr(
@@ -501,8 +505,21 @@ class TestPositionDeletes:
         )
         d = str(tmp_path / "t")
         export_iceberg(src, d, partition_by="g")
-        with pytest.raises(IcebergError, match="unpartitioned"):
-            delete_rows_iceberg(spark, d, "k = 1")
+        delete_rows_iceberg(spark, d, "k < 4")
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 26
+        assert t.read().where("k < 4").count() == 0
+        # partition pruning still composes with delete masking
+        sel, total = t.plan_files_by_partition("g", {"a"})
+        assert len(sel) < total
+        assert t.read(files=sel).where("g = 'a'").count() == 13
+        # the delete manifest references the added unpartitioned spec
+        meta = _json.load(
+            open(os.path.join(d, "metadata", "v2.metadata.json"))
+        )
+        specs = {sp["spec-id"]: sp["fields"] for sp in meta["partition-specs"]}
+        assert len(specs) == 2 and [] in specs.values()
+        assert meta["default-spec-id"] == 0  # data spec unchanged
 
     def test_empty_delete_refuses(self, spark, tmp_path):
         from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
@@ -611,7 +628,7 @@ class TestTruncateTransform:
         assert t.read(files=sel).count() == 40
 
     def test_unknown_transform_refuses(self, spark, tmp_path):
-        for bad in ("hour", "void", "truncate[0]", "bucket[0]", "nonsense"):
+        for bad in ("void", "truncate[0]", "bucket[0]", "nonsense"):
             with pytest.raises(IcebergError, match="unsupported partition transform"):
                 export_iceberg(
                     spark.range(3).selectExpr("id AS k"),
@@ -961,3 +978,30 @@ class TestEqualityDeletes:
         t = IcebergTable(spark, d)
         assert t.read().count() == 8
         assert t.read().where("g IS NULL").count() == 0
+
+
+def test_hour_transform(spark, tmp_path):
+    import datetime
+
+    src = spark.range(0, 6).selectExpr(
+        "id AS k",
+        "timestamp_ntz '2024-03-01 00:30:00' + make_interval(0,0,0,0,CAST(id*2 AS INT),0,0) AS ts",
+    )
+    d = str(tmp_path / "t")
+    export_iceberg(src, d, partition_by="ts", transform="hour")
+    t = IcebergTable(spark, d)
+    base = int(datetime.datetime(2024, 3, 1).timestamp() // 3600)  # UTC env
+    vals = sorted({f["partition"]["ts_hour"] for f in t.data_files()})
+    assert vals == [base + 2 * i for i in range(6)]
+    # range pruning through the hour transform
+    lo = datetime.datetime(2024, 3, 1, 3, 0)
+    hi = datetime.datetime(2024, 3, 1, 7, 0)
+    sel, total = t.plan_files_by_source_range("ts", lo, hi)
+    assert total == 6 and {f["partition"]["ts_hour"] for f in sel} == {
+        base + 4, base + 6
+    }
+    assert t.read(files=sel).count() == 2
+    # hour on a DATE column refuses
+    dsrc = spark.range(3).selectExpr("id AS k", "DATE '2024-01-01' AS dcol")
+    with pytest.raises(IcebergError, match="hour transform needs"):
+        export_iceberg(dsrc, str(tmp_path / "t2"), partition_by="dcol", transform="hour")
