@@ -61,9 +61,6 @@ to data files whose sequence number is strictly below the delete's —
 the spec rule that makes re-appending a deleted key an upsert.
 
 Honest limits (loud, not silent):
-  * ``compact_iceberg`` refuses partitioned tables (the rewrite would
-    need per-partition file assignment); deletes on partitioned tables
-    work (global delete manifests under a dedicated unpartitioned spec);
   * an equality delete file without ``equality_ids`` is malformed and
     raises;
   * nested struct/list/map columns export with spec-correct unique
@@ -852,6 +849,66 @@ def _manifest_list_entry(manifest_path: str, ctx: _CommitCtx, content: int,
     }
 
 
+def _write_partitioned_files(
+    df: DataFrame,
+    table_dir: str,
+    version: int,
+    part_transforms: list[tuple[str, str, int | None, str]],
+    ice_types: dict[str, str],
+) -> list[tuple[str, dict]]:
+    """One (or more) data files per partition VALUE — every file holds
+    exactly one partition tuple, the invariant manifests encode.
+    Partitioning is for bounded-cardinality layouts; the distinct collect
+    is capped, refusing silently-unbounded specs."""
+    pname, src_col, w, kind = part_transforms[0]
+    texpr = _transform_expr(kind, w, src_col, ice_types[src_col])
+    values = [
+        r[0]
+        for r in df.select(texpr.alias("__p")).distinct().limit(
+            _MAX_PARTITIONS_PER_COMMIT + 1
+        ).collect()
+    ]
+    if len(values) > _MAX_PARTITIONS_PER_COMMIT:
+        raise IcebergError(
+            f"more than {_MAX_PARTITIONS_PER_COMMIT} distinct values of "
+            f"{kind}({src_col!r}) in one commit — partitioning is for "
+            "bounded-cardinality columns; widen the truncate width or "
+            "bucket first"
+        )
+    if any(v is None for v in values):
+        raise IcebergError(
+            f"NULL partition value in {src_col!r}: null partition tuples "
+            "are not supported"
+        )
+    files_with_parts: list[tuple[str, dict]] = []
+    for i, v in enumerate(sorted(values)):
+        part_dir = os.path.join(table_dir, "data", f"snap{version}", f"p{i}")
+        df.where(texpr == v).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        for fp in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+            files_with_parts.append((fp, {pname: v}))
+    if not files_with_parts:
+        raise IcebergError("partitioned data write produced no parquet files")
+    return files_with_parts
+
+
+def _part_transforms_of(schema: dict, spec_fields: list[dict]):
+    """[(partition field name, source column, width, kind)] + avro value
+    types for the manifest's r102 partition record."""
+    by_id = {f["id"]: f for f in schema["fields"]}
+    part_avro: list[tuple[str, str]] = []
+    part_transforms: list[tuple[str, str, int | None, str]] = []
+    for sf in spec_fields:
+        kind, w = _parse_transform(sf.get("transform", "identity"))
+        src = by_id.get(sf["source-id"])
+        if src is None:
+            raise IcebergError(
+                f"partition spec source-id {sf['source-id']} not in schema"
+            )
+        part_avro.append((sf["name"], _partition_value_avro(kind, src["type"])))
+        part_transforms.append((sf["name"], src["name"], w, kind))
+    return part_avro, part_transforms
+
+
 def _commit_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -893,52 +950,12 @@ def _commit_snapshot(
     spec_fields = ctx.spec_fields()
     names = [f["name"] for f in schema["fields"]]
     ice_types = {f["name"]: f["type"] for f in schema["fields"]}
-    by_id = {f["id"]: f for f in schema["fields"]}
-    part_avro: list[tuple[str, str]] = []
-    part_transforms: list[tuple[str, str, int | None, str]] = []  # (pname, src, w, kind)
-    for sf in spec_fields:
-        kind, w = _parse_transform(sf.get("transform", "identity"))
-        src = by_id.get(sf["source-id"])
-        if src is None:
-            raise IcebergError(
-                f"partition spec source-id {sf['source-id']} not in schema"
-            )
-        part_avro.append((sf["name"], _partition_value_avro(kind, src["type"])))
-        part_transforms.append((sf["name"], src["name"], w, kind))
+    part_avro, part_transforms = _part_transforms_of(schema, spec_fields)
 
     if spec_fields:
-        # one (or more) data files per partition VALUE — every file holds
-        # exactly one partition tuple, the invariant manifests encode.
-        # Partitioning is for bounded-cardinality layouts; the distinct
-        # collect is capped, refusing silently-unbounded specs.
-        pname, src_col, w, kind = part_transforms[0]
-        texpr = _transform_expr(kind, w, src_col, ice_types[src_col])
-        values = [
-            r[0]
-            for r in df.select(texpr.alias("__p")).distinct().limit(
-                _MAX_PARTITIONS_PER_COMMIT + 1
-            ).collect()
-        ]
-        if len(values) > _MAX_PARTITIONS_PER_COMMIT:
-            raise IcebergError(
-                f"more than {_MAX_PARTITIONS_PER_COMMIT} distinct values of "
-                f"{kind}({src_col!r}) in one commit — partitioning is for "
-                "bounded-cardinality columns; widen the truncate width or "
-                "bucket first"
-            )
-        if any(v is None for v in values):
-            raise IcebergError(
-                f"NULL partition value in {src_col!r}: null partition tuples "
-                "are not supported"
-            )
-        files_with_parts: list[tuple[str, dict]] = []
-        for i, v in enumerate(sorted(values)):
-            part_dir = os.path.join(table_dir, "data", f"snap{ctx.version}", f"p{i}")
-            df.where(texpr == v).coalesce(1).write.mode("overwrite").parquet(part_dir)
-            for fp in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
-                files_with_parts.append((fp, {pname: v}))
-        if not files_with_parts:
-            raise IcebergError("partitioned data write produced no parquet files")
+        files_with_parts = _write_partitioned_files(
+            df, table_dir, ctx.version, part_transforms, ice_types
+        )
     else:
         files_with_parts = [
             (p, {})
@@ -1114,27 +1131,37 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
     reclaimable by ``expire_snapshots_iceberg``). Time travel to prior
     snapshots keeps working until they are expired; ``read_tail`` refuses
     ranges crossing the replace, as the spec's semantics require (a
-    rewrite is not representable as inserts). Refuses partitioned tables
-    (the rewrite would need per-partition file assignment)."""
+    rewrite is not representable as inserts). Partitioned tables rewrite
+    one file per live partition tuple through the same transform
+    machinery the partitioned write path uses (``n_files`` applies to
+    unpartitioned tables only)."""
     ctx = _CommitCtx(table_dir, None, first=False)
-    if ctx.spec_fields():
-        raise IcebergError(
-            "compact_iceberg supports unpartitioned tables only "
-            "(partitioned rewrites are not implemented)"
-        )
-    content = IcebergTable(spark, table_dir).read()  # deletes applied
-    files = _write_data_files(content, table_dir, ctx.version, n_files, None)
+    spec_fields = ctx.spec_fields()
     names = [f["name"] for f in ctx.schema["fields"]]
     ice_types = {f["name"]: f["type"] for f in ctx.schema["fields"]}
+    content = IcebergTable(spark, table_dir).read()  # deletes applied
+    if spec_fields:
+        part_avro, part_transforms = _part_transforms_of(ctx.schema, spec_fields)
+        files_with_parts = _write_partitioned_files(
+            content, table_dir, ctx.version, part_transforms, ice_types
+        )
+    else:
+        part_avro = []
+        files_with_parts = [
+            (p, {})
+            for p in _write_data_files(content, table_dir, ctx.version, n_files, None)
+        ]
     entries = []
     total_rows = 0
-    for p in files:
-        e, n_rows = _data_entry(p, {}, ctx.snapshot_id, names, ice_types)
+    for p, part_tuple in files_with_parts:
+        e, n_rows = _data_entry(p, part_tuple, ctx.snapshot_id, names, ice_types)
         total_rows += n_rows
         entries.append(e)
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
-    write_ocf(manifest_path, entries, _manifest_entry_schema([]))
-    new_manifest = _manifest_list_entry(manifest_path, ctx, 0, len(files), total_rows)
+    write_ocf(manifest_path, entries, _manifest_entry_schema(part_avro))
+    new_manifest = _manifest_list_entry(
+        manifest_path, ctx, 0, len(files_with_parts), total_rows
+    )
     return ctx.publish([new_manifest], "replace", total_rows)
 
 

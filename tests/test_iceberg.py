@@ -877,16 +877,35 @@ class TestExpireSnapshots:
         assert res["files_removed"] == 3
         assert IcebergTable(spark, d).read().where("k % 5 = 0").count() == 0
 
-    def test_compact_partitioned_refuses(self, spark, tmp_path):
-        from data_etl_pipeline_spark.sources.iceberg import compact_iceberg
+    def test_compact_partitioned_table(self, spark, tmp_path):
+        """Partitioned compaction rewrites one file per live partition
+        tuple, materializing deletes, and keeps the spec + pruning."""
+        from data_etl_pipeline_spark.sources.iceberg import (
+            compact_iceberg,
+            delete_rows_iceberg,
+            expire_snapshots_iceberg,
+        )
 
-        src = spark.range(0, 20).selectExpr(
+        src = spark.range(0, 40).selectExpr(
             "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g"
         )
         d = str(tmp_path / "t")
-        export_iceberg(src, d, partition_by="g")
-        with pytest.raises(IcebergError, match="unpartitioned"):
-            compact_iceberg(spark, d)
+        export_iceberg(src.where("k < 20"), d, partition_by="g")
+        append_iceberg(src.where("k >= 20"), d)
+        delete_rows_iceberg(spark, d, "k < 4")
+        sid = compact_iceberg(spark, d)
+        t = IcebergTable(spark, d)
+        files = t.data_files(sid)
+        assert len(files) == 2  # one per live tier
+        assert {f["partition"]["g"] for f in files} == {"a", "b"}
+        assert t.read(snapshot_id=sid).count() == 36
+        assert t.delete_files(sid) == []
+        sel, total = t.plan_files_by_partition("g", {"a"})
+        assert (len(sel), total) == (1, 2)
+        res = expire_snapshots_iceberg(d, keep_last=1)
+        # 2 snapshots x 2 partition files + 1 delete file reclaimed
+        assert res["files_removed"] == 5
+        assert IcebergTable(spark, d).read().count() == 36
 
     def test_expire_refuses_zero_keep(self, spark, tmp_path):
         from data_etl_pipeline_spark.sources.iceberg import expire_snapshots_iceberg
