@@ -33,8 +33,10 @@ Reference parity: the reference ships no lakehouse writer (its storage
 is an operational document DB); this extends the engine's export surface
 the way SURVEY.md §2.11 E63+ did for Delta.
 
-Round 12 extends the protocol surface three ways (each the next gap a
-user of a production Iceberg table hits, per the r11 verdict):
+Round 12 extends the protocol surface (each item the next gap a user
+of a production Iceberg table hits, per the r11 verdict) — position
+deletes, truncate/bucket/time transforms, snapshot-diff tailing,
+equality deletes, nested schemas, compaction + snapshot expiry:
 
   * POSITION DELETE files (spec: delete manifests with ``content=1``
     carrying parquet files of ``(file_path, pos)``) — written by
@@ -68,10 +70,10 @@ Honest limits (loud, not silent):
     keys, and carry no column bounds (footer stats for nested paths are
     skipped — pruning keeps such files);
   * partition transforms other than identity / truncate[W] / bucket[N]
-    (from-spec murmur3_x86_32, seed 0) / year / month / day refuse
-    ('hour' and 'void' are not implemented), as do NULL partition
-    values and unbounded-cardinality partition columns (capped at 64
-    distinct buckets per commit); bucket[N] refuses RANGE pruning (not
+    (from-spec murmur3_x86_32, seed 0) / year / month / day / hour
+    refuse ('void' is not implemented), as do NULL partition values
+    and unbounded-cardinality partition columns (capped at 64 distinct
+    buckets per commit); bucket[N] refuses RANGE pruning (not
     order-preserving — point lookups prune via
     plan_files_by_source_values);
   * ``read_tail`` refuses non-append snapshots in the tailed range
@@ -395,14 +397,22 @@ def _from_kv(v) -> dict[int, bytes]:
 # ---------------------------------------------------------------------------
 
 
-def _file_stats(local_path: str, names: list[str], ice_types: dict[str, str]):
+def _file_stats(local_path: str, id_by_name: dict[str, int], ice_types: dict):
+    """Per-file (rows, size, lower_bounds, upper_bounds) from the parquet
+    footer. ``id_by_name`` maps TOP-LEVEL PRIMITIVE column names to their
+    REAL schema field ids — positional 1..n stopped being correct the
+    moment nested schemas landed (nested fields consume ids in between,
+    so a primitive after a struct would otherwise record its bounds
+    under another field's id and corrupt pruning)."""
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(local_path)
     md = f.metadata
     lowers: dict[int, bytes] = {}
     uppers: dict[int, bytes] = {}
-    idx = {n: i + 1 for i, n in enumerate(names)}  # field ids are 1..n
+    idx = {
+        n: i for n, i in id_by_name.items() if isinstance(ice_types.get(n), str)
+    }
     per_col: dict[str, tuple] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -807,8 +817,8 @@ class _CommitCtx:
 
 
 def _data_entry(path: str, part_tuple: dict, snapshot_id: int,
-                names: list[str], ice_types: dict[str, str]) -> tuple[dict, int]:
-    n_rows, size, lowers, uppers = _file_stats(path, names, ice_types)
+                id_by_name: dict[str, int], ice_types: dict) -> tuple[dict, int]:
+    n_rows, size, lowers, uppers = _file_stats(path, id_by_name, ice_types)
     return {
         "status": 1,  # ADDED
         "snapshot_id": snapshot_id,
@@ -948,7 +958,7 @@ def _commit_snapshot(
             )
 
     spec_fields = ctx.spec_fields()
-    names = [f["name"] for f in schema["fields"]]
+    id_by_name = {f["name"]: f["id"] for f in schema["fields"]}
     ice_types = {f["name"]: f["type"] for f in schema["fields"]}
     part_avro, part_transforms = _part_transforms_of(schema, spec_fields)
 
@@ -965,7 +975,7 @@ def _commit_snapshot(
     entries = []
     added_rows = 0
     for p, part_tuple in files_with_parts:
-        e, n_rows = _data_entry(p, part_tuple, ctx.snapshot_id, names, ice_types)
+        e, n_rows = _data_entry(p, part_tuple, ctx.snapshot_id, id_by_name, ice_types)
         added_rows += n_rows
         entries.append(e)
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
@@ -1080,7 +1090,7 @@ def delete_rows_iceberg(
     entries = []
     n_deleted = 0
     for p in dfiles:
-        n_rows, size, _, _ = _file_stats(p, [], {})
+        n_rows, size, _, _ = _file_stats(p, {}, {})
         n_deleted += n_rows
         entries.append(
             {
@@ -1137,7 +1147,7 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
     unpartitioned tables only)."""
     ctx = _CommitCtx(table_dir, None, first=False)
     spec_fields = ctx.spec_fields()
-    names = [f["name"] for f in ctx.schema["fields"]]
+    id_by_name = {f["name"]: f["id"] for f in ctx.schema["fields"]}
     ice_types = {f["name"]: f["type"] for f in ctx.schema["fields"]}
     content = IcebergTable(spark, table_dir).read()  # deletes applied
     if spec_fields:
@@ -1154,7 +1164,7 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
     entries = []
     total_rows = 0
     for p, part_tuple in files_with_parts:
-        e, n_rows = _data_entry(p, part_tuple, ctx.snapshot_id, names, ice_types)
+        e, n_rows = _data_entry(p, part_tuple, ctx.snapshot_id, id_by_name, ice_types)
         total_rows += n_rows
         entries.append(e)
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")

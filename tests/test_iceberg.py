@@ -1024,3 +1024,27 @@ def test_hour_transform(spark, tmp_path):
     dsrc = spark.range(3).selectExpr("id AS k", "DATE '2024-01-01' AS dcol")
     with pytest.raises(IcebergError, match="hour transform needs"):
         export_iceberg(dsrc, str(tmp_path / "t2"), partition_by="dcol", transform="hour")
+
+
+def test_bounds_field_ids_correct_after_nested_columns(spark, tmp_path):
+    """A primitive column declared AFTER a nested column must record its
+    bounds under its REAL field id (nested fields consume ids in
+    between) — the round-12 positional-id regression: with 1..n ids, c2
+    below would land under the struct member's id and c3 under c2's,
+    silently corrupting pruning."""
+    df = spark.range(0, 40).selectExpr(
+        "named_struct('x', id) AS s",  # s=1, s.x=2
+        "id AS c2",                    # real id 3
+        "id * 10 AS c3",               # real id 4
+    )
+    d = str(tmp_path / "t")
+    export_iceberg(df, d, n_files=2, range_by="c2")
+    t = IcebergTable(spark, d)
+    files = sorted(t.data_files(), key=lambda f: f["lower"]["c2"])
+    # bounds decode under the right names with the right value scales
+    assert files[0]["lower"]["c2"] == 0 and files[-1]["upper"]["c2"] == 39
+    assert files[0]["lower"]["c3"] == 0 and files[-1]["upper"]["c3"] == 390
+    # and pruning on the post-nested primitive selects correctly
+    sel, total = t.plan_files("c3", 0, 50)
+    assert 0 < len(sel) < total
+    assert t.read(files=sel).where("c3 <= 50").count() == 6
