@@ -273,11 +273,18 @@ def write_ocf(
     schema: dict,
     codec: str = "deflate",
     sync: bytes | None = None,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> None:
     """Write records as one OCF block (metadata files are single-block
-    in practice; multi-block READING is supported below)."""
+    in practice; multi-block READING is supported below). ``extra_meta``
+    adds application key-value pairs to the container header — Iceberg
+    manifests are REQUIRED by the spec to carry ``schema``/``schema-id``
+    there, which is what per-file schema resolution reads back."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported write codec {codec!r}")
+    for k in extra_meta or {}:
+        if k.startswith("avro."):
+            raise AvroError(f"extra_meta key {k!r} collides with the avro.* namespace")
     if sync is not None and len(sync) != 16:
         raise AvroError("sync marker must be 16 bytes")
     body = io.BytesIO()
@@ -303,6 +310,7 @@ def write_ocf(
         {
             "avro.schema": json.dumps(schema).encode("utf-8"),
             "avro.codec": codec.encode("utf-8"),
+            **(extra_meta or {}),
         },
         _META_SCHEMA,
     )
@@ -322,6 +330,15 @@ def write_ocf(
 def read_ocf(path: str) -> tuple[list, dict]:
     """Read every record of an OCF file; returns (records, writer_schema).
     Decodes generically per the embedded writer schema."""
+    records, schema, _meta = read_ocf_full(path)
+    return records, schema
+
+
+def read_ocf_full(path: str) -> tuple[list, dict, dict[str, bytes]]:
+    """Like :func:`read_ocf` but also returns the container's key-value
+    metadata map (raw bytes values, ``avro.*`` keys included) — Iceberg
+    manifest headers carry the writer-time ``schema``/``schema-id``
+    there."""
     with open(path, "rb") as f:
         buf = io.BytesIO(f.read())
     if buf.read(4) != MAGIC:
@@ -336,7 +353,7 @@ def read_ocf(path: str) -> tuple[list, dict]:
     while True:
         head = buf.read(1)
         if not head:
-            return out, schema
+            return out, schema, meta
         buf.seek(-1, io.SEEK_CUR)
         n = read_long(buf)
         size = read_long(buf)

@@ -95,7 +95,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_etl_pipeline_spark.sources.avro_ocf import read_ocf, write_ocf
+from data_etl_pipeline_spark.sources.avro_ocf import (
+    read_ocf,
+    read_ocf_full,
+    write_ocf,
+)
 
 
 class IcebergError(ValueError):
@@ -121,6 +125,24 @@ _SPARK_TO_ICEBERG = {
     "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
 }
+
+# inverse: Iceberg primitive -> Spark SQL type string (what added-column
+# null literals and int->long / float->double promotion casts need)
+_ICEBERG_TO_SPARK = {
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+# the spec's allowed primitive type promotions (old -> new); anything
+# else across a schema evolution refuses on read
+_TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 
 def _iceberg_schema(df: DataFrame) -> dict:
@@ -644,6 +666,24 @@ def _partition_value_avro(kind: str, src_type: str) -> str:
         )
     return "int" if kind == "bucket" else _PARTITIONABLE[src_type]
 
+def _with_field_ids(df: DataFrame, schema: dict) -> DataFrame:
+    """Stamp top-level columns with ``parquet.field.id`` metadata so the
+    written parquet embeds the Iceberg field ids (the spec requires ids
+    in data files; real readers resolve columns by id, and Spark's
+    parquet writer emits them from StructField metadata by default).
+    Nested ids stay manifest-level — the manifest's write-time schema is
+    what this reader resolves against."""
+    ids = {f["name"]: f["id"] for f in schema["fields"]}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _write_data_files(
     df: DataFrame, table_dir: str, snapshot_n: int, n_files: int, range_by: str | None
 ) -> list[str]:
@@ -760,6 +800,19 @@ class _CommitCtx:
             sp for sp in self.partition_specs if sp["spec-id"] == self.default_spec_id
         )
         return spec["fields"]
+
+    def manifest_meta(self) -> dict[str, bytes]:
+        """Spec-required manifest header metadata: the WRITE-time table
+        schema and its id (Iceberg spec: 'Manifests ... must store
+        schema, schema-id, partition-spec ...'). This is what lets the
+        reader resolve each data file's columns BY FIELD ID after a
+        schema evolution — the file keeps its old column names; the
+        manifest records which schema those names belong to."""
+        return {
+            "schema": json.dumps(self.schema).encode("utf-8"),
+            "schema-id": str(self.current_schema_id).encode("utf-8"),
+            "format-version": b"2",
+        }
 
     def publish(self, list_entries: list[dict], operation: str, added_rows: int,
                 extra_summary: dict | None = None) -> int:
@@ -957,6 +1010,7 @@ def _commit_snapshot(
                 f"{[f['name'] for f in schema['fields']]} vs batch {df.columns}"
             )
 
+    df = _with_field_ids(df, schema)
     spec_fields = ctx.spec_fields()
     id_by_name = {f["name"]: f["id"] for f in schema["fields"]}
     ice_types = {f["name"]: f["type"] for f in schema["fields"]}
@@ -979,7 +1033,12 @@ def _commit_snapshot(
         added_rows += n_rows
         entries.append(e)
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
-    write_ocf(manifest_path, entries, _manifest_entry_schema(part_avro))
+    write_ocf(
+        manifest_path,
+        entries,
+        _manifest_entry_schema(part_avro),
+        extra_meta=ctx.manifest_meta(),
+    )
     new_manifest = _manifest_list_entry(
         manifest_path, ctx, 0, len(files_with_parts), added_rows
     )
@@ -1050,6 +1109,10 @@ def delete_rows_iceberg(
     mapping = [
         (os.path.abspath(_local(f["path"], table_dir)), f["path"]) for f in data
     ]
+    # the predicate speaks CURRENT column names; files written before a
+    # schema evolution keep old physical names, so the scan resolves by
+    # field id exactly like a read (carrying the path/row-index meta)
+    base, _ = table._scan_resolved(data, with_meta=True)
     out_dir = os.path.join(table_dir, "data", f"snap{ctx.version}-deletes")
     equality_ids = None
     if equality_by is None:
@@ -1057,12 +1120,8 @@ def delete_rows_iceberg(
             spark.createDataFrame(mapping, "__cf string, file_path string")
         )
         rows = (
-            spark.read.parquet(*[c for c, _ in mapping])
-            .where(F.expr(predicate))
-            .select(
-                _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
-                F.col("_metadata.row_index").alias("pos"),
-            )
+            base.where(F.expr(predicate))
+            .select(F.col("__cf"), F.col("__ri").alias("pos"))
             .join(map_df, "__cf")
             .select("file_path", "pos")
         )
@@ -1076,8 +1135,7 @@ def delete_rows_iceberg(
             raise IcebergError(f"equality_by columns {missing} not in schema")
         equality_ids = [id_by_name[c] for c in equality_by]
         rows = (
-            spark.read.parquet(*[c for c, _ in mapping])
-            .where(F.expr(predicate))
+            base.where(F.expr(predicate))
             .select(*equality_by)
             .distinct()
             .coalesce(1)
@@ -1119,7 +1177,10 @@ def delete_rows_iceberg(
             "delete commit"
         )
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}-deletes.avro")
-    write_ocf(manifest_path, entries, _manifest_entry_schema([]))
+    write_ocf(
+        manifest_path, entries, _manifest_entry_schema([]),
+        extra_meta=ctx.manifest_meta(),
+    )
     delete_manifest = _manifest_list_entry(
         manifest_path, ctx, 1, len(dfiles), 0, spec_id=delete_spec_id
     )
@@ -1149,7 +1210,9 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
     spec_fields = ctx.spec_fields()
     id_by_name = {f["name"]: f["id"] for f in ctx.schema["fields"]}
     ice_types = {f["name"]: f["type"] for f in ctx.schema["fields"]}
-    content = IcebergTable(spark, table_dir).read()  # deletes applied
+    content = _with_field_ids(
+        IcebergTable(spark, table_dir).read(), ctx.schema  # deletes applied
+    )
     if spec_fields:
         part_avro, part_transforms = _part_transforms_of(ctx.schema, spec_fields)
         files_with_parts = _write_partitioned_files(
@@ -1168,7 +1231,12 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
         total_rows += n_rows
         entries.append(e)
     manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
-    write_ocf(manifest_path, entries, _manifest_entry_schema(part_avro))
+    write_ocf(
+        manifest_path,
+        entries,
+        _manifest_entry_schema(part_avro),
+        extra_meta=ctx.manifest_meta(),
+    )
     new_manifest = _manifest_list_entry(
         manifest_path, ctx, 0, len(files_with_parts), total_rows
     )
@@ -1250,6 +1318,186 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
         "files_removed": removed_files,
         "manifests_removed": removed_manifests,
     }
+
+
+_EVOLVE_PRIMITIVES = set(_ICEBERG_TO_SPARK)
+
+
+def evolve_schema_iceberg(
+    table_dir: str,
+    renames: dict[str, str] | None = None,
+    adds: list[tuple[str, str]] | None = None,
+    drops: list[str] | None = None,
+) -> int:
+    """Commit a schema evolution as a METADATA-ONLY update (no snapshot,
+    no data rewritten — the whole point of Iceberg's field-id design):
+
+    * ``renames``: {old_name: new_name} — fields keep their ids and
+      types; existing data files keep the OLD physical column name and
+      resolve by id on read;
+    * ``adds``: [(name, iceberg_primitive_type)] — new OPTIONAL fields
+      with fresh ids above ``last-column-id``; rows in pre-existing
+      files read as NULL;
+    * ``drops``: [name] — the field leaves the current schema (its id is
+      never reused); bounds recorded under it stop decoding, data files
+      keep the bytes.
+
+    The new schema is APPENDED to ``schemas`` under a fresh schema-id
+    and ``current-schema-id`` moves — prior snapshots keep their
+    write-time schema-id, so time travel reads old shapes verbatim.
+    Top-level fields only; dropping/renaming a partition-spec source
+    column refuses (specs reference source ids; a dropped source would
+    orphan them). Returns the new schema id."""
+    renames = dict(renames or {})
+    adds = list(adds or [])
+    drops = list(drops or [])
+    if not (renames or adds or drops):
+        raise IcebergError("schema evolution with no changes")
+    prev = _load_table_metadata(table_dir)
+    if prev.get("format-version") != 2:
+        raise IcebergError(
+            "schema evolution supports format-version 2 tables only "
+            f"(got {prev.get('format-version')!r})"
+        )
+    cur = _schema_by_id(prev)
+    by_name = {f["name"]: f for f in cur["fields"]}
+    for old in list(renames) + drops:
+        if old not in by_name:
+            raise IcebergError(f"schema evolution references unknown column {old!r}")
+        if not isinstance(by_name[old]["type"], str):
+            raise IcebergError(
+                f"column {old!r} is nested — nested schema evolution is not "
+                "supported (top-level primitives only)"
+            )
+    overlap = set(renames) & set(drops)
+    if overlap:
+        raise IcebergError(f"columns both renamed and dropped: {sorted(overlap)}")
+    spec_source_ids = {
+        sf["source-id"]
+        for sp in (prev.get("partition-specs") or [])
+        for sf in sp.get("fields", [])
+    }
+    for old in drops:
+        if by_name[old]["id"] in spec_source_ids:
+            raise IcebergError(
+                f"column {old!r} is a partition-spec source — drop refuses "
+                "(the spec would reference an orphaned field id)"
+            )
+    next_id = prev.get("last-column-id", _max_field_id(cur)) + 1
+    new_fields = [
+        {**f, "name": renames.get(f["name"], f["name"])}
+        for f in cur["fields"]
+        if f["name"] not in set(drops)
+    ]
+    for name, ice_type in adds:
+        if ice_type not in _EVOLVE_PRIMITIVES:
+            raise IcebergError(
+                f"added column {name!r} has unsupported type {ice_type!r} "
+                f"(supported: {sorted(_EVOLVE_PRIMITIVES)})"
+            )
+        new_fields.append(
+            {"id": next_id, "name": name, "required": False, "type": ice_type}
+        )
+        next_id += 1
+    names = [f["name"] for f in new_fields]
+    if len(names) != len(set(names)):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise IcebergError(f"schema evolution produces duplicate columns {dupes}")
+    if not new_fields:
+        raise IcebergError("schema evolution drops every column")
+    schemas_out = prev.get("schemas") or [
+        {**cur, "schema-id": prev.get("current-schema-id", 0)}
+    ]
+    new_sid = max(sc.get("schema-id", 0) for sc in schemas_out) + 1
+    new_schema = {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+    version = prev["_version"] + 1
+    meta = {k: v for k, v in prev.items() if not k.startswith("_")}
+    meta["schemas"] = schemas_out + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = max(prev.get("last-column-id", 0), next_id - 1)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return new_sid
+
+
+def convert_delta_to_iceberg(
+    spark: SparkSession, delta_dir: str, iceberg_dir: str
+) -> int:
+    """ZERO-COPY Delta -> Iceberg migration: write Iceberg v2 metadata
+    (schema with field ids, manifest with per-file footer bounds,
+    manifest list, vN.metadata.json) that references the Delta table's
+    CURRENT live parquet files BY ABSOLUTE PATH — no data byte is read
+    into memory or rewritten; the driver-side cost is one footer read
+    per file, O(files), exactly like an export's stats pass. Both
+    formats store plain parquet, so the physical files serve both tables
+    afterwards (the Delta log remains the Delta table's truth; the new
+    Iceberg table owns only its own metadata directory).
+
+    Honest refusals — conversions that would change data or lie:
+    partitioned Delta tables (Hive-layout partition columns are NOT in
+    the data files, so referencing them loses columns), deletion
+    vectors (a DV'd file's live rows differ from its physical rows),
+    column mapping (physical names diverge from logical), and a
+    non-empty destination. Returns the Iceberg snapshot id."""
+    from urllib.parse import unquote
+
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+    if glob.glob(os.path.join(iceberg_dir, "metadata", "v*.metadata.json")):
+        raise IcebergError(
+            f"destination {iceberg_dir!r} already holds an Iceberg table"
+        )
+    meta, adds = DeltaLogReader(spark, delta_dir)._replay(None)
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode != "none":
+        raise IcebergError(
+            f"column mapping mode {mode!r}: physical parquet names diverge "
+            "from the logical schema — zero-copy conversion refuses"
+        )
+    if meta.get("partitionColumns"):
+        raise IcebergError(
+            "partitioned Delta table: Hive-layout partition columns are not "
+            "stored in the data files — zero-copy conversion would lose them"
+        )
+    if any(a.get("deletionVector") for a in adds):
+        raise IcebergError(
+            "table carries deletion vectors: physical rows differ from live "
+            "rows — compact the Delta table first, then convert"
+        )
+    if not adds:
+        raise IcebergError("Delta table has no live data files")
+
+    from pyspark.sql import types as T
+
+    spark_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    ctx = _CommitCtx(
+        iceberg_dir, spark.createDataFrame([], spark_schema), first=True
+    )
+    id_by_name = {f["name"]: f["id"] for f in ctx.schema["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ctx.schema["fields"]}
+    entries = []
+    total_rows = 0
+    for a in sorted(adds, key=lambda a: a["path"]):
+        p = os.path.abspath(os.path.join(delta_dir, unquote(a["path"])))
+        e, n_rows = _data_entry(p, {}, ctx.snapshot_id, id_by_name, ice_types)
+        total_rows += n_rows
+        entries.append(e)
+    manifest_path = os.path.join(ctx.meta_dir, f"m{ctx.version}.avro")
+    write_ocf(
+        manifest_path, entries, _manifest_entry_schema([]),
+        extra_meta=ctx.manifest_meta(),
+    )
+    new_manifest = _manifest_list_entry(
+        manifest_path, ctx, 0, len(entries), total_rows
+    )
+    return ctx.publish([new_manifest], "append", total_rows)
 
 
 def _schema_by_id(meta: dict) -> dict:
@@ -1408,13 +1656,41 @@ class IcebergTable:
                 raise IcebergError(
                     f"unknown manifest content {mcontent!r} (0=data, 1=deletes)"
                 )
-            entries, _ = read_ocf(_local(m["manifest_path"], self.table_dir))
+            entries, _, mmeta = read_ocf_full(
+                _local(m["manifest_path"], self.table_dir)
+            )
+            write_fields = None
+            raw_schema = mmeta.get("schema")
+            if raw_schema is not None:
+                try:
+                    write_fields = json.loads(raw_schema.decode("utf-8")).get(
+                        "fields"
+                    )
+                except (ValueError, UnicodeDecodeError) as exc:
+                    raise IcebergError(
+                        f"manifest {m['manifest_path']!r} carries unparseable "
+                        f"schema metadata: {exc}"
+                    )
+            if write_fields is not None:
+                # bounds bytes encode the WRITE-time type (spec: stats
+                # are serialized with the file's schema — an int bound
+                # stays 4 bytes after an int->long promotion); keyed
+                # under the CURRENT name so plan_files pruning sees them.
+                # Dropped fields (id gone from the current schema) skip.
+                m_by_id = {
+                    f["id"]: (by_id[f["id"]][0], f["type"])
+                    for f in write_fields
+                    if f["id"] in by_id and isinstance(f["type"], str)
+                }
+            else:
+                m_by_id = by_id
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
                 dfile = e["data_file"]
                 fcontent = dfile.get("content", 0)
-                decoded = self._decode_file(dfile, by_id)
+                decoded = self._decode_file(dfile, m_by_id)
+                decoded["write_fields"] = write_fields
                 decoded["seq"] = (
                     e.get("sequence_number")
                     if e.get("sequence_number") is not None
@@ -1582,6 +1858,14 @@ class IcebergTable:
                     "incremental tail reads cover append-only ranges "
                     "(deletes/replaces are not representable as inserts)"
                 )
+            cur_sid = self.meta.get("current-schema-id", 0)
+            if s.get("schema-id", cur_sid) != cur_sid:
+                raise IcebergError(
+                    f"snapshot {s['snapshot-id']} was written under schema-id "
+                    f"{s.get('schema-id')} but the table is now at "
+                    f"{cur_sid} — tail reads refuse ranges crossing a schema "
+                    "evolution (re-anchor after the evolution)"
+                )
             manifests, _ = read_ocf(_local(s["manifest-list"], self.table_dir))
             for m in manifests:
                 if m["added_snapshot_id"] != s["snapshot-id"]:
@@ -1623,6 +1907,150 @@ class IcebergTable:
             .select(*cols, "_commit_snapshot")
         )
 
+    def _schema_for(self, snapshot_id: int | None) -> dict:
+        """The schema a snapshot was written under (recorded as its
+        ``schema-id``) — what time travel reads resolve against, so an
+        old snapshot keeps its old shape; falls back to the current
+        schema when the snapshot predates schema tracking."""
+        snap = self._snapshot(snapshot_id)
+        sid = snap.get("schema-id")
+        if sid is None:
+            return self._current_schema()
+        for sc in self.meta.get("schemas") or []:
+            if sc.get("schema-id", 0) == sid:
+                return sc
+        return self._current_schema()
+
+    def _scan_resolved(
+        self,
+        chosen: list[dict],
+        with_meta: bool,
+        read_fields: list[dict] | None = None,
+    ) -> tuple[DataFrame, list[str]]:
+        """Scan data files GROUPED BY WRITE SCHEMA, resolving each
+        group's columns by field id into the current schema — renamed
+        fields re-alias, promoted types (int->long, float->double) cast,
+        added fields read as typed NULLs. One scan branch per distinct
+        write schema (normally 1, +1 per evolution that left files
+        behind), unioned by name; within a branch the plan is a plain
+        pruned parquet scan. ``with_meta`` adds the canonical-path /
+        row-index columns the delete-masking joins key on. Returns
+        (frame, output column names)."""
+        cur_fields = (
+            read_fields
+            if read_fields is not None
+            else self._current_schema()["fields"]
+        )
+        table_schemas = self.meta.get("schemas") or []
+        evolved = len(table_schemas) > 1
+
+        groups: dict[str | None, list[dict]] = {}
+        for f in chosen:
+            wf = f.get("write_fields")
+            if wf is None and evolved:
+                raise IcebergError(
+                    f"data file {f['path']!r} comes from a manifest without "
+                    "schema metadata but the table has multiple schemas — "
+                    "its columns cannot be resolved by field id"
+                )
+            key = None if wf is None else json.dumps(wf, sort_keys=True)
+            groups.setdefault(key, []).append(f)
+
+        frames: list[DataFrame] = []
+        out_names: list[str] | None = None
+        for key in sorted(groups, key=lambda k: (k is not None, k or "")):
+            grp = groups[key]
+            sdf = self.spark.read.parquet(
+                *[_local(f["path"], self.table_dir) for f in grp]
+            )
+            if key is None:
+                sel = [F.col(c) for c in sdf.columns]
+                names = list(sdf.columns)
+            else:
+                sel = self._resolve_columns(grp[0]["write_fields"], cur_fields)
+                names = [fld["name"] for fld in cur_fields]
+            if out_names is None:
+                out_names = names
+            if with_meta:
+                sel = sel + [
+                    _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                ]
+            frames.append(sdf.select(*sel))
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        return df, out_names
+
+    @staticmethod
+    def _resolve_columns(write_fields: list[dict], cur_fields: list[dict]):
+        """Field-id column resolution of ONE write schema into the
+        current schema (the Iceberg read contract: names are labels,
+        ids are identity)."""
+        old_by_id = {f["id"]: f for f in write_fields}
+        cols = []
+        for fld in cur_fields:
+            old = old_by_id.get(fld["id"])
+            if old is None:
+                sp = (
+                    _ICEBERG_TO_SPARK.get(fld["type"])
+                    if isinstance(fld["type"], str)
+                    else None
+                )
+                if sp is None:
+                    raise IcebergError(
+                        f"added column {fld['name']!r} has type "
+                        f"{fld['type']!r} — cannot synthesize NULLs for it "
+                        "(primitive adds only)"
+                    )
+                cols.append(F.lit(None).cast(sp).alias(fld["name"]))
+            elif old["type"] == fld["type"]:
+                cols.append(F.col(old["name"]).alias(fld["name"]))
+            elif (
+                isinstance(old["type"], str)
+                and isinstance(fld["type"], str)
+                and (old["type"], fld["type"]) in _TYPE_PROMOTIONS
+            ):
+                cols.append(
+                    F.col(old["name"])
+                    .cast(_ICEBERG_TO_SPARK[fld["type"]])
+                    .alias(fld["name"])
+                )
+            else:
+                raise IcebergError(
+                    f"field id {fld['id']} changed type {old['type']!r} -> "
+                    f"{fld['type']!r}: only int->long and float->double "
+                    "promote"
+                )
+        return cols
+
+    def _delete_key_cols(self, dfile: dict, ids: tuple, by_id: dict):
+        """Key columns of one equality-delete FILE, resolved by field id
+        through ITS write schema and aliased to the read-schema names
+        (the delete parquet keeps the names current when it was
+        committed)."""
+        wf = dfile.get("write_fields")
+        if wf is None and len(self.meta.get("schemas") or []) > 1:
+            raise IcebergError(
+                f"equality delete file {dfile['path']!r} comes from a "
+                "manifest without schema metadata but the table has "
+                "multiple schemas — its key columns cannot be resolved"
+            )
+        cols = []
+        for i in ids:
+            cur_name = by_id[i][0]
+            if wf:
+                old = next((f for f in wf if f["id"] == i), None)
+                if old is None:
+                    raise IcebergError(
+                        f"equality delete references field id {i} absent "
+                        "from its manifest's write schema"
+                    )
+                cols.append(F.col(old["name"]).alias(cur_name))
+            else:
+                cols.append(F.col(cur_name))
+        return cols
+
     def read(
         self, snapshot_id: int | None = None, files: list[dict] | None = None
     ) -> DataFrame:
@@ -1640,22 +2068,24 @@ class IcebergTable:
           join stays hash-shaped with the inequality as a residual."""
         data, deletes = self._manifest_entries(snapshot_id)
         chosen = files if files is not None else data
-        paths = [_local(f["path"], self.table_dir) for f in chosen]
-        if not paths:
+        if not chosen:
             raise IcebergError("snapshot has no live data files")
-        df = self.spark.read.parquet(*paths)
+        # a CURRENT read always takes the current schema (a metadata-only
+        # evolution creates no snapshot, so the latest snapshot may still
+        # carry the pre-evolution schema-id); explicit time travel reads
+        # under the target snapshot's own write schema
+        read_fields = (
+            self._current_schema()["fields"]
+            if snapshot_id is None
+            else self._schema_for(snapshot_id)["fields"]
+        )
+        df, cols = self._scan_resolved(
+            chosen, with_meta=bool(deletes), read_fields=read_fields
+        )
         if not deletes:
             return df
-        cols = df.columns
         pos_dels = [d for d in deletes if d["content"] == 1]
         eq_dels = [d for d in deletes if d["content"] == 2]
-        need_meta = bool(pos_dels) or bool(eq_dels)
-        if need_meta:
-            df = df.select(
-                "*",
-                _canon_path_col(F.col("_metadata.file_path")).alias("__cf"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
         if pos_dels:
             dels = self.spark.read.parquet(
                 *[_local(d["path"], self.table_dir) for d in pos_dels]
@@ -1681,7 +2111,7 @@ class IcebergTable:
                 )
             )
             df = df.join(seq_map, "__cf", "left")
-            by_id = self._by_id()
+            by_id = {f["id"]: (f["name"], f["type"]) for f in read_fields}
             groups: dict[tuple, list[dict]] = {}
             for d in eq_dels:
                 groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
@@ -1695,7 +2125,7 @@ class IcebergTable:
                     names.append(by_id[i][0])
                 per_file = [
                     self.spark.read.parquet(_local(d["path"], self.table_dir))
-                    .select(*names)
+                    .select(*self._delete_key_cols(d, ids, by_id))
                     .withColumn("__dseq", F.lit(d["seq"]).cast("long"))
                     for d in dfiles_group
                 ]

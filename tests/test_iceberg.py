@@ -1048,3 +1048,249 @@ def test_bounds_field_ids_correct_after_nested_columns(spark, tmp_path):
     sel, total = t.plan_files("c3", 0, 50)
     assert 0 < len(sel) < total
     assert t.read(files=sel).where("c3 <= 50").count() == 6
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (round 12 wave 2): metadata-only commits, field-id
+# column resolution across write schemas, time travel under the
+# snapshot's own schema-id, deletes through the resolved view.
+# ---------------------------------------------------------------------------
+class TestSchemaEvolution:
+    @pytest.fixture()
+    def etable(self, spark, tmp_path):
+        """Two snapshots straddling an evolution: snap1 written as
+        (k, v:int, s), then v->val / +flag / -s, then snap written in
+        the NEW shape — the reader must merge both by field id."""
+        from data_etl_pipeline_spark.sources.iceberg import evolve_schema_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 50).selectExpr(
+            "id AS k", "CAST(id * 2 AS INT) AS v", "CONCAT('s', id) AS s"
+        )
+        export_iceberg(src.where("k < 20"), d, n_files=2, range_by="k")
+        evolve_schema_iceberg(
+            d, renames={"v": "val"}, adds=[("flag", "string")], drops=["s"]
+        )
+        batch2 = spark.range(20, 50).selectExpr(
+            "id AS k",
+            "CAST(id * 2 AS INT) AS val",
+            "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS flag",
+        )
+        append_iceberg(batch2, d, n_files=2, range_by="k")
+        return d
+
+    def test_read_merges_write_schemas_by_field_id(self, spark, etable):
+        out = IcebergTable(spark, etable).read()
+        assert out.columns == ["k", "val", "flag"]
+        r = out.agg(
+            {"*": "count", "val": "sum", "flag": "count", "k": "max"}
+        ).collect()[0]
+        assert r["count(1)"] == 50
+        assert r["sum(val)"] == sum(i * 2 for i in range(50))
+        assert r["count(flag)"] == 30  # pre-evolution rows read NULL
+        assert r["max(k)"] == 49
+
+    def test_old_files_keep_physical_names(self, spark, etable):
+        import glob as _glob
+
+        old = sorted(_glob.glob(os.path.join(etable, "data", "snap1", "*.parquet")))
+        assert old and spark.read.parquet(old[0]).columns == ["k", "v", "s"]
+
+    def test_new_files_embed_parquet_field_ids(self, spark, etable):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        new = sorted(_glob.glob(os.path.join(etable, "data", "snap3", "*.parquet")))
+        sch = pq.ParquetFile(new[0]).schema_arrow
+        ids = {f.name: f.metadata.get(b"PARQUET:field_id") for f in sch}
+        # val keeps id 2 (rename preserves identity); flag got a fresh id
+        assert ids == {"k": b"1", "val": b"2", "flag": b"4"}
+
+    def test_bounds_prune_under_renamed_name(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        sel, total = t.plan_files("val", 0, 10)
+        assert 0 < len(sel) < total
+        assert t.read(files=sel).where("val <= 10").count() == 6
+
+    def test_time_travel_reads_old_shape(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        old = t.read(snapshot_id=1)
+        assert old.columns == ["k", "v", "s"]
+        assert old.count() == 20
+
+    def test_positional_delete_through_resolved_view(self, spark, etable):
+        """The predicate names the CURRENT column; matching rows live in
+        files written under the OLD name."""
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        delete_rows_iceberg(spark, etable, "val < 10 OR val >= 90")
+        out = IcebergTable(spark, etable).read()
+        assert out.count() == 40
+        assert out.where("val < 10 OR val >= 90").count() == 0
+
+    def test_equality_delete_keyed_by_renamed_column(self, spark, etable):
+        from data_etl_pipeline_spark.sources.iceberg import delete_rows_iceberg
+
+        delete_rows_iceberg(spark, etable, "k IN (3, 33)", equality_by=["val"])
+        out = IcebergTable(spark, etable).read()
+        assert out.where("k IN (3, 33)").count() == 0
+        assert out.count() == 48
+
+    def test_compact_materializes_current_shape(self, spark, etable):
+        from data_etl_pipeline_spark.sources.iceberg import compact_iceberg
+
+        compact_iceberg(spark, etable, n_files=1)
+        t = IcebergTable(spark, etable)
+        files = t.data_files()
+        assert len(files) == 1
+        out = t.read()
+        assert out.columns == ["k", "val", "flag"]
+        assert out.count() == 50
+
+    def test_int_to_long_promotion(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import evolve_schema_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS INT) AS v")
+        export_iceberg(src, d)
+        meta_path = os.path.join(d, "metadata", "v1.metadata.json")
+        meta = json.load(open(meta_path))
+        # promote v int->long by rewriting the current schema via evolve:
+        # rename is identity; the promotion path is exercised by editing
+        # the evolved schema's type (the public API evolves names/adds;
+        # promotions arrive from foreign writers)
+        evolve_schema_iceberg(d, adds=[("w", "long")])
+        meta2_path = os.path.join(d, "metadata", "v2.metadata.json")
+        meta2 = json.load(open(meta2_path))
+        for f in meta2["schemas"][-1]["fields"]:
+            if f["name"] == "v":
+                f["type"] = "long"
+        json.dump(meta2, open(meta2_path, "w"))
+        out = IcebergTable(spark, d).read()
+        assert dict(out.dtypes)["v"] == "bigint"
+        assert out.agg({"v": "sum"}).collect()[0][0] == 45
+
+    def test_illegal_type_change_refuses(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import evolve_schema_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS INT) AS v")
+        export_iceberg(src, d)
+        evolve_schema_iceberg(d, adds=[("w", "long")])
+        meta2_path = os.path.join(d, "metadata", "v2.metadata.json")
+        meta2 = json.load(open(meta2_path))
+        for f in meta2["schemas"][-1]["fields"]:
+            if f["name"] == "v":
+                f["type"] = "string"
+        json.dump(meta2, open(meta2_path, "w"))
+        with pytest.raises(IcebergError, match="only int->long and float->double"):
+            IcebergTable(spark, d).read().collect()
+
+    def test_evolution_refusals(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import evolve_schema_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 10).selectExpr("id AS k", "id AS v", "'x' AS s")
+        export_iceberg(src, d, partition_by="k")
+        with pytest.raises(IcebergError, match="no changes"):
+            evolve_schema_iceberg(d)
+        with pytest.raises(IcebergError, match="unknown column"):
+            evolve_schema_iceberg(d, drops=["nope"])
+        with pytest.raises(IcebergError, match="partition-spec source"):
+            evolve_schema_iceberg(d, drops=["k"])
+        with pytest.raises(IcebergError, match="duplicate columns"):
+            evolve_schema_iceberg(d, renames={"v": "s"})
+        with pytest.raises(IcebergError, match="both renamed and dropped"):
+            evolve_schema_iceberg(d, renames={"v": "w"}, drops=["v"])
+        with pytest.raises(IcebergError, match="unsupported type"):
+            evolve_schema_iceberg(d, adds=[("z", "uuid")])
+
+    def test_tail_refuses_across_evolution(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import evolve_schema_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+        s1 = export_iceberg(src.where("k < 10"), d)
+        s2 = append_iceberg(
+            src.where("k >= 10 AND k < 20"), d
+        )  # still the old schema
+        evolve_schema_iceberg(d, renames={"v": "val"})
+        append_iceberg(
+            spark.range(20, 30).selectExpr("id AS k", "id AS val"), d
+        )
+        t = IcebergTable(spark, d)
+        # the range (s1, current] includes s2, written under the old
+        # schema-id — re-anchoring is the caller's move
+        with pytest.raises(IcebergError, match="crossing a schema"):
+            t.read_tail(after_snapshot_id=s1)
+        # a range entirely past the evolution reads fine, new names
+        tail = t.read_tail(after_snapshot_id=s2)
+        assert tail.count() == 10 and "val" in tail.columns
+
+
+# ---------------------------------------------------------------------------
+# Delta -> Iceberg zero-copy conversion (round 12 wave 2).
+# ---------------------------------------------------------------------------
+class TestDeltaToIcebergConversion:
+    def test_zero_copy_references_live_files(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+        from data_etl_pipeline_spark.sources.iceberg import convert_delta_to_iceberg
+
+        dd = str(tmp_path / "delta")
+        src = spark.range(0, 60).selectExpr("id AS k", "id * 3 AS v")
+        export_delta(src.repartitionByRange(4, "k"), dd)
+        ice = str(tmp_path / "ice")
+        convert_delta_to_iceberg(spark, dd, ice)
+
+        t = IcebergTable(spark, ice)
+        got = {os.path.abspath(f["path"]) for f in t.data_files()}
+        live = {
+            os.path.abspath(os.path.join(dd, p))
+            for p in DeltaLogReader(spark, dd).live_files()
+        }
+        assert got == live  # same bytes serve both tables
+        out = t.read()
+        assert out.count() == 60
+        assert out.agg({"v": "sum"}).collect()[0][0] == sum(i * 3 for i in range(60))
+        # footer bounds were harvested: range pruning works
+        sel, total = t.plan_files("k", 0, 10)
+        assert 0 < len(sel) < total
+
+    def test_refuses_partitioned_dv_mapped_and_nonempty(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+        from data_etl_pipeline_spark.sources.iceberg import convert_delta_to_iceberg
+
+        src = spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p")
+        dd_part = str(tmp_path / "dp")
+        export_delta(src, dd_part, partition_by=["p"])
+        with pytest.raises(IcebergError, match="partitioned Delta"):
+            convert_delta_to_iceberg(spark, dd_part, str(tmp_path / "i1"))
+
+        dd = str(tmp_path / "d")
+        export_delta(src, dd)
+        ice = str(tmp_path / "i2")
+        convert_delta_to_iceberg(spark, dd, ice)
+        with pytest.raises(IcebergError, match="already holds"):
+            convert_delta_to_iceberg(spark, dd, ice)
+
+    def test_refuses_column_mapping(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import export_delta
+        from data_etl_pipeline_spark.sources.iceberg import convert_delta_to_iceberg
+
+        dd = str(tmp_path / "d")
+        export_delta(spark.range(5).selectExpr("id AS k"), dd)
+        log = os.path.join(dd, "_delta_log", "00000000000000000000.json")
+        lines = open(log).read().splitlines()
+        out = []
+        for ln in lines:
+            act = json.loads(ln)
+            if "metaData" in act:
+                act["metaData"].setdefault("configuration", {})[
+                    "delta.columnMapping.mode"
+                ] = "name"
+            out.append(json.dumps(act))
+        open(log, "w").write("\n".join(out) + "\n")
+        with pytest.raises(IcebergError, match="column mapping"):
+            convert_delta_to_iceberg(spark, dd, str(tmp_path / "i"))
