@@ -885,3 +885,62 @@ def parquet_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Footer-ONLY aggregates (round 12): COUNT/MIN/MAX answered from parquet
+# footer metadata with zero data pages read — the plan-level twin of
+# Spark's parquet aggregate pushdown (which still schedules a task per
+# file; this is O(files) footer reads on the driver and nothing else).
+# Exactness is structural: row counts come from row-group headers, and
+# agg_from_footers RAISES if any row group lacks full column statistics
+# rather than return a guess. The in-query assert re-derives the same
+# three numbers from a distributed scan and compares — the footer path
+# and the scan path must agree bit-for-bit before anything is returned.
+# ---------------------------------------------------------------------------
+@query(
+    "parquet_footer_agg",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_values,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey < 1400
+    """,
+    doc="Stats-only aggregate (COUNT/COUNT(col)/MIN/MAX) computed purely "
+    "from parquet footers, O(files) with zero data pages read; refuses "
+    "if any row group lacks statistics. Scan-equality asserted in-query.",
+    round_added=12,
+)
+def parquet_footer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.footerprune import agg_from_footers
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1400)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    data_dir = tempfile.mkdtemp(prefix="footer_agg_")
+    src.repartitionByRange(6, "o_orderkey").write.mode("overwrite").parquet(data_dir)
+
+    stats = agg_from_footers(data_dir, "o_custkey")
+    scan = (
+        spark.read.parquet(data_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_custkey").alias("n_values"),
+            F.min("o_custkey").alias("min_key"),
+            F.max("o_custkey").alias("max_key"),
+        )
+        .collect()[0]
+    )
+    assert (stats["n_rows"], stats["n_values"], stats["min"], stats["max"]) == (
+        scan["n_rows"], scan["n_values"], scan["min_key"], scan["max_key"],
+    ), (stats, scan)
+
+    return spark.createDataFrame(
+        [(stats["n_rows"], stats["n_values"], int(stats["min"]), int(stats["max"]))],
+        "n_rows bigint, n_values bigint, min_key bigint, max_key bigint",
+    )

@@ -3563,3 +3563,43 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         load(spark, sf_dir, "embeddings"), n_queries=10, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle (round 12): reproducible shard +
+# position for every document from (seed, doc_id) alone — the step that
+# turns a curated corpus into training shard files. The Spark side runs
+# the bounded-partition two-phase form (order-aligned hash buckets +
+# offset window over the tiny per-bucket counts, operators/trainshuffle
+# .py — no shard-sized sort anywhere); the oracle derives the identical
+# positions with the naive ROW_NUMBER per shard. Exact rank equality
+# between the two is the point of the test.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_train_shuffle",
+    sql="""
+    WITH h AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('ep0:s:' || doc_id), 1, 15))::BIGINT % 8)
+                   AS shard,
+               (('0x' || substr(md5('ep0:o:' || doc_id), 1, 15))::BIGINT) AS ok
+        FROM documents)
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+    FROM h
+    """,
+    doc="Deterministic seeded corpus shuffle into 8 training shards: "
+    "shard and exact in-shard position are pure functions of "
+    "(seed, doc_id), reproducible across engines and epochs; Spark "
+    "computes ranks with order-aligned buckets + offset windows so no "
+    "partition ever holds a whole shard (operators/trainshuffle.py).",
+    round_added=12,
+)
+def corpus_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_pipeline_spark.operators.trainshuffle import (
+        deterministic_shard_shuffle,
+    )
+
+    return deterministic_shard_shuffle(
+        load(spark, sf_dir, "documents"), "doc_id", seed="ep0", n_shards=8
+    ).select("doc_id", "shard", "pos")
