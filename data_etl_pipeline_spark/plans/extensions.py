@@ -5707,3 +5707,90 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg partition-spec evolution (round 12 second wave): the re-layout
+# lifecycle every long-lived table hits — start identity(status), later
+# re-partition by year(ts) as it grows — committed metadata-only (no file
+# moves; partitioning is manifest metadata). Files keep their ORIGINAL
+# spec's partition tuples; the reader prunes each file through its OWN
+# spec, so a predicate on either layout's source column prunes the files
+# that spec covers and keeps the rest (never guesses).
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_spec_evolution",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="Iceberg partition spec evolution: identity(o_orderstatus) table "
+    "evolved metadata-only to year(o_orderdate), appended under the new "
+    "spec; per-file-spec pruning asserted (date range prunes only "
+    "new-spec files to years 26/27 and keeps all old-spec files; a "
+    "status point-lookup prunes only old-spec files), then one "
+    "cross-spec scan of the surviving files. Oracle filters raw orders.",
+    round_added=12,
+)
+def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        evolve_partition_spec_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_specevo_") + "/table"
+    # parity split so both halves are non-empty at every scale factor
+    export_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), dest, partition_by="o_orderstatus"
+    )
+    evolve_partition_spec_iceberg(dest, "o_orderdate", "year")
+    append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), dest)
+
+    t = IcebergTable(spark, dest)
+    n_old = len([f for f in t.data_files() if f["spec_id"] == 0])
+    n_new = len([f for f in t.data_files() if f["spec_id"] == 1])
+    assert n_old > 0 and n_new > 0
+
+    # point prune on the OLD layout's source: old files prune, new all kept
+    sel_s, total = t.plan_files_by_source_values("o_orderstatus", {"F"})
+    assert len([f for f in sel_s if f["spec_id"] == 1]) == n_new
+    assert 0 < len([f for f in sel_s if f["spec_id"] == 0]) < n_old
+
+    # range prune on the NEW layout's source: new files prune, old all kept
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 12, 31)
+    sel_d, _ = t.plan_files_by_source_range("o_orderdate", lo, hi)
+    assert len([f for f in sel_d if f["spec_id"] == 0]) == n_old
+    assert all(
+        f["partition"]["o_orderdate_year"] in (26, 27)
+        for f in sel_d
+        if f["spec_id"] == 1
+    )
+    assert 0 < len(sel_d) < total
+
+    return (
+        t.read(files=sel_d)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

@@ -56,6 +56,13 @@ equality deletes, nested schemas, compaction + snapshot expiry:
     read in ONE scan with a broadcast (path -> snapshot) tag join —
     the Delta E92 contract applied to the second format.
 
+Partition SPEC evolution (round 12 second wave) commits a re-layout as
+a metadata-only update (``evolve_partition_spec_iceberg``): a new spec
+under a fresh spec-id, ``default-spec-id`` moves, existing files keep
+their original spec's tuples, and the reader prunes every file through
+its OWN spec (manifest-list ``partition_spec_id``) — files whose spec
+does not cover the predicate column are kept, never guessed at.
+
 Equality deletes (data-file ``content=2``, round 12 second tranche) are
 read AND written too: the delete file holds distinct key tuples
 (``equality_ids`` recording their field ids), and masking applies only
@@ -1426,6 +1433,98 @@ def evolve_schema_iceberg(
     return new_sid
 
 
+def evolve_partition_spec_iceberg(
+    table_dir: str,
+    partition_by: str | None,
+    transform: str = "identity",
+) -> int:
+    """Commit a PARTITION SPEC evolution as a metadata-only update (no
+    snapshot, no data moved — Iceberg partitioning is manifest metadata,
+    so changing the spec never rewrites files): a new spec is appended
+    under a fresh spec-id and ``default-spec-id`` moves. Existing files
+    keep their ORIGINAL spec's partition tuples (each manifest-list
+    entry records its ``partition_spec_id``); only future appends write
+    under the new layout. ``partition_by=None`` evolves to the
+    UNPARTITIONED spec (empty fields). The classic lifecycle this
+    enables: start identity(status), later re-layout by year(ts) as the
+    table grows — and the reader's source-column pruning stays correct
+    across the boundary because it resolves each FILE's transform
+    through that file's own spec (files whose spec does not cover the
+    predicate column are kept, never guessed at).
+
+    The new spec's partition field takes a fresh field-id above
+    ``last-partition-id`` (ids are never reused across specs, per spec);
+    an existing spec with identical fields is REUSED instead of
+    duplicated. Returns the new default spec id."""
+    prev = _load_table_metadata(table_dir)
+    if prev.get("format-version") != 2:
+        raise IcebergError(
+            "partition spec evolution supports format-version 2 tables "
+            f"only (got {prev.get('format-version')!r})"
+        )
+    cur = _schema_by_id(prev)
+    specs = prev.get("partition-specs") or [
+        {"spec-id": 0, "fields": prev.get("partition-spec", [])}
+    ]
+    last_pid = prev.get("last-partition-id", 999)
+    if partition_by is None:
+        new_fields: list[dict] = []
+    else:
+        fld = next(
+            (f for f in cur["fields"] if f["name"] == partition_by), None
+        )
+        if fld is None:
+            raise IcebergError(
+                f"partition column {partition_by!r} not in the current schema"
+            )
+        kind, _w = _parse_transform(transform)
+        _partition_value_avro(kind, fld["type"])  # validates the pairing
+        new_fields = [
+            {
+                "name": _spec_field_name(kind, partition_by),
+                "transform": transform,
+                "source-id": fld["id"],
+                "field-id": last_pid + 1,
+            }
+        ]
+
+    def _key(fields):
+        return [(f["transform"], f["source-id"]) for f in fields]
+
+    default_sid = prev.get("default-spec-id", 0)
+    cur_spec = next(sp for sp in specs if sp["spec-id"] == default_sid)
+    if _key(cur_spec["fields"]) == _key(new_fields):
+        raise IcebergError(
+            "partition spec evolution with no change (the default spec "
+            "already has this layout)"
+        )
+    reuse = next(
+        (sp for sp in specs if _key(sp["fields"]) == _key(new_fields)), None
+    )
+    if reuse is not None:
+        new_sid = reuse["spec-id"]
+        specs_out = specs
+    else:
+        new_sid = max(sp["spec-id"] for sp in specs) + 1
+        specs_out = specs + [{"spec-id": new_sid, "fields": new_fields}]
+        last_pid = max([last_pid] + [f["field-id"] for f in new_fields])
+
+    version = prev["_version"] + 1
+    meta = {k: v for k, v in prev.items() if not k.startswith("_")}
+    meta["partition-specs"] = specs_out
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return new_sid
+
+
 def convert_delta_to_iceberg(
     spark: SparkSession, delta_dir: str, iceberg_dir: str
 ) -> int:
@@ -1691,6 +1790,7 @@ class IcebergTable:
                 fcontent = dfile.get("content", 0)
                 decoded = self._decode_file(dfile, m_by_id)
                 decoded["write_fields"] = write_fields
+                decoded["spec_id"] = m.get("partition_spec_id", 0)
                 decoded["seq"] = (
                     e.get("sequence_number")
                     if e.get("sequence_number") is not None
@@ -1759,23 +1859,44 @@ class IcebergTable:
         ]
         return selected, len(files)
 
-    def _spec_transform_for(self, column: str) -> tuple[str, str, int | None, str] | None:
+    def _spec_transform_for(
+        self, column: str, spec_id: int | None = None
+    ) -> tuple[str, str, int | None, str] | None:
         """(partition field name, kind, width, source ice type) of the
-        default-spec field transforming ``column``, or None."""
+        field transforming ``column`` in spec ``spec_id`` (default: the
+        table's default spec), or None when that spec does not cover the
+        column (including unknown historical spec ids — unknowable, so
+        callers must keep such files)."""
         specs = self.meta.get("partition-specs") or [
             {"spec-id": 0, "fields": self.meta.get("partition-spec", [])}
         ]
-        sid = self.meta.get("default-spec-id", 0)
-        spec_fields = next(sp for sp in specs if sp["spec-id"] == sid)["fields"]
+        sid = self.meta.get("default-spec-id", 0) if spec_id is None else spec_id
+        spec = next((sp for sp in specs if sp["spec-id"] == sid), None)
+        if spec is None:
+            return None
         src_by_id = {
             f["id"]: (f["name"], f["type"]) for f in self._current_schema()["fields"]
         }
-        for sf in spec_fields:
+        for sf in spec["fields"]:
             name, ice_type = src_by_id.get(sf["source-id"], (None, None))
             if name == column:
                 kind, w = _parse_transform(sf.get("transform", "identity"))
                 return sf["name"], kind, w, ice_type
         return None
+
+    def _match_by_spec(self, column: str):
+        """Memoized per-spec transform lookup for the pruners (a table
+        that evolved its partition spec holds files under several specs;
+        each file prunes through ITS OWN spec's transform)."""
+        cache: dict[int, tuple | None] = {}
+
+        def get(f: dict):
+            sid = f.get("spec_id", 0)
+            if sid not in cache:
+                cache[sid] = self._spec_transform_for(column, sid)
+            return cache[sid]
+
+        return get
 
     def plan_files_by_source_range(
         self, column: str, lo, hi, snapshot_id: int | None = None
@@ -1786,29 +1907,38 @@ class IcebergTable:
         day) is MONOTONE, so a bucket v intersects [lo, hi] iff
         t(lo) <= v <= t(hi) — one rule for all of them (for truncate
         this is equivalent to the [v, v+W-1] / prefix interval check
-        because v is itself a transform image). bucket[N] is not
-        monotone and refuses here; use ``plan_files_by_source_values``
-        for point predicates. Files without the partition key are KEPT
-        (pruning never drops unknowable files)."""
-        match = self._spec_transform_for(column)
+        because v is itself a transform image). Each file resolves the
+        transform through its OWN spec (a spec evolution leaves files
+        under the old layout; they prune by the old transform, and files
+        whose spec does not cover the column are KEPT — pruning never
+        drops unknowable files). bucket[N] in the DEFAULT spec refuses
+        (not order-preserving; use ``plan_files_by_source_values``);
+        bucket in a historical spec keeps its files instead of failing
+        reads that postdate the evolution away from it."""
+        match_of = self._match_by_spec(column)
         files = self.data_files(snapshot_id)
-        if match is None:
-            return files, len(files)
-        pname, kind, w, ice_type = match
-        if kind == "bucket":
+        default_match = self._spec_transform_for(column)
+        if default_match is not None and default_match[1] == "bucket":
             raise IcebergError(
                 "bucket[N] is not order-preserving — range predicates "
                 "cannot prune it; use plan_files_by_source_values for "
                 "point lookups"
             )
-        tlo = _py_transform(kind, w, lo, ice_type)
-        thi = _py_transform(kind, w, hi, ice_type)
-        selected = [
-            f
-            for f in files
-            if f["partition"].get(pname) is None
-            or tlo <= f["partition"][pname] <= thi
-        ]
+        selected = []
+        for f in files:
+            match = match_of(f)
+            if match is None:
+                selected.append(f)
+                continue
+            pname, kind, w, ice_type = match
+            if kind == "bucket":
+                selected.append(f)  # historical bucket spec: unknowable
+                continue
+            v = f["partition"].get(pname)
+            tlo = _py_transform(kind, w, lo, ice_type)
+            thi = _py_transform(kind, w, hi, ice_type)
+            if v is None or tlo <= v <= thi:
+                selected.append(f)
         return selected, len(files)
 
     def plan_files_by_source_values(
@@ -1818,18 +1948,20 @@ class IcebergTable:
         whose partition value is the transform image of any of
         ``values`` — the pruning shape bucket[N] exists for (an IN-list
         of keys maps to at most len(values) of the N buckets). Works for
-        every transform kind; unknowable files are kept."""
-        match = self._spec_transform_for(column)
+        every transform kind, resolving each file's transform through
+        its own spec; unknowable files are kept."""
+        match_of = self._match_by_spec(column)
         files = self.data_files(snapshot_id)
-        if match is None:
-            return files, len(files)
-        pname, kind, w, ice_type = match
-        images = {_py_transform(kind, w, v, ice_type) for v in values}
-        selected = [
-            f
-            for f in files
-            if f["partition"].get(pname) is None or f["partition"][pname] in images
-        ]
+        selected = []
+        for f in files:
+            match = match_of(f)
+            if match is None:
+                selected.append(f)
+                continue
+            pname, kind, w, ice_type = match
+            images = {_py_transform(kind, w, v, ice_type) for v in values}
+            if f["partition"].get(pname) is None or f["partition"][pname] in images:
+                selected.append(f)
         return selected, len(files)
 
     def added_files(self, after_snapshot_id: int) -> list[tuple[int, dict]]:

@@ -12,6 +12,7 @@ import tempfile
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_etl_pipeline_spark.sources.avro_ocf import (
     AvroError,
@@ -25,6 +26,7 @@ from data_etl_pipeline_spark.sources.iceberg import (
     IcebergError,
     IcebergTable,
     append_iceberg,
+    evolve_partition_spec_iceberg,
     export_iceberg,
 )
 
@@ -1294,3 +1296,113 @@ class TestDeltaToIcebergConversion:
         open(log, "w").write("\n".join(out) + "\n")
         with pytest.raises(IcebergError, match="column mapping"):
             convert_delta_to_iceberg(spark, dd, str(tmp_path / "i"))
+
+
+class TestPartitionSpecEvolution:
+    """evolve_partition_spec_iceberg: metadata-only re-layout; files keep
+    their original spec's tuples and prune through their OWN spec."""
+
+    @pytest.fixture(scope="class")
+    def etable(self, spark):
+        import datetime
+
+        rows = [
+            (i, "AB"[i % 2], datetime.date(1994 + (i % 4), 3, 1 + i % 20))
+            for i in range(80)
+        ]
+        src = spark.createDataFrame(rows, "k long, status string, d date")
+        d = tempfile.mkdtemp(prefix="ice_specevo_") + "/t"
+        export_iceberg(src.where("k < 40"), d, partition_by="status")
+        sid = evolve_partition_spec_iceberg(d, "d", "year")
+        assert sid == 1
+        append_iceberg(src.where("k >= 40"), d)
+        return d
+
+    def test_appends_write_under_new_spec(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        by_spec = {}
+        for f in t.data_files():
+            by_spec.setdefault(f["spec_id"], []).append(f)
+        assert set(by_spec) == {0, 1}
+        assert all("status" in f["partition"] for f in by_spec[0])
+        assert all("d_year" in f["partition"] for f in by_spec[1])
+
+    def test_full_read_crosses_specs(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        assert t.read().count() == 80
+
+    def test_point_prune_uses_per_file_spec(self, spark, etable):
+        t = IcebergTable(spark, etable)
+        sel, total = t.plan_files_by_source_values("status", {"A"})
+        old = [f for f in sel if f["spec_id"] == 0]
+        new = [f for f in sel if f["spec_id"] == 1]
+        # old files prune to the A partition; new files are unknowable -> kept
+        assert all(f["partition"]["status"] == "A" for f in old)
+        assert len(new) == len([f for f in t.data_files() if f["spec_id"] == 1])
+        assert len(sel) < total
+
+    def test_range_prune_uses_per_file_spec(self, spark, etable):
+        import datetime
+
+        t = IcebergTable(spark, etable)
+        lo, hi = datetime.date(1994, 1, 1), datetime.date(1995, 12, 31)
+        sel, total = t.plan_files_by_source_range("d", lo, hi)
+        old = [f for f in sel if f["spec_id"] == 0]
+        new = [f for f in sel if f["spec_id"] == 1]
+        assert len(old) == len([f for f in t.data_files() if f["spec_id"] == 0])
+        assert all(f["partition"]["d_year"] in (24, 25) for f in new)
+        assert len(sel) < total
+
+    def test_pruned_scan_is_exact(self, spark, etable):
+        import datetime
+
+        t = IcebergTable(spark, etable)
+        lo, hi = datetime.date(1994, 1, 1), datetime.date(1995, 12, 31)
+        sel, _ = t.plan_files_by_source_range("d", lo, hi)
+        got = (
+            t.read(files=sel)
+            .where((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)))
+            .count()
+        )
+        assert got == sum(1 for i in range(80) if 1994 + (i % 4) <= 1995)
+
+    def test_unpartition_evolution(self, spark, etable):
+        sid = evolve_partition_spec_iceberg(etable, None)
+        try:
+            append_iceberg(
+                spark.createDataFrame(
+                    [(1000, "Z", None)], "k long, status string, d date"
+                ),
+                etable,
+            )
+            t = IcebergTable(spark, etable)
+            assert t.read().count() == 81
+            flat = [f for f in t.data_files() if f["spec_id"] == sid]
+            assert flat and all(f["partition"] == {} for f in flat)
+            # pruning keeps the unpartitioned file on both axes
+            sel, _ = t.plan_files_by_source_values("status", {"A"})
+            assert any(f["spec_id"] == sid for f in sel)
+        finally:
+            # restore the year spec for sibling tests (spec reused, not dup'd)
+            n_specs = len(
+                IcebergTable(spark, etable).meta["partition-specs"]
+            )
+            back = evolve_partition_spec_iceberg(etable, "d", "year")
+            assert back == 1  # reused existing spec id
+            assert (
+                len(IcebergTable(spark, etable).meta["partition-specs"])
+                == n_specs
+            )
+
+    def test_no_change_refuses(self, spark, etable):
+        with pytest.raises(IcebergError, match="no change"):
+            evolve_partition_spec_iceberg(etable, "d", "year")
+
+    def test_unknown_column_refuses(self, spark, etable):
+        with pytest.raises(IcebergError, match="not in the current schema"):
+            evolve_partition_spec_iceberg(etable, "nope")
+
+    def test_time_travel_prunes_under_old_default(self, spark, etable):
+        # snapshot 1 predates the evolution: all its files are spec 0
+        t = IcebergTable(spark, etable)
+        assert all(f["spec_id"] == 0 for f in t.data_files(snapshot_id=1))
