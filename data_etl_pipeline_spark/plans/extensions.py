@@ -5794,3 +5794,70 @@ def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg write-audit-publish (round 12 second wave): stage an append on
+# a named BRANCH ref (main readers cannot see it), audit the staged
+# state by reading the branch, then PUBLISH by fast-forwarding main to
+# the branch head — a metadata-only pointer move, because the branch's
+# snapshots were fully committed at append time. Snapshot ancestry
+# (parent-snapshot-id) guards the publish: a diverged branch refuses.
+# Tags pin snapshots through expiry on the same refs map.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_wap_publish",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 3000
+    GROUP BY 1
+    """,
+    doc="Write-audit-publish on Iceberg branch refs: stage half the rows "
+    "on branch 'audit' (main provably unchanged, asserted), audit the "
+    "branch read, fast-forward-publish, and aggregate the published "
+    "table; the incremental tail is asserted to skip the branch while "
+    "unpublished. Oracle aggregates raw orders.",
+    round_added=12,
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+        fast_forward_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_wap_") + "/table"
+    export_iceberg(src.where(F.col("o_orderkey") % 2 == 0), dest, n_files=2)
+    n_main = IcebergTable(spark, dest).read().count()
+
+    # STAGE: the append lands on the branch; main must not move
+    append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), dest, branch="audit")
+    t = IcebergTable(spark, dest)
+    assert t.read().count() == n_main
+    assert t.added_files(1) == []  # the tail cannot see the staged commit
+
+    # AUDIT: check the staged state on the branch before anyone reads it
+    staged = t.read(ref="audit")
+    assert staged.where(F.col("o_totalprice") < 0).count() == 0
+    assert staged.count() > n_main
+
+    # PUBLISH: metadata-only fast-forward of main to the audited head
+    fast_forward_iceberg(dest, "audit")
+    return (
+        IcebergTable(spark, dest)
+        .read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

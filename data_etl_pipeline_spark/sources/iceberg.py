@@ -56,6 +56,15 @@ equality deletes, nested schemas, compaction + snapshot expiry:
     read in ONE scan with a broadcast (path -> snapshot) tag join —
     the Delta E92 contract applied to the second format.
 
+Refs (round 12 second wave): the spec's ``refs`` map carries immutable
+TAGS (``tag_iceberg`` — pinned through snapshot expiry) and named
+BRANCHES (``append_iceberg(branch=...)`` auto-forks from main; main
+readers never see branch commits; snapshots record
+``parent-snapshot-id``), closing into write-audit-publish via
+``fast_forward_iceberg`` — an ancestry-checked, metadata-only pointer
+move. The incremental tail walks the main ancestry only, so staged
+branch files never leak into a tail read.
+
 Partition SPEC evolution (round 12 second wave) commits a re-layout as
 a metadata-only update (``evolve_partition_spec_iceberg``): a new spec
 under a fresh spec-id, ``default-spec-id`` moves, existing files keep
@@ -734,13 +743,20 @@ def append_iceberg(
     table_dir: str,
     n_files: int = 1,
     range_by: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: prior manifests are carried
     forward by reference in the new manifest list; only the new files
     get a new manifest. A partitioned table's spec (including its
-    transform) is inherited from the table metadata. Returns the new
-    snapshot id."""
-    return _commit_snapshot(df, table_dir, n_files, range_by, None, "identity", first=False)
+    transform) is inherited from the table metadata. ``branch`` targets
+    a named branch ref instead of main (auto-created forking from the
+    main head on first write — the staging half of write-audit-publish);
+    main readers never see branch commits until ``fast_forward_iceberg``
+    publishes them. Returns the new snapshot id."""
+    return _commit_snapshot(
+        df, table_dir, n_files, range_by, None, "identity", first=False,
+        branch=branch,
+    )
 
 
 _MAX_PARTITIONS_PER_COMMIT = 64
@@ -756,15 +772,25 @@ class _CommitCtx:
     foreign tables whose schema-id != 0 or whose snapshot ids are not
     1..n)."""
 
-    def __init__(self, table_dir: str, df_for_schema: DataFrame | None, first: bool):
+    def __init__(
+        self,
+        table_dir: str,
+        df_for_schema: DataFrame | None,
+        first: bool,
+        branch: str | None = None,
+    ):
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, "metadata")
+        self.branch = branch
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
+            if branch is not None:
+                raise IcebergError("a first export cannot target a branch")
             self.prev = None
             self.version = 1
             self.snapshot_id = 1
             self.seq = 1
+            self.parent_id = None
             self.schema = _iceberg_schema(df_for_schema)
             self.schemas_out = [self.schema]
             self.current_schema_id = 0
@@ -784,10 +810,23 @@ class _CommitCtx:
             # ``schema`` get it wrapped under its own id
             self.schemas_out = prev.get("schemas") or [self.schema]
             self.table_uuid = prev["table-uuid"]
+            # the commit's parent: the targeted branch's head (a branch
+            # not yet in refs forks from the main head), else main
+            parent_id = prev["current-snapshot-id"]
+            if branch is not None:
+                ref = (prev.get("refs") or {}).get(branch)
+                if ref is not None:
+                    if ref.get("type") != "branch":
+                        raise IcebergError(
+                            f"ref {branch!r} is a {ref.get('type')!r}, not a "
+                            "branch — tags are immutable"
+                        )
+                    parent_id = ref["snapshot-id"]
+            self.parent_id = parent_id
             cur = next(
                 s
                 for s in prev["snapshots"]
-                if s["snapshot-id"] == prev["current-snapshot-id"]
+                if s["snapshot-id"] == parent_id
             )
             self.prior_manifests, _ = read_ocf(_local(cur["manifest-list"], table_dir))
             self.snapshots = prev["snapshots"]
@@ -833,6 +872,7 @@ class _CommitCtx:
         snapshots = self.snapshots + [
             {
                 "snapshot-id": self.snapshot_id,
+                "parent-snapshot-id": self.parent_id,
                 "sequence-number": self.seq,
                 "timestamp-ms": now_ms,
                 "summary": summary,
@@ -845,6 +885,24 @@ class _CommitCtx:
             if self.prev
             else _max_field_id(self.schema)
         )
+        # refs: a branch commit moves ITS ref only (main stays — the
+        # write-audit-publish contract); a main commit moves
+        # current-snapshot-id and the implicit main branch ref together
+        refs = dict((self.prev or {}).get("refs") or {})
+        prev_log = list((self.prev or {}).get("snapshot-log") or [])
+        if self.branch is None:
+            current_id = self.snapshot_id
+            refs["main"] = {"snapshot-id": current_id, "type": "branch"}
+            log = prev_log + [
+                {"snapshot-id": self.snapshot_id, "timestamp-ms": now_ms}
+            ]
+        else:
+            current_id = self.prev["current-snapshot-id"]
+            refs[self.branch] = {
+                "snapshot-id": self.snapshot_id,
+                "type": "branch",
+            }
+            log = prev_log  # the main timeline did not move
         meta = {
             "format-version": 2,
             "table-uuid": self.table_uuid,
@@ -859,12 +917,10 @@ class _CommitCtx:
             "last-partition-id": self.last_partition_id,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "current-snapshot-id": self.snapshot_id,
+            "current-snapshot-id": current_id,
+            "refs": refs,
             "snapshots": snapshots,
-            "snapshot-log": [
-                {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
-                for s in snapshots
-            ],
+            "snapshot-log": log,
             "metadata-log": [],
         }
         meta_path = os.path.join(self.meta_dir, f"v{self.version}.metadata.json")
@@ -987,8 +1043,9 @@ def _commit_snapshot(
     partition_by: str | None,
     transform: str,
     first: bool,
+    branch: str | None = None,
 ) -> int:
-    ctx = _CommitCtx(table_dir, df, first)
+    ctx = _CommitCtx(table_dir, df, first, branch=branch)
     schema = ctx.schema
     if first and partition_by is not None:
         kind, _w = _parse_transform(transform)
@@ -1270,10 +1327,18 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
         raise IcebergError("keep_last must be >= 1 (the current snapshot stays)")
     prev = _load_table_metadata(table_dir)
     snaps = sorted(prev["snapshots"], key=lambda s: s.get("sequence-number", 0))
+    # snapshots pinned by a ref (tag or branch head) are never expired,
+    # whatever their age — dropping the ref makes them expirable again
+    ref_ids = {r["snapshot-id"] for r in (prev.get("refs") or {}).values()}
     if len(snaps) <= keep_last:
         return {"expired_snapshots": [], "files_removed": 0, "manifests_removed": 0}
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
-    if prev["current-snapshot-id"] not in {s["snapshot-id"] for s in kept}:
+    kept_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not expired:
+        return {"expired_snapshots": [], "files_removed": 0, "manifests_removed": 0}
+    if prev["current-snapshot-id"] not in kept_ids:
         raise IcebergError(
             "refusing to expire the current snapshot "
             f"({prev['current-snapshot-id']}) — it must be among the newest "
@@ -1431,6 +1496,105 @@ def evolve_schema_iceberg(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version))
     return new_sid
+
+
+def _write_metadata_update(table_dir: str, prev: dict, mutate) -> None:
+    """Commit a metadata-only change: copy the previous metadata, apply
+    ``mutate(meta)``, bump the version, refresh the hint. (The shared
+    tail of every snapshot-less commit: schema/spec evolution, refs.)"""
+    version = prev["_version"] + 1
+    meta = {k: v for k, v in prev.items() if not k.startswith("_")}
+    mutate(meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def tag_iceberg(table_dir: str, name: str, snapshot_id: int | None = None) -> int:
+    """Create an immutable TAG ref pinning a snapshot (default: the
+    current one) under a stable name — the spec's ``refs`` map. Tagged
+    snapshots survive ``expire_snapshots_iceberg`` regardless of age;
+    reads resolve the name through ``IcebergTable.ref_snapshot_id``.
+    Metadata-only. Refuses name collisions and 'main' (owned by the
+    current-snapshot pointer)."""
+    prev = _load_table_metadata(table_dir)
+    if name == "main":
+        raise IcebergError("'main' is the implicit current branch — pick another name")
+    if name in (prev.get("refs") or {}):
+        raise IcebergError(f"ref {name!r} already exists")
+    sid = snapshot_id if snapshot_id is not None else prev["current-snapshot-id"]
+    if sid not in {s["snapshot-id"] for s in prev["snapshots"]}:
+        raise IcebergError(f"snapshot {sid} not in table — cannot tag it")
+
+    def mutate(meta):
+        refs = dict(meta.get("refs") or {})
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        meta["refs"] = refs
+
+    _write_metadata_update(table_dir, prev, mutate)
+    return sid
+
+
+def drop_ref_iceberg(table_dir: str, name: str) -> None:
+    """Remove a tag or branch ref (its snapshots become expirable like
+    any other). Refuses 'main' and unknown names."""
+    prev = _load_table_metadata(table_dir)
+    if name == "main":
+        raise IcebergError("cannot drop 'main'")
+    if name not in (prev.get("refs") or {}):
+        raise IcebergError(f"ref {name!r} does not exist")
+
+    def mutate(meta):
+        refs = dict(meta.get("refs") or {})
+        del refs[name]
+        meta["refs"] = refs
+
+    _write_metadata_update(table_dir, prev, mutate)
+
+
+def fast_forward_iceberg(table_dir: str, branch: str) -> int:
+    """PUBLISH a staged branch: fast-forward main to the branch head —
+    the closing half of write-audit-publish. Requires main's current
+    snapshot to be an ANCESTOR of the branch head (walking
+    parent-snapshot-id), i.e. the branch strictly extends main; anything
+    else is not a fast-forward and refuses (this writer has no merge
+    commits). Metadata-only — the branch's snapshots were fully
+    committed at append time; publishing moves a pointer. Returns the
+    new current snapshot id."""
+    prev = _load_table_metadata(table_dir)
+    ref = (prev.get("refs") or {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise IcebergError(f"no branch ref {branch!r} to fast-forward from")
+    head = ref["snapshot-id"]
+    cur = prev["current-snapshot-id"]
+    by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
+    walk = head
+    while walk is not None and walk != cur:
+        walk = by_id.get(walk, {}).get("parent-snapshot-id")
+    if walk != cur:
+        raise IcebergError(
+            f"branch {branch!r} (head {head}) does not descend from the "
+            f"current snapshot {cur} — not a fast-forward"
+        )
+    if head == cur:
+        raise IcebergError(f"branch {branch!r} is already at main — nothing to publish")
+
+    def mutate(meta):
+        meta["current-snapshot-id"] = head
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": head, "type": "branch"}
+        meta["refs"] = refs
+        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {"snapshot-id": head, "timestamp-ms": int(time.time() * 1000)}
+        ]
+
+    _write_metadata_update(table_dir, prev, mutate)
+    return head
 
 
 def evolve_partition_spec_iceberg(
@@ -1697,6 +1861,19 @@ class IcebergTable:
 
     def _current_schema(self) -> dict:
         return _schema_by_id(self.meta)
+
+    def ref_snapshot_id(self, name: str) -> int:
+        """Resolve a tag/branch ref name to its snapshot id ('main' is
+        the current snapshot); pass the result anywhere a
+        ``snapshot_id`` goes (read, plan_files, data_files...)."""
+        if name == "main":
+            return self.meta["current-snapshot-id"]
+        ref = (self.meta.get("refs") or {}).get(name)
+        if ref is None:
+            raise IcebergError(
+                f"no ref {name!r} (have {sorted(self.meta.get('refs') or {})})"
+            )
+        return ref["snapshot-id"]
 
     def _snapshot(self, snapshot_id: int | None) -> dict:
         sid = snapshot_id if snapshot_id is not None else self.meta["current-snapshot-id"]
@@ -1977,12 +2154,26 @@ class IcebergTable:
         base = self._snapshot(after_snapshot_id)  # validates the anchor
         base_seq = base.get("sequence-number", 0)
         by_id = self._by_id()
+        # tail the MAIN ancestry only: snapshots on unpublished branch
+        # refs are not part of the current table state (they join the
+        # tail when a fast-forward publishes them). Ancestors are walked
+        # by parent-snapshot-id; snapshots written before parent
+        # tracking (no key at all) predate branch support and are
+        # main-line by construction.
+        snap_by_id = {s["snapshot-id"]: s for s in self.meta["snapshots"]}
+        ancestry = set()
+        walk = self.meta["current-snapshot-id"]
+        while walk is not None and walk in snap_by_id and walk not in ancestry:
+            ancestry.add(walk)
+            walk = snap_by_id[walk].get("parent-snapshot-id")
         out: list[tuple[int, dict]] = []
         for s in sorted(
             self.meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
         ):
             if s.get("sequence-number", 0) <= base_seq:
                 continue
+            if "parent-snapshot-id" in s and s["snapshot-id"] not in ancestry:
+                continue  # unpublished branch snapshot
             op = s.get("summary", {}).get("operation", "append")
             if op != "append":
                 raise IcebergError(
@@ -2184,10 +2375,15 @@ class IcebergTable:
         return cols
 
     def read(
-        self, snapshot_id: int | None = None, files: list[dict] | None = None
+        self,
+        snapshot_id: int | None = None,
+        files: list[dict] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Scan a snapshot's (optionally pre-pruned) data files, masking
-        deletes merge-on-read:
+        deletes merge-on-read. ``ref`` reads a named tag/branch head
+        (resolved through the refs map; mutually exclusive with
+        ``snapshot_id``) under that snapshot's own write schema:
 
         * POSITION deletes: ONE combined anti-join on the canonical
           (decoded path, row position) key — the same single-plan-branch
@@ -2198,6 +2394,10 @@ class IcebergTable:
           delete's (the spec rule that lets re-appended keys survive) —
           the sequence number rides a broadcast path->seq tag, so the
           join stays hash-shaped with the inequality as a residual."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise IcebergError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         data, deletes = self._manifest_entries(snapshot_id)
         chosen = files if files is not None else data
         if not chosen:

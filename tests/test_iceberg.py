@@ -1406,3 +1406,105 @@ class TestPartitionSpecEvolution:
         # snapshot 1 predates the evolution: all its files are spec 0
         t = IcebergTable(spark, etable)
         assert all(f["spec_id"] == 0 for f in t.data_files(snapshot_id=1))
+
+
+class TestRefsAndWap:
+    """Tags, branches, and write-audit-publish (tag_iceberg,
+    append_iceberg(branch=...), fast_forward_iceberg)."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        src = spark.range(0, 30).selectExpr("id AS k", "id * 2 AS v")
+        export_iceberg(src.where("k < 10"), d)
+        return d
+
+    def test_wap_lifecycle(self, spark, table):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            fast_forward_iceberg,
+        )
+
+        src = spark.range(0, 30).selectExpr("id AS k", "id * 2 AS v")
+        # WRITE to a staging branch: main must not see it
+        s2 = append_iceberg(src.where("k >= 10 AND k < 20"), table, branch="audit")
+        t = IcebergTable(spark, table)
+        assert t.read().count() == 10          # main unchanged
+        assert t.read(ref="audit").count() == 20  # branch sees both
+        assert t.read(ref="main").count() == 10
+        # AUDIT passed -> PUBLISH: fast-forward main to the branch head
+        assert fast_forward_iceberg(table, "audit") == s2
+        t = IcebergTable(spark, table)
+        assert t.read().count() == 20
+        # a second publish with nothing staged refuses
+        with pytest.raises(IcebergError, match="already at main"):
+            fast_forward_iceberg(table, "audit")
+
+    def test_branch_extends_across_commits(self, spark, table):
+        src = spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+        append_iceberg(src.where("k >= 10 AND k < 20"), table, branch="b")
+        append_iceberg(src.where("k >= 20 AND k < 30"), table, branch="b")
+        t = IcebergTable(spark, table)
+        assert t.read(ref="b").count() == 30
+        assert t.read().count() == 10
+
+    def test_diverged_branch_refuses_publish(self, spark, table):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            fast_forward_iceberg,
+        )
+
+        src = spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+        append_iceberg(src.where("k >= 10 AND k < 20"), table, branch="b")
+        append_iceberg(src.where("k >= 20 AND k < 30"), table)  # main moves
+        with pytest.raises(IcebergError, match="not a fast-forward"):
+            fast_forward_iceberg(table, "b")
+
+    def test_tail_skips_unpublished_branch(self, spark, table):
+        src = spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+        append_iceberg(src.where("k >= 10 AND k < 20"), table, branch="b")
+        s3 = append_iceberg(src.where("k >= 20 AND k < 30"), table)
+        t = IcebergTable(spark, table)
+        pairs = t.added_files(1)
+        assert {sid for sid, _ in pairs} == {s3}
+        assert t.read_tail(1).count() == 10
+
+    def test_tag_pins_through_expiry(self, spark, table):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            expire_snapshots_iceberg,
+            tag_iceberg,
+        )
+
+        src = spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+        tag_iceberg(table, "v1")  # pin snapshot 1
+        append_iceberg(src.where("k >= 10 AND k < 20"), table)
+        append_iceberg(src.where("k >= 20 AND k < 30"), table)
+        res = expire_snapshots_iceberg(table, keep_last=1)
+        # snapshot 2 expired; snapshot 1 survives via the tag
+        assert res["expired_snapshots"] == [2]
+        t = IcebergTable(spark, table)
+        assert t.read(ref="v1").count() == 10
+        assert t.read().count() == 30
+        with pytest.raises(IcebergError, match="not in table"):
+            t.read(snapshot_id=2)
+
+    def test_tag_refusals(self, spark, table):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            drop_ref_iceberg,
+            tag_iceberg,
+        )
+
+        tag_iceberg(table, "v1")
+        with pytest.raises(IcebergError, match="already exists"):
+            tag_iceberg(table, "v1")
+        with pytest.raises(IcebergError, match="main"):
+            tag_iceberg(table, "main")
+        with pytest.raises(IcebergError, match="cannot tag"):
+            tag_iceberg(table, "v2", snapshot_id=99)
+        with pytest.raises(IcebergError, match="immutable"):
+            append_iceberg(
+                IcebergTable(spark, table).read().limit(1), "" + table, branch="v1"
+            )
+        drop_ref_iceberg(table, "v1")
+        with pytest.raises(IcebergError, match="does not exist"):
+            drop_ref_iceberg(table, "v1")
+        with pytest.raises(IcebergError, match="no ref"):
+            IcebergTable(spark, table).read(ref="v1")
