@@ -5861,3 +5861,68 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg -> Delta zero-copy conversion (round 12 second wave): the
+# reverse of delta_to_iceberg_convert. Iceberg data files are
+# self-contained (partition sources stay in the files), so the converter
+# publishes a Delta log whose adds reference the SAME parquet files by
+# absolute path — one footer read per file, no data bytes moved — and
+# any Delta reader serves the table. Asserted in-query: no parquet under
+# the Delta directory, and both formats read identical row counts.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_to_delta_convert",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="Zero-copy Iceberg -> Delta migration: a Delta log referencing "
+    "the Iceberg table's live parquet files by absolute path (footer "
+    "stats ride the adds); both formats then serve the same bytes. "
+    "No-copy and same-count asserted in-query; the aggregate reads "
+    "through the independent Delta log reader. Oracle filters raw "
+    "orders.",
+    round_added=12,
+)
+def iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.delta_export import (
+        convert_iceberg_to_delta,
+    )
+    from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="ice2delta_")
+    ice, delta = base + "/iceberg", base + "/delta"
+    export_iceberg(src.where(F.col("o_orderkey") % 2 == 0), ice, n_files=2,
+                   range_by="o_orderkey")
+    append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), ice, n_files=2,
+                   range_by="o_orderkey")
+
+    res = convert_iceberg_to_delta(spark, ice, delta)
+    assert res["n_files"] == 4
+    # zero-copy: the Delta directory holds ONLY the log
+    assert not _glob.glob(delta + "/**/*.parquet", recursive=True)
+
+    reader = DeltaLogReader(spark, delta)
+    got = reader.read()
+    assert got.count() == IcebergTable(spark, ice).read().count()
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -1814,3 +1814,96 @@ def export_delta_evolve_add_column(
     version = versions[-1] + 1
     _write_commit(dest, version, [{"metaData": new_meta}])
     return version
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy Iceberg -> Delta migration: the mirror of iceberg.py's
+# convert_delta_to_iceberg. Iceberg data files are SELF-CONTAINED
+# (partition source columns stay in the files; partitioning is manifest
+# metadata), so ANY partition layout converts — the Delta table simply
+# reads them as an unpartitioned file set, with per-file footer stats
+# riding the adds for data skipping. Add paths are written ABSOLUTE
+# (percent-encoded URIs, which the Delta protocol allows and
+# DeltaLogReader resolves verbatim); no data byte moves.
+# ---------------------------------------------------------------------------
+
+
+def convert_iceberg_to_delta(spark, iceberg_dir: str, delta_dir: str) -> dict:
+    """Publish an Iceberg v2 table's CURRENT snapshot as a new
+    single-commit Delta table whose adds reference the SAME live parquet
+    files by absolute path — one footer read per file, O(files), zero
+    data rewritten. The Iceberg metadata remains that table's truth; the
+    new Delta log owns only its own directory.
+
+    Honest refusals — conversions that would change data or lie:
+      * live DELETE files (position or equality): the current snapshot's
+        logical rows differ from the physical files — compact first;
+      * evolved schemas (>1 schema id): old files keep pre-evolution
+        physical column names that a schemaString cannot re-alias —
+        compact first;
+      * a destination that already has a ``_delta_log``.
+
+    The metaData id is prefixed ``convert-`` (not ``export-``), so this
+    module's append/merge lifecycle refuses the converted table — its
+    data files belong to the Iceberg table; growing the Delta side
+    independently would silently fork the two."""
+    from data_etl_pipeline_spark.sources.iceberg import IcebergTable, _local
+
+    dest = delta_dir.rstrip("/")
+    log_dir = os.path.join(dest, "_delta_log")
+    if os.path.isdir(log_dir):
+        raise DeltaExportError(
+            f"{dest} already has a _delta_log; refusing to touch an "
+            "existing Delta table's log"
+        )
+    t = IcebergTable(spark, iceberg_dir)
+    data, deletes = t._manifest_entries()
+    if deletes:
+        raise DeltaExportError(
+            "the current snapshot carries delete files — its logical rows "
+            "differ from the physical data files; run compact_iceberg "
+            "first, then convert"
+        )
+    if len(t.meta.get("schemas") or []) > 1:
+        raise DeltaExportError(
+            "the table has evolved schemas — files written before the "
+            "evolution keep old physical column names; run "
+            "compact_iceberg first, then convert"
+        )
+    files = sorted(os.path.abspath(_local(f["path"], iceberg_dir)) for f in data)
+    if not files:
+        raise DeltaExportError("the Iceberg table has no live data files")
+    schema_string = _strip_field_metadata(spark.read.parquet(files[0]).schema.json())
+    adds = []
+    total = 0
+    for full in files:
+        st = os.stat(full)
+        add = {
+            "path": quote(full),
+            "partitionValues": {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats(full)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
+        total += st.st_size
+    os.makedirs(log_dir)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "convert-" + hashlib.md5(dest.encode()).hexdigest()[:12],
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+        *adds,
+    ]
+    _write_commit(dest, 0, actions)
+    return {"n_files": len(adds), "bytes": total}

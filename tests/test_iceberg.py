@@ -1508,3 +1508,96 @@ class TestRefsAndWap:
             drop_ref_iceberg(table, "v1")
         with pytest.raises(IcebergError, match="no ref"):
             IcebergTable(spark, table).read(ref="v1")
+
+
+class TestIcebergToDelta:
+    """convert_iceberg_to_delta: zero-copy reverse migration."""
+
+    def test_roundtrip_references_live_files(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            convert_iceberg_to_delta,
+        )
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+        ice = str(tmp_path / "ice")
+        src = spark.range(0, 100).selectExpr("id AS k", "id * 1.5 AS v")
+        export_iceberg(src.where("k < 60"), ice, n_files=3, range_by="k")
+        append_iceberg(src.where("k >= 60"), ice, n_files=2, range_by="k")
+
+        delta = str(tmp_path / "delta")
+        res = convert_iceberg_to_delta(spark, ice, delta)
+        assert res["n_files"] == 5
+        # no parquet was copied into the delta dir
+        assert not any(
+            f.endswith(".parquet") for f in os.listdir(delta)
+        )
+        got = DeltaLogReader(spark, delta).read()
+        assert got.count() == 100
+        assert got.exceptAll(src).count() == 0
+
+    def test_partitioned_table_converts(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            convert_iceberg_to_delta,
+        )
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+        ice = str(tmp_path / "ice")
+        src = spark.range(0, 50).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS s")
+        export_iceberg(src, ice, partition_by="s")
+        delta = str(tmp_path / "delta")
+        convert_iceberg_to_delta(spark, ice, delta)
+        got = DeltaLogReader(spark, delta).read()
+        # the partition source column lives IN the files (Iceberg spec)
+        assert got.columns == ["k", "s"]
+        assert got.exceptAll(src).count() == 0
+
+    def test_refuses_deletes_and_evolved_schemas(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            DeltaExportError,
+            convert_iceberg_to_delta,
+        )
+        from data_etl_pipeline_spark.sources.iceberg import (
+            compact_iceberg,
+            delete_rows_iceberg,
+            evolve_schema_iceberg,
+        )
+        from data_etl_pipeline_spark.sources.delta_reader import DeltaLogReader
+
+        ice = str(tmp_path / "ice")
+        src = spark.range(0, 40).selectExpr("id AS k", "id * 2 AS v")
+        export_iceberg(src, ice, n_files=2, range_by="k")
+        delete_rows_iceberg(spark, ice, "k >= 30")
+        with pytest.raises(DeltaExportError, match="delete files"):
+            convert_iceberg_to_delta(spark, ice, str(tmp_path / "d1"))
+        compact_iceberg(spark, ice)  # materializes the deletes
+        evolve_schema_iceberg(ice, renames={"v": "w"})
+        with pytest.raises(DeltaExportError, match="evolved schemas"):
+            convert_iceberg_to_delta(spark, ice, str(tmp_path / "d2"))
+
+    def test_refuses_existing_delta_log(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            DeltaExportError,
+            convert_iceberg_to_delta,
+        )
+
+        ice = str(tmp_path / "ice")
+        export_iceberg(spark.range(0, 5).selectExpr("id AS k"), ice)
+        delta = str(tmp_path / "delta")
+        os.makedirs(os.path.join(delta, "_delta_log"))
+        with pytest.raises(DeltaExportError, match="already has"):
+            convert_iceberg_to_delta(spark, ice, delta)
+
+    def test_converted_table_refuses_appends(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.delta_export import (
+            DeltaExportError,
+            convert_iceberg_to_delta,
+            export_delta_append,
+        )
+
+        ice = str(tmp_path / "ice")
+        df = spark.range(0, 5).selectExpr("id AS k")
+        export_iceberg(df, ice)
+        delta = str(tmp_path / "delta")
+        convert_iceberg_to_delta(spark, ice, delta)
+        with pytest.raises(DeltaExportError):
+            export_delta_append(df, delta)
