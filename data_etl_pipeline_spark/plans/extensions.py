@@ -5926,3 +5926,83 @@ def iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Iceberg tail (round 12 second wave): the snapshot-diff
+# incremental read as a first-class Structured Streaming SOURCE
+# (sources/iceberg_stream.py, full DataSourceStreamReader API): offsets
+# are main-ancestry sequence numbers, partitions() lists each
+# micro-batch's added files (driver metadata, O(files)), read() parses
+# one file per executor task yielding Arrow batches, and every row
+# carries _commit_snapshot. Two append waves with a barrier between
+# them prove offset tracking; the final table is oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_iceberg_tail",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="Structured Streaming over Iceberg appends through a custom "
+    "Python streaming source: snapshot sequence-number offsets, one "
+    "executor task per added file (Arrow batches), _commit_snapshot "
+    "tagging; the second append wave is proven to ride a later "
+    "micro-batch, and the drained sink is oracle-checked against raw "
+    "orders.",
+    round_added=12,
+)
+def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources import iceberg_stream
+    from data_etl_pipeline_spark.sources.iceberg import (
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="ice_stream_")
+    table, sink = base + "/table", base + "/sink"
+    export_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), table, n_files=2,
+        range_by="o_orderkey",
+    )
+
+    iceberg_stream.register(spark)
+    stream = spark.readStream.format("iceberg_tail").option("path", table).load()
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.take(1):
+            batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    q = stream.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+        append_iceberg(
+            src.where(F.col("o_orderkey") % 2 == 1), table, n_files=2,
+            range_by="o_orderkey",
+        )  # second wave: must ride a LATER micro-batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+    epochs = sorted(r.epoch for r in got.select("epoch").distinct().collect())
+    assert len(epochs) >= 2, f"second wave did not ride a later epoch: {epochs}"
+    first_snaps = {
+        r._commit_snapshot
+        for r in got.where(F.col("epoch") == epochs[0])
+        .select("_commit_snapshot").distinct().collect()
+    }
+    assert first_snaps == {1}, first_snaps
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
