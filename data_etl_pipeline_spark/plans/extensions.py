@@ -6006,3 +6006,146 @@ def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-to-Iceberg streaming replication with an exactly-once SINK
+# (round 12 third wave): the iceberg_tail source feeds foreachBatch,
+# and append_iceberg_exactly_once dedups per (app-id, epoch) recorded
+# in the snapshot summary — at-least-once redelivery composes to
+# exactly-once table contents (ST2's transaction-identifier contract on
+# the second format). A batch is deliberately re-applied in-query and
+# proven to be a no-op before the final aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_iceberg_replication",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="Streaming replication Iceberg -> Iceberg: the tail source "
+    "drives foreachBatch into an epoch-deduped exactly-once append "
+    "sink; a replayed batch is asserted to commit nothing, and the "
+    "replica's aggregate is oracle-checked against raw orders.",
+    round_added=12,
+)
+def stream_iceberg_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from data_etl_pipeline_spark.sources import iceberg_stream
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        append_iceberg_exactly_once,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="ice_repl_")
+    upstream, replica = base + "/up", base + "/replica"
+    export_iceberg(src.where(F.col("o_orderkey") % 2 == 0), upstream, n_files=2,
+                   range_by="o_orderkey")
+
+    state = {"last": None}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.drop("_commit_snapshot")
+        if not rows.take(1):
+            return
+        if not os.path.isdir(replica + "/metadata"):
+            export_iceberg(rows, replica, n_files=2)
+            state["last"] = (rows, epoch_id)
+            return
+        append_iceberg_exactly_once(rows, replica, "repl", epoch_id)
+        state["last"] = (rows, epoch_id)
+
+    iceberg_stream.register(spark)
+    stream = spark.readStream.format("iceberg_tail").option("path", upstream).load()
+    q = stream.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+        append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), upstream,
+                       n_files=2, range_by="o_orderkey")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # deliberately REPLAY the last delivered batch: must commit nothing
+    rows, epoch_id = state["last"]
+    assert epoch_id > 0  # the second wave really rode a later epoch
+    n_snaps_before = len(IcebergTable(spark, replica).meta["snapshots"])
+    assert append_iceberg_exactly_once(rows, replica, "repl", epoch_id) is None
+    assert len(IcebergTable(spark, replica).meta["snapshots"]) == n_snaps_before
+
+    got = IcebergTable(spark, replica).read()
+    assert got.count() == IcebergTable(spark, upstream).read().count()
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg manifest rewrite (round 12 third wave): the metadata-level
+# small-files fix — N micro-batch appends leave N manifests in the
+# list; planning cost grows with commit count, not data. rewrite merges
+# them to one manifest per (content, spec, write-schema) group,
+# carrying entries verbatim as EXISTING with explicit sequence numbers
+# (reads, time travel, and equality-delete seq checks byte-unaffected),
+# under a replace snapshot the tail and stream SKIP.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_rewrite_manifests",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="Manifest compaction: five append commits' manifests merged to "
+    "one (5 -> 1 asserted), entries carried as EXISTING with explicit "
+    "sequence numbers, zero data files touched; read equality before/"
+    "after asserted in-query and a post-rewrite tail still sees only "
+    "real appends. Oracle aggregates raw orders.",
+    round_added=12,
+)
+def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+        rewrite_manifests_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_rwm_") + "/table"
+    export_iceberg(src.where(F.col("o_orderkey") % 5 == 0), dest)
+    for r in (1, 2, 3, 4):
+        append_iceberg(src.where(F.col("o_orderkey") % 5 == r), dest)
+
+    before = IcebergTable(spark, dest).read().count()
+    res = rewrite_manifests_iceberg(dest)
+    assert (res["manifests_before"], res["manifests_after"]) == (5, 1), res
+
+    t = IcebergTable(spark, dest)
+    got = t.read()
+    assert got.count() == before
+    # the rewrite snapshot is invisible to the incremental tail
+    assert all(sid != res["snapshot_id"] for sid, _ in t.added_files(1))
+    return got.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -65,6 +65,15 @@ readers never see branch commits; snapshots record
 move. The incremental tail walks the main ancestry only, so staged
 branch files never leak into a tail read.
 
+Exactly-once streaming sink (``append_iceberg_exactly_once``): commits
+record (streaming-app-id, streaming-epoch) in their snapshot summary
+and replayed micro-batches skip — the Delta transaction-identifier
+contract on this format. Manifest rewrite
+(``rewrite_manifests_iceberg``): the metadata small-files fix — merge
+the current manifest list to one manifest per (content, spec, schema)
+group, entries carried verbatim as EXISTING with explicit sequence
+numbers; the tail and the streaming source skip the marker snapshot.
+
 Partition SPEC evolution (round 12 second wave) commits a re-layout as
 a metadata-only update (``evolve_partition_spec_iceberg``): a new spec
 under a fresh spec-id, ``default-spec-id`` moves, existing files keep
@@ -759,6 +768,45 @@ def append_iceberg(
     )
 
 
+def append_iceberg_exactly_once(
+    df: DataFrame,
+    table_dir: str,
+    app_id: str,
+    epoch_id: int,
+    n_files: int = 1,
+    range_by: str | None = None,
+) -> int | None:
+    """Idempotent streaming-sink append — the Iceberg twin of the Delta
+    exporter's transaction identifiers (ST2): each commit records
+    ``(app-id, epoch)`` in its snapshot SUMMARY, and a replayed
+    micro-batch (foreachBatch redelivery after a failure, epoch_id <=
+    the highest committed epoch for this app) is SKIPPED instead of
+    appended twice — at-least-once delivery composes to exactly-once
+    table contents. Epochs must arrive in order per app (Structured
+    Streaming's foreachBatch contract); a gap is fine, going backwards
+    is the replay being absorbed. Returns the new snapshot id, or None
+    when the epoch was already committed (the no-op replay).
+
+    Scale: the dedup check reads snapshot summaries already in the
+    loaded metadata — O(snapshots) driver-side, no data reads."""
+    prev = _load_table_metadata(table_dir)
+    committed = [
+        int(s["summary"]["streaming-epoch"])
+        for s in prev["snapshots"]
+        if s.get("summary", {}).get("streaming-app-id") == app_id
+        and "streaming-epoch" in s.get("summary", {})
+    ]
+    if committed and epoch_id <= max(committed):
+        return None
+    return _commit_snapshot(
+        df, table_dir, n_files, range_by, None, "identity", first=False,
+        extra_summary={
+            "streaming-app-id": app_id,
+            "streaming-epoch": str(epoch_id),
+        },
+    )
+
+
 _MAX_PARTITIONS_PER_COMMIT = 64
 
 
@@ -1044,6 +1092,7 @@ def _commit_snapshot(
     transform: str,
     first: bool,
     branch: str | None = None,
+    extra_summary: dict | None = None,
 ) -> int:
     ctx = _CommitCtx(table_dir, df, first, branch=branch)
     schema = ctx.schema
@@ -1107,7 +1156,8 @@ def _commit_snapshot(
         manifest_path, ctx, 0, len(files_with_parts), added_rows
     )
     return ctx.publish(
-        [new_manifest] + ctx.prior_manifests, "append", added_rows
+        [new_manifest] + ctx.prior_manifests, "append", added_rows,
+        extra_summary,
     )
 
 
@@ -1305,6 +1355,105 @@ def compact_iceberg(spark: SparkSession, table_dir: str, n_files: int = 1) -> in
         manifest_path, ctx, 0, len(files_with_parts), total_rows
     )
     return ctx.publish([new_manifest], "replace", total_rows)
+
+
+def rewrite_manifests_iceberg(table_dir: str) -> dict:
+    """Manifest compaction — the METADATA-level small-files fix: every
+    append adds one manifest to the list, so a table built from 10k
+    micro-batch commits plans every read through 10k Avro files. This
+    op merges the current snapshot's manifests into ONE manifest per
+    (content, partition-spec, write-schema) group, carrying every live
+    entry VERBATIM as EXISTING (status 0) with its original snapshot id
+    and an EXPLICIT sequence number (the spec's rule for carried
+    entries — nothing inherits from the new manifest list), so reads,
+    time-travel masking, and equality-delete sequence checks are
+    byte-for-byte unaffected. The commit is a ``replace`` snapshot with
+    a ``manifests-rewritten`` summary marker that the incremental tail
+    and the streaming source SKIP (it adds no rows), unlike a data
+    compaction, which they refuse.
+
+    Pure metadata: O(manifest entries) driver-side; no data files are
+    read, moved, or rewritten. Old manifests stay referenced by older
+    snapshots until ``expire_snapshots_iceberg`` reclaims them. Returns
+    {"manifests_before", "manifests_after", "snapshot_id"} (snapshot_id
+    None = already compact, no commit)."""
+    ctx = _CommitCtx(table_dir, None, first=False)
+    groups: dict[tuple, dict] = {}
+    for m in ctx.prior_manifests:
+        entries, _, mmeta = read_ocf_full(_local(m["manifest_path"], ctx.table_dir))
+        key = (
+            m.get("content", 0),
+            m.get("partition_spec_id", 0),
+            mmeta.get("schema"),
+            mmeta.get("schema-id"),
+        )
+        g = groups.setdefault(key, {"entries": [], "rows": 0, "min_seq": None})
+        mseq = m.get("sequence_number", 0)
+        for e in entries:
+            if e["status"] == 2:  # DELETED: drop tombstones while merging
+                continue
+            seq = e["sequence_number"] if e.get("sequence_number") is not None else mseq
+            fseq = (
+                e["file_sequence_number"]
+                if e.get("file_sequence_number") is not None
+                else mseq
+            )
+            g["entries"].append(
+                {
+                    **e,
+                    "status": 0,  # EXISTING
+                    "sequence_number": seq,
+                    "file_sequence_number": fseq,
+                }
+            )
+            g["rows"] += e["data_file"]["record_count"]
+            g["min_seq"] = seq if g["min_seq"] is None else min(g["min_seq"], seq)
+    before = len(ctx.prior_manifests)
+    if before <= len(groups):
+        return {"manifests_before": before, "manifests_after": before,
+                "snapshot_id": None}
+
+    spec_by_id = {sp["spec-id"]: sp["fields"] for sp in ctx.partition_specs}
+    list_entries = []
+    for i, (key, g) in enumerate(sorted(groups.items(), key=lambda kv: str(kv[0]))):
+        content, spec_id, raw_schema, raw_sid = key
+        schema = (
+            json.loads(raw_schema.decode("utf-8"))
+            if raw_schema is not None
+            else ctx.schema
+        )
+        spec_fields = spec_by_id.get(spec_id, [])
+        part_avro, _ = _part_transforms_of(schema, spec_fields)
+        mpath = os.path.join(ctx.meta_dir, f"m{ctx.version}-rw{i}.avro")
+        extra = {"format-version": b"2"}
+        if raw_schema is not None:
+            extra["schema"] = raw_schema
+        if raw_sid is not None:
+            extra["schema-id"] = raw_sid
+        write_ocf(mpath, g["entries"], _manifest_entry_schema(part_avro), extra_meta=extra)
+        list_entries.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id,
+                "content": content,
+                "sequence_number": ctx.seq,
+                "min_sequence_number": g["min_seq"] if g["min_seq"] is not None else ctx.seq,
+                "added_snapshot_id": ctx.snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(g["entries"]),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": g["rows"],
+                "deleted_rows_count": 0,
+            }
+        )
+    sid = ctx.publish(
+        list_entries, "replace", 0,
+        {"manifests-rewritten": str(before)},
+    )
+    return {"manifests_before": before, "manifests_after": len(list_entries),
+            "snapshot_id": sid}
 
 
 def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
@@ -2175,6 +2324,8 @@ class IcebergTable:
             if "parent-snapshot-id" in s and s["snapshot-id"] not in ancestry:
                 continue  # unpublished branch snapshot
             op = s.get("summary", {}).get("operation", "append")
+            if op == "replace" and "manifests-rewritten" in s.get("summary", {}):
+                continue  # metadata-only manifest compaction: adds no rows
             if op != "append":
                 raise IcebergError(
                     f"snapshot {s['snapshot-id']} is a {op!r} snapshot — "

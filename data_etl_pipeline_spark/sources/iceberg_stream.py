@@ -132,6 +132,8 @@ class IcebergTailStreamReader(DataSourceStreamReader):
             if not (lo < seq <= hi):
                 continue
             op = s.get("summary", {}).get("operation", "append")
+            if op == "replace" and "manifests-rewritten" in s.get("summary", {}):
+                continue  # metadata-only manifest compaction: adds no rows
             if op != "append":
                 raise IcebergError(
                     f"snapshot {s['snapshot-id']} is a {op!r} snapshot — the "

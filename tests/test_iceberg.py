@@ -1601,3 +1601,129 @@ class TestIcebergToDelta:
         convert_iceberg_to_delta(spark, ice, delta)
         with pytest.raises(DeltaExportError):
             export_delta_append(df, delta)
+
+
+class TestExactlyOnceSink:
+    """append_iceberg_exactly_once: epoch-deduped idempotent appends."""
+
+    def test_replayed_epoch_skipped(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            append_iceberg_exactly_once,
+        )
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 30).selectExpr("id AS k")
+        export_iceberg(src.where("k < 10"), d)
+        s = append_iceberg_exactly_once(src.where("k >= 10 AND k < 20"), d, "app", 1)
+        assert s is not None
+        # redelivery of epoch 1 must be a no-op
+        assert append_iceberg_exactly_once(src.where("k >= 10 AND k < 20"), d, "app", 1) is None
+        assert append_iceberg_exactly_once(src.where("k >= 20"), d, "app", 2) is not None
+        assert append_iceberg_exactly_once(src.where("k >= 20"), d, "app", 2) is None
+        assert IcebergTable(spark, d).read().count() == 30
+
+    def test_apps_deduplicate_independently(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            append_iceberg_exactly_once,
+        )
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 30).selectExpr("id AS k")
+        export_iceberg(src.where("k < 10"), d)
+        assert append_iceberg_exactly_once(src.where("k >= 10 AND k < 20"), d, "a", 5) is not None
+        # a different app's epoch counter is its own
+        assert append_iceberg_exactly_once(src.where("k >= 20"), d, "b", 1) is not None
+        assert IcebergTable(spark, d).read().count() == 30
+
+
+class TestRewriteManifests:
+    """rewrite_manifests_iceberg: metadata-level small-files compaction."""
+
+    @pytest.fixture()
+    def many_commits(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        src = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+        export_iceberg(src.where("k < 10"), d)
+        for lo in (10, 20, 30, 40):
+            append_iceberg(src.where(f"k >= {lo} AND k < {lo + 10}"), d)
+        return d
+
+    def test_merges_to_one_manifest_same_content(self, spark, many_commits):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            rewrite_manifests_iceberg,
+        )
+
+        d = many_commits
+        before = IcebergTable(spark, d).read()
+        res = rewrite_manifests_iceberg(d)
+        assert res["manifests_before"] == 5 and res["manifests_after"] == 1
+        t = IcebergTable(spark, d)
+        after = t.read()
+        assert after.exceptAll(before).count() == 0
+        assert after.count() == 50
+        # a second rewrite is a no-op
+        res2 = rewrite_manifests_iceberg(d)
+        assert res2["snapshot_id"] is None
+
+    def test_preserves_seqs_for_equality_deletes(self, spark, many_commits):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            delete_rows_iceberg,
+            rewrite_manifests_iceberg,
+        )
+
+        d = many_commits
+        # delete keys, re-append them (upsert), THEN rewrite manifests:
+        # the seq-aware masking must still see the re-appended rows
+        delete_rows_iceberg(spark, d, "k < 5", equality_by=["k"])
+        src = spark.range(0, 5).selectExpr("id AS k", "id * 100 AS v")
+        append_iceberg(src, d)
+        before = IcebergTable(spark, d).read()
+        res = rewrite_manifests_iceberg(d)
+        assert res["snapshot_id"] is not None
+        after = IcebergTable(spark, d).read()
+        assert after.exceptAll(before).count() == 0
+        assert after.where("k < 5").agg(F.min("v")).collect()[0][0] == 0
+
+    def test_tail_skips_rewrite_snapshot(self, spark, many_commits):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            rewrite_manifests_iceberg,
+        )
+
+        d = many_commits
+        rewrite_manifests_iceberg(d)
+        src = spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v")
+        append_iceberg(src, d)
+        t = IcebergTable(spark, d)
+        # tail across the rewrite: only real appends surface
+        tail = t.read_tail(1)
+        assert tail.count() == 50  # snapshots 2..5 (40 rows) + the new 10
+        assert tail.where("k >= 50").count() == 10
+
+    def test_time_travel_to_pre_rewrite_unaffected(self, spark, many_commits):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            rewrite_manifests_iceberg,
+        )
+
+        d = many_commits
+        rewrite_manifests_iceberg(d)
+        t = IcebergTable(spark, d)
+        assert t.read(snapshot_id=2).count() == 20
+
+    def test_partitioned_multi_spec_rewrite(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            rewrite_manifests_iceberg,
+        )
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 60).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS s")
+        export_iceberg(src.where("k < 20"), d, partition_by="s")
+        append_iceberg(src.where("k >= 20 AND k < 40"), d)
+        evolve_partition_spec_iceberg(d, None)  # unpartition
+        append_iceberg(src.where("k >= 40"), d)
+        res = rewrite_manifests_iceberg(d)
+        # one manifest per spec group
+        assert res["manifests_before"] == 3 and res["manifests_after"] == 2
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 60
+        sel, total = t.plan_files_by_source_values("s", {"0"})
+        assert 0 < len(sel) < total  # old-spec pruning still works
