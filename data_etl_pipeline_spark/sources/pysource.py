@@ -36,6 +36,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -45,6 +46,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _SCHEMA = (
@@ -143,7 +145,9 @@ class BatchResultsReader(DataSourceReader):
         for f in sorted(os.listdir(self.path)):
             if not (f.startswith("part-") and f.endswith(".jsonl")):
                 continue
-            shard = int(f[len("part-") : -len(".jsonl")])
+            # fixture layout part-<shard>.jsonl or native-writer layout
+            # part-<shard>-<seq>.jsonl: the shard is the first segment
+            shard = int(f[len("part-") : -len(".jsonl")].split("-")[0])
             if self._keep_shard(shard):
                 parts.append(_ShardPartition(os.path.join(self.path, f), shard))
         return parts
@@ -176,6 +180,9 @@ class BatchResultsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "BatchResultsStreamReader":
         return BatchResultsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "BatchResultsWriter":
+        return BatchResultsWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -215,7 +222,7 @@ class BatchResultsStreamReader(SimpleDataSourceStreamReader):
 
     def _rows_of(self, names):
         for name in names:
-            shard = int(name[len("part-") : -len(".jsonl")])
+            shard = int(name[len("part-") : -len(".jsonl")].split("-")[0])
             with open(os.path.join(self.path, name)) as fh:
                 for line in fh:
                     if line.strip():
@@ -244,3 +251,110 @@ class BatchResultsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to release
+
+
+# ---------------------------------------------------------------------------
+# Native WRITER (round 12): df.write.format("batch_results") through the
+# official DataSourceWriter API — the missing third of the source trio
+# (batch reader / stream reader / writer). The write follows the
+# two-phase commit protocol the API exists for:
+#
+#   1. each TASK writes its rows, grouped by derived shard, to
+#      _staging/<uuid>-shard<k>.jsonl and returns a commit message
+#      naming its staged files — no task ever touches a live file;
+#   2. the DRIVER, only after every task succeeded, renames staged
+#      files to part-<shard>-<seq>.jsonl (overwrite first clears the
+#      previous generation) and removes the staging dir; on any task
+#      failure abort() deletes the staged files and the table is
+#      untouched.
+#
+# Honest scale caveat (same as Hadoop's v2 committer): commit publishes
+# one rename at a time, so a DRIVER crash mid-commit can leave a
+# partial publish; task failures — the common case — never can.
+#
+# The shard is DERIVED from custom_id with the same md5 hash the
+# fixture writer and the oracle use; an incoming 'shard' column is
+# refused rather than trusted (stored-vs-derived divergence would break
+# the reader's filename pushdown contract).
+# ---------------------------------------------------------------------------
+
+
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, staged):
+        self.staged = staged  # [(staged_name, shard, n_rows)]
+
+
+class BatchResultsWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("batch_results write requires .option('path', <dir>)")
+        self.n_shards = int(options.get("n_shards", "4"))
+        self.overwrite = overwrite
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+
+    def write(self, iterator):
+        import hashlib
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex[:12]
+        buckets: dict[int, list[str]] = {}
+        for row in iterator:
+            d = row.asDict()
+            if "shard" in d:
+                raise ValueError(
+                    "'shard' is derived from custom_id, not stored — drop the column"
+                )
+            cid = d.get("custom_id")
+            s = int(hashlib.md5(str(cid).encode()).hexdigest()[:8], 16) % self.n_shards
+            buckets.setdefault(s, []).append(
+                json.dumps(
+                    {
+                        "custom_id": cid,
+                        "status": d.get("status"),
+                        "n_tokens": d.get("n_tokens"),
+                        "body": d.get("body"),
+                    }
+                )
+            )
+        staged = []
+        for s, lines in sorted(buckets.items()):
+            name = f"{tag}-shard{s}.jsonl"
+            with open(os.path.join(self.path, "_staging", name), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            staged.append((name, s, len(lines)))
+        return _WriteMessage(staged)
+
+    def commit(self, messages):
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        seq: dict[int, int] = {}
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f.endswith(".jsonl"):
+                parts = f[len("part-") : -len(".jsonl")].split("-")
+                if len(parts) == 2:  # append mode: continue numbering
+                    s, i = int(parts[0]), int(parts[1])
+                    seq[s] = max(seq.get(s, -1), i)
+        for m in messages:
+            if m is None:
+                continue
+            for name, s, _n in sorted(m.staged):
+                seq[s] = seq.get(s, -1) + 1
+                os.replace(
+                    os.path.join(staging, name),
+                    os.path.join(self.path, f"part-{s}-{seq[s]:05d}.jsonl"),
+                )
+        _clear_staging(staging)
+
+    def abort(self, messages):
+        _clear_staging(os.path.join(self.path, "_staging"))
+
+
+def _clear_staging(staging: str) -> None:
+    if os.path.isdir(staging):
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
