@@ -6228,3 +6228,106 @@ def pysource_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(knob, saved)
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end NATIVE streaming pipeline (round 12 third wave): stream
+# reader -> stream writer, both through the official Python data source
+# API, no foreachBatch escape hatch. The sink's commit(messages,
+# batchId) publishes staged task files under a _commits/ batch ledger;
+# a replayed batchId discards its stage instead of double-publishing
+# (exactly-once sink contents under at-least-once replay — the E223
+# contract at the source-API layer). Files land in two waves; the sink
+# is then batch-read through the same format and oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_pysource_pipeline",
+    sql="""
+    WITH src AS (
+        SELECT 'o-' || CAST(o_orderkey AS VARCHAR) AS custom_id,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+               o_orderkey % 1000 AS n_tokens
+        FROM orders WHERE o_orderkey < 800
+    )
+    SELECT (('0x' || substr(md5(custom_id), 1, 8))::BIGINT % 4) AS shard,
+           status, COUNT(*) AS n,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM src GROUP BY 1, 2
+    """,
+    doc="Streaming pipeline entirely on the native Python source API: "
+    "SimpleDataSourceStreamReader source feeding a DataSourceStreamWriter "
+    "sink (two-phase commit per micro-batch, _commits batch ledger, "
+    "replayed batches discarded); two landing waves, ledger >= 2 "
+    "batches asserted, sink re-read through the same format and "
+    "oracle-checked against orders.",
+    round_added=12,
+)
+def stream_pysource_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from data_etl_pipeline_spark.sources import pysource
+
+    rows = [
+        (
+            f"o-{r.o_orderkey}",
+            "error" if r.o_orderkey % 7 == 0 else "ok",
+            int(r.o_orderkey % 1000),
+            f"resp-{r.o_orderkey}",
+        )
+        for r in load(spark, sf_dir, "orders")
+        .where("o_orderkey < 800")
+        .select("o_orderkey")
+        .collect()  # bounded: < 800 ids by construction
+    ]
+    staging = tempfile.mkdtemp(prefix="pypipe_fixture_")
+    pysource.write_result_fixture(rows, staging, n_shards=4)
+    live = tempfile.mkdtemp(prefix="pypipe_live_")
+    sink = tempfile.mkdtemp(prefix="pypipe_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="pypipe_ckpt_")
+
+    def land(shards):
+        for s in shards:
+            shutil.copy(
+                os.path.join(staging, f"part-{s}.jsonl"),
+                os.path.join(live, f"part-{s}.jsonl"),
+            )
+
+    pysource.register(spark)
+    land([0, 1])
+    q = (
+        spark.readStream.format("batch_results").option("path", live).load()
+        .writeStream.format("batch_results")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land([2, 3])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(os.listdir(os.path.join(sink, "_commits"))) >= 2
+
+    knob = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(knob, None)
+    try:
+        spark.conf.set(knob, "true")
+        agg = (
+            spark.read.format("batch_results").option("path", sink).load()
+            .groupBy("shard", "status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            )
+        )
+        out = agg.collect()  # bounded: 4 shards x 2 statuses
+        schema = agg.schema
+    finally:
+        if saved is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, saved)
+    return spark.createDataFrame(out, schema)

@@ -36,6 +36,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -183,6 +184,9 @@ class BatchResultsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "BatchResultsWriter":
         return BatchResultsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "BatchResultsStreamWriter":
+        return BatchResultsStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -358,3 +362,96 @@ def _clear_staging(staging: str) -> None:
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
+
+
+# ---------------------------------------------------------------------------
+# Native STREAMING writer (round 12): .writeStream.format("batch_results")
+# through the official DataSourceStreamWriter API — with the stream
+# reader above, a landing->sink pipeline runs end-to-end on the Python
+# source API with no foreachBatch escape hatch. Same two-phase shape as
+# the batch writer, plus the streaming guarantee: commit(messages,
+# batchId) records each published batch in a _commits/ ledger, and a
+# REPLAYED batchId (restart after the sink committed but the engine's
+# checkpoint did not) discards its staged files instead of publishing
+# twice — at-least-once replay composes to exactly-once sink contents.
+# ---------------------------------------------------------------------------
+
+
+class BatchResultsStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "batch_results stream write requires .option('path', <dir>)"
+            )
+        self.n_shards = int(options.get("n_shards", "4"))
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
+
+    def write(self, iterator):
+        import hashlib
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex[:12]
+        buckets: dict[int, list[str]] = {}
+        for row in iterator:
+            d = row.asDict()
+            cid = d.get("custom_id")
+            s = int(hashlib.md5(str(cid).encode()).hexdigest()[:8], 16) % self.n_shards
+            buckets.setdefault(s, []).append(
+                json.dumps(
+                    {
+                        "custom_id": cid,
+                        "status": d.get("status"),
+                        "n_tokens": d.get("n_tokens"),
+                        "body": d.get("body"),
+                    }
+                )
+            )
+        staged = []
+        for s, lines in sorted(buckets.items()):
+            name = f"{tag}-shard{s}.jsonl"
+            with open(os.path.join(self.path, "_staging", name), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            staged.append((name, s, len(lines)))
+        return _WriteMessage(staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        ledger = os.path.join(self.path, "_commits", str(batchId))
+        if os.path.exists(ledger):
+            # replayed batch: the sink already holds it — drop the stage
+            for m in messages:
+                if m is None:
+                    continue
+                for name, _s, _n in m.staged:
+                    p = os.path.join(staging, name)
+                    if os.path.exists(p):
+                        os.remove(p)
+            return
+        published = []
+        seq: dict[int, int] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for name, s, _n in sorted(m.staged):
+                seq[s] = seq.get(s, 0) + 1
+                final = f"part-{s}-b{batchId}-{seq[s]:04d}.jsonl"
+                os.replace(
+                    os.path.join(staging, name), os.path.join(self.path, final)
+                )
+                published.append(final)
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"files": published}, fh)
+        os.replace(tmp, ledger)
+
+    def abort(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        for m in messages:
+            if m is None:
+                continue
+            for name, _s, _n in m.staged:
+                p = os.path.join(staging, name)
+                if os.path.exists(p):
+                    os.remove(p)

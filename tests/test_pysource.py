@@ -239,3 +239,88 @@ class TestNativeWriter:
         )
         assert got.count() > 0
         assert got.select("shard").distinct().collect()[0][0] == 2
+
+
+class TestNativeStreamWriter:
+    """.writeStream.format('batch_results'): epoch-ledgered streaming sink."""
+
+    def test_end_to_end_stream_pipeline(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from data_etl_pipeline_spark.sources import pysource
+
+        pysource.register(spark)
+        rows = [
+            (f"o-{i}", "ok" if i % 3 else "error", i % 50, f"resp-{i}")
+            for i in range(120)
+        ]
+        staging = str(tmp_path / "fixture")
+        pysource.write_result_fixture(rows, staging, n_shards=4)
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        q = (
+            spark.readStream.format("batch_results").option("path", live).load()
+            .writeStream.format("batch_results")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            shutil.copy(os.path.join(staging, "part-0.jsonl"), live)
+            shutil.copy(os.path.join(staging, "part-1.jsonl"), live)
+            q.processAllAvailable()
+            shutil.copy(os.path.join(staging, "part-2.jsonl"), live)
+            shutil.copy(os.path.join(staging, "part-3.jsonl"), live)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.read.format("batch_results").option("path", sink).load()
+        assert got.count() == 120
+        assert got.select("custom_id").distinct().count() == 120
+        # ledger recorded at least two published batches
+        assert len(os.listdir(os.path.join(sink, "_commits"))) >= 2
+
+    def test_replayed_batch_id_not_published_twice(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        from data_etl_pipeline_spark.sources.pysource import (
+            BatchResultsStreamWriter,
+        )
+
+        d = str(tmp_path / "sink")
+        w = BatchResultsStreamWriter({"path": d})
+        rows = [
+            Row(custom_id=f"o-{i}", status="ok", n_tokens=i, body=f"b-{i}")
+            for i in range(10)
+        ]
+        m1 = w.write(iter(rows))
+        w.commit([m1], batchId=0)
+        n_files = len([f for f in os.listdir(d) if f.endswith(".jsonl")])
+        # redelivery of batch 0 (restart race): staged again, then dropped
+        m2 = w.write(iter(rows))
+        w.commit([m2], batchId=0)
+        assert len([f for f in os.listdir(d) if f.endswith(".jsonl")]) == n_files
+        assert not os.listdir(os.path.join(d, "_staging"))
+
+    def test_abort_cleans_staging(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        from data_etl_pipeline_spark.sources.pysource import (
+            BatchResultsStreamWriter,
+        )
+
+        d = str(tmp_path / "sink")
+        w = BatchResultsStreamWriter({"path": d})
+        m = w.write(iter([Row(custom_id="x", status="ok", n_tokens=1, body="b")]))
+        w.abort([m, None], batchId=0)
+        assert not os.listdir(os.path.join(d, "_staging"))
+        assert not [f for f in os.listdir(d) if f.endswith(".jsonl")]
