@@ -6331,3 +6331,66 @@ def stream_pysource_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(knob, saved)
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg metadata tables (round 12 third wave): the tbl.files /
+# tbl.partitions inspection surface — per-partition row and file
+# statistics straight from manifests, O(files) driver-side, zero data
+# reads. The fixture spans a SPEC EVOLUTION (identity(status) then
+# year(date)), so the partitions table carries both layouts at once,
+# keyed by spec id — the audit a re-layout decision reads. The oracle
+# reconstructs every (spec, field, value, n_rows) row from raw orders;
+# per-value file counts are 1-by-construction and asserted in-query.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_partitions_metadata",
+    sql="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey < 2000)
+    SELECT 0 AS spec_id, 'o_orderstatus' AS field, o_orderstatus AS value,
+           COUNT(*) AS n_rows
+    FROM src WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1, 'o_orderdate_year',
+           CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) - 1970 AS STRING),
+           COUNT(*)
+    FROM src WHERE o_orderkey % 2 = 1
+    GROUP BY EXTRACT(year FROM o_orderdate)
+    """,
+    doc="Iceberg partitions metadata table across a spec evolution: "
+    "per-(spec, field, value) row counts from manifests alone (zero "
+    "data reads), both layouts reported side by side; per-value file "
+    "counts and the files metadata table are asserted in-query. Oracle "
+    "reconstructs the stats from raw orders.",
+    round_added=12,
+)
+def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        evolve_partition_spec_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_meta_") + "/table"
+    export_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), dest, partition_by="o_orderstatus"
+    )
+    evolve_partition_spec_iceberg(dest, "o_orderdate", "year")
+    append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), dest)
+
+    t = IcebergTable(spark, dest)
+    parts = t.partitions_df()
+    # the partitioned write lays out one file per partition value per commit
+    assert parts.where(F.col("n_files") != 1).count() == 0
+    files = t.files_df()
+    assert files.count() == parts.count()  # 1 file per tuple => equal counts
+    assert files.where(F.col("record_count") <= 0).count() == 0
+    return parts.select("spec_id", "field", "value", "n_rows")

@@ -2011,6 +2011,55 @@ class IcebergTable:
     def _current_schema(self) -> dict:
         return _schema_by_id(self.meta)
 
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table of a snapshot's live data files (the
+        ``tbl.files`` inspection surface): one row per file with its
+        spec id, sequence number, record count, size, and partition
+        tuple rendered as ``k=v`` pairs. Driver-side O(files) from
+        already-decoded manifests; no data reads."""
+        rows = [
+            (
+                f["path"],
+                int(f.get("spec_id", 0)),
+                int(f.get("seq", 0)),
+                int(f["record_count"]),
+                int(f["file_size_in_bytes"]),
+                ",".join(f"{k}={v}" for k, v in sorted((f["partition"] or {}).items())),
+            )
+            for f in self.data_files(snapshot_id)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, spec_id int, sequence_number long, "
+            "record_count long, file_size_in_bytes long, partition string",
+        )
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table of per-partition statistics (the
+        ``tbl.partitions`` surface): one row per (spec id, partition
+        field, value) with total rows and file count — exactly what a
+        layout audit or a skew check reads before choosing a filter or
+        a recluster. Unpartitioned files roll up under field ''. Values
+        render as strings so one schema covers every transform's value
+        type. O(files) driver-side metadata."""
+        agg: dict[tuple, list[int]] = {}
+        for f in self.data_files(snapshot_id):
+            part = f["partition"] or {}
+            items = sorted(part.items()) if part else [("", "")]
+            for k, v in items:
+                key = (int(f.get("spec_id", 0)), k, str(v))
+                c = agg.setdefault(key, [0, 0])
+                c[0] += f["record_count"]
+                c[1] += 1
+        rows = [
+            (sid, field, value, int(n), int(nf))
+            for (sid, field, value), (n, nf) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "spec_id int, field string, value string, n_rows bigint, n_files int",
+        )
+
     def ref_snapshot_id(self, name: str) -> int:
         """Resolve a tag/branch ref name to its snapshot id ('main' is
         the current snapshot); pass the result anywhere a

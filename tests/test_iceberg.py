@@ -1727,3 +1727,24 @@ class TestRewriteManifests:
         assert t.read().count() == 60
         sel, total = t.plan_files_by_source_values("s", {"0"})
         assert 0 < len(sel) < total  # old-spec pruning still works
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files_df / partitions_df: manifest-derived inspection tables."""
+    d = str(tmp_path / "t")
+    src = spark.range(0, 60).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS s")
+    export_iceberg(src.where("k < 30"), d, partition_by="s")
+    append_iceberg(src.where("k >= 30"), d)
+    t = IcebergTable(spark, d)
+    parts = {(r.spec_id, r.field, r.value): (r.n_rows, r.n_files)
+             for r in t.partitions_df().collect()}
+    # 3 partition values, 2 commits each -> 20 rows / 2 files per value
+    assert parts == {(0, "s", str(v)): (20, 2) for v in range(3)}
+    files = t.files_df().collect()
+    assert len(files) == 6
+    assert all(f.record_count == 10 and f.partition.startswith("s=") for f in files)
+    # unpartitioned table rolls up under field ''
+    d2 = str(tmp_path / "t2")
+    export_iceberg(src, d2, n_files=2, range_by="k")
+    p2 = IcebergTable(spark, d2).partitions_df().collect()
+    assert len(p2) == 1 and p2[0].field == "" and p2[0].n_rows == 60 and p2[0].n_files == 2
