@@ -6394,3 +6394,62 @@ def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert files.count() == parts.count()  # 1 file per tuple => equal counts
     assert files.where(F.col("record_count") <= 0).count() == 0
     return parts.select("spec_id", "field", "value", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Iceberg timestamp time travel (round 12 third wave): AS OF a wall
+# clock instant, resolved from the snapshot-log — the spec's record of
+# CURRENT-snapshot changes, which branch commits never enter, so as-of
+# reads see only published state (a fast-forward re-logs the published
+# head at publish time). The fixture records the instant after commit 1
+# from the table's own log, appends more (one wave on a branch), and
+# proves the as-of read returns exactly the first commit.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_timestamp_travel",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 2 = 0
+    GROUP BY 1
+    """,
+    doc="Timestamp AS-OF reads over the snapshot-log: the instant after "
+    "commit 1 resolves to snapshot 1 even after later main appends and "
+    "an unpublished branch commit (asserted invisible to the log); the "
+    "as-of aggregate is oracle-checked against the first wave of raw "
+    "orders.",
+    round_added=12,
+)
+def iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergTable,
+        append_iceberg,
+        export_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_asof_") + "/table"
+    export_iceberg(src.where(F.col("o_orderkey") % 2 == 0), dest, n_files=2)
+    ts1 = IcebergTable(spark, dest).meta["snapshot-log"][-1]["timestamp-ms"]
+    append_iceberg(src.where(F.col("o_orderkey") % 2 == 1), dest)
+    append_iceberg(src.limit(5), dest, branch="staging")
+
+    t = IcebergTable(spark, dest)
+    sid = t.snapshot_id_as_of(ts1)
+    assert sid == 1, sid
+    # the branch commit never entered the log: as-of-now is main's head
+    assert len(t.meta["snapshot-log"]) == 2
+    return (
+        t.read(snapshot_id=sid)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

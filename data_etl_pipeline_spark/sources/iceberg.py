@@ -2060,6 +2060,25 @@ class IcebergTable:
             "spec_id int, field string, value string, n_rows bigint, n_files int",
         )
 
+    def snapshot_id_as_of(self, ts_ms: int) -> int:
+        """Timestamp time travel: the snapshot that was CURRENT at
+        ``ts_ms``, resolved from the snapshot-log (the spec's record of
+        current-snapshot changes — branch commits never enter it, so
+        as-of reads see only published state; a fast-forward re-logs
+        the published head at publish time, as it should). Raises when
+        ``ts_ms`` predates the table."""
+        log = self.meta.get("snapshot-log") or []
+        best = None
+        for entry in log:
+            if entry["timestamp-ms"] <= ts_ms:
+                best = entry["snapshot-id"]
+        if best is None:
+            raise IcebergError(
+                f"no snapshot at or before timestamp {ts_ms} (table created "
+                f"later, or the snapshot-log is empty)"
+            )
+        return best
+
     def ref_snapshot_id(self, name: str) -> int:
         """Resolve a tag/branch ref name to its snapshot id ('main' is
         the current snapshot); pass the result anywhere a

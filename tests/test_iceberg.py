@@ -1748,3 +1748,26 @@ def test_metadata_tables(spark, tmp_path):
     export_iceberg(src, d2, n_files=2, range_by="k")
     p2 = IcebergTable(spark, d2).partitions_df().collect()
     assert len(p2) == 1 and p2[0].field == "" and p2[0].n_rows == 60 and p2[0].n_files == 2
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel over the snapshot-log (main-only)."""
+    d = str(tmp_path / "t")
+    src = spark.range(0, 30).selectExpr("id AS k")
+    export_iceberg(src.where("k < 10"), d)
+    t1 = IcebergTable(spark, d)
+    ts_after_1 = t1.meta["snapshot-log"][-1]["timestamp-ms"]
+    import time as _time
+
+    _time.sleep(0.01)
+    append_iceberg(src.where("k >= 10 AND k < 20"), d)
+    append_iceberg(src.where("k >= 20"), d, branch="staging")  # not in the log
+    t = IcebergTable(spark, d)
+    sid = t.snapshot_id_as_of(ts_after_1)
+    assert sid == 1
+    assert t.read(snapshot_id=sid).count() == 10
+    # now() resolves to the latest PUBLISHED state (the branch is invisible)
+    now_sid = t.snapshot_id_as_of(t.meta["snapshot-log"][-1]["timestamp-ms"])
+    assert t.read(snapshot_id=now_sid).count() == 20
+    with pytest.raises(IcebergError, match="no snapshot at or before"):
+        t.snapshot_id_as_of(ts_after_1 - 10_000)
