@@ -6453,3 +6453,78 @@ def iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg rollback + ancestry-aware expiry (round 12 third wave): the
+# bad-commit recovery lifecycle. rollback_iceberg moves the current
+# pointer to a main-ancestry ancestor (metadata-only, git-reset shape);
+# the next append FORKS from the rolled-back head, and expiry counts
+# "newest keep_last" over the MAIN ANCESTRY, so the abandoned commit is
+# reclaimed even though it is the newest by sequence number — while the
+# kept ancestor stays byte-identical. All asserted in-query; the final
+# table (good waves only) is oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_rollback_recovery",
+    sql="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderkey % 3 IN (0, 2)
+    GROUP BY 1
+    """,
+    doc="Bad-commit recovery: append a poisoned wave, roll back "
+    "(metadata-only; the wave stays time-travelable), fork a corrected "
+    "append from the rolled-back head, then expire — ancestry-aware "
+    "retention reclaims the abandoned commit's files (asserted) while "
+    "the kept ancestor still reads. Final table oracle-checked against "
+    "the good waves of raw orders.",
+    round_added=12,
+)
+def iceberg_rollback_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_etl_pipeline_spark.sources.iceberg import (
+        IcebergError,
+        IcebergTable,
+        append_iceberg,
+        expire_snapshots_iceberg,
+        export_iceberg,
+        rollback_iceberg,
+    )
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    dest = tempfile.mkdtemp(prefix="ice_rb_") + "/table"
+    export_iceberg(src.where(F.col("o_orderkey") % 3 == 0), dest, n_files=2)
+    # the BAD wave: prices corrupted upstream
+    append_iceberg(
+        src.where(F.col("o_orderkey") % 3 == 1)
+        .withColumn("o_totalprice", F.lit(-1.0)),
+        dest,
+    )
+    rollback_iceberg(dest, 1)
+    append_iceberg(src.where(F.col("o_orderkey") % 3 == 2), dest)  # corrected
+
+    res = expire_snapshots_iceberg(dest, keep_last=2)
+    assert res["expired_snapshots"] == [2] and res["files_removed"] >= 1, res
+    t = IcebergTable(spark, dest)
+    assert t.read().where(F.col("o_totalprice") < 0).count() == 0
+    assert t.read(snapshot_id=1).count() > 0  # kept ancestor intact
+    try:
+        t.read(snapshot_id=2)
+        raise AssertionError("abandoned snapshot still readable")
+    except IcebergError:
+        pass
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

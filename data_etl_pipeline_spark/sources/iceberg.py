@@ -1481,7 +1481,21 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     ref_ids = {r["snapshot-id"] for r in (prev.get("refs") or {}).values()}
     if len(snaps) <= keep_last:
         return {"expired_snapshots": [], "files_removed": 0, "manifests_removed": 0}
-    kept_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    # "newest keep_last" counts over the MAIN ANCESTRY: snapshots a
+    # rollback abandoned (or branch commits whose ref was dropped) left
+    # the time line and are expirable regardless of recency; snapshots
+    # without parent tracking predate branches and are main-line
+    by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
+    ancestry: set[int] = set()
+    walk = prev["current-snapshot-id"]
+    while walk is not None and walk in by_id and walk not in ancestry:
+        ancestry.add(walk)
+        walk = by_id[walk].get("parent-snapshot-id")
+    main = [
+        s for s in snaps
+        if "parent-snapshot-id" not in s or s["snapshot-id"] in ancestry
+    ]
+    kept_ids = {s["snapshot-id"] for s in main[-keep_last:]} | ref_ids
     kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
     kept_ids = {s["snapshot-id"] for s in kept}
     expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
@@ -1744,6 +1758,44 @@ def fast_forward_iceberg(table_dir: str, branch: str) -> int:
 
     _write_metadata_update(table_dir, prev, mutate)
     return head
+
+
+def rollback_iceberg(table_dir: str, snapshot_id: int) -> int:
+    """Roll the table back to an earlier snapshot — the recovery op
+    after a bad commit: ``current-snapshot-id`` moves to ``snapshot_id``
+    (which must be a MAIN-ancestry ancestor of the current head; other
+    ids — branch heads, already-abandoned commits — refuse), the main
+    ref follows, and the rollback is logged. Metadata-only; nothing is
+    deleted — the abandoned commits stay time-travelable until
+    ``expire_snapshots_iceberg`` reclaims them (they leave the main
+    ancestry, so ancestry-aware expiry treats them like unpublished
+    branches). The next append forks from the rolled-back head, exactly
+    like git reset. Returns the new current snapshot id."""
+    prev = _load_table_metadata(table_dir)
+    cur = prev["current-snapshot-id"]
+    if snapshot_id == cur:
+        raise IcebergError(f"already at snapshot {snapshot_id} — nothing to roll back")
+    by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
+    walk = cur
+    while walk is not None and walk != snapshot_id:
+        walk = by_id.get(walk, {}).get("parent-snapshot-id")
+    if walk != snapshot_id:
+        raise IcebergError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"snapshot {cur} — rollback follows the main time line only"
+        )
+
+    def mutate(meta):
+        meta["current-snapshot-id"] = snapshot_id
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": int(time.time() * 1000)}
+        ]
+
+    _write_metadata_update(table_dir, prev, mutate)
+    return snapshot_id
 
 
 def evolve_partition_spec_iceberg(

@@ -1771,3 +1771,60 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
     assert t.read(snapshot_id=now_sid).count() == 20
     with pytest.raises(IcebergError, match="no snapshot at or before"):
         t.snapshot_id_as_of(ts_after_1 - 10_000)
+
+
+class TestRollback:
+    """rollback_iceberg + ancestry-aware expiry (the recovery lifecycle)."""
+
+    def test_rollback_then_fork(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import rollback_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 40).selectExpr("id AS k")
+        export_iceberg(src.where("k < 10"), d)                  # snap 1: good
+        append_iceberg(src.where("k >= 10 AND k < 20"), d)      # snap 2: bad
+        rollback_iceberg(d, 1)
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 10
+        assert t.read(snapshot_id=2).count() == 20  # still time-travelable
+        s3 = append_iceberg(src.where("k >= 20 AND k < 30"), d)  # fork from 1
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 20
+        assert t.read().where("k >= 10 AND k < 20").count() == 0
+        # the abandoned snapshot is not in the new tail
+        assert {sid for sid, _ in t.added_files(1)} == {s3}
+
+    def test_rollback_refusals(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import rollback_iceberg
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 30).selectExpr("id AS k")
+        export_iceberg(src.where("k < 10"), d)
+        append_iceberg(src.where("k >= 10 AND k < 20"), d, branch="b")
+        with pytest.raises(IcebergError, match="nothing to roll back"):
+            rollback_iceberg(d, 1)
+        with pytest.raises(IcebergError, match="not an ancestor"):
+            rollback_iceberg(d, 2)  # branch head, not main ancestry
+
+    def test_expire_reclaims_abandoned_commit(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import (
+            expire_snapshots_iceberg,
+            rollback_iceberg,
+        )
+
+        d = str(tmp_path / "t")
+        src = spark.range(0, 40).selectExpr("id AS k")
+        export_iceberg(src.where("k < 10"), d)
+        append_iceberg(src.where("k >= 10 AND k < 20"), d)  # snap 2: bad
+        rollback_iceberg(d, 1)
+        append_iceberg(src.where("k >= 20 AND k < 30"), d)  # snap 3: good
+        res = expire_snapshots_iceberg(d, keep_last=2)
+        # snap 2 left the main ancestry at rollback: reclaimed even
+        # though it is among the newest by sequence number
+        assert res["expired_snapshots"] == [2]
+        assert res["files_removed"] >= 1
+        t = IcebergTable(spark, d)
+        assert t.read().count() == 20
+        assert t.read(snapshot_id=1).count() == 10  # kept ancestor intact
+        with pytest.raises(IcebergError, match="not in table"):
+            t.read(snapshot_id=2)

@@ -178,6 +178,6 @@ def test_full_oracle_corpus_runs_on_spark_or_names_its_blocker(spark, sf_dir):
         else:
             n_portable += 1
     assert not failures, failures
-    # measured split (round 12, third wave): 165 portable / 155
+    # measured split (round 12, third wave): 166 portable / 155
     # dialect-gated; the floor keeps portability regressions visible
     assert n_portable >= 157, (n_portable, n_skipped)
