@@ -73,6 +73,12 @@ contract on this format. Manifest rewrite
 the current manifest list to one manifest per (content, spec, schema)
 group, entries carried verbatim as EXISTING with explicit sequence
 numbers; the tail and the streaming source skip the marker snapshot.
+Inspection/recovery surface: ``files_df``/``partitions_df`` metadata
+tables (manifest-only, zero data reads), ``snapshot_id_as_of``
+timestamp travel over the snapshot-log (published state only), and
+``rollback_iceberg`` — a metadata-only git-reset to a main-ancestry
+ancestor, with expiry retention counted over the main ancestry so
+abandoned commits are reclaimable immediately.
 
 Partition SPEC evolution (round 12 second wave) commits a re-layout as
 a metadata-only update (``evolve_partition_spec_iceberg``): a new spec
