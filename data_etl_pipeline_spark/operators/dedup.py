@@ -32,6 +32,7 @@ from data_etl_pipeline_spark.functions.hashing import (
     NUM_MINHASH,
     h32,
 )
+from data_etl_pipeline_spark.tables import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -72,8 +73,13 @@ def _docs_with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
     to one bogus short shingle that the real size predicate then drops;
     rows that survive the filter are untouched by the clamp.
     """
+    # spread() first: shingling (split + transform + array_distinct) is the
+    # most compute-heavy narrow stage in the engine, and on a single-split
+    # scan it would otherwise run on one core (guide §2.5; round-12 profile:
+    # the jaccard/minhash scan stage was 1 task and ~60% of query wall).
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w"))
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.split(F.col(text_col), " ").alias("w"))
         .where(F.size("w") >= n)
         .select(
             "doc_id",
@@ -367,7 +373,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         f"IF(aggregate({words_hashes}, cast(0 as bigint), "
         f"(v, h) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.expr(sim).alias("simhash"))
+    # spread(): the 60-bit interpreted vote fold is pure narrow compute —
+    # on a single-split scan it would run on one core (guide §2.5)
+    return spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.expr(sim).alias("simhash")
+    )
 
 
 def benchmark_contamination(
@@ -618,9 +628,13 @@ def repeated_substring_spans(
     xxhash64(gram) (data-only change) to cut shuffle width ~10x. The final
     window partitions by doc id, whose cardinality bounds task memory.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
-    ).select("doc_id", "w", F.size("w").alias("n_words"))
+    # spread(): positional k-gram materialization is the heavy narrow stage
+    # here; a single-split scan would run it on one core (guide §2.5)
+    base = (
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n_words"))
+    )
     occ = (
         base.where(F.col("n_words") >= k)
         .select(

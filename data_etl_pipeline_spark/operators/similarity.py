@@ -25,15 +25,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from data_etl_pipeline_spark.tables import spread
+
 # Sequential double-precision left fold: same op order as the oracle.
+#
+# Round-12 optimization note (measured, kept as the fold on purpose): a
+# dim-64 unrolled `0.0 + a[0]*b[0] + ...` expression is bit-identical and
+# ~2.3x faster in a sterile single-column projection, but in the real
+# query plans it LOST every A/B at sf0.1 (ann_topk_ivf warm 0.9 -> 2.7 s,
+# cold 13.7 s): the ~320-node trees multiply generated-code size, and the
+# per-invocation codegen/compile cost exceeds the interpreted-eval savings
+# at any realistic per-task row count. Parallelism (spread below) is the
+# lever that actually pays here.
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
 
 
-def _with_norm(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    dot_self = _DOT.format(a=vec_col, b=vec_col)
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
+def _with_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", fan_out: bool = True
+) -> DataFrame:
+    # spread() before the per-row dot/norm compute: embedding scans are
+    # single-split locally, so every downstream narrow stage (norms, LSH
+    # sign codes, centroid scoring) would otherwise run on one core
+    # (guide §2.5); no-op when the scan already carries >= parallelism.
+    # ``fan_out=False`` opts compute-light callers (ann_topk_bruteforce:
+    # n_queries * corpus dots only) out of the repartition exchange, which
+    # costs more than it saves there (round-12 A/B: 0.53 -> 0.73 s).
+    dot_self = _DOT.format(a="v", b="v")
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if fan_out:
+        base = spread(base)
+    return base.select(
+        "vec_id",
+        "v",
         F.expr(f"sqrt({dot_self})").alias("norm"),
     )
 
@@ -89,7 +112,7 @@ def ann_topk_bruteforce(
     The query side is broadcast; the corpus is scanned once — a linear,
     fully parallel plan with a tiny shuffle (k rows per query survive).
     """
-    e = _with_norm(df, vec_col, id_col)
+    e = _with_norm(df, vec_col, id_col, fan_out=False)
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )

@@ -25,6 +25,32 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Scale-adaptive fan-out for compute-heavy narrow stages that follow a
+    scan (guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The bench/test inputs are single-file, single-row-group parquet, so a
+    scan is ONE task and every narrow operator before the first exchange
+    (shingling, hash permutations, LSH sign coding, per-row scoring) runs
+    on one core of the cluster. This helper round-robin-repartitions to the
+    cluster's default parallelism — but only when the scan actually carries
+    fewer partitions than that, decided from the plan's real partition
+    count: at production scale a table scan already has >= parallelism
+    splits and this is a no-op, so nothing here is tuned to local[32].
+
+    Only worth applying where per-row compute upstream of the first
+    exchange clearly exceeds one row-serialization (the repartition's own
+    shuffle write is paid by the single scan task either way); byte-heavy /
+    compute-light paths keep the plain scan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
