@@ -336,15 +336,26 @@ def lsh_candidate_pairs(
             F.col("p.x.signature").alias("sig_a"),
             F.col("p.y.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     # est_similarity is ROUND(CAST(matches AS DOUBLE)/N, 6) in BOTH engines:
     # Spark's int / decimal-literal division would yield DECIMAL while DuckDB's
     # len()/16.0 path differs — the driver's value hash is type-sensitive.
+    #
+    # Estimate BEFORE the pair dedup, filter, then dedup on the narrow
+    # (doc_a, doc_b, est) rows: a pair colliding in several bands carries
+    # identical signatures, so est is a per-pair constant and min(est) over
+    # the duplicates equals the single value the old dropDuplicates kept.
+    # This replaces a first(array)-based dedup — two SortAggregate passes
+    # around an Exchange shuffling both full signatures per candidate —
+    # with a partial-aggregating HashAggregate over three scalar columns
+    # (guide §2.3 "project before the exchange" / §2.4: the sort
+    # disappears, the exchange narrows from 2x16 longs to one double).
     est = F.expr(_EST_SIM.format(a="sig_a", b="sig_b", n=NUM_MINHASH))
     return (
         cand.withColumn("est_similarity", est)
         .where(F.col("est_similarity") >= min_est)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("est_similarity").alias("est_similarity"))
         .select("doc_a", "doc_b", "est_similarity")
     )
 
@@ -543,7 +554,24 @@ def min_label_clusters(
     edges = pair_edges.unionByName(
         pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    # Iterate over EDGE ENDPOINTS only: a node with no edge can never
+    # change its label, so the full node set rides along every round for
+    # nothing — at corpus scale the near-dup graph is a small fraction of
+    # the corpus, so restricting the per-round joins/checkpoints/count to
+    # endpoints shrinks each iteration from O(|nodes|) to O(|V_edges|)
+    # (guide §1.2 step 1: fix the distributed algorithm first). Singletons
+    # are re-attached once at the end with their identity label — the
+    # exact value the old loop carried for them unchanged through every
+    # round.
+    # eager (the default): a lazy checkpoint here re-executes the
+    # edges-distinct subtree once per reference inside round 1's join
+    # before anything is materialized (measured +2-4 s at sf0.1).
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster"))
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_iterations):
         nbr_min = (
@@ -596,7 +624,15 @@ def min_label_clusters(
             f"min_label_clusters did not converge in {max_iterations} rounds "
             "— component diameter exceeds 2^rounds; raise max_iterations"
         )
-    return labels
+    # Singletons (nodes in no edge) label themselves. The propagated label
+    # side is the endpoint set — small relative to the corpus — with
+    # accurate post-checkpoint size stats, so the planner broadcasts it
+    # against a large node set when it fits.
+    return nodes.select("doc_id").join(
+        labels.select(F.col("doc_id").alias("l_id"), "cluster"),
+        F.col("doc_id") == F.col("l_id"),
+        "left",
+    ).select("doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
 
 
 def repeated_substring_spans(

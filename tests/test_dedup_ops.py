@@ -44,6 +44,29 @@ def test_lsh_finds_near_duplicates(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_lsh_pair_colliding_in_every_band_emits_one_row(spark):
+    """Identical docs share all 4 band keys, so the candidate explode
+    produces the pair once per band; the narrow (doc_a, doc_b) aggregate
+    that replaced the signature-carrying dropDuplicates must still emit
+    exactly ONE row, with the per-pair-constant estimate (1.0 here)."""
+    text = " ".join(f"w{i}" for i in range(30))
+    df = _docs(spark, [(1, text), (2, text)])
+    rows = dedup.lsh_candidate_pairs(df, min_est=0.3).collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (1, 2)
+    assert rows[0]["est_similarity"] == 1.0
+
+
+def test_min_label_clusters_empty_edge_list_all_singletons(spark):
+    """With the iteration restricted to edge endpoints, an empty edge
+    list means an empty label loop — every node must still come back
+    self-labeled through the final singleton re-attach."""
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r["doc_id"]: r["cluster"] for r in dedup.min_label_clusters(nodes, edges).collect()}
+    assert got == {i: i for i in range(5)}
+
+
 def test_jaccard_pairs_exact_value(spark):
     # doc1: shingles of 5 words -> 3 shingles; doc2 shares exactly 2 of them
     df = _docs(spark, [(1, "a b c d e"), (2, "b c d e f")])
