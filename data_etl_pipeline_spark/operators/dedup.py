@@ -480,11 +480,17 @@ def simhash_pairs(
             F.col("p.x.simhash").alias("sim_a"),
             F.col("p.y.simhash").alias("sim_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    # hamming is a per-pair constant across band collisions, so verify
+    # FIRST, filter, and dedup on (doc_a, doc_b, min(hamming)) — the
+    # selective distance filter then runs before the dedup exchange
+    # instead of after it (same reordering as lsh_candidate_pairs /
+    # lsh_near_dup_pairs; guide §2.3).
     return (
         cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
         .where(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
         .select("doc_a", "doc_b", "hamming")
     )
 

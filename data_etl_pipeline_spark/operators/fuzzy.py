@@ -117,10 +117,18 @@ def fuzzy_match_pairs(
         short_r.select("l_id", "r_id", "l_s", "r_s")
     )
 
+    # Verify BEFORE the cross-bucket dedup, then dedup on scalars: dist is
+    # a per-pair constant of (l_s, r_s), so min(dist) over duplicate
+    # candidates equals the single value the old dropDuplicates kept. The
+    # selective distance filter now runs before the dedup exchange, which
+    # carries (ids, long) instead of (ids, both strings) — same reorder as
+    # the LSH/simhash pair miners (guide §2.3); worst case one extra
+    # levenshtein for a pair surfacing in two buckets.
     return (
         long_pairs.unionByName(short_pairs)
-        .dropDuplicates(["l_id", "r_id"])
         .withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= max_dist)
+        .groupBy("l_id", "r_id")
+        .agg(F.min("dist").alias("dist"))
         .select(F.col("l_id").alias("left_id"), F.col("r_id").alias("right_id"), "dist")
     )

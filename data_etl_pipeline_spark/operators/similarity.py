@@ -461,12 +461,23 @@ def lsh_near_dup_pairs(
             F.col("p.x.norm").alias("na"),
             F.col("p.y.norm").alias("nb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
+    # Verify BEFORE the cross-table dedup, then dedup on the three scalar
+    # columns: cosine is a per-pair constant (same vectors in every table
+    # collision), so min() over the duplicates equals the single value the
+    # old dropDuplicates kept. The old order shipped BOTH full dim-64
+    # vectors (~1 KB/row) per candidate copy through a first(array)
+    # SortAggregate dedup; verifying first costs at most n_tables extra
+    # 64-term folds per pair but the threshold filter then drops
+    # non-near-dups before the exchange and the dedup becomes a narrow
+    # partial-aggregating HashAggregate (guide §2.3: shuffle keys and
+    # verdicts, not payloads).
     sim = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         cand.withColumn("cosine_sim", sim)
         .where(F.col("cosine_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cosine_sim").alias("cosine_sim"))
         .select("vec_a", "vec_b", "cosine_sim")
     )
 

@@ -201,7 +201,11 @@ class TestSimhashPairs:
     def test_identical_docs_pair_at_zero(self, spark):
         text = " ".join(f"w{i}" for i in range(40))
         df = _docs(spark, [(1, text), (2, text), (3, "entirely other tokens " * 10)])
-        rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(df).collect()}
+        collected = dedup.simhash_pairs(df).collect()
+        # identical docs collide in all 4 bands; the hamming-first dedup
+        # must still emit exactly one row per pair
+        assert len(collected) == len({(r["doc_a"], r["doc_b"]) for r in collected})
+        rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in collected}
         assert rows[(1, 2)] == 0
         assert (1, 3) not in rows and (2, 3) not in rows
 
