@@ -589,31 +589,31 @@ def min_label_clusters(
         # costs one trivial scan of the materialized checkpoint instead
         # of re-joining new labels against old (which doubled the heavy
         # per-iteration job count)
-        # checkpoint BEFORE the pointer-jump self-join: `propagated` feeds
-        # both sides of it, and without materialization the heavy
-        # edges-join + min-aggregate subtree would appear twice per round
-        # with only best-effort exchange reuse deduplicating the work —
-        # this pins the neighbor-min join to exactly one execution per
-        # round regardless of reuse behavior
-        propagated = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias("cluster"),
-                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias("hop_changed"),
-            )
-            .localCheckpoint()
-        )
-        parent = propagated.select(
+        # ONE materialization per round: both the neighbor-min hop and the
+        # pointer jump join against the PREVIOUS round's checkpoint (the
+        # jump reads label-of-label one round stale), so the round is a
+        # single 3-way join + checkpoint instead of hop-checkpoint then
+        # jump-checkpoint. The stale jump still composes labels along
+        # paths — new = min(own, neighbor-min, parent-of-own) — so rounds
+        # stay O(log diameter) (one extra round at worst on deep chains)
+        # while per-round actions drop from 2 materializations to 1. The
+        # fixpoint is unchanged: at convergence labels are component
+        # minima, where both the hop and the stale jump are identities.
+        parent = labels.select(
             F.col("doc_id").alias("p_id"), F.col("cluster").alias("p_cluster")
         )
         new_labels = (
-            propagated.join(parent, propagated.cluster == parent.p_id, "left")
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .join(parent, labels.cluster == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))).alias("cluster"),
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce("nbr_cluster", F.col("cluster")),
+                    F.coalesce("p_cluster", F.col("cluster")),
+                ).alias("cluster"),
                 (
-                    F.col("hop_changed")
+                    (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster"))
                     | (F.coalesce("p_cluster", F.col("cluster")) < F.col("cluster"))
                 ).alias("changed"),
             )

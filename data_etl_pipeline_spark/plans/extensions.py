@@ -5083,7 +5083,14 @@ def table_diff_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never drilled — phase 2 touches a strict subset of the key space
     assert 0 < len(dirty) < 64, dirty
 
-    l2 = left.where(F.col("bucket").isin(dirty)).alias("l")
+    # SHUFFLE_HASH: a full-outer equi-join cannot broadcast, and sort-merge
+    # pays two full sorts purely to stream the merge; the per-partition
+    # drill sides here are bounded by the dirty-bucket subset, so building
+    # a hash table per partition is strictly cheaper than sorting both
+    # sides (guide §3.1 "often faster than sort-merge when one side is
+    # moderately small per partition"). Plan: SortMergeJoin+2×Sort ->
+    # ShuffledHashJoin, exchanges unchanged.
+    l2 = left.where(F.col("bucket").isin(dirty)).hint("shuffle_hash").alias("l")
     r2 = right.where(F.col("bucket").isin(dirty)).alias("r")
     return (
         l2.join(r2, F.col("l.o_orderkey") == F.col("r.o_orderkey"), "full_outer")

@@ -927,11 +927,6 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     for k in keys:
         if k not in df.columns:
             raise DeltaExportError(f"merge key {k!r} is not a source column")
-    if df.groupBy(*keys).count().where(F.col("count") > 1).take(1):
-        raise DeltaExportError(
-            "duplicate key tuples in the merge source — Delta MERGE "
-            "semantics forbid multiple source rows matching one target row"
-        )
     _validate_constraints(df, _constraints(meta))
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -961,7 +956,22 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     #    matched keys; the source ROWS are read once more for the insert,
     #    so — like real Delta MERGE — the source must be deterministic
     #    (materialize nondeterministic sources before merging).
-    src_keys = df.select(*keys).distinct().localCheckpoint(eager=True)
+    #    The duplicate-key guard rides the SAME aggregation that builds the
+    #    key set (groupBy keys == distinct keys): one pass over the source
+    #    instead of a separate guard job — the guard check then reads the
+    #    materialized checkpoint, not the source (guide §2.4: two operations
+    #    keyed the same way share one computation).
+    src_keys = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__src_n"))
+        .localCheckpoint(eager=True)
+    )
+    if src_keys.where(F.col("__src_n") > 1).take(1):
+        raise DeltaExportError(
+            "duplicate key tuples in the merge source — Delta MERGE "
+            "semantics forbid multiple source rows matching one target row"
+        )
+    src_keys = src_keys.drop("__src_n")
     # 1) discovery: live files holding at least one matched key (semi-join
     #    against the source keys; collect bounded by file count)
     affected: dict[tuple, list[str]] = {}

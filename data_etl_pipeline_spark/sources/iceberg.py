@@ -1036,10 +1036,22 @@ def _write_partitioned_files(
     part_transforms: list[tuple[str, str, int | None, str]],
     ice_types: dict[str, str],
 ) -> list[tuple[str, dict]]:
-    """One (or more) data files per partition VALUE — every file holds
-    exactly one partition tuple, the invariant manifests encode.
-    Partitioning is for bounded-cardinality layouts; the distinct collect
-    is capped, refusing silently-unbounded specs."""
+    """One data file per partition VALUE — every file holds exactly one
+    partition tuple, the invariant manifests encode. Partitioning is for
+    bounded-cardinality layouts; the distinct collect is capped, refusing
+    silently-unbounded specs.
+
+    ONE distributed pass: the rows are tagged with the INDEX of their
+    partition value (broadcast join against the collected value list —
+    typed in-engine equality, never a string round-trip through dir
+    names), shuffled by that index so each value lands wholly in one
+    task, and written with ``partitionBy`` in a single job. The previous
+    shape ran one filtered scan + write of the WHOLE frame per partition
+    value — O(P) source scans, which at production scale multiplies the
+    read bytes by the partition count (guide §1.2 step 1 / §2.4). Row
+    sets per file are identical (same value ↔ file mapping), so per-file
+    bounds and manifests are unchanged; only intra-file row order moves.
+    """
     pname, src_col, w, kind = part_transforms[0]
     texpr = _transform_expr(kind, w, src_col, ice_types[src_col])
     values = [
@@ -1060,14 +1072,35 @@ def _write_partitioned_files(
             f"NULL partition value in {src_col!r}: null partition tuples "
             "are not supported"
         )
-    files_with_parts: list[tuple[str, dict]] = []
-    for i, v in enumerate(sorted(values)):
-        part_dir = os.path.join(table_dir, "data", f"snap{version}", f"p{i}")
-        df.where(texpr == v).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        for fp in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
-            files_with_parts.append((fp, {pname: v}))
-    if not files_with_parts:
+    if not values:
         raise IcebergError("partitioned data write produced no parquet files")
+    values = sorted(values)
+    spark = df.sparkSession
+    idx_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(values)],
+        df.select(texpr.alias("__p")).withColumn("__pi", F.lit(0)).schema,
+    )
+    out_dir = os.path.join(table_dir, "data", f"snap{version}")
+    (
+        df.withColumn("__p", texpr)
+        .join(F.broadcast(idx_df), "__p")
+        .select(*df.columns, "__pi")
+        .repartition(F.col("__pi"))
+        .write.partitionBy("__pi")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    files_with_parts: list[tuple[str, dict]] = []
+    for i, v in enumerate(values):
+        part_files = sorted(
+            glob.glob(os.path.join(out_dir, f"__pi={i}", "*.parquet"))
+        )
+        if not part_files:
+            raise IcebergError(
+                f"partitioned write lost partition value {v!r}"
+            )
+        for fp in part_files:
+            files_with_parts.append((fp, {pname: v}))
     return files_with_parts
 
 
