@@ -131,6 +131,15 @@ def _add_action(dest: str, full: str, data_change: bool) -> tuple[dict, int]:
     return {"add": add}, st.st_size
 
 
+def _one_slice_df(spark, rows, schema):
+    """Single-partition DataFrame from a driver-built metadata row list
+    (bounded by FILE COUNT, never rows) — see tables.one_slice_df for why
+    createDataFrame + coalesce(1) costs ~5 s per tiny write at 32 cores."""
+    from data_etl_pipeline_spark.tables import one_slice_df
+
+    return one_slice_df(spark, rows, schema)
+
+
 def _data_files_on_disk(dest: str) -> set[str]:
     """Relative ('/'-separated) paths of every parquet data file under
     ``dest`` — INCLUDING removed-but-unvacuumed files, which is exactly
@@ -748,7 +757,7 @@ def checkpoint_export(spark, dest: str, trim: bool = False) -> int:
         )
     log_dir = os.path.join(dest, "_delta_log")
     tmp = os.path.join(dest, "_cptmp")
-    spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _one_slice_df(spark, rows, cp_schema).write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     os.rename(os.path.join(tmp, part), os.path.join(log_dir, f"{head:020d}.checkpoint.parquet"))
     import shutil
@@ -1463,7 +1472,7 @@ def checkpoint_export_v2(
         ]
         name = f"{uuid_str}-{k:03d}.parquet"
         tmp = os.path.join(dest, f"_sctmp{k}")
-        spark.createDataFrame(rows, sc_schema).coalesce(1).write.mode(
+        _one_slice_df(spark, rows, sc_schema).write.mode(
             "overwrite"
         ).parquet(tmp)
         pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -1684,7 +1693,7 @@ def checkpoint_export_v2_incremental(spark, dest: str) -> dict:
         ]
         name = f"{uuid_str}-{k:03d}.parquet"
         tmp = os.path.join(dest, f"_sctmp{k}")
-        spark.createDataFrame(rows, sc_schema).coalesce(1).write.mode(
+        _one_slice_df(spark, rows, sc_schema).write.mode(
             "overwrite"
         ).parquet(tmp)
         pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))

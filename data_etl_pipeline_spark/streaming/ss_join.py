@@ -177,12 +177,15 @@ def append_flush_sentinel(
     far = F.expr(
         f"timestamp'{max(hi for _, hi in bounds)}' + interval {horizon_days} days"
     )
-    sent = spark.createDataFrame(
+    from data_etl_pipeline_spark.tables import one_slice_df
+
+    sent = one_slice_df(
+        spark,
         [(-1, -1, "view"), (-2, -1, "purchase")],
         "event_id long, user_id long, event_type string",
     ).select("event_id", far.alias("ts"), "user_id", "event_type")
     tmp = tempfile.mkdtemp(prefix="ss_join_sentinel_")
-    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    sent.write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     dst = os.path.join(src, "zz_sentinel.parquet")
     os.replace(os.path.join(tmp, part), dst)

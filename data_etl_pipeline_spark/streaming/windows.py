@@ -637,11 +637,13 @@ def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (_, p) in enumerate(sorted(parts)):
         os.utime(p, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
     max_ts = mon_batch.agg(F.max("ts")).first()[0]
-    sent = spark.createDataFrame([(max_ts, 0.0)], "ts timestamp, value double").select(
-        (F.col("ts") + F.expr("interval 30 days")).alias("ts"), "value"
-    )
+    from data_etl_pipeline_spark.tables import one_slice_df
+
+    sent = one_slice_df(
+        spark, [(max_ts, 0.0)], "ts timestamp, value double"
+    ).select((F.col("ts") + F.expr("interval 30 days")).alias("ts"), "value")
     tmp = tempfile.mkdtemp(prefix="psi_sentinel_")
-    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    sent.write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     dst = os.path.join(src, "zz_sentinel.parquet")
     os.replace(os.path.join(tmp, part), dst)
