@@ -375,19 +375,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # permutation math must) would zero bits 31-59, collapsing the upper
     # bands of simhash_pairs into corpus-wide buckets — the O(n^2)
     # self-join banding exists to avoid
+    # materialize the per-word hash array ONCE per row: referencing the
+    # transform(...md5...) expression inside the per-bit vote fold would
+    # re-hash every distinct word once per bit (60x the md5 work — HOF
+    # lambdas re-evaluate their child expressions on every call)
     words_hashes = (
         f"transform(array_distinct(split({text_col}, ' ')), "
         f"x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
     )
     sim = (
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"IF(aggregate({words_hashes}, cast(0 as bigint), "
-        f"(v, h) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+        "IF(aggregate(__wh, cast(0 as bigint), "
+        "(v, h) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
     )
     # spread(): the 60-bit interpreted vote fold is pure narrow compute —
     # on a single-split scan it would run on one core (guide §2.5)
-    return spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
-        "doc_id", F.expr(sim).alias("simhash")
+    return (
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.expr(words_hashes).alias("__wh"))
+        .select("doc_id", F.expr(sim).alias("simhash"))
     )
 
 

@@ -173,36 +173,50 @@ def repetition_stats(
     frequent n-gram — the standard repetition quality gates (Gopher /
     RefinedWeb style rules) for dropping boilerplate-heavy documents.
 
-    All array expressions (split -> aggregate over the distinct set), so
-    the operator is a zero-shuffle corpus scan.
+    All array expressions (split once -> sort -> longest-equal-run fold),
+    so the operator is a zero-shuffle corpus scan.
 
-    Cost note: the top-frequency expressions are O(distinct x n) per
-    document — fine at chunk/page sizes (the intended gate point), but
-    quadratic on book-length docs.  The O(n log n) form is a longest-
-    equal-run fold over array_sort(w); it is not adopted here because the
-    struct-accumulator lambda has no portable DuckDB mirror, and the
-    repo's contract is that every declared expression replays in both
-    engines.  Gate AFTER chunking (as corpus_curation does) at scale.
+    Cost note: the top frequency of an array's elements is computed as
+    the longest equal run over the SORTED array — one O(L log L) sort +
+    one O(L) struct-accumulator fold per document. The previous form
+    (`transform(array_distinct(w), d -> size(filter(w, ...)))`) was
+    O(distinct x L) with the `split` re-evaluated inside every lambda
+    invocation (HOFs are interpreted CodegenFallback expressions), which
+    made whole-corpus gating ~10x slower and quadratic on book-length
+    docs. The DuckDB oracle keeps its own (quadratic, list-comprehension)
+    form — the contract is exact VALUE parity, and both forms produce the
+    same exact integer counts.
     """
-    w = f"split({text_col}, ' ')"
-    top_word = (
-        f"array_max(transform(array_distinct({w}), "
-        f"d -> size(filter({w}, x -> x = d))))"
-    )
-    grams = (
-        f"transform(sequence(0, size({w}) - {n}), "
-        f"i -> concat_ws(' ', slice({w}, i + 1, {n})))"
-    )
-    top_gram = (
-        f"array_max(transform(array_distinct({grams}), "
-        f"d -> size(filter({grams}, x -> x = d))))"
-    )
-    return df.select(
+    # split exactly once per row; every later reference reads the column.
+    with_ws = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(f"size({w})").cast("long").alias("n_words"),
-        F.expr(f"round(cast({top_word} as double) / size({w}), 6)").alias("top_word_ratio"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+
+    def top_freq(arr: str) -> str:
+        # longest equal run over the sorted array: (prev, run, best) fold.
+        return (
+            f"aggregate(array_sort({arr}), "
+            "struct(cast(null as string) as prev, 0L as run, 0L as best), "
+            "(a, x) -> named_struct("
+            "'prev', x, "
+            "'run', if(a.prev <=> x, a.run + 1, 1L), "
+            "'best', greatest(a.best, if(a.prev <=> x, a.run + 1, 1L))), "
+            "a -> a.best)"
+        )
+
+    grams = (
+        f"transform(sequence(0, size(__ws) - {n}), "
+        f"i -> concat_ws(' ', slice(__ws, i + 1, {n})))"
+    )
+    return with_ws.select(
+        "doc_id",
+        F.expr("size(__ws)").cast("long").alias("n_words"),
         F.expr(
-            f"case when size({w}) >= {n} then "
-            f"round(cast({top_gram} as double) / (size({w}) - {n} + 1), 6) end"
+            f"round(cast({top_freq('__ws')} as double) / size(__ws), 6)"
+        ).alias("top_word_ratio"),
+        F.expr(
+            f"case when size(__ws) >= {n} then "
+            f"round(cast({top_freq(grams)} as double) / (size(__ws) - {n} + 1), 6) end"
         ).alias("top_trigram_ratio"),
     )
