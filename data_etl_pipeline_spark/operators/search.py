@@ -204,8 +204,12 @@ def rrf_fuse(
         )
         for i, r in enumerate(rankings)
     ]
+    # SHUFFLE_HASH on the incoming ranking: full-outer cannot broadcast,
+    # and each side is a per-query top-n list — hashing the new ranking
+    # beats sort-merge's sorts at any scale (guide §3.1).
     merged = reduce(
-        lambda a, b: a.join(b, [q_col, doc_col], "full_outer"), scored
+        lambda a, b: a.join(b.hint("shuffle_hash"), [q_col, doc_col], "full_outer"),
+        scored,
     )
     total = None
     for i in range(len(rankings)):

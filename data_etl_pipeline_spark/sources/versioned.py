@@ -776,7 +776,11 @@ class VersionedTable:
         for k in keys:
             eq = o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"])
             cond = eq if cond is None else (cond & eq)
-        j = o.join(n, cond, "full_outer")
+        # SHUFFLE_HASH: a full-outer equi-join (eqNullSafe stays hashable)
+        # cannot broadcast, and both sides are bounded by the CHANGED file
+        # set of one version pair — a per-partition hash build is cheaper
+        # than sort-merge's two full sorts (guide §3.1).
+        j = o.join(n.hint("shuffle_hash"), cond, "full_outer")
         in_old = F.coalesce(F.col("_o_present"), F.lit(False))
         in_new = F.coalesce(F.col("_n_present"), F.lit(False))
         differs = (
