@@ -374,25 +374,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # FULL 60-bit word hashes: reducing mod 2^31-1 (as the MinHash
     # permutation math must) would zero bits 31-59, collapsing the upper
     # bands of simhash_pairs into corpus-wide buckets — the O(n^2)
-    # self-join banding exists to avoid
-    # materialize the per-word hash array ONCE per row: referencing the
-    # transform(...md5...) expression inside the per-bit vote fold would
-    # re-hash every distinct word once per bit (60x the md5 work — HOF
-    # lambdas re-evaluate their child expressions on every call)
+    # self-join banding exists to avoid that.
+    #
+    # Loop order: fold over WORD HASHES once, accumulating all 60 bit
+    # votes in an array, then turn votes into bits. The per-bit-outer
+    # form (`aggregate(bits, ..., aggregate(__wh, ...))`) re-evaluates
+    # its word-hash child on every bit — 60x the md5 work per row — and
+    # no projection can pin it: a single-use `__wh` column is inlined
+    # back into the fold by CollapseProject (the round-12 "materialize
+    # once" comment was a no-op — the committed plan snapshot showed the
+    # md5 transform still inside the per-bit lambda; r12 ADVICE.md).
+    # With the word-outer fold every subexpression is the argument of
+    # exactly one enclosing aggregate/transform, so md5 runs once per
+    # distinct word no matter how the optimizer collapses projections.
+    # Votes are integer sums (commutative), so the per-bit totals — and
+    # every emitted bit — are identical to the per-bit-outer form.
     words_hashes = (
         f"transform(array_distinct(split({text_col}, ' ')), "
         f"x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
     )
+    votes = (
+        f"aggregate({words_hashes}, array_repeat(cast(0 as bigint), {bits}), "
+        "(acc, h) -> zip_with(acc, sequence(0, size(acc) - 1), "
+        "(v, j) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)))"
+    )
     sim = (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        "IF(aggregate(__wh, cast(0 as bigint), "
-        "(v, h) -> v + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        "(v, j) -> IF(v > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))), "
+        "cast(0 as bigint), (acc, b) -> acc + b)"
     )
     # spread(): the 60-bit interpreted vote fold is pure narrow compute —
     # on a single-split scan it would run on one core (guide §2.5)
     return (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select("doc_id", F.expr(words_hashes).alias("__wh"))
         .select("doc_id", F.expr(sim).alias("simhash"))
     )
 

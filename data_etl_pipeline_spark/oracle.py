@@ -44,17 +44,43 @@ def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def compare_query(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str) -> dict:
     _ensure_loaded()
     spec = QUERIES[name]
-    sdf = spec.fn(spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # Run the DuckDB side on a worker thread so the two engines overlap:
+    # only the worker touches `con` while it runs, and the heavy oracles
+    # (the LSH replays burn ~30 s of single-threaded list_reduce) no
+    # longer serialize behind the Spark side. Same comparisons, same
+    # result dict.
+    duck: dict[str, Any] = {}
+
+    def _run_duck() -> None:
+        try:
+            rel = con.sql(spec.sql)
+            duck["cols"] = [c.lower() for c in rel.columns]
+            duck["rows"] = rel.fetchall()
+        except BaseException as e:  # re-raised on the caller thread
+            duck["err"] = e
+
+    t = None
+    if spec.sql is not None:
+        import threading
+
+        t = threading.Thread(target=_run_duck, daemon=True)
+        t.start()
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        if t is not None:
+            t.join()
     result: dict[str, Any] = {"name": name, "spark_rows": len(s_rows)}
     if spec.sql is None:
         result["status"] = "rows_only"
         result["ok"] = len(s_rows) >= 0
         return result
-    rel = con.sql(spec.sql)
-    d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    if "err" in duck:
+        raise duck["err"]
+    d_cols = duck["cols"]
+    d_rows = duck["rows"]
     result["oracle_rows"] = len(d_rows)
     if sorted(s_cols) != sorted(d_cols):
         result.update(status="schema_mismatch", ok=False, spark_cols=s_cols, oracle_cols=d_cols)

@@ -43,8 +43,11 @@ def _cascade_table(n: int) -> dict[tuple[str, str], int]:
     return ranks
 
 
-@pytest.fixture()
+@pytest.fixture(scope="module")
 def big_table():
+    # module scope: the 50k cascade build costs ~15 s of pure-Python md5;
+    # both consumers only read the table (their own set_merges calls
+    # save/restore module state themselves)
     original = dict(bpe._RANKS)
     table = _cascade_table(50_000)
     bpe.set_merges(table)

@@ -13,6 +13,7 @@ from data_etl_pipeline_spark.sources.delta_reader import (
     DeltaLogReader,
     DeltaProtocolError,
 )
+from data_etl_pipeline_spark.tables import one_slice_df
 
 SCHEMA = T.StructType(
     [
@@ -23,9 +24,13 @@ SCHEMA = T.StructType(
 
 
 def _write_part(spark, tbl, name, rows):
-    df = spark.createDataFrame(rows, SCHEMA)
+    # one_slice_df: createDataFrame(pylist) parallelizes into one slice per
+    # core and coalesce(1) drains them SERIALLY through Python-worker
+    # round-trips (~1 s per tiny fixture write; r12 finding) — the suite
+    # writes dozens of these fixture files
+    df = one_slice_df(spark, rows, SCHEMA)
     tmp = os.path.join(tbl, "_tmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     os.rename(os.path.join(tmp, part), os.path.join(tbl, name))
     import shutil
@@ -222,11 +227,9 @@ class TestColumnMapping:
         tbl = str(tmp_path / "dlcm")
         os.makedirs(tbl)
         # physical column names on disk
-        df = spark.createDataFrame(
-            [(1, "a"), (2, "b")], "`col-11` long, `col-22` string"
-        )
+        df = one_slice_df(spark, [(1, "a"), (2, "b")], "`col-11` long, `col-22` string")
         tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
         import shutil
@@ -247,9 +250,9 @@ class TestColumnMapping:
     def test_name_mode_partition_values_use_physical_keys(self, spark, tmp_path):
         tbl = str(tmp_path / "dlcmp")
         os.makedirs(tbl)
-        df = spark.createDataFrame([(1, "a")], "`col-11` long, `col-22` string")
+        df = one_slice_df(spark, [(1, "a")], "`col-11` long, `col-22` string")
         tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(tbl, "p.parquet"))
         import shutil
@@ -279,9 +282,9 @@ class TestColumnMapping:
                 T.StructField("col-22", T.StringType(), True, {"parquet.field.id": 2}),
             ]
         )
-        df = spark.createDataFrame([(1, "a"), (2, "b")], file_schema)
+        df = one_slice_df(spark, [(1, "a"), (2, "b")], file_schema)
         tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
         import shutil
@@ -367,7 +370,8 @@ def _write_checkpoint(spark, tbl, version, meta_action, add_paths):
             ),
         ]
     )
-    df = spark.createDataFrame(
+    df = one_slice_df(
+        spark,
         [
             (
                 p,
@@ -379,7 +383,7 @@ def _write_checkpoint(spark, tbl, version, meta_action, add_paths):
         schema,
     )
     tmp = os.path.join(tbl, "_cptmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     os.rename(
         os.path.join(tmp, part),
@@ -675,9 +679,9 @@ def test_multipart_checkpoint_reads_all_parts(spark, tmp_path):
                 ),
             ]
         )
-        df = spark.createDataFrame(rows, schema)
+        df = one_slice_df(spark, rows, schema)
         tmp = os.path.join(tbl, "_cptmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.rename(
             os.path.join(tmp, part),
@@ -920,9 +924,9 @@ def test_id_mode_read_does_not_leak_field_id_conf(spark, tmp_path):
             T.StructField("col-22", T.StringType(), True, {"parquet.field.id": 2}),
         ]
     )
-    df = spark.createDataFrame([(7, "z")], file_schema)
+    df = one_slice_df(spark, [(7, "z")], file_schema)
     tmp = os.path.join(tbl, "_tmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
     shutil.rmtree(tmp)
@@ -1009,9 +1013,9 @@ class TestColumnPruning:
 
         tbl = str(tmp_path / "prunecm")
         os.makedirs(tbl)
-        df = spark.createDataFrame([(1, "a"), (2, "b")], "`col-11` long, `col-22` string")
+        df = one_slice_df(spark, [(1, "a"), (2, "b")], "`col-11` long, `col-22` string")
         tmp = os.path.join(tbl, "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(tbl, "f.parquet"))
         shutil.rmtree(tmp)

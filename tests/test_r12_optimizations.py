@@ -128,12 +128,14 @@ class TestRepetitionStatsSortedRun:
 
 
 class TestTableDiffDrillJoinStrategy:
-    def test_drill_join_is_shuffled_hash(self, spark):
+    def test_drill_join_is_shuffled_hash(self, spark, sf_dir):
         from data_etl_pipeline_spark.plans.registry import QUERIES, _ensure_loaded
         from data_etl_pipeline_spark.plans.planassert import formatted_plan
 
         _ensure_loaded()
-        df = QUERIES["table_diff_bucket_checksums"].fn(spark, "/root/testdata/sf0.001")
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"fixture dir {sf_dir} absent on this machine")
+        df = QUERIES["table_diff_bucket_checksums"].fn(spark, sf_dir)
         plan = formatted_plan(df)
         assert "ShuffledHashJoin FullOuter" in plan, plan[:2000]
         assert "SortMergeJoin" not in plan, plan[:2000]

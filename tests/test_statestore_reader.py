@@ -17,11 +17,13 @@ from pyspark.sql import functions as F
 
 def test_statestore_batchid_time_travel(spark):
     ids = list(range(100))
-    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    from data_etl_pipeline_spark.tables import one_slice_df
+
+    df = one_slice_df(spark, [(i,) for i in ids], "k long")
     src = tempfile.mkdtemp(prefix="ss_tt_src_")
     seen: set[str] = set()
     for m in range(3):  # three disjoint slices -> three micro-batches
-        df.where(F.col("k") % 3 == m).coalesce(1).write.mode("append").parquet(src)
+        df.where(F.col("k") % 3 == m).write.mode("append").parquet(src)
         # FileStreamSource orders files by (mtime, path); pin strictly
         # increasing mtimes so the slice->batch mapping never depends on
         # filesystem timestamp granularity (same trick as

@@ -34,12 +34,15 @@ def test_cross_batch_pairs_survive_state(spark, tmp_path):
     ]
     os.makedirs(src)
     for i, rows in enumerate(rows_per_file):
-        df = spark.createDataFrame(
+        from data_etl_pipeline_spark.tables import one_slice_df
+
+        df = one_slice_df(
+            spark,
             [(e, __import__("datetime").datetime.fromisoformat(t), u, k) for e, t, u, k in rows],
             "event_id long, ts timestamp, user_id long, event_type string",
         )
         path = f"{src}/f{i}"
-        df.coalesce(1).write.parquet(path)
+        df.write.parquet(path)
         for f in os.listdir(path):
             full = os.path.join(path, f)
             os.utime(full, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
