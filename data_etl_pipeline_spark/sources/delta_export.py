@@ -847,19 +847,30 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
     if not affected:
         return {"version": None, "removed_files": 0, "added_files": 0}
 
-    # 2) rewrite survivors per partition group, into the group's own dir
+    # 2) rewrite survivors per partition group, into the group's own dir;
+    # 2b) change data feed: the deleted rows (matched rows live only in
+    #     affected files by construction) as one _change_data write.
+    # Survivor writes (table root/partition dirs) and the CDC write
+    # (_change_data/) touch disjoint directories and both precede the
+    # walk-diff and the commit, so they run CONCURRENTLY (guide §2.6) —
+    # per-action driver gaps dominate a lifecycle commit's wall and now
+    # overlap. Failure in any aborts before the commit exists, exactly as
+    # in the sequential order.
     known = _data_files_on_disk(dest)
     keep = ~F.coalesce(pred, F.lit(False))
-    for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
-        surv = scan_group(key, aff).where(keep).select(*[f.name for f in data_fields])
-        out_dir = os.path.join(dest, os.path.dirname(aff[0]))
-        surv.write.mode("append").parquet(out_dir)
 
-    # 2b) change data feed: the deleted rows (matched rows live only in
-    # affected files by construction) as one _change_data write
+    def _survivor_writes() -> None:
+        for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
+            surv = (
+                scan_group(key, aff).where(keep).select(*[f.name for f in data_fields])
+            )
+            out_dir = os.path.join(dest, os.path.dirname(aff[0]))
+            surv.write.mode("append").parquet(out_dir)
+
     cdc_actions: list[dict] = []
     if _cdf_enabled(meta):
         import functools
+        from concurrent.futures import ThreadPoolExecutor
 
         parts = [
             scan_group(key, aff)
@@ -869,7 +880,13 @@ def export_delta_delete(spark, dest: str, predicate: str) -> dict:
             for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0]))
         ]
         deleted = functools.reduce(lambda a, b: a.unionByName(b), parts)
-        cdc_actions = _write_cdc(dest, deleted, part_cols)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_cdc = pool.submit(_write_cdc, dest, deleted, part_cols)
+            fut_surv = pool.submit(_survivor_writes)
+            fut_surv.result()
+            cdc_actions = fut_cdc.result()
+    else:
+        _survivor_writes()
 
     # 3) commit: remove rewritten files, add their survivor files
     now_ms = int(__import__("time").time() * 1000)
@@ -970,17 +987,31 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
     #    instead of a separate guard job — the guard check then reads the
     #    materialized checkpoint, not the source (guide §2.4: two operations
     #    keyed the same way share one computation).
+    #    The guard fires DURING the checkpoint materialization (assert_true
+    #    on the per-key count) instead of as a separate take(1) job after
+    #    it — one driver action fewer per merge, same refuse-before-
+    #    writing-a-byte ordering (r13: profile_jobs showed each action
+    #    costs ~0.2 s of driver gap at any data size).
     src_keys = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__src_n"))
-        .localCheckpoint(eager=True)
-    )
-    if src_keys.where(F.col("__src_n") > 1).take(1):
-        raise DeltaExportError(
-            "duplicate key tuples in the merge source — Delta MERGE "
-            "semantics forbid multiple source rows matching one target row"
+        .select(
+            *keys,
+            F.assert_true(
+                F.col("__src_n") <= 1, F.lit("__dup_merge_key__")
+            ).alias("__g"),
         )
-    src_keys = src_keys.drop("__src_n")
+    )
+    try:
+        src_keys = src_keys.localCheckpoint(eager=True)
+    except Exception as e:
+        if "__dup_merge_key__" in str(e):
+            raise DeltaExportError(
+                "duplicate key tuples in the merge source — Delta MERGE "
+                "semantics forbid multiple source rows matching one target row"
+            ) from None
+        raise
+    src_keys = src_keys.drop("__g")
     # 1) discovery: live files holding at least one matched key (semi-join
     #    against the source keys; collect bounded by file count)
     affected: dict[tuple, list[str]] = {}
@@ -1002,19 +1033,30 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
 
     known = _data_files_on_disk(dest)
     # 2) rewrite survivors (rows whose key is NOT in the source) of each
-    #    affected file back into its own partition directory
+    #    affected file back into its own partition directory. An
+    #    UNPARTITIONED table has exactly one group writing into the table
+    #    root — the same directory step 3's insert appends to — so the two
+    #    writes fold into one (the commit's adds come from a walk-diff;
+    #    which rows share a file never mattered). Partitioned tables keep
+    #    the per-directory writes: the survivor path writes into the
+    #    EXISTING partition directory name rather than re-deriving it from
+    #    typed values through partitionBy.
+    surv_parts: list[DataFrame] = []
     for key, aff in sorted(affected.items(), key=lambda kv: repr(kv[0])):
         surv = (
             scan_group(key, aff)
             .join(src_keys, on=keys, how="left_anti")
             .select(*[f.name for f in data_fields])
         )
-        out_dir = os.path.join(dest, os.path.dirname(aff[0]))
-        surv.write.mode("append").parquet(out_dir)
+        if part_cols:
+            out_dir = os.path.join(dest, os.path.dirname(aff[0]))
+            surv.write.mode("append").parquet(out_dir)
+        else:
+            surv_parts.append(surv)
     # 2b) change data feed: matched old rows are update_preimage, their
     #     source counterparts update_postimage, new-key source rows insert.
-    #     Matched keys pinned eagerly so pre/post/insert see one key set.
     cdc_actions: list[dict] = []
+    changes = None
     if _cdf_enabled(meta):
         import functools
 
@@ -1025,28 +1067,61 @@ def export_delta_merge(spark, df: DataFrame, dest: str, keys: list[str]) -> dict
         ]
         if pre_parts:
             pre = functools.reduce(lambda a, b: a.unionByName(b), pre_parts)
-            matched = pre.select(*keys).distinct().localCheckpoint(eager=True)
-            changes = (
-                pre.withColumn("_change_type", F.lit("update_preimage"))
-                .unionByName(
-                    df.join(matched, on=keys, how="left_semi")
-                    .select(*cols)
-                    .withColumn("_change_type", F.lit("update_postimage"))
-                )
-                .unionByName(
-                    df.join(matched, on=keys, how="left_anti")
-                    .select(*cols)
-                    .withColumn("_change_type", F.lit("insert"))
+            # One LEFT join against the matched key set tags each source
+            # row post-image (key present in an affected file) or insert
+            # (new key) — the old separate semi+anti joins against an
+            # eagerly-checkpointed key set cost an extra materialization
+            # action per merge. `pre` derives from immutable parquet
+            # files, so re-evaluating its key set inside one plan sees
+            # the same keys the preimage branch saw (the checkpoint was
+            # pinning determinism the scan already has; the SOURCE
+            # determinism requirement is documented above and unchanged).
+            matched = pre.select(*keys).distinct().withColumn("__m", F.lit(1))
+            changes = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                df.join(matched, on=keys, how="left")
+                .select(
+                    *cols,
+                    F.when(F.col("__m") == 1, F.lit("update_postimage"))
+                    .otherwise(F.lit("insert"))
+                    .alias("_change_type"),
                 )
             )
         else:
             changes = df.select(*cols).withColumn("_change_type", F.lit("insert"))
-        cdc_actions = _write_cdc(dest, changes, part_cols)
-    # 3) insert ALL source rows (updates and new keys) as new files
-    writer = df.write.mode("append")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(dest)
+
+    # 3) insert ALL source rows (updates and new keys) as new files; on an
+    #    unpartitioned table the deferred survivor rewrite rides the same
+    #    append (one write action instead of two)
+    def _insert_write() -> None:
+        if part_cols:
+            df.write.mode("append").partitionBy(*part_cols).parquet(dest)
+        else:
+            out = df.select(*[f.name for f in data_fields])
+            for s in surv_parts:
+                out = out.unionByName(s)
+            out.write.mode("append").parquet(dest)
+
+    # The CDC write (under _change_data/) and the data-file writes (under
+    # the table root) touch disjoint directories and both happen strictly
+    # before the walk-diff and the commit, so they run as two CONCURRENT
+    # jobs (guide §2.6: the scheduler overlaps independent actions; a
+    # lifecycle commit's wall is mostly per-action driver gaps, which now
+    # overlap). Failure in either aborts before the commit is written —
+    # identical crash surface to the sequential order (orphan files
+    # without a commit are invisible and never picked up by later
+    # walk-diffs, whose `known` snapshot predates their own writes).
+    if changes is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_cdc = pool.submit(_write_cdc, dest, changes, part_cols)
+            fut_ins = pool.submit(_insert_write)
+            fut_ins.result()
+            cdc_actions = fut_cdc.result()
+    else:
+        _insert_write()
 
     # 4) commit: remove rewritten files, add every file the walk-diff finds
     now_ms = int(__import__("time").time() * 1000)
