@@ -64,6 +64,12 @@ def main() -> None:
     # mass is also watched per-round
     tier2 = [s for s in QUERIES.values() if s.headline2]
     timings2, timings2_cold, spread2 = run_tier(tier2)
+    # tier 3 (round 13, ADDITIVE ONLY — tier-1/tier-2 keys unchanged):
+    # the two slowest driver-visible rows the bench never timed
+    # (VERDICT r12 item 8): the ts-ordered stateful-TTL stream replay and
+    # the persisted-LSH-index GC lifecycle.
+    tier3 = [QUERIES[n] for n in ("stream_profile_state_ttl", "ann_lsh_gc_topk")]
+    timings3, timings3_cold, spread3 = run_tier(tier3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +87,10 @@ def main() -> None:
                 "queries_tier2": timings2,
                 "queries_tier2_cold": timings2_cold,
                 "queries_tier2_spread": spread2,
+                "value_tier3": round(sum(timings3.values()), 3),
+                "queries_tier3": timings3,
+                "queries_tier3_cold": timings3_cold,
+                "queries_tier3_spread": spread3,
                 "repeats": repeats,
                 "sf": sf,
             }

@@ -126,6 +126,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_etl_pipeline_spark.tables import one_slice_df
+
 from data_etl_pipeline_spark.sources.avro_ocf import (
     read_ocf,
     read_ocf_full,
@@ -1075,12 +1077,30 @@ def _write_partitioned_files(
     if not values:
         raise IcebergError("partitioned data write produced no parquet files")
     values = sorted(values)
+    # the tag columns are internal; a source schema that already uses the
+    # names would be silently clobbered into the written files (r12
+    # ADVICE) — refuse loudly
+    clash = {"__p", "__pi"}.intersection(df.columns)
+    if clash:
+        raise IcebergError(
+            f"source columns {sorted(clash)} collide with the partitioned "
+            "writer's internal tag names; rename them before writing"
+        )
     spark = df.sparkSession
-    idx_df = spark.createDataFrame(
+    idx_df = one_slice_df(
+        spark,
         [(v, i) for i, v in enumerate(values)],
         df.select(texpr.alias("__p")).withColumn("__pi", F.lit(0)).schema,
     )
     out_dir = os.path.join(table_dir, "data", f"snap{version}")
+    if os.path.exists(out_dir):
+        # mode("overwrite") below would clobber anything already placed
+        # under this snapshot dir (r12 ADVICE); each commit must get a
+        # fresh snapshot number
+        raise IcebergError(
+            f"snapshot data dir already exists: {out_dir}; refusing to "
+            "overwrite an existing snapshot's files"
+        )
     (
         df.withColumn("__p", texpr)
         .join(F.broadcast(idx_df), "__p")

@@ -812,10 +812,16 @@ class VersionedTable:
 
     def _split_by_key_range(self, files: list[dict], updates: DataFrame, keys: list[str],
                             max_exact: int = 1024,
-                            key_types: dict | None = None):
-        """(touched, carried): a file is carried iff NO update row can match
-        it — evaluated per file against its min/max stats box in ONE
-        aggregation pass over the update batch.
+                            key_types: dict | None = None,
+                            extra_aggs: list | None = None):
+        """(touched, carried, extras): a file is carried iff NO update row
+        can match it — evaluated per file against its min/max stats box in
+        ONE aggregation pass over the update batch.
+
+        ``extra_aggs`` lets a caller fold its own aggregate guards (e.g.
+        merge's duplicate-key check) into the same single job instead of
+        paying a separate action for them; their values come back as the
+        third element (a Row, or None when none were requested).
 
         This is strictly tighter than Delta's derive-a-predicate-from-
         global-bounds rule: a mixed upsert batch (low-key updates + high-key
@@ -833,10 +839,16 @@ class VersionedTable:
         the merge join's behavior of never matching them — rewrite is
         correct either way, skip would not be provable).
         """
+        extra_aggs = list(extra_aggs or [])
+
+        def _extra_only():
+            return updates.agg(*extra_aggs).collect()[0] if extra_aggs else None
+
         if not files:
-            return [], []
+            return [], [], _extra_only()
         if len(files) > max_exact:
-            return self._split_by_global_bounds(files, updates, keys)
+            t, c = self._split_by_global_bounds(files, updates, keys)
+            return t, c, _extra_only()
         flags = []
         for i, f in enumerate(files):
             pred = None
@@ -872,12 +884,12 @@ class VersionedTable:
             flags.append(
                 F.max((pred if pred is not None else F.lit(True)).cast("int")).alias(f"_f{i}")
             )
-        row = updates.agg(*flags).collect()[0]
+        row = updates.agg(*flags, *extra_aggs).collect()[0]
         touched, carried = [], []
         for i, f in enumerate(files):
             # None = empty update batch: no row can match anything
             (touched if row[f"_f{i}"] == 1 else carried).append(f)
-        return touched, carried
+        return touched, carried, (row if extra_aggs else None)
 
     def _split_by_global_bounds(self, files: list[dict], updates: DataFrame, keys: list[str]):
         """Coarse fallback: carry a file iff its range on some key is
@@ -940,25 +952,39 @@ class VersionedTable:
             # Delta MERGE rejects sources with multiple rows per key --
             # silently accepting them would insert duplicates into a keyed
             # table (the anti-join removes ONE old row, the union adds N).
-            # One tiny agg job over the non-null-keyed slice.
-            nn = updates.na.drop(subset=keys)
-            total, distinct = nn.agg(
-                F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
-            ).first()
+            # The guard aggregates ride the file-skip aggregation's single
+            # job over the checkpointed batch (r13: one action instead of
+            # two per merge; the ValueError still fires before any write).
+            # count_distinct over the key tuple already excludes any-null
+            # rows, and the conditional count mirrors the old
+            # na.drop(subset=keys) slice exactly.
+            import functools as _ft
+            import operator as _op
+
+            nn_cond = _ft.reduce(
+                _op.and_, [F.col(k).isNotNull() for k in keys]
+            )
+            key_types = {
+                f.name: f.dataType.simpleString()
+                for f in schema.fields
+                if f.name in keys
+            }
+            touched, carried, guard = self._split_by_key_range(
+                man["files"], updates, keys, key_types=key_types,
+                extra_aggs=[
+                    F.count(F.when(nn_cond, F.lit(1))).alias("__nn_total"),
+                    F.count_distinct(*[F.col(k) for k in keys]).alias(
+                        "__nn_distinct"
+                    ),
+                ],
+            )
+            total, distinct = guard["__nn_total"], guard["__nn_distinct"]
             if total != distinct:
                 raise ValueError(
                     f"MERGE source has {total - distinct} duplicate row(s) on "
                     f"keys {keys}; deduplicate the batch first (Delta raises "
                     "'multiple source rows matched' here for the same reason)"
                 )
-            key_types = {
-                f.name: f.dataType.simpleString()
-                for f in schema.fields
-                if f.name in keys
-            }
-            touched, carried = self._split_by_key_range(
-                man["files"], updates, keys, key_types=key_types
-            )
             cur = self._read_files(touched, schema_json, man.get("dv_files"))
             kept = cur.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
             ups = updates
@@ -1024,7 +1050,7 @@ class VersionedTable:
                 for f in schema.fields
                 if f.name in keys
             }
-            touched, carried = self._split_by_key_range(
+            touched, carried, _ = self._split_by_key_range(
                 man["files"], tombstones, keys, key_types=key_types
             )
             cur = self._read_files(touched, man["schema"], man.get("dv_files"))

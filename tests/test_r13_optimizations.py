@@ -56,3 +56,32 @@ class TestSimhashWordOuterFold:
                 if vote > 0:
                     want |= 1 << j
             assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+class TestIcebergPartitionedWriteGuards:
+    def test_reserved_tag_column_names_refuse(self, spark, tmp_path):
+        from data_etl_pipeline_spark.sources.iceberg import IcebergError, export_iceberg
+
+        df = spark.createDataFrame([(1, "a", 0)], "k long, v string, __pi int")
+        import pytest as _pytest
+
+        with _pytest.raises(IcebergError, match="internal tag names"):
+            export_iceberg(df, str(tmp_path / "t"), partition_by="k")
+
+    def test_existing_snapshot_dir_refuses_overwrite(self, spark, tmp_path):
+        import os
+
+        from data_etl_pipeline_spark.sources.iceberg import (
+            IcebergError,
+            _write_partitioned_files,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        tbl = str(tmp_path / "t2")
+        os.makedirs(os.path.join(tbl, "data", "snap1"))
+        import pytest as _pytest
+
+        with _pytest.raises(IcebergError, match="already exists"):
+            _write_partitioned_files(
+                df, tbl, 1, [("k", "k", None, "identity")], {"k": "long"}
+            )
