@@ -599,7 +599,7 @@ def min_label_clusters(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -619,26 +619,43 @@ def min_label_clusters(
         # while per-round actions drop from 2 materializations to 1. The
         # fixpoint is unchanged: at convergence labels are component
         # minima, where both the hop and the stale jump are identities.
-        parent = labels.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster").alias("p_cluster")
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .join(parent, labels.cluster == parent.p_id, "left")
-            .select(
+        # Round 1 (it == 0): labels are the identity map, so the pointer
+        # jump reads label-of-label = label — a provable no-op join.
+        # Skipping it drops one join stage from the heaviest round while
+        # leaving every value identical (least(own, nbr, own) =
+        # least(own, nbr)).
+        hopped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+        if it == 0:
+            new_labels = hopped.select(
                 "doc_id",
                 F.least(
                     F.col("cluster"),
                     F.coalesce("nbr_cluster", F.col("cluster")),
-                    F.coalesce("p_cluster", F.col("cluster")),
                 ).alias("cluster"),
-                (
-                    (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster"))
-                    | (F.coalesce("p_cluster", F.col("cluster")) < F.col("cluster"))
-                ).alias("changed"),
+                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias(
+                    "changed"
+                ),
+            ).localCheckpoint()
+        else:
+            parent = labels.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster").alias("p_cluster")
             )
-            .localCheckpoint()
-        )
+            new_labels = (
+                hopped.join(parent, labels.cluster == parent.p_id, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce("nbr_cluster", F.col("cluster")),
+                        F.coalesce("p_cluster", F.col("cluster")),
+                    ).alias("cluster"),
+                    (
+                        (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster"))
+                        | (F.coalesce("p_cluster", F.col("cluster")) < F.col("cluster"))
+                    ).alias("changed"),
+                )
+                .localCheckpoint()
+            )
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if changed == 0:

@@ -4161,9 +4161,15 @@ def stream_cdf_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             *cols, F.col("_commit_version").alias("_v")
         )
         dels = net.where(F.col("_change_type") == "delete").select("o_orderkey")
-        if ups.take(1):
+        # ONE emptiness probe for both branches (r13: the two take(1)s
+        # each escalated through several scan jobs per tick)
+        probe = net.agg(
+            F.count(F.when(F.col("_change_type") != "delete", 1)).alias("u"),
+            F.count(F.when(F.col("_change_type") == "delete", 1)).alias("d"),
+        ).first()
+        if probe["u"]:
             dst.merge(ups, keys=["o_orderkey"])
-        if dels.take(1):
+        if probe["d"]:
             dst.delete_keys(dels, keys=["o_orderkey"])
 
     def tick() -> None:
@@ -4205,9 +4211,14 @@ def stream_cdf_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the mirror must equal the source's final snapshot
     mirrored = dst.read().select(*cols)
     direct = reader.read().select(*cols)
-    assert mirrored.exceptAll(direct).take(1) == [] and direct.exceptAll(
-        mirrored
-    ).take(1) == [], "mirror diverged from the source snapshot"
+    # symmetric-difference emptiness in ONE action (two exceptAll takes
+    # would each escalate through several scan jobs)
+    assert (
+        mirrored.exceptAll(direct)
+        .unionAll(direct.exceptAll(mirrored))
+        .take(1)
+        == []
+    ), "mirror diverged from the source snapshot"
     return mirrored.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(

@@ -14,7 +14,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # The suite's fixtures are tiny (sf0.001), so per-stage task scheduling
+    # dominates wall time and MORE cores make the suite SLOWER (measured on
+    # representative files: 32 cores +12%, 8 cores +7-16% vs 4; 2 cores is
+    # worse again). Cap the TEST session at 4 — tests are not the bench
+    # (bench.py honors $SPARK_GRAFT_CPUS untouched), and an inherited
+    # SPARK_GRAFT_CPUS=32 from the driver environment must not quadruple
+    # every stage's task count here. A LOWER explicit value is honored.
+    cpus = min(4, int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+    s = get_spark("tests", cpus=cpus)
     yield s
     s.stop()
 

@@ -56,7 +56,7 @@ def test_conf_sensitive_queries_pass_under_default_session():
             capture_output=True,
             text=True,
             cwd=REPO,
-            env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
             timeout=1800,
         )
         ok = (
