@@ -46,6 +46,14 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = parts or sc.defaultParallelism
+    # df.rdd.getNumPartitions() is a driver-side plan->RDD conversion that
+    # reads the PRE-AQE partition count — exactly what we want here (the
+    # question is "how many splits does the scan carry", and AQE only
+    # re-coalesces exchanges downstream), but it is a per-call driver cost
+    # and would misreport for exotic sources whose partitioning is only
+    # known at runtime. Every current call site sits directly on a parquet
+    # scan or a just-built projection of one, where the static count IS
+    # the scan's split count.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
